@@ -1,13 +1,351 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator is a named entry in `queries`; every
+  * SQL-expressible one has a matching DuckDB oracle in `oracleSql` with
+  * IDENTICAL column names and mirrored expression semantics (rounding,
+  * casts, tie-breaking). Non-SQL-expressible ops (sketches, LSH) are
+  * rows-only checked.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- relational core ---------------------------------------------------
+    "q01_pricing_summary"          -> Relational.pricingSummary _,
+    "q02_group_count"              -> Relational.groupCount _,
+    "q03_filter_project"           -> Relational.filterProject _,
+    "q04_revenue_by_nation"        -> Relational.revenueByNation _,
+    "q05_top_orders_per_customer"  -> Relational.topOrdersPerCustomer _,
+    "q06_customer_cube"            -> Relational.customerCube _,
+    "q07_distinct_counts"          -> Relational.distinctParts _,
+    "q08_top_orders"               -> Relational.topOrders _,
+    "q09_hourly_events"            -> Relational.hourlyEvents _,
+    "q10_customers_without_orders" -> Relational.customersWithoutOrders _,
+    "q11_json_extract"             -> Relational.jsonExtract _,
+    "q12_sessionize"               -> Relational.sessionize _,
+    "q13_approx_distinct"          -> Relational.approxDistinct _,
+    "q14_price_quantiles"          -> Relational.priceQuantiles _,
+    // -- listing pipeline (reference semantics, fixture-driven) ------------
+    "q15_listing_normalize"        -> ((s: SparkSession, _: String) => Views.fixtureListings(s)),
+    "q16_district_count"           -> ((s: SparkSession, _: String) => Views.districtCounts(Views.fixtureListings(s))),
+    "q17_district_price_stats"     -> ((s: SparkSession, _: String) => Views.districtPriceStats(Views.fixtureListings(s))),
+    "q18_district_topk"            -> ((s: SparkSession, _: String) => Views.topKPerDistrict(Views.fixtureListings(s))),
+    // -- dedup family ------------------------------------------------------
+    "q20_exact_dedup"              -> Dedup.exact _,
+    "q25_jaccard_neardup"          -> ((s: SparkSession, d: String) => Dedup.jaccardNearDup(s, d)),
+    "q26_minhash_lsh"              -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "q27_simhash_neardup"          -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
+    // -- text analysis -----------------------------------------------------
+    "q21_token_stats"              -> TextStats.tokenStats _,
+    "q22_quality_score"            -> TextStats.qualityScore _,
+    "q23_lang_id"                  -> TextStats.langId _,
+    "q24_fingerprint"              -> TextStats.fingerprints _,
+    // -- similarity search -------------------------------------------------
+    "q28_cosine_topk"              -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "q29_lsh_topk"                 -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "q30_embedding_neardup"        -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
+    // -- multimodal plumbing ----------------------------------------------
+    "q31_media_meta"               -> Multimodal.decodeMeta _,
+    "q32_media_format_stats"       -> Multimodal.formatStats _)
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL (DuckDB dialect) — the raw-listing fixture reproduced as a
+  // VALUES list so the normalization semantics are checked value-by-value.
+  // ---------------------------------------------------------------------
+
+  private val listingValues: String =
+    """(VALUES
+      | (1, 'Hôm nay', 'Đường Lê Lợi, Phường Bến Nghé, Quận 1, Hồ Chí Minh', '5,5 tỷ', '80 m²', 'Kích thước: 4x20m', '12m', '3 lầu', '4 phòng ngủ', 'Có'),
+      | (2, 'Hôm qua', 'Phố Huế, Xã Tân Triều, Huyện Thanh Trì, Hà Nội', '850 triệu', '45,5 m2', 'Kích thước: 4,5x10m', '8m', '2 lầu', '3 phòng ngủ', NULL),
+      | (3, '24/04/2025', 'Nguyễn Trãi, Phường 7, Quận Gò Vấp, Hồ Chí Minh', 'Thỏa thuận', '---', '---', NULL, NULL, NULL, 'Có'),
+      | (4, 'not a date', 'A, B, C, D', 'giá rẻ', '120,75 m²', 'Kích thước: ---', NULL, '10 lầu', NULL, NULL),
+      | (5, '01/01/2024', 'Đường Nguyễn Huệ, Quận 5', '1.2 tỷ', '60 m', 'Kích thước: 5x12m', '6m', '1 lầu', '2 phòng ngủ', 'Có'),
+      | (6, 'hôm nay', 'Trần Phú, Phường Mộ Lao, Quận Hà Đông, Hà Nội', '2,,3 tỷ', 'abc', 'Kích thước: 20m', '4,5m', 'năm lầu', '0 phòng ngủ', 'Không'),
+      | (7, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+      | (8, '31/02/2025', 'Lý Thường Kiệt, Phường 8, Quận Tân Bình, Hồ Chí Minh', '990  triệu', '33,0 m²', 'Kích thước: 3,3x10m', '5m', '4 lầu', '3 phòng ngủ', 'Có')
+      |)""".stripMargin
+
+  /** Shared normalization CTE chain mirroring graft.expr.VnText /
+    * graft.ingest.Normalize.fromSiteText, anchored at as_of = 2025-04-24. */
+  private val listingNormCte: String =
+    s"""raw(id, raw_post_date, raw_address, raw_price, raw_area, raw_dims, raw_road, raw_floors, raw_bedrooms, raw_parking) AS $listingValues,
+       |sp AS (
+       |  SELECT *,
+       |    string_split(raw_address, ', ') AS parts,
+       |    lower(trim(raw_price)) AS pr,
+       |    regexp_extract(lower(trim(raw_price)), '([0-9.,]+)\\s*tỷ', 1) AS ty,
+       |    regexp_extract(lower(trim(raw_price)), '([0-9.,]+)\\s*triệu', 1) AS tri,
+       |    regexp_extract(lower(trim(raw_area)), '([0-9.,]+)\\s*m', 1) AS am,
+       |    trim(replace(raw_dims, 'Kích thước:', '')) AS dim_base
+       |  FROM raw),
+       |sp2 AS (
+       |  SELECT *,
+       |    string_split(trim(replace(dim_base, 'm', '')), 'x') AS dim_parts,
+       |    (NOT contains(dim_base, '---')) AND len(string_split(trim(replace(dim_base, 'm', '')), 'x')) >= 2 AS dim_valid
+       |  FROM sp),
+       |norm AS (
+       |  SELECT
+       |    id::BIGINT AS id,
+       |    CASE WHEN contains(lower(trim(raw_post_date)), 'hôm nay') THEN DATE '2025-04-24'
+       |         WHEN contains(lower(trim(raw_post_date)), 'hôm qua') THEN DATE '2025-04-24' - 1
+       |         ELSE coalesce(try_strptime(trim(raw_post_date), '%d/%m/%Y')::DATE, DATE '2025-04-24') END AS post_date,
+       |    CASE WHEN len(parts) >= 4 THEN regexp_replace(parts[1], '^(Đường |Phố )', '') END AS duong_pho,
+       |    CASE WHEN len(parts) >= 4 THEN regexp_replace(parts[2], '^(Phường |Xã )', '') END AS phuong_xa,
+       |    CASE WHEN len(parts) >= 4 THEN regexp_replace(parts[3], '^(Quận |Huyện )', '') END AS quan_huyen,
+       |    CASE WHEN len(parts) >= 4 THEN parts[4] END AS thanh_pho,
+       |    len(parts) >= 4 AS addr_valid,
+       |    'Nhà đất' AS loai_bds,
+       |    CASE WHEN regexp_matches(trim(replace(am, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN try_cast(trim(replace(am, ',', '.')) AS DOUBLE) END AS area,
+       |    CASE WHEN dim_valid AND regexp_matches(trim(replace(dim_parts[1], ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN try_cast(trim(replace(dim_parts[1], ',', '.')) AS DOUBLE) END AS chieu_ngang,
+       |    CASE WHEN dim_valid AND regexp_matches(trim(replace(dim_parts[2], ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN try_cast(trim(replace(dim_parts[2], ',', '.')) AS DOUBLE) END AS chieu_dai,
+       |    CASE WHEN regexp_matches(trim(replace(replace(raw_road, 'm', ''), ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN try_cast(trim(replace(replace(raw_road, 'm', ''), ',', '.')) AS DOUBLE) END AS duong_truoc_nha,
+       |    CASE WHEN regexp_matches(trim(replace(raw_floors, ' lầu', '')), '^[0-9]+$$') THEN try_cast(trim(replace(raw_floors, ' lầu', '')) AS INTEGER) END AS so_tang,
+       |    CASE WHEN regexp_matches(trim(replace(raw_bedrooms, ' phòng ngủ', '')), '^[0-9]+$$') THEN try_cast(trim(replace(raw_bedrooms, ' phòng ngủ', '')) AS INTEGER) END AS so_phong_ngu,
+       |    CASE WHEN raw_parking IS NOT NULL THEN trim(raw_parking) = 'Có' END AS cho_de_xe,
+       |    CASE WHEN contains(pr, 'thỏa thuận') THEN NULL
+       |         WHEN ty <> '' THEN (CASE WHEN regexp_matches(trim(replace(ty, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN try_cast(trim(replace(ty, ',', '.')) AS DOUBLE) END)
+       |         WHEN tri <> '' THEN (CASE WHEN regexp_matches(trim(replace(tri, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN try_cast(trim(replace(tri, ',', '.')) AS DOUBLE) END) / 1000.0 END AS price_billion_vnd,
+       |    CASE WHEN raw_price IS NULL THEN 'unknown'
+       |         WHEN contains(pr, 'thỏa thuận') THEN 'negotiable'
+       |         WHEN ty <> '' AND (CASE WHEN regexp_matches(trim(replace(ty, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN 1 END) = 1 THEN 'ok'
+       |         WHEN tri <> '' AND (CASE WHEN regexp_matches(trim(replace(tri, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN 1 END) = 1 THEN 'ok'
+       |         ELSE 'unknown' END AS price_status,
+       |    'alonhadat' AS source
+       |  FROM sp2)""".stripMargin
+
+  /** Character-5-gram distinct shingle CTE over documents (mirrors
+    * TextStats.shingles). */
+  private val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN length(text) >= 5
+      |         THEN list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))
+      |         ELSE [text] END) AS s
+      |  FROM documents)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_group_count" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE lang IS NOT NULL AND lang <> '' GROUP BY lang""".stripMargin,
+
+    "q03_filter_project" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200 AND lang <> ''",
+
+    "q04_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q05_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn::INT AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q06_customer_cube" ->
+      """SELECT c_mktsegment, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (c_mktsegment, n_name)""".stripMargin,
+
+    "q07_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q08_top_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q09_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q10_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q11_json_extract" ->
+      """SELECT event_type,
+        | sum(try_cast(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        | count(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q12_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+        |g AS (
+        |  SELECT *, ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s FROM e),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events, min(ts_s) AS sess_start,
+        | max(ts_s) AS sess_end, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q15_listing_normalize" ->
+      s"""WITH $listingNormCte
+         |SELECT * FROM norm""".stripMargin,
+
+    "q16_district_count" ->
+      s"""WITH $listingNormCte
+         |SELECT quan_huyen, count(*) AS so_luong FROM norm
+         |WHERE quan_huyen IS NOT NULL AND quan_huyen <> '' GROUP BY quan_huyen""".stripMargin,
+
+    "q17_district_price_stats" ->
+      s"""WITH $listingNormCte
+         |SELECT quan_huyen, count(*) AS n_priced,
+         | round(avg(price_billion_vnd), 4) AS avg_price,
+         | round(min(price_billion_vnd), 4) AS min_price,
+         | round(max(price_billion_vnd), 4) AS max_price,
+         | round(avg(price_billion_vnd * 1000.0 / nullif(area, 0.0)), 4) AS avg_price_million_per_m2
+         |FROM norm WHERE quan_huyen IS NOT NULL AND price_status = 'ok'
+         |GROUP BY quan_huyen""".stripMargin,
+
+    "q18_district_topk" ->
+      s"""WITH $listingNormCte
+         |SELECT quan_huyen, id, price_billion_vnd, rk::INT AS rk
+         |FROM (SELECT quan_huyen, id, price_billion_vnd,
+         |        row_number() OVER (PARTITION BY quan_huyen ORDER BY price_billion_vnd DESC, id) AS rk
+         |      FROM norm WHERE quan_huyen IS NOT NULL AND price_status = 'ok')
+         |WHERE rk <= 3""".stripMargin,
+
+    "q20_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens,
+        | length(text)::BIGINT AS n_chars
+        |FROM documents""".stripMargin,
+
+    "q22_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS L,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    length(text) - length(replace(text, ' ', '')) AS n_space,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    n_alpha::DOUBLE / nullif(L, 0)::DOUBLE AS alpha_ratio,
+        |    n_digit::DOUBLE / nullif(L, 0)::DOUBLE AS digit_ratio,
+        |    n_stop::DOUBLE / nullif(n_tokens, 0)::DOUBLE AS stop_ratio,
+        |    (L - n_space)::DOUBLE / nullif(n_tokens, 0)::DOUBLE AS mean_tok_len
+        |  FROM f)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        | round(alpha_ratio, 4) AS alpha_ratio,
+        | round(digit_ratio, 4) AS digit_ratio,
+        | round(stop_ratio, 4) AS stop_ratio,
+        | round(mean_tok_len, 4) AS mean_tok_len,
+        | round(least(1.0, greatest(0.0,
+        |   0.5 * alpha_ratio + 0.3 * least(1.0, stop_ratio * 4) +
+        |   0.2 * least(1.0, n_tokens::DOUBLE / 64.0) - digit_ratio)), 4) AS quality
+        |FROM r""".stripMargin,
+
+    "q23_lang_id" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|a|in|to|is)\b'))::BIGINT AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|que)\b'))::BIGINT AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|et|est|que)\b'))::BIGINT AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(de|shi|le|zhe|ge|wo)\b'))::BIGINT AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        | CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |      ELSE 'zh' END AS predicted_lang,
+        | lang
+        |FROM f""".stripMargin,
+
+    "q24_fingerprint" ->
+      s"""WITH $shingleCte
+         |SELECT d.doc_id, md5(d.text) AS fp_md5,
+         |  list_aggregate(list_transform(sh.s, x -> md5(x)), 'min') AS fp_min_shingle,
+         |  len(sh.s)::BIGINT AS n_shingles
+         |FROM documents d JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
+
+    "q25_jaccard_neardup" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6""".stripMargin,
+
+    "q28_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rn::INT AS rn
+        |FROM r WHERE rn <= 5""".stripMargin,
+
+    "q31_media_meta" ->
+      """SELECT doc_id,
+        | octet_length(text::BLOB)::INT AS n_bytes,
+        | (octet_length(text::BLOB) % 640 + 32)::INT AS width,
+        | ((octet_length(text::BLOB) * 7) % 480 + 32)::INT AS height,
+        | ['jpg', 'png', 'webp'][(doc_id % 3 + 1)::INT] AS fmt,
+        | (doc_id % 16 + 1)::INT AS n_frames
+        |FROM documents""".stripMargin,
+
+    "q32_media_format_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (octet_length(text::BLOB) % 640 + 32)::INT AS width,
+        |    ((octet_length(text::BLOB) * 7) % 480 + 32)::INT AS height,
+        |    ['jpg', 'png', 'webp'][(doc_id % 3 + 1)::INT] AS fmt,
+        |    (doc_id % 16 + 1)::INT AS n_frames
+        |  FROM documents)
+        |SELECT fmt, count(*) AS n_media, round(avg(width), 4) AS avg_width,
+        | round(avg(height), 4) AS avg_height, max(n_frames) AS max_frames
+        |FROM m GROUP BY fmt""".stripMargin)
 }

@@ -1,0 +1,178 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.documents
+import graft.analytics.TextStats.shingles
+import graft.functions.BitOps.hammingDistance
+
+/** Deduplication operators for training-data pipelines, over `documents`.
+  *
+  * Four tiers, by cost/recall tradeoff:
+  *  1. exact      — md5 hash groupBy (one shuffle on the digest).
+  *  2. jaccard    — EXACT set-similarity self-join with prefix filtering
+  *                  (PPJoin-style): provably no false negatives, candidate set
+  *                  ≪ n², oracle-checkable.
+  *  3. minhash    — MinHash signatures + LSH banding: probabilistic, constant
+  *                  signature size per doc, the 100 TB workhorse.
+  *  4. simhash    — 64-bit SimHash + banded Hamming join.
+  *
+  * Scale posture: nothing here is O(n²) and nothing leaves the executors.
+  * Signature computation (MinHash/SimHash) is purely per-row array math —
+  * fused into the scan, no explode-shuffle. Candidate generation is always an
+  * equi-join on a token/band/bucket key, and exact verification runs only on
+  * candidates. Hot keys (ubiquitous shingles) are the classic skew source —
+  * the prefix filter bounds each doc to its rarest tokens, which kills most
+  * of that skew by construction; AQE skew-join handles the rest.
+  */
+object Dedup {
+
+  /** q20: exact duplicate grouping by content digest. At 100 TB this is one
+    * shuffle keyed on a 128-bit digest — no text comparison, no skew (digests
+    * are uniform). Canonical id = min doc_id, the usual keep-first rule. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** q25: exact character-5-gram Jaccard near-duplicate pairs (sim ≥ 0.6).
+    *
+    * Exact algorithm with prefix filtering: order each doc's shingle set by
+    * global document frequency (rarest first; shingle text as tiebreaker).
+    * If Jaccard(A,B) ≥ t then |A∩B| ≥ t·|A∪B|, so A and B must collide
+    * within their first ⌊n·(1−t)⌋+1 rarest shingles — the inverted index is
+    * built over those prefixes only, then candidates are verified exactly
+    * on the full sets. No false negatives, candidate set ≪ n². */
+  def jaccardNearDup(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
+    // Global shingle document-frequency — drives the rarest-first prefix order.
+    val freq = docs
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+
+    // Per-doc prefix: the rarest ⌊n(1−t)⌋+1 shingles (rank over the full
+    // global (df, shingle) order; rk is the position in the sorted set).
+    val prefixes = docs
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .join(freq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)))
+      .filter(col("rk") <= (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col("doc_id"), col("s"), col("n"), col("rk"))
+
+    // Inverted-index candidate pairs (a < b) with PPJoin-style pruning:
+    //  - length filter: J ≥ t ⇒ t·|B| ≤ |A| (and symmetrically);
+    //  - positional filter: at the pair's first shared prefix token there are
+    //    no earlier common tokens, so overlap ≤ 1 + min(suffix lengths), which
+    //    must reach α = ⌈t/(1+t)·(|A|+|B|)⌉. Both prune without losing any
+    //    true pair; then exact verification on the full sets.
+    val tt = threshold / (1 + threshold)
+    val cand = prefixes.as("x").join(prefixes.as("y"),
+        col("x.s") === col("y.s") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("y.n") >= ceil(col("x.n") * threshold) &&
+          col("x.n") >= ceil(col("y.n") * threshold) &&
+          (lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk"))) >=
+            ceil((col("x.n") + col("y.n")) * tt))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / nullif(col("uni"), lit(0)).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private val MinhashPerms = 64
+  private val NumBands     = 16 // 16 bands × 4 rows: P(catch) ≈ 1 at jaccard 0.6+
+
+  /** 64-slot MinHash signature as a per-row array expression: slot p is
+    * min over shingles of xxhash64(p, shingle). No explode, no shuffle —
+    * the whole signature computes inside the scan's project. */
+  def minhashSignature(sh: Column): Column =
+    transform(sequence(lit(0), lit(MinhashPerms - 1)),
+      p => array_min(transform(sh, s => xxhash64(p, s))))
+
+  /** q26: MinHash + LSH banding near-duplicate candidates (probabilistic —
+    * signature hashes are engine-specific, so rows-only check). Output:
+    * candidate pairs with signature-estimated Jaccard ≥ 0.5.
+    *
+    * Plan: one narrow stage computes signatures and band keys; one shuffle
+    * buckets (band, band_key); one shuffle dedups pairs; signature joins to
+    * estimate similarity. Keyed equi-joins only — no cross join anywhere. */
+  def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = MinhashPerms / NumBands
+    val sigs = documents(spark, dir)
+      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("mhs"))
+
+    val bands = sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("mhs"), b * rowsPerBand + 1, lit(rowsPerBand))).as("band_key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("mhs").as("mhs_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("mhs").as("mhs_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("mhs_a"), col("mhs_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / MinhashPerms)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash of the shingle set: per-bit majority vote over shingle
+    * hashes, as pure column expressions (no UDF, no shuffle). The string
+    * hash is materialized ONCE per shingle; the 64 per-bit counts then run
+    * over precomputed longs (shift+mask, not re-hashing). */
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  def simhashFromHashes(hs: Column): Column = {
+    val n = size(hs).cast("long")
+    val bits = (0 until 64).map { i =>
+      val ones = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+      when(ones * 2 >= n, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  def simhash64(sh: Column): Column = simhashFromHashes(shingleHashes(sh))
+
+  /** q27: SimHash near-duplicate pairs with Hamming distance ≤ 3, found via
+    * banded 16-bit chunk equi-join (a pair within distance 3 must agree on
+    * at least one of 4 chunks — pigeonhole, no false negatives for d ≤ 3).
+    * Rows-only check (hash internals are engine-specific). */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), shingleHashes(shingles(col("text"))).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sim"))
+
+    val chunks = docs.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL).as("ck"))): _*)).as("c"))
+      .select(col("doc_id"), col("sim"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "ck"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hammingDistance(col("x.sim"), col("y.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

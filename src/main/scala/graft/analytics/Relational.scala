@@ -1,0 +1,191 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Core relational query surface.
+  *
+  * The reference's entire batch-analytics surface is one grouped count with a
+  * not-null/not-empty filter (reference: spark_jobs/count_by_district.py:22-36
+  * plus the equivalent MapReduce pair batch_jobs/listing_count_by_district/).
+  * That capability — scan → project → filter → hash-aggregate → sink — is
+  * reproduced here (q02/q03) and widened to the full relational toolkit a
+  * production analytics engine needs (multi-aggregate, joins, windows, cube,
+  * distinct, sort/limit, time-bucketed and sessionized event analytics).
+  *
+  * Scale notes (100 TB posture):
+  *  - Aggregations are plain `groupBy` → Catalyst plans partial+final
+  *    HashAggregate (map-side combine), so shuffle volume is #groups, not #rows.
+  *  - Dimension joins broadcast the small side explicitly (`broadcast(...)`);
+  *    the mid-size sides are left to AQE, which auto-broadcasts under the
+  *    threshold and falls back to shuffle join beyond it.
+  *  - Windows partition by high-cardinality keys (custkey, user_id) so work
+  *    spreads across executors; no global windows anywhere.
+  *  - All floating-point outputs are rounded at the edge (only for
+  *    oracle-compare stability; the plans aggregate at full precision).
+  */
+object Relational {
+
+  /** q01: TPC-H Q1-style pricing summary: multi-aggregate grouped scan.
+    * Filter reaches the parquet scan as a pushed predicate. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** q02: the reference's flagship query shape — grouped count with
+    * not-null/not-empty filter (reference: spark_jobs/count_by_district.py:26-29,
+    * batch_jobs/listing_count_by_district/{mapper,reducer}.py), applied to the
+    * `documents` table's `lang` column. */
+  def groupCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"))
+      .filter(col("lang").isNotNull && col("lang") =!= "")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** q03: projection + predicate — both must push down to the parquet scan
+    * (P1/P2 in SURVEY.md §2.2). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(col("n_chars") > 200 && col("lang") =!= "")
+
+  /** q04: revenue by region/nation — star-schema join chain.
+    * nation/region are tiny and broadcast explicitly; customer/orders are left
+    * to AQE (broadcast at test SFs, shuffle-hash at warehouse scale). */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val o  = orders(spark, dir)
+    val c  = customer(spark, dir)
+    val n  = nation(spark, dir)
+    val r  = region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q05: top-3 orders per customer — partitioned window rank.
+    * Partition key is the customer key (high cardinality at scale), order has a
+    * unique tiebreaker (o_orderkey) so results are deterministic. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("rn"))
+  }
+
+  /** q06: CUBE over (mktsegment, nation) — grouping-sets aggregate. */
+  def customerCube(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+  }
+
+  /** q07: exact distinct counts per group (expands to two-phase distinct
+    * aggregate; the approximate HLL variant is `approxDistinct` below). */
+  def distinctParts(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** q08: global top-N — TakeOrderedAndProject, not a full sort.
+    * Unique tiebreaker keeps it deterministic. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("o_orderdate"))
+
+  /** q09: tumbling one-hour event aggregation (batch form of the streaming
+    * windowed agg in graft.streaming.EventStream). */
+  def hourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+
+  /** q10: customers with no orders — anti join (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** q12: JSON field extraction from the events `props` payload
+    * (the engine-side form of the reference's per-record json.loads —
+    * reference: kafka_cc/consumer/kafka_to_hdfs_consumer.py:63). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_with_k"),
+        count(lit(1)).as("n"))
+
+  /** q13: gap-based sessionization (30-min inactivity) as a batch window
+    * computation: lag → new-session flag → running sum = session id.
+    * Timestamps are floored to epoch seconds before the gap compare so the
+    * result is precision-stable across parquet readers (the source column is
+    * nanosecond-precision; engines truncate differently below seconds). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("ts_s", floor(col("ts").cast("double")).cast("long"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("sess_start"),
+        max(col("ts_s")).as("sess_end"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Approximate distinct via HLL++ — the scale path for q07; no DuckDB oracle
+    * (sketch internals differ across engines), checked rows-only. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+
+  /** Approximate percentiles — single-pass quantile sketch per group; checked
+    * rows-only (sketch semantics are engine-specific). */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"))
+}

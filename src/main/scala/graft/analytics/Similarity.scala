@@ -1,0 +1,123 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.embeddings
+import graft.functions.VectorOps._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths:
+  *  - bruteForceTopK: exact k-NN for a bounded query set — broadcast the
+  *    queries, stream the corpus once. This is THE correct shape when
+  *    |queries| is small: corpus-side scan parallelism, no corpus shuffle
+  *    beyond the final per-query top-k, cost O(|Q|·N·d).
+  *  - lshTopK: random-hyperplane (sign) LSH bucketing — the scale path when
+  *    |queries| is also huge: both sides bucket by signature, candidates are
+  *    only same-bucket pairs, then exact re-rank within candidates.
+  *
+  * Embedding cosine near-dup (all-pairs ≥ τ) reuses the same LSH bucketing —
+  * see `embeddingNearDup`.
+  */
+object Similarity {
+
+  /** q28: exact top-k cosine neighbors for query vectors (vec_id < 10),
+    * excluding self. Queries are broadcast (tiny side); the per-query top-k
+    * is a window rank partitioned by query — k·|Q| rows survive. Ordering
+    * ties break on neighbor_id, so output is fully deterministic. */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").cast("array<double>").as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  private val NumTables = 8
+  private val PlanesPerTable = 8
+
+  /** Deterministic random hyperplanes (seeded PRNG → literal arrays,
+    * broadcast as plan constants): `NumTables` independent tables of
+    * `PlanesPerTable` sign bits each. Multi-table OR-construction — a pair
+    * is a candidate if it collides in ANY table — is what controls recall:
+    * for cosine ≥ 0.9 (θ ≈ 26°) a pair matches one 8-bit table w.p.
+    * (1−θ/π)^8 ≈ 0.29, so 8 tables miss with prob ≈ 0.94^… ≈ 6%. On
+    * isotropic data (no genuinely-near neighbors) LSH intentionally returns
+    * few candidates — that's the contract: it finds NEAR things, not top-k
+    * of noise. */
+  private def planes: Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(42L)
+    Array.fill(NumTables, PlanesPerTable, 64)(rnd.nextGaussian())
+  }
+
+  /** (table, bucket) entries for a vector: bucket = 8 sign bits of the
+    * table's hyperplane dot products. */
+  def lshEntries(v: Column): Column = {
+    val ps = planes
+    array((0 until NumTables).map { t =>
+      val bucket = (0 until PlanesPerTable).map { i =>
+        when(dot(v, typedLit(ps(t)(i).toSeq)) >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t).as("tbl"), bucket.as("bk"))
+    }: _*)
+  }
+
+  /** Core LSH k-NN over explicit frames (unit-testable with planted data).
+    * corpus: (vec_id, v array<double>); queries: (query_id, qv). */
+  def lshTopKOn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        explode(lshEntries(col("v"))).as("e"))
+      .select(col("neighbor_id"), col("nv"), col("e.tbl").as("tbl"), col("e.bk").as("bk"))
+    val q = queries
+      .select(col("query_id"), col("qv"), explode(lshEntries(col("qv"))).as("e"))
+      .select(col("query_id"), col("qv"), col("e.tbl").as("tbl"), col("e.bk").as("bk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("tbl", "bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("sim"))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** q29: multi-table LSH approximate k-NN for the same query set as q28.
+    * Probabilistic (rows-only check); the scale path when the query set is
+    * itself huge — candidate generation is an equi-join on (table, bucket),
+    * cost tracks true near-pair density instead of |Q|·N. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    lshTopKOn(e,
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
+  }
+
+  /** q30: embedding-cosine near-duplicate pairs (cos ≥ τ) via the same
+    * multi-table buckets: candidates collide in some table, verified
+    * exactly. Rows-only check (correctly empty when no near-dups exist). */
+  def embeddingNearDup(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), explode(lshEntries(col("v"))).as("e"))
+      .select(col("vec_id"), col("v"), col("e.tbl").as("tbl"), col("e.bk").as("bk"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("tbl"), col("bk"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("tbl"), col("bk"))
+    a.join(b, Seq("tbl", "bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= tau)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(round(max(col("sim")), 4).as("cos_sim"))
+  }
+}

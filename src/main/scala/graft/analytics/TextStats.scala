@@ -1,0 +1,98 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * `documents` table. All pure column expressions (codegen'd, no UDFs, no
+  * shuffle except where aggregation is inherent) so they stream over 100 TB
+  * as a narrow map stage fused into the scan.
+  */
+object TextStats {
+
+  /** Character 5-gram shingles of a string column (distinct). Shared by
+    * fingerprinting and the set-similarity dedup family. */
+  def shingles(c: Column, n: Int = 5): Column =
+    array_distinct(
+      when(length(c) >= n,
+        transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+        .otherwise(array(c)))
+
+  /** Distinct whitespace word tokens. */
+  def wordTokens(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
+
+  /** q21: token counting — whitespace tokens plus a BPE-ish segmentation
+    * (letter runs | single digits | single punctuation), the standard cheap
+    * proxy for LLM token counts. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** q22: document quality scoring from length / character-class / stopword
+    * ratios — the usual pre-training quality gate features. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t       = col("text")
+    val len     = length(t)
+    val nAlpha  = len - length(regexp_replace(t, "[A-Za-z]", ""))
+    val nDigit  = len - length(regexp_replace(t, "[0-9]", ""))
+    val nSpace  = len - length(regexp_replace(t, " ", ""))
+    val nTokens = size(split(trim(t), "\\s+"))
+    val nStop   = size(regexp_extract_all(lower(t), lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
+    val alphaRatio = nAlpha.cast("double") / nullif(len, lit(0)).cast("double")
+    val digitRatio = nDigit.cast("double") / nullif(len, lit(0)).cast("double")
+    val stopRatio  = nStop.cast("double") / nullif(nTokens, lit(0)).cast("double")
+    val meanTokLen = (len - nSpace).cast("double") / nullif(nTokens, lit(0)).cast("double")
+    val score = least(lit(1.0), greatest(lit(0.0),
+      lit(0.5) * alphaRatio + lit(0.3) * least(lit(1.0), stopRatio * 4) +
+        lit(0.2) * least(lit(1.0), nTokens.cast("double") / 64.0) - digitRatio))
+    documents(spark, dir).select(
+      col("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(digitRatio, 4).as("digit_ratio"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(meanTokLen, 4).as("mean_tok_len"),
+      round(score, 4).as("quality"))
+  }
+
+  /** q23: language identification by stopword-hit scoring — the classic
+    * n-gram/stopword heuristic. Deterministic argmax with a fixed priority
+    * order on ties. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    def hits(pat: String): Column =
+      size(regexp_extract_all(t, lit("\\b(" + pat + ")\\b"), lit(0)))
+    val sEn = hits("the|and|of|a|in|to|is")
+    val sDe = hits("der|die|das|und|ist|nicht")
+    val sEs = hits("el|la|los|las|es|y|que")
+    val sFr = hits("le|les|des|et|est|que")
+    val sZh = hits("de|shi|le|zhe|ge|wo")
+    val best = greatest(sEn, sDe, sEs, sFr, sZh)
+    val pred = when(best === 0, lit("und"))
+      .when(sEn === best, lit("en"))
+      .when(sDe === best, lit("de"))
+      .when(sEs === best, lit("es"))
+      .when(sFr === best, lit("fr"))
+      .otherwise(lit("zh"))
+    documents(spark, dir).select(
+      col("doc_id"), sEn.cast("long").as("s_en"), sDe.cast("long").as("s_de"),
+      sEs.cast("long").as("s_es"), sFr.cast("long").as("s_fr"),
+      sZh.cast("long").as("s_zh"), pred.as("predicted_lang"), col("lang"))
+  }
+
+  /** q24: document fingerprinting — full-text digest plus a min-shingle
+    * fingerprint (the 1-permutation MinHash: min over md5(5-gram)), portable
+    * across engines because md5 is standardized. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(col("text"))
+    documents(spark, dir).select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("fp_md5"),
+      array_min(transform(sh, s => md5(s.cast("binary")))).as("fp_min_shingle"),
+      size(sh).cast("long").as("n_shingles"))
+  }
+}

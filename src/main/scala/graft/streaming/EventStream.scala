@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream analytics: watermarked tumbling-window aggregation and
+  * stateful gap-based sessionization (`flatMapGroupsWithState`) — the
+  * streaming counterparts of Relational.hourlyEvents / Relational.sessionize.
+  * Tests drive these from MemoryStream (no broker needed). */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  case class Session(user_id: Long, sess_start: Long, sess_end: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Tumbling 1-hour windowed counts with a 10-minute watermark: late events
+    * beyond the watermark are dropped, windows finalize exactly once.
+    * (The reference has no event-time processing at all — it files records
+    * by ingest wall-clock, SURVEY.md §2.7 T3.) */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity) with explicit keyed state:
+    * emits a Session row when a gap closes a session or the state times out.
+    * Processing-time timeout keeps state bounded — sessions for idle users
+    * are flushed rather than held forever (mandatory at 100 TB: state size
+    * tracks ACTIVE users, not all users ever seen). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[Session]
+          if (state.hasTimedOut) {
+            cur.foreach(s => out += Session(userId, s.start, s.last, s.n, s.sum))
+            state.remove()
+            out.iterator
+          } else {
+            // order within the micro-batch; state carries order across batches
+            for (e <- batch.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += Session(userId, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+              case None => ()
+            }
+            out.iterator
+          }
+        })
+  }
+}

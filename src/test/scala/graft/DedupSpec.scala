@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Dedup, TextStats}
+import graft.functions.BitOps.hammingDistance
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: distinct char 5-grams, short-text fallback") {
+    val got = docs((1L, "abcdefg"), (2L, "abc"))
+      .select($"doc_id", TextStats.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("abcde", "bcdef", "cdefg"))
+    assert(got(2L) == Seq("abc"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = docs((1L, "same text here"), (2L, "same text here"), (3L, "other"))
+      .createOrReplaceTempView("t")
+    val got = spark.table("t")
+      .groupBy(md5($"text".cast("binary")).as("h"))
+      .agg(min($"doc_id").as("canonical"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash signature: deterministic, equal for equal sets, 64 slots") {
+    val sig = docs((1L, "hello world hello"), (2L, "hello world hello"), (3L, "completely different"))
+      .select($"doc_id", Dedup.minhashSignature(TextStats.shingles($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L).size == 64)
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("simhash: identical texts → distance 0; hamming expression evals + codegens") {
+    val sims = docs((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+        (3L, "zzz qqq completely unrelated www"))
+      .select($"doc_id", Dedup.simhash64(TextStats.shingles($"text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+
+    val hd = Seq((0xFFL, 0x0FL), (5L, 5L))
+      .toDF("a", "b")
+      .select(hammingDistance($"a", $"b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(hd == Seq(4, 0))
+    // null-safe
+    val hn = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .select(hammingDistance($"a", $"b")).collect()
+    assert(hn.head.isNullAt(0))
+  }
+
+  test("jaccard near-dup finds planted dupes exactly (vs brute force)") {
+    val d = sf("sf0.001")
+    val got = Dedup.jaccardNearDup(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference computed in-Spark
+    val sh = graft.Tables.documents(spark, d)
+      .select($"doc_id", TextStats.shingles($"text").as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("x"), $"b.doc_id".as("y"),
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size(array_union($"a.sh", $"b.sh")).cast("double")).as("j"))
+      .filter(round($"j", 4) >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // planted near-dups exist in the testdata
+  }
+
+  test("minhash LSH recall on planted dupes") {
+    val d = sf("sf0.001")
+    val exact = Dedup.jaccardNearDup(spark, d, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at j ≥ 0.8 the 16×4 banding miss probability is ~1e-6 per pair
+    assert(exact.subsetOf(lsh))
+  }
+}

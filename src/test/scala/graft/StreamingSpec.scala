@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStream, IngestStream}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed hourly counts over a MemoryStream, watermark drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.hourlyCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-01 10:55:00"), 1, "click", 2.0),
+        EventStream.Event(3, ts("2024-01-01 11:05:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      in.addData(EventStream.Event(4, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    // NoTimeout here: with ProcessingTimeTimeout the engine keeps scheduling
+    // timeout-check batches and processAllAvailable never quiesces.
+    val q = EventStream.sessionize(in.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-01 10:10:00"), 7, "click", 2.0),
+        // 40-min gap closes the first session
+        EventStream.Event(3, ts("2024-01-01 10:50:00"), 7, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      assert(rows == Set((7L, 2L, 3.0))) // first session: 2 events, sum 3.0
+    } finally q.stop()
+  }
+
+  test("wire parse: permissive from_json over the raw listing schema") {
+    val json = Seq(
+      """{"post_date":"2025-04-24","quan_huyen":"Gò Vấp","price":"1.5","area":80.5,"source":"alonhadat"}""",
+      """{"post_date":"2025-04-24","quan_huyen":"Q3","price":"Thỏa thuận","source":"alonhadat"}""",
+      "not json at all").toDF("value")
+    val parsed = IngestStream.flatten(json.select(IngestStream.parseWire(col("value"))))
+    val rows = parsed.collect()
+    assert(rows.length == 2) // malformed line dropped via _corrupt_record marker
+    val typed = graft.ingest.Normalize.fromWire(parsed)
+    val byDistrict = typed.collect().map(r =>
+      r.getAs[String]("quan_huyen") -> r.getAs[String]("price_status")).toMap
+    assert(byDistrict == Map("Gò Vấp" -> "ok", "Q3" -> "negotiable"))
+  }
+}

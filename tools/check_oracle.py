@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's correctness gate.
+
+Runs DuckDB over the same parquet tables with SparkEntry.oracleSql (dumped by
+graft.Verify as oracle_sql.json) and compares against the parquet results
+Verify wrote — values stringified, columns sorted by name, rows sorted.
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, math
+
+import duckdb
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def table_canon(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [names[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result written")
+            failures += 1
+            continue
+        got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        got_names, got = table_canon(got_rel.fetchall(), got_rel.columns)
+        try:
+            want_rel = con.sql(oracle[name])
+            want_names, want = table_canon(want_rel.fetchall(), want_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        if got_names != want_names:
+            print(f"FAIL {name}: columns {got_names} vs oracle {want_names}")
+            failures += 1
+        elif got != want:
+            print(f"FAIL {name}: {len(got)} rows vs oracle {len(want)}")
+            diff = [(a, b) for a, b in zip(got, want) if a != b]
+            for a, b in diff[:5]:
+                print(f"   spark {a}\n   duck  {b}")
+            if len(got) != len(want):
+                sg, sw = set(got), set(want)
+                for r in list(sg - sw)[:3]:
+                    print(f"   only-spark {r}")
+                for r in list(sw - sg)[:3]:
+                    print(f"   only-duck  {r}")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(got)} rows")
+    # rows-only queries (no oracle): just report row counts
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name not in oracle:
+            n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+            print(f"rows {name}: {n}")
+    print("FAILURES:", failures)
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
