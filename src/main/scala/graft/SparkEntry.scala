@@ -307,11 +307,20 @@ object SparkEntry {
          |FROM documents d JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
 
     "q25_jaccard_neardup" ->
-      s"""WITH $shingleCte
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6""".stripMargin,
+      """WITH wt AS (
+        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard
+        |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6""".stripMargin,
 
     "q28_cosine_topk" ->
       """WITH q AS (

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.documents
-import graft.analytics.TextStats.shingles
+import graft.analytics.TextStats.wordShingles
+import graft.functions.Sketches
 import graft.functions.BitOps.hammingDistance
 
 /** Deduplication operators for training-data pipelines, over `documents`.
@@ -37,7 +38,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
-  /** q25: exact character-5-gram Jaccard near-duplicate pairs (sim ≥ 0.6).
+  /** q25: exact word-trigram Jaccard near-duplicate pairs (sim ≥ 0.6).
     *
     * Exact algorithm with prefix filtering: order each doc's shingle set by
     * global document frequency (rarest first; shingle text as tiebreaker).
@@ -47,7 +48,7 @@ object Dedup {
     * on the full sets. No false negatives, candidate set ≪ n². */
   def jaccardNearDup(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     val docs = documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
 
     // Global shingle document-frequency — drives the rarest-first prefix order.
     val freq = docs
@@ -84,10 +85,7 @@ object Dedup {
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / nullif(col("uni"), lit(0)).cast("double"), 4))
+      .withColumn("jaccard", round(Sketches.jaccardSim(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -95,12 +93,15 @@ object Dedup {
   private val MinhashPerms = 64
   private val NumBands     = 16 // 16 bands × 4 rows: P(catch) ≈ 1 at jaccard 0.6+
 
-  /** 64-slot MinHash signature as a per-row array expression: slot p is
-    * min over shingles of xxhash64(p, shingle). No explode, no shuffle —
-    * the whole signature computes inside the scan's project. */
+  /** 64-slot MinHash signature — the codegen'd Catalyst expression
+    * (graft.functions.Sketches.MinHashSignature): each shingle hashed once,
+    * permutations derived arithmetically. No explode, no shuffle — the whole
+    * signature computes inside the scan's project. (The naive
+    * `transform(sequence(...), p => array_min(transform(sh, xxhash64)))`
+    * formulation is ~100× slower: higher-order functions are
+    * CodegenFallback and interpret the lambda per element.) */
   def minhashSignature(sh: Column): Column =
-    transform(sequence(lit(0), lit(MinhashPerms - 1)),
-      p => array_min(transform(sh, s => xxhash64(p, s))))
+    Sketches.minhashSignature(sh, MinhashPerms)
 
   /** q26: MinHash + LSH banding near-duplicate candidates (probabilistic —
     * signature hashes are engine-specific, so rows-only check). Output:
@@ -112,7 +113,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.5): DataFrame = {
     val rowsPerBand = MinhashPerms / NumBands
     val sigs = documents(spark, dir)
-      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("mhs"))
+      .select(col("doc_id"), minhashSignature(wordShingles(col("text"))).as("mhs"))
 
     val bands = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)),
@@ -136,22 +137,9 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the shingle set: per-bit majority vote over shingle
-    * hashes, as pure column expressions (no UDF, no shuffle). The string
-    * hash is materialized ONCE per shingle; the 64 per-bit counts then run
-    * over precomputed longs (shift+mask, not re-hashing). */
-  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
-
-  def simhashFromHashes(hs: Column): Column = {
-    val n = size(hs).cast("long")
-    val bits = (0 until 64).map { i =>
-      val ones = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
-      when(ones * 2 >= n, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
-
-  def simhash64(sh: Column): Column = simhashFromHashes(shingleHashes(sh))
+    * hashes, via the codegen'd Sketches.SimHash64 expression (no UDF, no
+    * shuffle, one hash per shingle). */
+  def simhash64(sh: Column): Column = Sketches.simhash64(sh)
 
   /** q27: SimHash near-duplicate pairs with Hamming distance ≤ 3, found via
     * banded 16-bit chunk equi-join (a pair within distance 3 must agree on
@@ -159,8 +147,7 @@ object Dedup {
     * Rows-only check (hash internals are engine-specific). */
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val docs = documents(spark, dir)
-      .select(col("doc_id"), shingleHashes(shingles(col("text"))).as("hs"))
-      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sim"))
+      .select(col("doc_id"), simhash64(wordShingles(col("text"))).as("sim"))
 
     val chunks = docs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(i =>

@@ -22,6 +22,16 @@ object TextStats {
   /** Distinct whitespace word tokens. */
   def wordTokens(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
 
+  /** Distinct word n-gram shingles (default trigram) — the standard document
+    * shingling for near-dup detection: far more discriminative than char
+    * n-grams on natural text, and the shingle space is diverse enough that
+    * inverted-index document frequencies stay small (critical for the exact
+    * similarity join's candidate generation at scale). Texts shorter than n
+    * words fall back to the whole trimmed text. Backed by the codegen'd
+    * single-pass kernel in graft.functions.Sketches. */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    graft.functions.Sketches.wordShingles(c, n)
+
   /** q21: token counting — whitespace tokens plus a BPE-ish segmentation
     * (letter runs | single digits | single punctuation), the standard cheap
     * proxy for LLM token counts. */

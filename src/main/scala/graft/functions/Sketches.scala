@@ -1,0 +1,226 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge.{toColumn, toExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch signatures as native codegen'd Catalyst expressions.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`) are
+  * CodegenFallback — they interpret the lambda expression tree per element.
+  * A 64-permutation MinHash over a few hundred shingles costs ~25k
+  * interpreted evals per row that way; these expressions instead hash each
+  * element once (XXH64 over the raw UTF8 bytes) and derive all permutations
+  * with a splitmix64 finalizer — a tight compiled loop in both interpreted
+  * and whole-stage-codegen paths (the generated code calls the same static
+  * kernel, so there is exactly one implementation of the math).
+  */
+object Sketches {
+
+  private final val NumPermsDefault = 64
+
+  /** Deterministic per-permutation salts (fixed seed — signatures must be
+    * identical across runs, executors, and cluster layouts). */
+  private val salts: Array[Long] = {
+    val rnd = new java.util.Random(0x5eed5eedL)
+    Array.fill(NumPermsDefault)(rnd.nextLong() | 1L)
+  }
+
+  @inline private def mix64(zIn: Long): Long = { // splitmix64 finalizer
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline private def hashString(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+
+  /** MinHash kernel: slot p = min over elements of mix64(h(e) ^ salt(p)). */
+  def minhashKernel(arr: ArrayData, numPerms: Int): ArrayData = {
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashString(arr.getUTF8String(i))
+      var p = 0
+      while (p < numPerms) {
+        val v = mix64(h ^ salts(p))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash kernel: 64-bit majority vote over element hashes. */
+  def simhashKernel(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashString(arr.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Word n-gram shingle kernel: one whitespace split, one pass, distinct in
+    * first-occurrence order. Semantics mirror
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ", toks...)))`
+    * with fallback to the whole trimmed text below n tokens — but the
+    * higher-order-function formulation re-evaluates the split per element
+    * access (CodegenFallback + no CSE inside lambdas), which made shingling
+    * the hottest expression in the dedup family. */
+  def wordShinglesKernel(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString.trim
+    val toks = str.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array(UTF8String.fromString(str)))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class WordShingles(child: Expression, n: Int = 3) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"word_shingles expects string, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      wordShinglesKernel(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.wordShinglesKernel($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "word_shingles"
+  }
+
+  def wordShingles(c: Column, n: Int = 3): Column =
+    toColumn(WordShingles(toExpression(c), n))
+
+  /** Exact Jaccard of two DISTINCT string arrays: |∩| / (|A|+|B|−|∩|) in one
+    * hash-set pass. Equivalent to
+    * `size(array_intersect(a,b)) / size(array_union(a,b))` on distinct
+    * inputs, but those operators are interpreted per pair — this kernel is
+    * the verify step of the similarity join, so it runs once per candidate
+    * and must be compiled. */
+  def jaccardKernel(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
+    val (small, large, ns, nl) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    val set = new java.util.HashSet[UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nl) { if (set.contains(large.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  case class JaccardSim(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"jaccard_sim expects (array<string>, array<string>), got ($l, $r)")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      jaccardKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.jaccardKernel($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "jaccard_sim"
+  }
+
+  def jaccardSim(a: Column, b: Column): Column =
+    toColumn(JaccardSim(toExpression(a), toExpression(b)))
+
+  case class MinHashSignature(child: Expression, numPerms: Int = NumPermsDefault)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_signature expects array<string>, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      minhashKernel(v.asInstanceOf[ArrayData], numPerms)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.minhashKernel($c, $numPerms);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "minhash_signature"
+  }
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash64 expects array<string>, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      simhashKernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.simhashKernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  def minhashSignature(c: Column, numPerms: Int = NumPermsDefault): Column =
+    toColumn(MinHashSignature(toExpression(c), numPerms))
+
+  def simhash64(c: Column): Column = toColumn(SimHash64(toExpression(c)))
+}

@@ -60,9 +60,9 @@ class DedupSpec extends SparkSpec {
     val d = sf("sf0.001")
     val got = Dedup.jaccardNearDup(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // brute-force reference computed in-Spark
+    // brute-force reference computed in-Spark (same word-trigram shingling)
     val sh = graft.Tables.documents(spark, d)
-      .select($"doc_id", TextStats.shingles($"text").as("sh"))
+      .select($"doc_id", TextStats.wordShingles($"text").as("sh"))
     val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("x"), $"b.doc_id".as("y"),
         (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
