@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's custom Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT minhash_signature(word_shingles(text)) ...")` works —
+  * the full API surface is available from both the Column API and SQL.
+  *
+  * Wire up either via config
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or imperatively
+  * with `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.Sketches", name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+  import Sketches._
+
+  private def one(f: Expression => Expression): Seq[Expression] => Expression =
+    exprs => f(exprs.head)
+  private def two(f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    exprs => f(exprs.head, exprs(1))
+
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "word_shingles"     -> one(WordShingles(_)),
+    "minhash_signature" -> one(MinHashSignature(_)),
+    "simhash64"         -> one(SimHash64(_)),
+    "jaccard_sim"       -> two(JaccardSim(_, _)),
+    "cosine_sim"        -> two(CosineSim(_, _)),
+    "dot_product"       -> two(DotProduct(_, _)),
+    "hamming_distance"  -> two(HammingDistance(_, _)))
+
+  /** Imperative registration on an existing session (tests, REPL). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

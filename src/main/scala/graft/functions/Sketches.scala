@@ -180,6 +180,86 @@ object Sketches {
   def jaccardSim(a: Column, b: Column): Column =
     toColumn(JaccardSim(toExpression(a), toExpression(b)))
 
+  /** Cosine similarity kernel over double arrays. Summation is left-to-right
+    * (same order as `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and DuckDB's
+    * list_cosine_similarity), so results are bit-identical to both the
+    * higher-order-function formulation and the oracle. Returns NaN-free
+    * null via the expression when either norm is zero. */
+  def cosineKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) Double.NaN else dot / denom
+  }
+
+  case class CosineSim(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cosine_sim expects (array<double>, array<double>), got ($l, $r)")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      cosineKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.cosineKernel($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "cosine_sim"
+  }
+
+  def cosineSim(a: Column, b: Column): Column =
+    toColumn(CosineSim(toExpression(a), toExpression(b)))
+
+  /** Left-to-right dot product kernel (same order as aggregate(zip_with)). */
+  def dotKernel(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  case class DotProduct(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"dot_product expects (array<double>, array<double>), got ($l, $r)")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dotKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.dotKernel($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "dot_product"
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    toColumn(DotProduct(toExpression(a), toExpression(b)))
+
   case class MinHashSignature(child: Expression, numPerms: Int = NumPermsDefault)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftExtensions, Sketches}
+import graft.analytics.TextStats
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word shingles: distinct trigrams, short-text fallback, kernel matches HOF formulation") {
+    val df = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "  p  q r  ")).toDF("id", "t")
+    val got = df.select($"id", TextStats.wordShingles($"t").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d", "c d e"))
+    assert(got(2L) == Seq("x y"))          // < 3 tokens → whole trimmed text
+    assert(got(3L) == Seq("p q r"))        // multi-space collapsed
+    // distinctness
+    val dup = Seq("w w w w w").toDF("t")
+      .select(TextStats.wordShingles($"t")).head().getSeq[String](0)
+    assert(dup == Seq("w w w"))
+  }
+
+  test("cosine kernel is bit-identical to the aggregate(zip_with) formulation") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001")).limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val hof = e.as("a").crossJoin(e.as("b"))
+      .select(
+        aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          ./(sqrt(aggregate($"a.v", lit(0.0), (acc, x) => acc + x * x)) *
+             sqrt(aggregate($"b.v", lit(0.0), (acc, x) => acc + x * x))).as("c1"),
+        Sketches.cosineSim($"a.v", $"b.v").as("c2"))
+      .collect()
+    hof.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-equal, no tolerance
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT word_shingles('a b c d') AS sh,
+        |       size(minhash_signature(word_shingles('a b c d'))) AS np,
+        |       hamming_distance(255L, 15L) AS hd,
+        |       round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 4) AS cs,
+        |       jaccard_sim(array('a','b'), array('b','c')) AS js,
+        |       simhash64(word_shingles('a b c d')) IS NOT NULL AS sh_ok
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getInt(1) == 64)
+    assert(r.getInt(2) == 4)
+    assert(r.getDouble(3) == 1.0)
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-12)
+    assert(r.getBoolean(5))
+  }
+}
