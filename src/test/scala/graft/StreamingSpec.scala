@@ -52,6 +52,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("raw-zone streaming sink: partitioned parquet, no duplicates on restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rawzone").toString
+    val ckpt = s"$dir/_checkpoint"
+    val out = s"$dir/data"
+    val in = MemoryStream[String]
+    val parsed = IngestStream.flatten(in.toDF().select(IngestStream.parseWire(col("value"))))
+
+    def runOnce(): Unit = {
+      val q = IngestStream.toRawZone(parsed, out, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    in.addData(
+      """{"post_date":"2025-04-24","quan_huyen":"Gò Vấp","price":"1.5","source":"alonhadat"}""",
+      """{"post_date":"2025-04-24","quan_huyen":"Q3","price":"2.0","source":"alonhadat"}""")
+    runOnce()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 2)
+    assert(first.columns.contains("ingest_date"))
+    // restart from the same checkpoint with no new data → nothing re-written
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    // new data lands incrementally
+    in.addData("""{"post_date":"2025-04-25","quan_huyen":"Q5","price":"3.0","source":"alonhadat"}""")
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("wire parse: permissive from_json over the raw listing schema") {
     val json = Seq(
       """{"post_date":"2025-04-24","quan_huyen":"Gò Vấp","price":"1.5","area":80.5,"source":"alonhadat"}""",
