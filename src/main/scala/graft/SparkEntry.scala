@@ -34,6 +34,10 @@ object SparkEntry {
     "q12_sessionize"               -> Relational.sessionize _,
     "q13_approx_distinct"          -> Relational.approxDistinct _,
     "q14_price_quantiles"          -> Relational.priceQuantiles _,
+    "q33_asof_attribution"         -> Relational.purchaseAttribution _,
+    "q34_orders_rollup"            -> Relational.ordersRollup _,
+    "q35_orders_pivot"             -> Relational.ordersPivot _,
+    "q36_customer_setops"          -> Relational.customerSetOps _,
     // -- listing pipeline (reference semantics, fixture-driven) ------------
     "q15_listing_normalize"        -> ((s: SparkSession, _: String) => Views.fixtureListings(s)),
     "q16_district_count"           -> ((s: SparkSession, _: String) => Views.districtCounts(Views.fixtureListings(s))),
@@ -214,6 +218,42 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events, min(ts_s) AS sess_start,
         | max(ts_s) AS sess_end, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q33_asof_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+        |p AS (
+        |  SELECT event_id, user_id, us, round(value, 2) AS purchase_value
+        |  FROM e WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, us AS click_us
+        |  FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.us AS purchase_us, p.purchase_value,
+        |       c.click_id, c.click_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin,
+
+    "q34_orders_rollup" ->
+      """SELECT year(o_orderdate)::BIGINT AS yr, o_orderstatus,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY ROLLUP (yr, o_orderstatus)""".stripMargin,
+
+    "q35_orders_pivot" ->
+      """SELECT year(o_orderdate)::BIGINT AS yr,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS "O",
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT AS "F",
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 END)::BIGINT AS "P"
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q36_customer_setops" ->
+      """SELECT o_custkey, 'only_open' AS setop FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT o_custkey, 'both' AS setop FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
 
     "q15_listing_normalize" ->
       s"""WITH $listingNormCte

@@ -179,6 +179,47 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         count(lit(1)).as("n_rows"))
 
+  /** q33: as-of join — each purchase event attributed to the user's most
+    * recent prior-or-equal click (point-in-time lookup). Spark has no asof
+    * join; graft.plans.AsOfJoin supplies one with a single key-shuffle. */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id"),
+        round(col("value"), 2).as("purchase_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id").as("click_id"),
+        col("us").as("click_us"))
+    graft.plans.AsOfJoin.asof(purchases, clicks, "user_id", "us",
+        Seq("click_id", "click_us"), "click_id")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("purchase_value"), col("click_id"), col("click_us"))
+  }
+
+  /** q34: ROLLUP over (order year, status) — hierarchical subtotals. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .rollup(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  /** q35: pivot — order counts by year × status as columns. Absent
+    * combinations are null (pivot semantics), mirrored by SUM(CASE) in the
+    * oracle. */
+  def ordersPivot(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+
+  /** q36: set operations — EXCEPT / INTERSECT over customer key sets. */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val open = orders(spark, dir).filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = orders(spark, dir).filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.except(done).withColumn("setop", lit("only_open"))
+      .unionByName(open.intersect(done).withColumn("setop", lit("both")))
+  }
+
   /** Approximate percentiles — single-pass quantile sketch per group; checked
     * rows-only (sketch semantics are engine-specific). */
   def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
