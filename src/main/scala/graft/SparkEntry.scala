@@ -45,6 +45,9 @@ object SparkEntry {
     "q18_district_topk"            -> ((s: SparkSession, _: String) => Views.topKPerDistrict(Views.fixtureListings(s))),
     // -- dedup family ------------------------------------------------------
     "q20_exact_dedup"              -> Dedup.exact _,
+    "q37_dedup_corpus"             -> ((s: SparkSession, d: String) => Dedup.dedupCorpus(s, d)),
+    "q38_train_split"              -> Sampling.trainSplit _,
+    "q39_split_counts"             -> Sampling.splitCounts _,
     "q25_jaccard_neardup"          -> ((s: SparkSession, d: String) => Dedup.jaccardNearDup(s, d)),
     "q26_minhash_lsh"              -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q27_simhash_neardup"          -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
@@ -361,6 +364,50 @@ object SparkEntry {
         |  round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard
         |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6""".stripMargin,
+
+    "q37_dedup_corpus" ->
+      """WITH RECURSIVE
+        |wt AS (
+        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt),
+        |e AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+        |  coalesce(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+
+    "q38_train_split" ->
+      """SELECT doc_id,
+        | (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 AS bucket,
+        | CASE WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 90 THEN 'train'
+        |      WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 95 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q39_split_counts" ->
+      """SELECT CASE WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 90 THEN 'train'
+        |            WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       lang, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q28_cosine_topk" ->
       """WITH q AS (

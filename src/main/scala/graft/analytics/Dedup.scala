@@ -90,6 +90,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Minimum-label-propagation connected components over undirected edges
+    * (a, b): every node gets the smallest doc_id reachable from it. Pure
+    * joins+aggregates per round, `localCheckpoint` to cut lineage between
+    * rounds (mandatory for iterative plans — without it the DAG doubles per
+    * iteration). Converges in O(log(max component diameter)) rounds; dedup
+    * graphs have tiny components so this is 2-3 rounds in practice. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = und.join(labels, und("b") === labels("node"))
+        .groupBy(und("a").as("pnode")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(prop, labels("node") === prop("pnode"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** q37: corpus-level dedup decision — every document mapped to the
+    * canonical (minimum) doc_id of its near-duplicate cluster, computed as
+    * connected components over the exact Jaccard pair graph (q25).
+    * Singletons are their own canonical. Oracle: DuckDB recursive CTE
+    * transitive closure. */
+  def dedupCorpus(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val edges = jaccardNearDup(spark, dir, threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(edges)
+    documents(spark, dir).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+  }
+
   private val MinhashPerms = 64
   private val NumBands     = 16 // 16 bands × 4 rows: P(catch) ≈ 1 at jaccard 0.6+
 

@@ -73,6 +73,21 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // planted near-dups exist in the testdata
   }
 
+  test("connected components: chains collapse to min label, singletons self") {
+    val edges = Seq((2L, 5L), (5L, 9L), (20L, 21L)).toDF("a", "b")
+    val labels = graft.analytics.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 20L -> 20L, 21L -> 20L))
+    val full = graft.analytics.Dedup.dedupCorpus(spark, sf("sf0.001"))
+    assert(full.count() == 500)
+    // every canonical is the min of its cluster and flagged
+    val byCanon = full.collect().groupBy(_.getLong(1))
+    byCanon.foreach { case (canon, members) =>
+      assert(members.map(_.getLong(0)).min == canon)
+      assert(members.count(_.getBoolean(2)) == 1)
+    }
+  }
+
   test("minhash LSH recall on planted dupes") {
     val d = sf("sf0.001")
     val exact = Dedup.jaccardNearDup(spark, d, 0.8)
