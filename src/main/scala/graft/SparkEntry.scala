@@ -62,7 +62,8 @@ object SparkEntry {
     "q30_embedding_neardup"        -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     // -- multimodal plumbing ----------------------------------------------
     "q31_media_meta"               -> Multimodal.decodeMeta _,
-    "q32_media_format_stats"       -> Multimodal.formatStats _)
+    "q32_media_format_stats"       -> Multimodal.formatStats _,
+    "q40_frame_sample"             -> Multimodal.frameSample _)
 
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB dialect) — the raw-listing fixture reproduced as a
@@ -432,6 +433,18 @@ object SparkEntry {
         | ['jpg', 'png', 'webp'][(doc_id % 3 + 1)::INT] AS fmt,
         | (doc_id % 16 + 1)::INT AS n_frames
         |FROM documents""".stripMargin,
+
+    "q40_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    octet_length(text::BLOB)::INT AS n_bytes,
+        |    ['jpg', 'png', 'webp'][(doc_id % 3 + 1)::INT] AS fmt,
+        |    (doc_id % 16 + 1)::INT AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, unnest(range(0, n_frames))::INT AS frame_id, fmt,
+        |  unnest(range(0, n_frames)) * 40 AS frame_ms,
+        |  ((n_bytes * (unnest(range(0, n_frames)) + 1)) % 256)::INT AS mean_luma
+        |FROM m""".stripMargin,
 
     "q32_media_format_stats" ->
       """WITH m AS (

@@ -97,25 +97,45 @@ object Dedup {
     * iteration). Converges in O(log(max component diameter)) rounds; dedup
     * graphs have tiny components so this is 2-3 rounds in practice. */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // The edge graph is tiny relative to the corpus (only near-dup members);
+    // right-size the iteration's partitioning to it instead of inheriting
+    // the corpus-wide shuffle width — per-round latency at local scale, and
+    // at cluster scale a deliberate knob (iterations are latency-bound).
+    val p = math.max(2, edges.sparkSession.sparkContext.defaultParallelism / 4)
+    // materialize the edge list ONCE before the union — both union branches
+    // would otherwise recompute the (expensive) upstream pair pipeline;
+    // Spark does not share identical subtrees across branches.
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint()
+    val und = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(p, col("a"))
       .localCheckpoint()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // neighbor-min step
       val prop = und.join(labels, und("b") === labels("node"))
         .groupBy(und("a").as("pnode")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(prop, labels("node") === prop("pnode"), "left")
+      val stepped = labels.join(prop, labels("node") === prop("pnode"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // pointer-jumping step: label ← label(label). Labels are always node
+      // ids present in the graph, so the self-join is total. This turns
+      // convergence from O(diameter) rounds into O(log diameter) — chains
+      // of near-dups otherwise cost one driver round-trip per hop.
+      val next = stepped.as("l1").join(stepped.as("l2"),
+          col("l1.label") === col("l2.node"))
+        .select(col("l1.node").as("node"), col("l2.label").as("label"))
         .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
       labels = next
     }
+    e0.unpersist()
     labels
   }
 

@@ -63,6 +63,24 @@ object Multimodal {
       .toDF()
   }
 
+  /** q40: frame sampling — the 1-blob → N-frame-rows shape every video
+    * pipeline needs. Frames explode from the decoded metadata (no second
+    * decode pass); per-frame features are the stub codec's deterministic
+    * arithmetic so the distributed shape is oracle-checkable. A real codec
+    * would emit a thumbnail/embedding per frame from inside the same
+    * partition-wise pass. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(spark, dir)
+      .select(col("doc_id"), col("n_bytes"), col("fmt"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_id"))
+      .select(
+        col("doc_id"),
+        col("frame_id"),
+        col("fmt"),
+        // stub per-frame features: offset + a content-dependent luma proxy
+        (col("frame_id").cast("long") * 40L).as("frame_ms"),
+        pmod(col("n_bytes") * (col("frame_id") + 1), lit(256)).as("mean_luma"))
+
   /** Relational composition over decoded metadata — grouped shape stats per
     * format (shows the decoded struct is a first-class relational citizen). */
   def formatStats(spark: SparkSession, dir: String): DataFrame =

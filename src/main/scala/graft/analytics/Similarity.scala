@@ -42,45 +42,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"), col("rn"))
   }
 
-  private val NumTables = 8
-  private val PlanesPerTable = 8
-
-  /** Deterministic random hyperplanes (seeded PRNG → literal arrays,
-    * broadcast as plan constants): `NumTables` independent tables of
-    * `PlanesPerTable` sign bits each. Multi-table OR-construction — a pair
-    * is a candidate if it collides in ANY table — is what controls recall:
-    * for cosine ≥ 0.9 (θ ≈ 26°) a pair matches one 8-bit table w.p.
-    * (1−θ/π)^8 ≈ 0.29, so 8 tables miss with prob ≈ 0.94^… ≈ 6%. On
-    * isotropic data (no genuinely-near neighbors) LSH intentionally returns
-    * few candidates — that's the contract: it finds NEAR things, not top-k
-    * of noise. */
-  private def planes: Array[Array[Array[Double]]] = {
-    val rnd = new java.util.Random(42L)
-    Array.fill(NumTables, PlanesPerTable, 64)(rnd.nextGaussian())
-  }
-
-  /** (table, bucket) entries for a vector: bucket = 8 sign bits of the
-    * table's hyperplane dot products. */
-  def lshEntries(v: Column): Column = {
-    val ps = planes
-    array((0 until NumTables).map { t =>
-      val bucket = (0 until PlanesPerTable).map { i =>
-        when(dot(v, typedLit(ps(t)(i).toSeq)) >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
-      }.reduce(_.bitwiseOR(_))
-      struct(lit(t).as("tbl"), bucket.as("bk"))
-    }: _*)
-  }
+  /** Multi-table sign-LSH: `Sketches.LshTables` independent tables of
+    * `LshPlanesPerTable` sign bits each (hyperplanes owned by the codegen'd
+    * SignBuckets kernel). Multi-table OR-construction — a pair is a
+    * candidate if it collides in ANY table — is what controls recall: for
+    * cosine ≥ 0.9 (θ ≈ 26°) a pair matches one 8-bit table w.p.
+    * (1−θ/π)^8 ≈ 0.29, so 8 tables miss with prob ≈ 6%. On isotropic data
+    * (no genuinely-near neighbors) LSH intentionally returns few candidates
+    * — that's the contract: it finds NEAR things, not top-k of noise. */
+  private def withBuckets(df: DataFrame, vCol: String): DataFrame =
+    df.select(col("*"),
+      posexplode(graft.functions.Sketches.signBuckets(col(vCol))).as(Seq("tbl", "bk")))
 
   /** Core LSH k-NN over explicit frames (unit-testable with planted data).
     * corpus: (vec_id, v array<double>); queries: (query_id, qv). */
   def lshTopKOn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus
-      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
-        explode(lshEntries(col("v"))).as("e"))
-      .select(col("neighbor_id"), col("nv"), col("e.tbl").as("tbl"), col("e.bk").as("bk"))
-    val q = queries
-      .select(col("query_id"), col("qv"), explode(lshEntries(col("qv"))).as("e"))
-      .select(col("query_id"), col("qv"), col("e.tbl").as("tbl"), col("e.bk").as("bk"))
+    val c = withBuckets(corpus.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "nv")
+    val q = withBuckets(queries.select(col("query_id"), col("qv")), "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("tbl", "bk"))
@@ -107,10 +85,10 @@ object Similarity {
     * multi-table buckets: candidates collide in some table, verified
     * exactly. Rows-only check (correctly empty when no near-dups exist). */
   def embeddingNearDup(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
-    val e = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"), explode(lshEntries(col("v"))).as("e"))
-      .select(col("vec_id"), col("v"), col("e.tbl").as("tbl"), col("e.bk").as("bk"))
+    val e = withBuckets(
+      embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "v")
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("tbl"), col("bk"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("tbl"), col("bk"))
     a.join(b, Seq("tbl", "bk"))

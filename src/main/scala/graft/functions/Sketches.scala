@@ -260,6 +260,64 @@ object Sketches {
   def dotProduct(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpression(a), toExpression(b)))
 
+  // ---- multi-table sign-LSH buckets -----------------------------------
+
+  final val LshTables = 8
+  final val LshPlanesPerTable = 8
+  private final val LshDim = 64
+
+  /** Deterministic hyperplanes, seed-fixed; owned by the kernel so the plan
+    * carries NO plane literals — the naive formulation (64 inlined dot
+    * products, each with a 64-double array literal) produced generated code
+    * large enough that Janino compilation dominated first-run latency. */
+  private val lshPlanes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(42L)
+    Array.fill(LshTables * LshPlanesPerTable)(Array.fill(LshDim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket per table: 8 sign bits of the table's plane dot products. */
+  def signBucketsKernel(v: ArrayData): ArrayData = {
+    val d = math.min(v.numElements(), LshDim)
+    val out = new Array[Int](LshTables)
+    var t = 0
+    while (t < LshTables) {
+      var bucket = 0
+      var i = 0
+      while (i < LshPlanesPerTable) {
+        val plane = lshPlanes(t * LshPlanesPerTable + i)
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += v.getDouble(j) * plane(j); j += 1 }
+        if (dot >= 0) bucket |= (1 << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class SignBuckets(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sign_buckets expects array<double>, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      signBucketsKernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.signBucketsKernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "sign_buckets"
+  }
+
+  def signBuckets(c: Column): Column = toColumn(SignBuckets(toExpression(c)))
+
   case class MinHashSignature(child: Expression, numPerms: Int = NumPermsDefault)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
