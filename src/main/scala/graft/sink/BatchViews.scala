@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object BatchViews {
 
-  /** S2: batch-view parquet overwrite. */
+  /** S2: batch-view parquet overwrite. zstd: at warehouse scale the
+    * scan-speed/ratio tradeoff beats the snappy default and decode is
+    * vectorized either way. */
   def writeView(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
 
   /** S6 (batch form): raw-zone write partitioned by ingest date. The
     * explicit `ingest_date` parameter replaces the reference's wall-clock
@@ -26,6 +28,7 @@ object BatchViews {
       .write.mode("overwrite")
       .partitionBy("ingest_date")
       .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
       .parquet(path)
 
   /** S3: the commented-out CSV alternative (count_by_district.py:37-38). */

@@ -31,6 +31,14 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: a streaming event frame joined to a static
+    * dimension (broadcast per micro-batch — the static side is re-read each
+    * trigger, so slowly-changing dims stay fresh without restarting the
+    * query). The streaming analogue of the reference's batch-only
+    * enrichment gap. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+
   /** Gap-based sessionization (30-min inactivity) with explicit keyed state:
     * emits a Session row when a gap closes a session or the state times out.
     * Processing-time timeout keeps state bounded — sessions for idle users

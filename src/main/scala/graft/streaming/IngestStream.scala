@@ -26,7 +26,12 @@ object IngestStream {
   /** Kafka source → parsed raw listing frame. `value` is UTF-8 JSON of the
     * wire schema (reference: kafka_cc/producer/kafka_producer.py:24,63).
     * PERMISSIVE parse: malformed values yield null columns, mirroring the
-    * reference's log-and-drop (kafka_to_hdfs_consumer.py:104). */
+    * reference's log-and-drop (kafka_to_hdfs_consumer.py:104).
+    *
+    * NOTE: requires the spark-sql-kafka connector on the classpath (shipped
+    * separately from Spark core; absent in this container, so tests drive
+    * the downstream stages from MemoryStream instead — `parseWire` onward
+    * is identical either way). */
   def fromKafka(spark: SparkSession, bootstrap: String, topic: String,
       maxOffsetsPerTrigger: Long = 10000): DataFrame =
     spark.readStream

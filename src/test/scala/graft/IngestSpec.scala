@@ -50,6 +50,34 @@ class IngestSpec extends SparkSpec {
     assert(graft.streaming.IngestStream.flatten(back).count() == 4)
   }
 
+  test("end-to-end pipeline: raw JSONL → raw zone → batch views") {
+    val wh = Files.createTempDirectory("graft_pipe").toString
+    val n = graft.Pipeline.run(spark, jsonlDir, wh, "2025-04-24")
+    assert(n == 4)
+    val counts = spark.read.parquet(s"$wh/district_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("1" -> 1, "Gò Vấp" -> 1, "Tân Bình" -> 1))
+    assert(spark.read.parquet(s"$wh/district_price_stats").count() == 2) // districts with ok price
+    assert(new java.io.File(s"$wh/listings_raw/ingest_date=2025-04-24").exists())
+  }
+
+  test("stream-static enrichment join") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.EventStream.Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = graft.streaming.EventStream.enriched(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched_ev").outputMode("append").start()
+    try {
+      in.addData(
+        graft.streaming.EventStream.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+        graft.streaming.EventStream.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 9, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_ev")
+        .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("bucketed tables join with zero exchanges") {
     // disable broadcast so the plan demonstrates bucket co-location (at real
     // scale neither side is broadcastable)
