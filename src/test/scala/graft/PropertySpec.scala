@@ -69,6 +69,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("aggregation invariance under repartitioning (A1 contract)") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"l_returnflag").agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("q"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val base = agg(li)
+    assert(agg(li.repartition(17)) == base)
+    assert(agg(li.repartition(1)) == base)
+    assert(agg(li.repartition(64, $"l_orderkey")) == base)
+  }
+
   test("wire round-trip: to_json then parse recovers the record") {
     val json = Seq(
       ("""{"post_date":"2025-04-20","duong_pho":"Lê Lợi","quan_huyen":"Gò Vấp",""" +
