@@ -47,8 +47,13 @@ object Dedup {
     * built over those prefixes only, then candidates are verified exactly
     * on the full sets. No false negatives, candidate set ≪ n². */
   def jaccardNearDup(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    // Materialized once: the shingle table feeds FOUR plan branches (freq,
+    // prefixes, and both verify sides) and Spark does not share identical
+    // subtrees — uncheckpointed, shingling ran 4×. Same materialize-vs-
+    // recompute call a warehouse job makes for its shingle table.
     val docs = documents(spark, dir)
       .select(col("doc_id"), wordShingles(col("text")).as("sh"))
+      .localCheckpoint()
 
     // Global shingle document-frequency — drives the rarest-first prefix order.
     val freq = docs
@@ -64,6 +69,7 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)))
       .filter(col("rk") <= (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
       .select(col("doc_id"), col("s"), col("n"), col("rk"))
+      .localCheckpoint() // feeds both sides of the candidate self-join
 
     // Inverted-index candidate pairs (a < b) with PPJoin-style pruning:
     //  - length filter: J ≥ t ⇒ t·|B| ≤ |A| (and symmetrically);
