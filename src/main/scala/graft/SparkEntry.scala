@@ -92,7 +92,7 @@ object SparkEntry {
        |    lower(trim(raw_price)) AS pr,
        |    regexp_extract(lower(trim(raw_price)), '([0-9.,]+)\\s*tỷ', 1) AS ty,
        |    regexp_extract(lower(trim(raw_price)), '([0-9.,]+)\\s*triệu', 1) AS tri,
-       |    regexp_extract(lower(trim(raw_area)), '([0-9.,]+)\\s*m', 1) AS am,
+       |    regexp_extract(trim(raw_area), '([0-9.,]+)\\s*m', 1) AS am,
        |    trim(replace(raw_dims, 'Kích thước:', '')) AS dim_base
        |  FROM raw),
        |sp2 AS (
@@ -124,8 +124,8 @@ object SparkEntry {
        |         WHEN tri <> '' THEN (CASE WHEN regexp_matches(trim(replace(tri, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN try_cast(trim(replace(tri, ',', '.')) AS DOUBLE) END) / 1000.0 END AS price_billion_vnd,
        |    CASE WHEN raw_price IS NULL THEN 'unknown'
        |         WHEN contains(pr, 'thỏa thuận') THEN 'negotiable'
-       |         WHEN ty <> '' AND (CASE WHEN regexp_matches(trim(replace(ty, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN 1 END) = 1 THEN 'ok'
-       |         WHEN tri <> '' AND (CASE WHEN regexp_matches(trim(replace(tri, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN 1 END) = 1 THEN 'ok'
+       |         WHEN ty <> '' THEN (CASE WHEN regexp_matches(trim(replace(ty, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN 'ok' ELSE 'unknown' END)
+       |         WHEN tri <> '' THEN (CASE WHEN regexp_matches(trim(replace(tri, ',', '.')), '^([0-9]+\\.?[0-9]*|\\.[0-9]+)$$') THEN 'ok' ELSE 'unknown' END)
        |         ELSE 'unknown' END AS price_status,
        |    'alonhadat' AS source
        |  FROM sp2)""".stripMargin

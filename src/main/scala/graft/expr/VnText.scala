@@ -90,21 +90,26 @@ object VnText {
       .when(tr =!= "", safeDouble(tr) / 1000.0)
   }
 
+  /** Branch selection mirrors [[priceBillionVnd]] exactly (and the
+    * reference: a tỷ match whose number fails float() raises OUT of the
+    * whole parse → "Không rõ" — it never falls through to the triệu
+    * branch, alonhadat.py:131-137). */
   def priceStatus(c: Column): Column = {
     val p  = lower(trim(c))
     val ty = regexp_extract(p, "([0-9.,]+)\\s*tỷ", 1)
     val tr = regexp_extract(p, "([0-9.,]+)\\s*triệu", 1)
     when(c.isNull, lit("unknown"))
       .when(p.contains("thỏa thuận"), lit("negotiable"))
-      .when(ty =!= "" && safeDouble(ty).isNotNull, lit("ok"))
-      .when(tr =!= "" && safeDouble(tr).isNotNull, lit("ok"))
+      .when(ty =!= "", when(safeDouble(ty).isNotNull, lit("ok")).otherwise(lit("unknown")))
+      .when(tr =!= "", when(safeDouble(tr).isNotNull, lit("ok")).otherwise(lit("unknown")))
       .otherwise(lit("unknown"))
   }
 
-  /** F5: area in m² — first `<number> m` match (alonhadat.py:139-144). */
+  /** F5: area in m² — first `<number> m` match; case-sensitive like the
+    * reference (it does NOT lowercase area text, alonhadat.py:139-144). */
   def areaM2(c: Column): Column =
-    safeDouble(when(regexp_extract(lower(trim(c)), "([0-9.,]+)\\s*m", 1) =!= "",
-      regexp_extract(lower(trim(c)), "([0-9.,]+)\\s*m", 1)))
+    safeDouble(when(regexp_extract(trim(c), "([0-9.,]+)\\s*m", 1) =!= "",
+      regexp_extract(trim(c), "([0-9.,]+)\\s*m", 1)))
 
   /** F6: "Kích thước: WxLm" → (width, length); "---" → (null, null); fewer
     * than two parts → both null (mirrors alonhadat.py:146-157 where the
