@@ -39,6 +39,29 @@ object EventStream {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
 
+  /** Stream-stream join with event-time bounds: purchases joined to the
+    * same user's clicks from the preceding hour. Both sides carry
+    * watermarks, and the range condition bounds the join state — Spark
+    * evicts click state older than the watermark minus the hour bound, so
+    * state is O(active window), never unbounded. */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    purchases.join(clicks,
+      expr("""user_id = click_user AND
+              click_ts <= purchase_ts AND
+              click_ts >= purchase_ts - INTERVAL 1 HOUR"""))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
+
   /** Gap-based sessionization (30-min inactivity) with explicit keyed state:
     * emits a Session row when a gap closes a session or the state times out.
     * Processing-time timeout keeps state bounded — sessions for idle users

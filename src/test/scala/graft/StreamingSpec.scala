@@ -83,6 +83,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("stream-stream join: purchases matched to prior-hour clicks, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.purchasesWithRecentClicks(in.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts("2024-01-01 09:30:00"), 1, "click", 0.0),    // within 1h
+        EventStream.Event(2, ts("2024-01-01 08:00:00"), 1, "click", 0.0),    // too old
+        EventStream.Event(3, ts("2024-01-01 10:00:00"), 1, "purchase", 9.0),
+        EventStream.Event(4, ts("2024-01-01 10:00:00"), 2, "purchase", 5.0)) // no clicks
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      in.addData(
+        EventStream.Event(5, ts("2024-01-01 13:00:00"), 3, "click", 0.0),
+        EventStream.Event(6, ts("2024-01-01 13:00:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .collect().map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+      assert(rows.contains((3L, 1L)))    // in-window click joined
+      assert(!rows.contains((3L, 2L)))   // out-of-window click excluded
+      assert(!rows.exists(_._1 == 4L))   // inner join: no clicks → no row
+    } finally q.stop()
+  }
+
+  test("compaction keeps only the latest version per listing identity") {
+    val v1 = Seq(
+      ("Gò Vấp", "P5", "Lê Lợi", java.sql.Date.valueOf("2025-04-20"), 80.0, 1.5),
+      ("Q3", "P1", "Huế", java.sql.Date.valueOf("2025-04-21"), 60.0, 2.0))
+      .toDF("quan_huyen", "phuong_xa", "duong_pho", "post_date", "area", "price_billion_vnd")
+      .withColumn("ingest_date", lit(java.sql.Date.valueOf("2025-04-22")))
+    // re-crawl: same listing 1 with updated price, later ingest date
+    val v2 = Seq(("Gò Vấp", "P5", "Lê Lợi", java.sql.Date.valueOf("2025-04-20"), 80.0, 1.6))
+      .toDF("quan_huyen", "phuong_xa", "duong_pho", "post_date", "area", "price_billion_vnd")
+      .withColumn("ingest_date", lit(java.sql.Date.valueOf("2025-04-23")))
+    val compacted = graft.sink.Compaction.compactListings(v1.unionByName(v2))
+    assert(compacted.count() == 2)
+    val price = compacted.filter($"quan_huyen" === "Gò Vấp")
+      .head().getAs[Double]("price_billion_vnd")
+    assert(price == 1.6) // latest version won
+  }
+
   test("wire parse: permissive from_json over the raw listing schema") {
     val json = Seq(
       """{"post_date":"2025-04-24","quan_huyen":"Gò Vấp","price":"1.5","area":80.5,"source":"alonhadat"}""",
