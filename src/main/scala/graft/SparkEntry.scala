@@ -63,7 +63,8 @@ object SparkEntry {
     // -- multimodal plumbing ----------------------------------------------
     "q31_media_meta"               -> Multimodal.decodeMeta _,
     "q32_media_format_stats"       -> Multimodal.formatStats _,
-    "q40_frame_sample"             -> Multimodal.frameSample _)
+    "q40_frame_sample"             -> Multimodal.frameSample _,
+    "q41_thumbnail_dims"           -> ((s: SparkSession, d: String) => Multimodal.thumbnailDims(s, d)))
 
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB dialect) — the raw-listing fixture reproduced as a
@@ -444,6 +445,19 @@ object SparkEntry {
         |SELECT doc_id, unnest(range(0, n_frames))::INT AS frame_id, fmt,
         |  unnest(range(0, n_frames)) * 40 AS frame_ms,
         |  ((n_bytes * (unnest(range(0, n_frames)) + 1)) % 256)::INT AS mean_luma
+        |FROM m""".stripMargin,
+
+    "q41_thumbnail_dims" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (octet_length(text::BLOB) % 640 + 32)::INT AS width,
+        |    ((octet_length(text::BLOB) * 7) % 480 + 32)::INT AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width >= height THEN 256
+        |       ELSE (width::BIGINT * 256 // height::BIGINT)::INT END AS thumb_w,
+        |  CASE WHEN width >= height THEN (height::BIGINT * 256 // width::BIGINT)::INT
+        |       ELSE 256 END AS thumb_h
         |FROM m""".stripMargin,
 
     "q32_media_format_stats" ->

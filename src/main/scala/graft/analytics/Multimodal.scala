@@ -81,6 +81,21 @@ object Multimodal {
         (col("frame_id").cast("long") * 40L).as("frame_ms"),
         pmod(col("n_bytes") * (col("frame_id") + 1), lit(256)).as("mean_luma"))
 
+  /** q41: thumbnail resize planning — fit-within-target dims preserving
+    * aspect ratio (integer math; the actual pixel resample is the codec
+    * stub's job). Shows the resize stage as pure relational compute over
+    * decoded metadata: no second pass over the blobs. */
+  def thumbnailDims(spark: SparkSession, dir: String, target: Int = 256): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    // scale = min(target/w, target/h) applied in integer math:
+    // if w >= h: thumb_w = target, thumb_h = h*target/w (floor); else sym.
+    decodeMeta(spark, dir).select(
+      col("doc_id"), col("width"), col("height"),
+      when(w >= h, lit(target)).otherwise((w * target / h).cast("int")).as("thumb_w"),
+      when(w >= h, (h * target / w).cast("int")).otherwise(lit(target)).as("thumb_h"))
+  }
+
   /** Relational composition over decoded metadata — grouped shape stats per
     * format (shows the decoded struct is a first-class relational citizen). */
   def formatStats(spark: SparkSession, dir: String): DataFrame =

@@ -33,6 +33,18 @@ class FunctionsSpec extends SparkSpec {
     hof.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-equal, no tolerance
   }
 
+  test("salted join matches the plain join") {
+    val big = graft.Tables.lineitem(spark, sf("sf0.001"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    val small = graft.Tables.orders(spark, sf("sf0.001"))
+      .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    val plain = big.join(small, "l_orderkey")
+    val salted = graft.functions.SkewJoin.saltedJoin(big, small, "l_orderkey", "l_linenumber", 8)
+    assert(salted.count() == plain.count())
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getInt(1))
+    assert(salted.collect().map(key).sorted.toSeq == plain.collect().map(key).sorted.toSeq)
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
