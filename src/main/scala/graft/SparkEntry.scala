@@ -38,6 +38,7 @@ object SparkEntry {
     "q34_orders_rollup"            -> Relational.ordersRollup _,
     "q35_orders_pivot"             -> Relational.ordersPivot _,
     "q36_customer_setops"          -> Relational.customerSetOps _,
+    "q42_session_window"           -> Relational.sessionWindow _,
     // -- listing pipeline (reference semantics, fixture-driven) ------------
     "q15_listing_normalize"        -> ((s: SparkSession, _: String) => Views.fixtureListings(s)),
     "q16_district_count"           -> ((s: SparkSession, _: String) => Views.districtCounts(Views.fixtureListings(s))),
@@ -222,6 +223,21 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events, min(ts_s) AS sess_start,
         | max(ts_s) AS sess_end, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q42_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+        |g AS (
+        |  SELECT *, ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s FROM e),
+        |s AS (
+        |  -- session_window is half-open: a gap of EXACTLY the duration
+        |  -- starts a new session (>=), unlike q12's strict > convention
+        |  SELECT *, sum(CASE WHEN gap_s IS NULL OR gap_s >= 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, min(ts_s) AS sess_start, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q33_asof_attribution" ->

@@ -171,6 +171,20 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** q42: gap-based sessions via Spark's NATIVE session_window aggregate —
+    * same 30-min-gap semantics as the hand-rolled q12 (lag + running sum),
+    * so the two implementations cross-check each other against one oracle.
+    * Timestamps floored to seconds at the edge for precision stability. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("tss", timestamp_seconds(floor(col("ts").cast("double")).cast("long")))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").cast("double").cast("long").as("sess_start"),
+        col("n_events"), col("sum_value"))
+
   /** Approximate distinct via HLL++ — the scale path for q07; no DuckDB oracle
     * (sketch internals differ across engines), checked rows-only. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
