@@ -1,11 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness for the gated query surface.
+  *
+  * Prints ONE JSON line {"metric":"total","value":N,"unit":"sec",
+  * "queries":{...},"sf":...} as required by the driver contract.
+  *
+  * Robustness (round-2 hardening):
+  *   - each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
+  *     recorded number is the MEDIAN, so one contended run on a shared host
+  *     cannot fake a 3x regression (round 1's driver record was a phantom
+  *     98.7 s vs a reproducible 28 s);
+  *   - a query that throws is recorded with `ok:false` and its error message
+  *     in an "errors" map, and the process exits non-zero — a crashed query
+  *     can no longer masquerade as a fast query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the documented bench environment (local[32]) so the
     // recorded BASELINE.md numbers are reproducible without env vars
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,18 +37,47 @@ object Bench {
     // touch the benchmarked queries or tables beyond a trivial footer read.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"'          => "\\\""
+        case '\\'         => "\\\\"
+        case '\n'         => "\\n"
+        case '\r'         => "\\r"
+        case '\t'         => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c            => c.toString
+      }
+
     // Sorted order: deterministic run-to-run comparisons (Map iteration
     // order is arbitrary, which silently reshuffles who pays residual
     // warmup costs between rounds).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val attempts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val firstErr = attempts.flatMap(_._2).headOption
+      // median of the successful attempts; if all failed, median of all
+      val times = {
+        val ok = attempts.filter(_._2.isEmpty).map(_._1)
+        if (ok.nonEmpty) ok else attempts.map(_._1)
+      }.sorted
+      val median = times(times.length / 2)
+      (name, median, firstErr)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + jsonEscape(e) + "\"" }
+    val errJson = errs.mkString("{", ",", "}")
+    val nFailed = errs.length
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$nFailed,"errors":$errJson}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

@@ -65,7 +65,22 @@ object SparkEntry {
     "q31_media_meta"               -> Multimodal.decodeMeta _,
     "q32_media_format_stats"       -> Multimodal.formatStats _,
     "q40_frame_sample"             -> Multimodal.frameSample _,
-    "q41_thumbnail_dims"           -> ((s: SparkSession, d: String) => Multimodal.thumbnailDims(s, d)))
+    "q41_thumbnail_dims"           -> ((s: SparkSession, d: String) => Multimodal.thumbnailDims(s, d)),
+    // -- physical layout under the gate (salt/bucket/prune/sample/compact) -
+    "q43_salted_skew_join"         -> LayoutOps.saltedFlagJoin _,
+    "q44_bucketed_join"            -> LayoutOps.bucketedCustomerOrders _,
+    "q45_partition_pruning"        -> ((s: SparkSession, d: String) => LayoutOps.prunedOrdersByYear(s, d)),
+    "q46_content_sample"           -> ((s: SparkSession, d: String) => LayoutOps.contentSample(s, d)),
+    "q47_compaction"               -> LayoutOps.compactedCrawls _,
+    // -- derived accuracy checks over the probabilistic family -------------
+    "q48_minhash_recall"           -> Accuracy.minhashRecall _,
+    "q49_lsh_planted_recall"       -> Accuracy.lshPlantedRecall _,
+    "q50_hll_error_bound"          -> Accuracy.hllErrorBound _)
+
+  // NOTE on numbering: there is deliberately no q19 — the slot was retired
+  // during round 1 (its candidate operator was folded into q16's chain) and
+  // the driver keys queries by NAME, not position. Kept vacant rather than
+  // renumbering so CORRECTNESS_r{N}.json stays diffable across rounds.
 
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB dialect) — the raw-listing fixture reproduced as a
@@ -475,6 +490,64 @@ object SparkEntry {
         |  CASE WHEN width >= height THEN (height::BIGINT * 256 // width::BIGINT)::INT
         |       ELSE 256 END AS thumb_h
         |FROM m""".stripMargin,
+
+    "q43_salted_skew_join" ->
+      """WITH d AS (
+        |  SELECT l_returnflag, avg(l_extendedprice) AS avg_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n_items,
+        |  sum(CASE WHEN l.l_extendedprice > d.avg_price THEN 1 ELSE 0 END)::BIGINT AS n_above_avg
+        |FROM lineitem l JOIN d USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q44_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q45_partition_pruning" ->
+      """SELECT year(o_orderdate)::INT AS o_year, month(o_orderdate)::INT AS mo,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q46_content_sample" ->
+      """SELECT doc_id,
+        | (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 AS bucket
+        |FROM documents
+        |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 10""".stripMargin,
+
+    "q47_compaction" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN '2025-04-24' ELSE '2025-04-23' END AS ingest_date,
+        | length(text) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "q48_minhash_recall" ->
+      """WITH wt AS (
+        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt),
+        |e AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6)
+        |SELECT count(*) AS n_exact_pairs, true AS recall_ok FROM e""".stripMargin,
+
+    "q49_lsh_planted_recall" ->
+      """SELECT count(*) AS n_queries, true AS planted_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q50_hll_error_bound" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, true AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q32_media_format_stats" ->
       """WITH m AS (

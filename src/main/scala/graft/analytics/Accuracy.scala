@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.lineitem
+
+/** Derived accuracy checks: deterministic, oracle-checkable statements ABOUT
+  * the probabilistic operators (MinHash/LSH/HLL are seed-fixed, so their
+  * output is reproducible — but their values are engine-specific, so the raw
+  * rows can't be DuckDB-checked). Each query here reduces a sketch result to
+  * (a) quantities DuckDB can compute exactly, plus (b) a boolean accuracy
+  * claim expected TRUE — so the driver's hash compare verifies both the
+  * exact side and that the sketch met its bound.
+  */
+object Accuracy {
+
+  /** q48: MinHash-LSH recall against the exact Jaccard pair set (q25).
+    * recall = |LSH pairs ∩ exact pairs| / |exact pairs|; with 16 bands × 4
+    * rows a true 0.6-Jaccard pair collides in some band w.p. ≈ 0.89, and
+    * real near-dup pairs sit well above the threshold, so ≥ 0.8 overall is
+    * the engineered floor. */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup.jaccardNearDup(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("c", lit(1L))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        (sum(coalesce(col("c"), lit(0L))) >= count(lit(1)) * 0.8).as("recall_ok"))
+  }
+
+  /** q49: sign-LSH planted-duplicate recall. LSH's contract is finding NEAR
+    * pairs — on the isotropic test embeddings the exact top-k are just the
+    * least-orthogonal noise (cos ≈ 0.4), which LSH is *designed* to skip, so
+    * "overlap with exact top-k of noise" is the wrong claim to pin. The
+    * right deterministic claim: plant a scaled copy of every query vector in
+    * the corpus (cos = 1, identical sign pattern ⇒ identical bucket in ALL
+    * tables) — LSH MUST surface every plant at similarity 1.0. A broken
+    * bucketing, hashing, or ranking stage makes this false. */
+  def lshPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    // scaled (not identical) copies: same direction, different magnitude —
+    // proves the path is genuinely cosine, not an equality shortcut
+    val planted = q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val topk = Similarity.lshTopKOn(
+      e.unionByName(planted),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
+    topk.groupBy(col("query_id"))
+      .agg(max(when(col("neighbor_id") === col("query_id") + 1000000L &&
+        col("cos_sim") === 1.0, 1L).otherwise(0L)).as("found"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("found")) === count(lit(1))).as("planted_ok"))
+  }
+
+  /** q50: HLL error bound — approx_count_distinct(rsd=0.01) vs the exact
+    * distinct count, per group, asserted within ±5% (5 standard errors).
+    * The exact counts ARE the oracle columns; the boolean pins the sketch. */
+  def hllErrorBound(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05).as("hll_ok"))
+}

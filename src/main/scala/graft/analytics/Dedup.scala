@@ -2,10 +2,9 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables.documents
 import graft.analytics.TextStats.wordShingles
-import graft.functions.Sketches
+import graft.functions.{Materialize, Sketches}
 import graft.functions.BitOps.hammingDistance
 
 /** Deduplication operators for training-data pipelines, over `documents`.
@@ -41,35 +40,38 @@ object Dedup {
   /** q25: exact word-trigram Jaccard near-duplicate pairs (sim ≥ 0.6).
     *
     * Exact algorithm with prefix filtering: order each doc's shingle set by
-    * global document frequency (rarest first; shingle text as tiebreaker).
-    * If Jaccard(A,B) ≥ t then |A∩B| ≥ t·|A∪B|, so A and B must collide
-    * within their first ⌊n·(1−t)⌋+1 rarest shingles — the inverted index is
-    * built over those prefixes only, then candidates are verified exactly
-    * on the full sets. No false negatives, candidate set ≪ n². */
+    * the engine's fixed global hash order (Sketches.sortByHash — XXH64 of
+    * the shingle, shingle text as tiebreaker). If Jaccard(A,B) ≥ t then
+    * |A∩B| ≥ t·|A∪B|, so under ANY shared total order A and B must collide
+    * within their first ⌊n·(1−t)⌋+1 elements — the inverted index is built
+    * over those prefixes only, then candidates are verified exactly on the
+    * full sets. No false negatives, candidate set ≪ n².
+    *
+    * The hash order (vs the classic rarest-first document-frequency order)
+    * makes prefix selection a NARROW per-row slice fused into the scan: no
+    * corpus-wide df count, no df join, no per-doc ranking window — three
+    * shuffles gone from the plan. The weaker pruning (random vs rarest-first
+    * prefixes admit more candidates) is absorbed by the PPJoin length +
+    * positional filters and the exact verify step. */
   def jaccardNearDup(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
-    // Materialized once: the shingle table feeds FOUR plan branches (freq,
-    // prefixes, and both verify sides) and Spark does not share identical
-    // subtrees — uncheckpointed, shingling ran 4×. Same materialize-vs-
-    // recompute call a warehouse job makes for its shingle table.
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
-      .localCheckpoint()
+    // Materialized once: the sorted shingle table feeds THREE plan branches
+    // (prefixes and both verify sides) and Spark does not share identical
+    // subtrees — unmaterialized, shingling+sorting would run 3×. Same
+    // materialize-vs-recompute call a warehouse job makes for its shingle
+    // table. (Materialize: localCheckpoint locally, reliable checkpoint on
+    // a cluster — see graft.functions.Materialize.)
+    val docs = Materialize(documents(spark, dir)
+      .select(col("doc_id"), Sketches.sortByHash(wordShingles(col("text"))).as("sh")))
 
-    // Global shingle document-frequency — drives the rarest-first prefix order.
-    val freq = docs
-      .select(explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
-
-    // Per-doc prefix: the rarest ⌊n(1−t)⌋+1 shingles (rank over the full
-    // global (df, shingle) order; rk is the position in the sorted set).
+    // Per-doc prefix: the first ⌊n(1−t)⌋+1 shingles in the global hash
+    // order; rk is the 1-based position in the sorted set. Pure slice +
+    // posexplode — narrow, no shuffle.
     val prefixes = docs
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      .join(freq, "s")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)))
-      .filter(col("rk") <= (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
-      .select(col("doc_id"), col("s"), col("n"), col("rk"))
-      .localCheckpoint() // feeds both sides of the candidate self-join
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        posexplode(slice(col("sh"), lit(1),
+          (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int"))))
+      .select(col("doc_id"), col("col").as("s"), col("n"),
+        (col("pos") + 1).cast("int").as("rk"))
 
     // Inverted-index candidate pairs (a < b) with PPJoin-style pruning:
     //  - length filter: J ≥ t ⇒ t·|B| ≤ |A| (and symmetrically);
@@ -98,7 +100,8 @@ object Dedup {
 
   /** Minimum-label-propagation connected components over undirected edges
     * (a, b): every node gets the smallest doc_id reachable from it. Pure
-    * joins+aggregates per round, `localCheckpoint` to cut lineage between
+    * joins+aggregates per round, `Materialize` (localCheckpoint locally,
+    * reliable checkpoint with spark.graft.checkpoint.dir set) to cut lineage between
     * rounds (mandatory for iterative plans — without it the DAG doubles per
     * iteration). Converges in O(log(max component diameter)) rounds; dedup
     * graphs have tiny components so this is 2-3 rounds in practice. */
@@ -111,15 +114,13 @@ object Dedup {
     // materialize the edge list ONCE before the union — both union branches
     // would otherwise recompute the (expensive) upstream pair pipeline;
     // Spark does not share identical subtrees across branches.
-    val e0 = edges.select(col("a"), col("b")).localCheckpoint()
-    val und = e0
+    val e0 = Materialize(edges.select(col("a"), col("b")))
+    val und = Materialize(e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .repartition(p, col("a"))
-      .localCheckpoint()
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+      .repartition(p, col("a")))
+    var labels = Materialize(und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     while (changed > 0) {
       // neighbor-min step
@@ -132,10 +133,9 @@ object Dedup {
       // ids present in the graph, so the self-join is total. This turns
       // convergence from O(diameter) rounds into O(log diameter) — chains
       // of near-dups otherwise cost one driver round-trip per hop.
-      val next = stepped.as("l1").join(stepped.as("l2"),
+      val next = Materialize(stepped.as("l1").join(stepped.as("l2"),
           col("l1.label") === col("l2.node"))
-        .select(col("l1.node").as("node"), col("l2.label").as("label"))
-        .localCheckpoint()
+        .select(col("l1.node").as("node"), col("l2.label").as("label")))
       changed = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.label") =!= col("o.label")).count()
       labels.unpersist()

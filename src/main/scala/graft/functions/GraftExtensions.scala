@@ -32,6 +32,8 @@ object GraftExtensions {
 
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "word_shingles"     -> one(WordShingles(_)),
+    "sort_by_hash"      -> one(SortByHash(_)),
+    "sign_buckets"      -> one(SignBuckets(_)),
     "minhash_signature" -> one(MinHashSignature(_)),
     "simhash64"         -> one(SimHash64(_)),
     "jaccard_sim"       -> two(JaccardSim(_, _)),

@@ -135,6 +135,65 @@ object Sketches {
   def wordShingles(c: Column, n: Int = 3): Column =
     toColumn(WordShingles(toExpression(c), n))
 
+  /** Sort a string array by the fixed hash order (XXH64 of the element, then
+    * the element itself as tiebreaker — a total order). One hash per element
+    * + one O(n log n) sort, all inside the row.
+    *
+    * This is the engine's global shingle order for prefix-filtered set-
+    * similarity joins: ANY fixed total order preserves the prefix-filter
+    * guarantee (two sets with Jaccard ≥ t must collide within their first
+    * ⌊n(1−t)⌋+1 elements under a shared order), so using a content hash
+    * instead of corpus document-frequency removes the df-count shuffle, the
+    * df join, and the per-doc ranking window from the plan — prefix
+    * selection becomes a narrow per-row slice fused into the scan. The
+    * tradeoff (df order minimizes candidate count; hash order is ~random) is
+    * bounded by PPJoin's length+positional filters and exact verification. */
+  def sortByHashKernel(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val elems = new Array[UTF8String](n)
+    val hashes = new Array[Long](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      elems(i) = s
+      hashes(i) = hashString(s)
+      idx(i) = Integer.valueOf(i)
+      i += 1
+    }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Long.compare(hashes(a.intValue()), hashes(b.intValue()))
+        if (c != 0) c else elems(a.intValue()).compareTo(elems(b.intValue()))
+      }
+    })
+    val out = new Array[AnyRef](n)
+    i = 0
+    while (i < n) { out(i) = elems(idx(i).intValue()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class SortByHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sort_by_hash expects array<string>, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      sortByHashKernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.sortByHashKernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "sort_by_hash"
+  }
+
+  def sortByHash(c: Column): Column = toColumn(SortByHash(toExpression(c)))
+
   /** Exact Jaccard of two DISTINCT string arrays: |∩| / (|A|+|B|−|∩|) in one
     * hash-set pass. Equivalent to
     * `size(array_intersect(a,b)) / size(array_union(a,b))` on distinct

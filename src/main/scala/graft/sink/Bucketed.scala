@@ -17,13 +17,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    // The session catalog is in-memory but the warehouse dir persists:
+    // files left by a PREVIOUS session at the managed location make
+    // CREATE TABLE fail even in overwrite mode (the table isn't in this
+    // session's catalog, so overwrite can't claim the location). Drop both.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — plans with zero
     * Exchange nodes (verify with `.explain`). */

@@ -27,16 +27,20 @@ object Compaction {
     xxhash64(col("quan_huyen"), col("phuong_xa"), col("duong_pho"),
       col("post_date"), col("area"))
 
-  /** Keep the newest version of each listing (latest ingest_date; stable
-    * tiebreak on the full-record hash so re-runs are deterministic). */
-  def compactListings(zone: DataFrame): DataFrame = {
-    val identity = listingIdentity(zone)
+  /** Generic keep-newest compaction: one survivor per `identity`, ordered by
+    * `version` descending (stable tiebreak on the full-record hash so
+    * re-runs are deterministic even when versions collide). One shuffle
+    * keyed on the identity. */
+  def compact(zone: DataFrame, identity: Column, version: Column): DataFrame = {
     val w = Window.partitionBy(col("__lid"))
-      .orderBy(col("ingest_date").desc,
-        xxhash64(zone.columns.map(col): _*).asc)
+      .orderBy(version.desc, xxhash64(zone.columns.map(col): _*).asc)
     zone.withColumn("__lid", identity)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__lid", "__rn")
   }
+
+  /** Keep the newest version of each listing (latest ingest_date). */
+  def compactListings(zone: DataFrame): DataFrame =
+    compact(zone, listingIdentity(zone), col("ingest_date"))
 }

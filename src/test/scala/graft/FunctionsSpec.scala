@@ -45,6 +45,40 @@ class FunctionsSpec extends SparkSpec {
     assert(salted.collect().map(key).sorted.toSeq == plain.collect().map(key).sorted.toSeq)
   }
 
+  test("sort_by_hash: deterministic total order, permutation-invariant, preserves elements") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("c d e", "a b c", "b c d")), // same set, different input order
+      (3L, Seq.empty[String])).toDF("id", "sh")
+    val got = df.select($"id", Sketches.sortByHash($"sh").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == got(2L), "hash order must not depend on input order")
+    assert(got(1L).sorted == Seq("a b c", "b c d", "c d e"), "must preserve elements")
+    assert(got(3L).isEmpty)
+    // stable across evaluations (fixed seed)
+    val again = df.filter($"id" === 1L).select(Sketches.sortByHash($"sh")).head().getSeq[String](0)
+    assert(again == got(1L))
+  }
+
+  test("Materialize: reliable-checkpoint toggle via spark.graft.checkpoint.dir") {
+    import graft.functions.Materialize
+    val df = spark.range(100).toDF("id")
+    // default: localCheckpoint path
+    assert(Materialize(df).count() == 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val out = Materialize(df)
+      assert(out.count() == 100)
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains("graft_ckpt")),
+        "reliable checkpoint dir must be installed")
+      // checkpoint files actually landed on (simulated) durable storage
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable checkpoint must write files")
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -56,4 +56,34 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
   }
+
+  test("q25: prefix generation has no df-join, no window — narrow until the candidate join") {
+    val p = plan("q25_jaccard_neardup")
+    // hash-ordered prefixes: the only wide ops are the candidate equi-join
+    // and distinct — the global-frequency ranking (window over doc_id) is gone
+    assert(!p.contains("Window"), "prefix ranking window crept back into q25\n" + p)
+    assert(p.contains("sort_by_hash") || p.contains("SortByHash") || p.contains("slice"),
+      "expected hash-ordered prefix slice in the scan project\n" + p)
+  }
+
+  test("q44: bucketed co-located join has no shuffle exchange on either side") {
+    import graft.analytics.LayoutOps
+    // write the bucketed layout, then assert on the bare join's plan
+    LayoutOps.bucketedCustomerOrders(spark, sf("sf0.001")).count()
+    val p = LayoutOps.bucketedJoinPlan(spark).queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join must consume bucket layout with zero shuffle\n" + p)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("q45: single-year read of the date-partitioned zone prunes partitions") {
+    import graft.analytics.LayoutOps
+    LayoutOps.prunedOrdersByYear(spark, sf("sf0.001")).count() // writes the layout
+    val p = LayoutOps.prunedScan(spark, 1995).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
+    // pruning happened if the scan's partition filter is present AND the
+    // data filter did NOT fall back to a post-scan Filter on o_year
+    assert(!p.contains("Filter (o_year"), "o_year filter must prune, not post-filter\n" + p)
+  }
 }

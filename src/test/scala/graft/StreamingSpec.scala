@@ -108,6 +108,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("source registry: one independent query per source, isolated sinks and checkpoints") {
+    import graft.streaming.SourceRegistry
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_fanout").toString
+    val inA = MemoryStream[String]
+    val inB = MemoryStream[String]
+    val streams = Map("alonhadat" -> inA, "siteb" -> inB)
+    val sources = Map(
+      "alonhadat" -> SourceRegistry.defaultSources("alonhadat"),
+      "siteb" -> SourceRegistry.SourceSpec("listings.siteb", graft.model.Listing.RawSchema,
+        df => IngestStream.flatten(df.select(IngestStream.parseWire(col("value"))))))
+    inA.addData("""{"post_date":"2025-04-24","quan_huyen":"Gò Vấp","price":"1.5","source":"alonhadat"}""")
+    inB.addData(
+      """{"post_date":"2025-04-24","quan_huyen":"Q7","price":"2.5","source":"siteb"}""",
+      """{"post_date":"2025-04-25","quan_huyen":"Q9","price":"3.5","source":"siteb"}""")
+    val qs = SourceRegistry.startAll(spark, sources,
+      (name, _) => streams(name).toDF(), s"$root/sink", s"$root/ckpt")
+    try {
+      assert(qs.keySet == Set("alonhadat", "siteb"))
+      assert(qs.values.map(_.id).toSet.size == 2, "two INDEPENDENT queries")
+      qs.values.foreach(_.processAllAvailable())
+      assert(spark.read.parquet(s"$root/sink/alonhadat").count() == 1)
+      assert(spark.read.parquet(s"$root/sink/siteb").count() == 2)
+      // independent checkpoints exist per source
+      assert(new java.io.File(s"$root/ckpt/alonhadat").exists())
+      assert(new java.io.File(s"$root/ckpt/siteb").exists())
+      // late data on ONE source lands without touching the other's sink
+      inA.addData("""{"post_date":"2025-04-26","quan_huyen":"Q1","price":"9.9","source":"alonhadat"}""")
+      qs("alonhadat").processAllAvailable()
+      assert(spark.read.parquet(s"$root/sink/alonhadat").count() == 2)
+      assert(spark.read.parquet(s"$root/sink/siteb").count() == 2)
+    } finally qs.values.foreach(_.stop())
+  }
+
   test("compaction keeps only the latest version per listing identity") {
     val v1 = Seq(
       ("Gò Vấp", "P5", "Lê Lợi", java.sql.Date.valueOf("2025-04-20"), 80.0, 1.5),
