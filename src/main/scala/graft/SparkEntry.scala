@@ -61,6 +61,7 @@ object SparkEntry {
     "q28_cosine_topk"              -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q29_lsh_topk"                 -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "q30_embedding_neardup"        -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
+    "q51_ivf_topk"                 -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     // -- multimodal plumbing ----------------------------------------------
     "q31_media_meta"               -> Multimodal.decodeMeta _,
     "q32_media_format_stats"       -> Multimodal.formatStats _,
@@ -75,7 +76,8 @@ object SparkEntry {
     // -- derived accuracy checks over the probabilistic family -------------
     "q48_minhash_recall"           -> Accuracy.minhashRecall _,
     "q49_lsh_planted_recall"       -> Accuracy.lshPlantedRecall _,
-    "q50_hll_error_bound"          -> Accuracy.hllErrorBound _)
+    "q50_hll_error_bound"          -> Accuracy.hllErrorBound _,
+    "q52_ivf_planted_recall"       -> Accuracy.ivfPlantedRecall _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -548,6 +550,10 @@ object SparkEntry {
     "q50_hll_error_bound" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, true AS hll_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q52_ivf_planted_recall" ->
+      """SELECT count(*) AS n_queries, true AS planted_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q32_media_format_stats" ->
       """WITH m AS (

@@ -55,6 +55,29 @@ object Accuracy {
         (sum(col("found")) === count(lit(1))).as("planted_ok"))
   }
 
+  /** q52: IVF planted-duplicate recall — same contract as q49 but for the
+    * inverted-file path: a scaled copy of each query vector has identical
+    * cosine to every centroid, so it lands in the query's own top-1 cell,
+    * which the query always probes (nprobe ≥ 1) — IVF MUST return every
+    * plant at similarity 1.0. Pins quantizer assignment, cell join, and
+    * re-rank in one deterministic boolean. */
+  def ivfPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val topk = Similarity.ivfTopKOn(
+      e.unionByName(planted),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")),
+      k = 5, numCentroids = 16, nprobe = 4)
+    topk.groupBy(col("query_id"))
+      .agg(max(when(col("neighbor_id") === col("query_id") + 1000000L &&
+        col("cos_sim") === 1.0, 1L).otherwise(0L)).as("found"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("found")) === count(lit(1))).as("planted_ok"))
+  }
+
   /** q50: HLL error bound — approx_count_distinct(rsd=0.01) vs the exact
     * distinct count, per group, asserted within ±5% (5 standard errors).
     * The exact counts ARE the oracle columns; the boolean pins the sketch. */

@@ -81,6 +81,68 @@ object Similarity {
       e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
   }
 
+  /** IVF (inverted-file) ANN core — the OTHER classic scale path next to
+    * sign-LSH: a coarse quantizer of `numCentroids` centroids partitions the
+    * corpus into cells (each vector indexed under its nearest centroid);
+    * a query probes only its `nprobe` nearest cells and re-ranks exactly
+    * inside them. Candidate volume ≈ N·nprobe/numCentroids per query vs N
+    * for brute force.
+    *
+    * Centroid "training" is a deterministic corpus sample (first
+    * `numCentroids` vec_ids) — k-means would shift cell boundaries, not the
+    * plan shape, and determinism is what makes the result gate-checkable.
+    * Plan shape: centroids BROADCAST; assignment is a narrow broadcast
+    * product collapsed by a partial+final max-struct aggregate (NO window —
+    * map-side combine shrinks the 16× expansion back to N rows before the
+    * shuffle); candidate generation is an equi-join on cell id. At 100 TB
+    * the assignment argmin would move into a codegen'd kernel like
+    * SignBuckets, but the join/aggregate shape is already the scale shape. */
+  def ivfTopKOn(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int, nprobe: Int): DataFrame = {
+    val centroids = corpus.orderBy(col("vec_id")).limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    // nearest centroid per corpus vector: max over (sim, -cid) structs —
+    // partial aggregation collapses the numCentroids× expansion map-side
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(cosine(col("v"), col("cv")).as("s"), (-col("cid")).as("nc"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), (-col("m.nc")).as("cid"))
+
+    // nprobe nearest cells per query (query set is small; window is cheap)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_c").desc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("sim_c", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    // exact re-rank within probed cells only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** q51: IVF ANN for the q28 query set. Deterministic (fixed centroid
+    * sample) but values are engine-specific → rows-only check; q52 pins the
+    * planted-duplicate recall as the oracle-checked claim. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5,
+      numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    ivfTopKOn(e,
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")),
+      k, numCentroids, nprobe)
+  }
+
   /** q30: embedding-cosine near-duplicate pairs (cos ≥ τ) via the same
     * multi-table buckets: candidates collide in some table, verified
     * exactly. Rows-only check (correctly empty when no near-dups exist). */

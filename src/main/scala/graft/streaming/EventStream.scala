@@ -62,6 +62,18 @@ object EventStream {
         col("purchase_value"), col("click_id"), col("click_ts"))
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch q20: an
+    * at-least-once upstream (the reference's deliberate re-crawl overlap,
+    * crawler/alonhadat.py:49,71-72) becomes exactly-once-per-key downstream.
+    * `dropDuplicatesWithinWatermark` keys state on the id and EVICTS state
+    * older than the watermark horizon — so state is bounded by the overlap
+    * window (what the duplicates actually span), not by stream history.
+    * Plain `dropDuplicates` on a stream would grow state forever. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization (30-min inactivity) with explicit keyed state:
     * emits a Session row when a gap closes a session or the state times out.
     * Processing-time timeout keeps state bounded — sessions for idle users

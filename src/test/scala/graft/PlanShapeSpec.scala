@@ -77,6 +77,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // At 100 TB: a selective dim filter (one order priority) should reach
+    // the fact scan as a runtime bloom filter, cutting shuffle input before
+    // the join. Thresholds lowered so the tiny test tables qualify.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val old = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables.lineitem(spark, sf("sf0.001"))
+      val ord = graft.Tables.orders(spark, sf("sf0.001"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected an injected bloom-filter runtime filter on the fact side\n" + p)
+    } finally old.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("q45: single-year read of the date-partitioned zone prunes partitions") {
     import graft.analytics.LayoutOps
     LayoutOps.prunedOrdersByYear(spark, sf("sf0.001")).count() // writes the layout

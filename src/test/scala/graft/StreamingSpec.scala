@@ -108,6 +108,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate ids across micro-batches collapse; state is watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupedEvents(in.toDF())
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0)) // same-batch dupe
+      q.processAllAvailable()
+      in.addData(
+        EventStream.Event(1, ts("2024-01-01 10:01:00"), 1, "click", 1.0), // cross-batch dupe (in watermark)
+        EventStream.Event(2, ts("2024-01-01 10:02:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"duplicates must collapse, got $ids")
+    } finally q.stop()
+  }
+
   test("source registry: one independent query per source, isolated sinks and checkpoints") {
     import graft.streaming.SourceRegistry
     implicit val sqlCtx = spark.sqlContext
