@@ -77,7 +77,11 @@ object SparkEntry {
     "q48_minhash_recall"           -> Accuracy.minhashRecall _,
     "q49_lsh_planted_recall"       -> Accuracy.lshPlantedRecall _,
     "q50_hll_error_bound"          -> Accuracy.hllErrorBound _,
-    "q52_ivf_planted_recall"       -> Accuracy.ivfPlantedRecall _)
+    "q52_ivf_planted_recall"       -> Accuracy.ivfPlantedRecall _,
+    // -- pipeline-composition audits + exact twins --------------------------
+    "q53_split_contamination"      -> Sampling.splitContamination _,
+    "q54_price_quantiles_exact"    -> Relational.priceQuantilesExact _,
+    "q55_tfidf_terms"              -> ((s: SparkSession, d: String) => TextStats.tfidfTopTerms(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -554,6 +558,53 @@ object SparkEntry {
     "q52_ivf_planted_recall" ->
       """SELECT count(*) AS n_queries, true AS planted_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q53_split_contamination" ->
+      """WITH wt AS (
+        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks,
+        |    CASE WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 90 THEN 'train'
+        |         WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, split, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.split AS split_a, b.split AS split_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard
+        |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6
+        |  AND a.split <> b.split""".stripMargin,
+
+    "q54_price_quantiles_exact" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q55_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rk::INT AS rk
+        |FROM ranked WHERE rk <= 3""".stripMargin,
 
     "q32_media_format_stats" ->
       """WITH m AS (

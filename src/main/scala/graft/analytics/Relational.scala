@@ -243,4 +243,18 @@ object Relational {
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
         percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"),
         percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"))
+
+  /** q54: EXACT percentiles per group (linear interpolation at index
+    * (n−1)·p — the same definition as DuckDB's quantile_cont, which makes
+    * this the oracle-checkable twin of q14). Exact percentile buffers the
+    * group's values — the documented cost; q14's sketch is the 100 TB
+    * default and this is the audit tool, mirroring the q25/q26 pairing. */
+  def priceQuantilesExact(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75D)"), 4).as("p75"),
+        round(expr("percentile(o_totalprice, 0.99D)"), 4).as("p99"))
 }

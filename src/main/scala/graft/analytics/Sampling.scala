@@ -46,4 +46,22 @@ object Sampling {
     * falls below `pct`. Stable under re-partitioning and appends. */
   def deterministicSample(df: DataFrame, textCol: String, pct: Int): DataFrame =
     df.filter(contentBucket(col(textCol)) < pct)
+
+  /** q53: train/test contamination audit — near-duplicate pairs (the exact
+    * Jaccard graph, q25) that STRADDLE split boundaries. A test document
+    * with a train-side near-duplicate is leakage: eval scores measure
+    * memorization, not generalization. This is the audit every serious
+    * training pipeline runs before an eval split ships; composing it from
+    * the gated dedup + split operators keeps it oracle-checkable end-to-end.
+    * One extra broadcast-able join over the (tiny) pair graph. */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardNearDup(spark, dir)
+    val splits = documents(spark, dir)
+      .select(col("doc_id"), splitOf(col("text")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
+  }
 }

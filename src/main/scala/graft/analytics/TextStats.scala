@@ -105,4 +105,33 @@ object TextStats {
       array_min(transform(sh, s => md5(s.cast("binary")))).as("fp_min_shingle"),
       size(sh).cast("long").as("n_shingles"))
   }
+
+  /** q55: per-document top-k keyword extraction by TF-IDF. Plan: explode
+    * tokens (narrow) → per-(doc, term) tf and per-term df as partial+final
+    * hash aggregates → broadcast the corpus-size scalar → per-doc top-k
+    * window keyed on doc_id (high-cardinality key: parallelism scales with
+    * the corpus). The df table is the only corpus-wide aggregate and is
+    * O(vocabulary), not O(tokens). Ties (equal tf and df) break on the term
+    * itself so output is deterministic and oracle-checkable. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(ndocs))
+      // round BEFORE ranking: mathematically-tied scores computed via
+      // different (tf, df) routes can differ by 1 ulp between engines,
+      // which would flip oracle-vs-engine rank order; 4-dp ties instead
+      // fall through to the deterministic term tiebreak in both
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rk").cast("int").as("rk"))
+  }
 }
