@@ -112,7 +112,14 @@ object TextStats {
     * window keyed on doc_id (high-cardinality key: parallelism scales with
     * the corpus). The df table is the only corpus-wide aggregate and is
     * O(vocabulary), not O(tokens). Ties (equal tf and df) break on the term
-    * itself so output is deterministic and oracle-checkable. */
+    * itself so output is deterministic and oracle-checkable.
+    *
+    * The df branch recomputes the token explode (visible as two Generate
+    * nodes): deliberate — materializing the per-(doc, term) tf table to
+    * share it costs O(corpus)-scale storage, while recomputing costs one
+    * extra scan, and scans are the cheap resource at warehouse scale. The
+    * planner's WindowGroupLimit applies the top-k bound BEFORE the window
+    * sort on both the partial and final side. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val toks = documents(spark, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
