@@ -81,7 +81,9 @@ object SparkEntry {
     // -- pipeline-composition audits + exact twins --------------------------
     "q53_split_contamination"      -> Sampling.splitContamination _,
     "q54_price_quantiles_exact"    -> Relational.priceQuantilesExact _,
-    "q55_tfidf_terms"              -> ((s: SparkSession, d: String) => TextStats.tfidfTopTerms(s, d)))
+    "q55_tfidf_terms"              -> ((s: SparkSession, d: String) => TextStats.tfidfTopTerms(s, d)),
+    "q56_range_join"               -> Relational.clicksBeforePurchase _,
+    "q57_grouping_sets"            -> Relational.ordersGroupingSets _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -578,6 +580,23 @@ object SparkEntry {
         |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6
         |  AND a.split <> b.split""".stripMargin,
+
+    "q56_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, us AS c_us FROM e WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id, p.user_id, p.p_us, c.c_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.c_us <= p.p_us AND c.c_us >= p.p_us - 3600000000""".stripMargin,
+
+    "q57_grouping_sets" ->
+      """SELECT o_orderstatus, year(o_orderdate)::BIGINT AS yr,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())""".stripMargin,
 
     "q54_price_quantiles_exact" ->
       """SELECT o_orderstatus,

@@ -244,6 +244,50 @@ object Relational {
         percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"),
         percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"))
 
+  /** q56: batch event-time RANGE join via bin bucketing — every click in
+    * the hour before each purchase (the batch twin of the streaming
+    * `purchasesWithRecentClicks`, and the all-matches complement of the
+    * q33 as-of join which keeps only the latest).
+    *
+    * Spark plans a bare inequality join as BroadcastNestedLoopJoin — O(n·m)
+    * per key, the classic range-join trap. The scale shape: quantize time
+    * into bins the width of the range bound; a purchase's window spans
+    * exactly 2 bins, a click lives in 1, so pairs co-occur in a bin iff
+    * they CAN match — the join becomes an equi-join on (user, bin) with the
+    * exact range predicate verifying candidates. A pair matches at most
+    * once (the click's single bin), so no dedup is needed. Asserted
+    * nested-loop-free in PlanShapeSpec. */
+  def clicksBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 3600L * 1000000L // bin width == range bound (1 h), in µs
+    val e = events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
+      .withColumn("bin", explode(sequence(
+        floor((col("p_us") - binUs) / binUs).cast("long"),
+        floor(col("p_us") / binUs).cast("long"))))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("us").as("c_us"))
+      .withColumn("bin", floor(col("c_us") / binUs).cast("long"))
+    purchases.join(clicks, Seq("user_id", "bin"))
+      .filter(col("c_us") <= col("p_us") && col("c_us") >= col("p_us") - binUs)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_us"), col("c_us"))
+  }
+
+  /** q57: custom GROUPING SETS — per-status and per-year subtotals plus the
+    * grand total in ONE pass ((status), (yr), ()): neither a ROLLUP prefix
+    * chain (q34) nor a full CUBE (q06). The planner expands rows once per
+    * set before the partial aggregate, so the shuffle carries ≤ 3× group
+    * cardinality, not 3× input. */
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("yr")), Seq.empty),
+        col("o_orderstatus"), col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
   /** q54: EXACT percentiles per group (linear interpolation at index
     * (n−1)·p — the same definition as DuckDB's quantile_cont, which makes
     * this the oracle-checkable twin of q14). Exact percentile buffers the

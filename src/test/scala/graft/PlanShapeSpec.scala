@@ -77,6 +77,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("q56: range join plans as an equi-join on (user, bin), not a nested loop") {
+    val p = plan("q56_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join fell back to nested loop\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected a hash-keyed equi-join\n" + p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // At 100 TB: a selective dim filter (one order priority) should reach
