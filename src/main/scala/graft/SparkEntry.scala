@@ -83,7 +83,9 @@ object SparkEntry {
     "q54_price_quantiles_exact"    -> Relational.priceQuantilesExact _,
     "q55_tfidf_terms"              -> ((s: SparkSession, d: String) => TextStats.tfidfTopTerms(s, d)),
     "q56_range_join"               -> Relational.clicksBeforePurchase _,
-    "q57_grouping_sets"            -> Relational.ordersGroupingSets _)
+    "q57_grouping_sets"            -> Relational.ordersGroupingSets _,
+    "q58_length_outliers"          -> TextStats.lengthOutliers _,
+    "q59_quality_normalized"       -> TextStats.qualityNormalized _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -580,6 +582,46 @@ object SparkEntry {
         |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6
         |  AND a.split <> b.split""".stripMargin,
+
+    "q58_length_outliers" ->
+      """WITH p AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.99) AS p99
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  d.n_chars > p.p99 AS is_outlier,
+        |  round(least(d.n_chars::DOUBLE, p.p99), 4) AS n_chars_clipped
+        |FROM documents d JOIN p USING (lang)""".stripMargin,
+
+    "q59_quality_normalized" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS L,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    n_alpha::DOUBLE / nullif(L, 0)::DOUBLE AS alpha_ratio,
+        |    n_digit::DOUBLE / nullif(L, 0)::DOUBLE AS digit_ratio,
+        |    n_stop::DOUBLE / nullif(n_tokens, 0)::DOUBLE AS stop_ratio
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id, round(least(1.0, greatest(0.0,
+        |    0.5 * alpha_ratio + 0.3 * least(1.0, stop_ratio * 4) +
+        |    0.2 * least(1.0, n_tokens::DOUBLE / 64.0) - digit_ratio)), 4) AS quality
+        |  FROM r),
+        |wl AS (
+        |  SELECT q.doc_id, d.lang, q.quality
+        |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+        |s AS (
+        |  SELECT lang, avg(quality) AS la, stddev_samp(quality) AS ls
+        |  FROM wl GROUP BY lang)
+        |SELECT wl.doc_id, wl.lang, wl.quality,
+        |  round(s.la, 4) AS lang_avg,
+        |  round((wl.quality - s.la) / s.ls, 4) AS quality_z
+        |FROM wl JOIN s USING (lang)""".stripMargin,
 
     "q56_range_join" ->
       """WITH e AS (

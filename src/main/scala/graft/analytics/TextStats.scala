@@ -106,6 +106,38 @@ object TextStats {
       size(sh).cast("long").as("n_shingles"))
   }
 
+  /** q58: per-language length-outlier detection and winsorization — docs
+    * beyond their language's exact p99 length are flagged and clipped, the
+    * standard pre-training length-cleaning step (a handful of pathological
+    * documents otherwise dominate token budgets). Per-group stats via
+    * groupBy + BROADCAST join back (NOT a window over `lang` — language is
+    * low-cardinality, so a window would funnel the corpus into a few huge
+    * partitions; the aggregate output is tiny and broadcasts). */
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val p = d.groupBy(col("lang")).agg(expr("percentile(n_chars, 0.99D)").as("p99"))
+    d.join(broadcast(p), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") > col("p99")).as("is_outlier"),
+        round(least(col("n_chars").cast("double"), col("p99")), 4).as("n_chars_clipped"))
+  }
+
+  /** q59: per-language quality-score normalization — z-score of the q22
+    * quality signal within each language, so one threshold filters all
+    * languages fairly (raw quality distributions differ per language; a
+    * global cut over-prunes low-resource languages). Same broadcast-back
+    * shape as q58. */
+  def qualityNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+      .join(documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val stats = q.groupBy(col("lang"))
+      .agg(avg(col("quality")).as("la"), stddev_samp(col("quality")).as("ls"))
+    q.join(broadcast(stats), "lang")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        round(col("la"), 4).as("lang_avg"),
+        round((col("quality") - col("la")) / col("ls"), 4).as("quality_z"))
+  }
+
   /** q55: per-document top-k keyword extraction by TF-IDF. Plan: explode
     * tokens (narrow) → per-(doc, term) tf and per-term df as partial+final
     * hash aggregates → broadcast the corpus-size scalar → per-doc top-k
