@@ -85,7 +85,10 @@ object SparkEntry {
     "q56_range_join"               -> Relational.clicksBeforePurchase _,
     "q57_grouping_sets"            -> Relational.ordersGroupingSets _,
     "q58_length_outliers"          -> TextStats.lengthOutliers _,
-    "q59_quality_normalized"       -> TextStats.qualityNormalized _)
+    "q59_quality_normalized"       -> TextStats.qualityNormalized _,
+    "q60_unigram_logprob"          -> TextStats.unigramLogProb _,
+    "q61_stratified_sample"        -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
+    "q62_token_packing"            -> ((s: SparkSession, d: String) => Sampling.tokenPacking(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -582,6 +585,38 @@ object SparkEntry {
         |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6
         |  AND a.split <> b.split""".stripMargin,
+
+    "q60_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |freq AS (
+        |  SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |tot AS (SELECT count(*)::DOUBLE AS total FROM toks)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(freq.cnt / tot.total)), 4) AS avg_logprob
+        |FROM toks t JOIN freq USING (term) CROSS JOIN tot
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "q61_stratified_sample" ->
+      """SELECT doc_id, lang, rk::INT AS rk
+        |FROM (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY md5(text) ASC, doc_id ASC) AS rk
+        |      FROM documents)
+        |WHERE rk <= 20""".stripMargin,
+
+    "q62_token_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 % 32 AS bucket,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |  FROM d)
+        |SELECT doc_id, bucket, n_tok, ((cum_tok - n_tok) // 2048)::BIGINT AS seq_id
+        |FROM c""".stripMargin,
 
     "q58_length_outliers" ->
       """WITH p AS (

@@ -47,6 +47,45 @@ object Sampling {
   def deterministicSample(df: DataFrame, textCol: String, pct: Int): DataFrame =
     df.filter(contentBucket(col(textCol)) < pct)
 
+  /** q61: stratified per-language sample of EXACT size k — rank documents
+    * within each language by content hash (uniform pseudo-random but fully
+    * deterministic) and keep the first k. The rebalancing step of corpus
+    * mixing: fractional sampling (q46) can't hit exact per-stratum counts.
+    * The planner's WindowGroupLimit pushes the k-bound below the sort, so
+    * each partition feeds at most k rows per language to the shuffle — this
+    * stays cheap even when a language holds most of the corpus. */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"))
+  }
+
+  /** q62: token-budget sequence packing — assign documents to fixed-budget
+    * training sequences (greedy in-order fill, budget overflows start a new
+    * sequence). Packing is inherently sequential, so it is parallelized the
+    * way a real pipeline does it: documents are first bucketed by content
+    * hash (deterministic, layout-independent), and packing runs per bucket —
+    * a window over the high-cardinality bucket key, integer arithmetic only,
+    * so the result is exact and engine-portable. Output: every doc's
+    * (bucket, seq_id) home. */
+  def tokenPacking(spark: SparkSession, dir: String, budget: Int = 2048,
+      buckets: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(contentBucket(col("text")), lit(buckets)).as("bucket"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tok"),
+        expr(s"(cum_tok - n_tok) div $budget").as("seq_id"))
+  }
+
   /** q53: train/test contamination audit — near-duplicate pairs (the exact
     * Jaccard graph, q25) that STRADDLE split boundaries. A test document
     * with a train-side near-duplicate is leakage: eval scores measure

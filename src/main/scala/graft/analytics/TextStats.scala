@@ -138,6 +138,26 @@ object TextStats {
         round((col("quality") - col("la")) / col("ls"), 4).as("quality_z"))
   }
 
+  /** q60: per-document mean unigram log-probability under the corpus's own
+    * unigram distribution — the cheap proxy for model-based perplexity
+    * filtering (docs whose tokens are collectively improbable are boiler-
+    * plate, encoding noise, or wrong-language). Same plan family as TF-IDF:
+    * token explode → vocabulary aggregate → broadcast total → per-doc mean.
+    * Fully deterministic given the corpus, so oracle-checkable — unlike a
+    * real LM score, which is exactly what this column would hold if a model
+    * were plugged in. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("avg_logprob"))
+  }
+
   /** q55: per-document top-k keyword extraction by TF-IDF. Plan: explode
     * tokens (narrow) → per-(doc, term) tf and per-term df as partial+final
     * hash aggregates → broadcast the corpus-size scalar → per-doc top-k
