@@ -108,6 +108,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-trigger cap bounds each micro-batch (T1 count-cap analog via maxFilesPerTrigger)") {
+    // The reference flushes at 100 records OR 60 s; the engine maps the
+    // count cap to a per-trigger source limit (maxOffsetsPerTrigger on
+    // Kafka — untestable here, no connector jar). The FILE source's
+    // maxFilesPerTrigger is the same per-trigger-cap mechanism, so this
+    // pins the semantics: N capped inputs → N micro-batches, not one.
+    val dir = java.nio.file.Files.createTempDirectory("graft_trigger").toString
+    val src = new java.io.File(dir, "in"); src.mkdirs()
+    for (i <- 1 to 3)
+      java.nio.file.Files.writeString(src.toPath.resolve(s"f$i.json"),
+        s"""{"post_date":"2025-04-2$i","quan_huyen":"Q$i","price":"$i.0","source":"alonhadat"}""")
+    val stream = spark.readStream
+      .schema(graft.model.Listing.RawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(src.getAbsolutePath)
+    val q = stream.writeStream.format("memory").queryName("trigger_cap")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("trigger_cap").count() == 3)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"expected 3 capped micro-batches, got rows per batch: ${batches.map(_.numInputRows).mkString(",")}")
+    batches.foreach(p => assert(p.numInputRows == 1))
+  }
+
   test("streaming dedup: duplicate ids across micro-batches collapse; state is watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
