@@ -77,6 +77,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("q55/q61: top-k windows carry WindowGroupLimit (k-bound below the sort)") {
+    Seq("q55_tfidf_terms", "q61_stratified_sample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q must push its rank bound below the window sort\n" + p)
+    }
+  }
+
+  test("q58/q59/q60: per-group stats join back via broadcast, not a corpus shuffle") {
+    Seq("q58_length_outliers", "q59_quality_normalized").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q stats join must broadcast\n" + p)
+    }
+    // q60's total is a single scalar — broadcast nested loop of 1 row is the
+    // intended shape; the vocabulary join must still be a hash join
+    val p60 = plan("q60_unigram_logprob")
+    assert(p60.contains("BroadcastHashJoin") || p60.contains("SortMergeJoin"), p60)
+  }
+
+  test("q62: packing shuffles once on the bucket key") {
+    val p = plan("q62_token_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "token packing should shuffle exactly once (bucket window)\n" + p)
+  }
+
   test("q56: range join plans as an equi-join on (user, bin), not a nested loop") {
     val p = plan("q56_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "range join fell back to nested loop\n" + p)
