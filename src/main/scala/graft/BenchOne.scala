@@ -5,6 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: time individual queries. Usage:
   *   runMain graft.BenchOne <sfDir> <queryName> [queryName...]
   * Prints one `name=seconds` line per query (count() action, like Bench).
+  * SPARK_GRAFT_CONF="k=v,k=v" sets extra session confs — e.g. A/B runs of
+  * the engine toggles (spark.graft.pairgraph.cache, spark.graft.ivf.kmeans.iters).
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -21,6 +23,11 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     names.foreach { name =>
       val t0 = System.nanoTime()
       val n = try SparkEntry.queries(name)(spark, sfDir).count()

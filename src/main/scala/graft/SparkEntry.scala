@@ -49,7 +49,7 @@ object SparkEntry {
     "q37_dedup_corpus"             -> ((s: SparkSession, d: String) => Dedup.dedupCorpus(s, d)),
     "q38_train_split"              -> Sampling.trainSplit _,
     "q39_split_counts"             -> Sampling.splitCounts _,
-    "q25_jaccard_neardup"          -> ((s: SparkSession, d: String) => Dedup.jaccardNearDup(s, d)),
+    "q25_jaccard_neardup"          -> ((s: SparkSession, d: String) => Dedup.nearDupPairs(s, d)),
     "q26_minhash_lsh"              -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q27_simhash_neardup"          -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     // -- text analysis -----------------------------------------------------
@@ -100,8 +100,12 @@ object SparkEntry {
   // VALUES list so the normalization semantics are checked value-by-value.
   // ---------------------------------------------------------------------
 
+  // Row 9 is NFD-encoded via the same helper the fixture uses — byte-exact
+  // mirror of ListingFixtures.rows(8) (see the NFC-at-ingest contract there).
+  private def nfd(s: String): String = graft.ingest.ListingFixtures.nfd(s)
+
   private val listingValues: String =
-    """(VALUES
+    s"""(VALUES
       | (1, 'Hôm nay', 'Đường Lê Lợi, Phường Bến Nghé, Quận 1, Hồ Chí Minh', '5,5 tỷ', '80 m²', 'Kích thước: 4x20m', '12m', '3 lầu', '4 phòng ngủ', 'Có'),
       | (2, 'Hôm qua', 'Phố Huế, Xã Tân Triều, Huyện Thanh Trì, Hà Nội', '850 triệu', '45,5 m2', 'Kích thước: 4,5x10m', '8m', '2 lầu', '3 phòng ngủ', NULL),
       | (3, '24/04/2025', 'Nguyễn Trãi, Phường 7, Quận Gò Vấp, Hồ Chí Minh', 'Thỏa thuận', '---', '---', NULL, NULL, NULL, 'Có'),
@@ -109,13 +113,26 @@ object SparkEntry {
       | (5, '01/01/2024', 'Đường Nguyễn Huệ, Quận 5', '1.2 tỷ', '60 m', 'Kích thước: 5x12m', '6m', '1 lầu', '2 phòng ngủ', 'Có'),
       | (6, 'hôm nay', 'Trần Phú, Phường Mộ Lao, Quận Hà Đông, Hà Nội', '2,,3 tỷ', 'abc', 'Kích thước: 20m', '4,5m', 'năm lầu', '0 phòng ngủ', 'Không'),
       | (7, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
-      | (8, '31/02/2025', 'Lý Thường Kiệt, Phường 8, Quận Tân Bình, Hồ Chí Minh', '990  triệu', '33,0 m²', 'Kích thước: 3,3x10m', '5m', '4 lầu', '3 phòng ngủ', 'Có')
+      | (8, '31/02/2025', 'Lý Thường Kiệt, Phường 8, Quận Tân Bình, Hồ Chí Minh', '990  triệu', '33,0 m²', 'Kích thước: 3,3x10m', '5m', '4 lầu', '3 phòng ngủ', 'Có'),
+      | (9, '${nfd("hôm qua")}', '${nfd("Đường Nguyễn Huệ, Phường Bến Thành, Quận 3, Hồ Chí Minh")}', '${nfd("2,5 tỷ")}', '${nfd("50 m²")}', '${nfd("Kích thước: 5x10m")}', '6m', '${nfd("2 lầu")}', '${nfd("3 phòng ngủ")}', '${nfd("Có")}')
       |)""".stripMargin
 
   /** Shared normalization CTE chain mirroring graft.expr.VnText /
     * graft.ingest.Normalize.fromSiteText, anchored at as_of = 2025-04-24. */
   private val listingNormCte: String =
-    s"""raw(id, raw_post_date, raw_address, raw_price, raw_area, raw_dims, raw_road, raw_floors, raw_bedrooms, raw_parking) AS $listingValues,
+    s"""raw0(id, raw_post_date, raw_address, raw_price, raw_area, raw_dims, raw_road, raw_floors, raw_bedrooms, raw_parking) AS $listingValues,
+       |raw AS (
+       |  SELECT id,
+       |    nfc_normalize(raw_post_date) AS raw_post_date,
+       |    nfc_normalize(raw_address) AS raw_address,
+       |    nfc_normalize(raw_price) AS raw_price,
+       |    nfc_normalize(raw_area) AS raw_area,
+       |    nfc_normalize(raw_dims) AS raw_dims,
+       |    nfc_normalize(raw_road) AS raw_road,
+       |    nfc_normalize(raw_floors) AS raw_floors,
+       |    nfc_normalize(raw_bedrooms) AS raw_bedrooms,
+       |    nfc_normalize(raw_parking) AS raw_parking
+       |  FROM raw0),
        |sp AS (
        |  SELECT *,
        |    string_split(raw_address, ', ') AS parts,
@@ -252,6 +269,21 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events, min(ts_s) AS sess_start,
         | max(ts_s) AS sess_end, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // q13/q14: the sketch VALUES are engine-specific, so the gated output is
+    // the q50 pattern — exact twins as oracle columns + accuracy-bound
+    // booleans expected TRUE (see Relational.approxDistinct/priceQuantiles).
+    "q13_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows,
+        | true AS parts_ok, true AS supps_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q14_price_quantiles" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        | true AS p50_rank_ok, true AS p90_rank_ok, true AS p99_rank_ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q42_session_window" ->
       """WITH e AS (

@@ -20,7 +20,7 @@ object Accuracy {
     * real near-dup pairs sit well above the threshold, so ≥ 0.8 overall is
     * the engineered floor. */
   def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = Dedup.jaccardNearDup(spark, dir)
+    val exact = Dedup.nearDupPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
     val lsh = Dedup.minhashLsh(spark, dir)
       .select(col("doc_a"), col("doc_b")).withColumn("c", lit(1L))

@@ -60,9 +60,25 @@ object Dedup {
     // materialize-vs-recompute call a warehouse job makes for its shingle
     // table. (Materialize: localCheckpoint locally, reliable checkpoint on
     // a cluster — see graft.functions.Materialize.)
-    val docs = Materialize(documents(spark, dir)
+    val docs = sortedShingleDocs(spark, dir)
+    val cand = jaccardCandidatesOn(docs, threshold)
+
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard", round(Sketches.jaccardSim(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private def sortedShingleDocs(spark: SparkSession, dir: String): DataFrame =
+    Materialize(documents(spark, dir)
       .select(col("doc_id"), Sketches.sortByHash(wordShingles(col("text"))).as("sh")))
 
+  /** The PPJoin candidate stage of [[jaccardNearDup]], shared with the scale
+    * instrumentation ([[jaccardCandidates]] / graft.ScaleRehearsal): prefix
+    * slice → inverted-index self-join → distinct (a, b) pairs. */
+  private[graft] def jaccardCandidatesOn(docs: DataFrame, threshold: Double): DataFrame = {
     // Per-doc prefix: the first ⌊n(1−t)⌋+1 shingles in the global hash
     // order; rk is the 1-based position in the sorted set. Pure slice +
     // posexplode — narrow, no shuffle.
@@ -80,7 +96,7 @@ object Dedup {
     //    must reach α = ⌈t/(1+t)·(|A|+|B|)⌉. Both prune without losing any
     //    true pair; then exact verification on the full sets.
     val tt = threshold / (1 + threshold)
-    val cand = prefixes.as("x").join(prefixes.as("y"),
+    prefixes.as("x").join(prefixes.as("y"),
         col("x.s") === col("y.s") &&
           col("x.doc_id") < col("y.doc_id") &&
           col("y.n") >= ceil(col("x.n") * threshold) &&
@@ -89,14 +105,34 @@ object Dedup {
             ceil((col("x.n") + col("y.n")) * tt))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("jaccard", round(Sketches.jaccardSim(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Candidate pairs only (pre-verify) — the quantity whose growth decides
+    * whether the join is subquadratic at scale. */
+  def jaccardCandidates(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    jaccardCandidatesOn(sortedShingleDocs(spark, dir), threshold)
+
+  /** The exact near-dup pair graph (q25) is consumed by FOUR gated queries —
+    * q25 itself, corpus dedup (q37), MinHash recall (q48), and the split-
+    * contamination audit (q53). Behind `spark.graft.pairgraph.cache=true`
+    * the graph is computed ONCE per (session, dir, threshold) and the
+    * materialized result shared; default off keeps per-query isolation for
+    * the correctness gate (each query's cost stays its own). On a shared
+    * 100 TB warehouse this is the "pair graph as a materialized table" call
+    * — the cache is the session-scoped analogue. Entries hold
+    * localCheckpoint/checkpoint handles and die with the session (sessions
+    * here are per-job processes, so no unbounded growth). */
+  private val pairGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Double), DataFrame]()
+
+  private[graft] def clearPairGraphCache(): Unit = pairGraphCache.clear()
+
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    if (spark.conf.getOption("spark.graft.pairgraph.cache").contains("true"))
+      pairGraphCache.computeIfAbsent(
+        (System.identityHashCode(spark), dir, threshold),
+        _ => Materialize(jaccardNearDup(spark, dir, threshold)))
+    else jaccardNearDup(spark, dir, threshold)
 
   /** Minimum-label-propagation connected components over undirected edges
     * (a, b): every node gets the smallest doc_id reachable from it. Pure
@@ -151,7 +187,7 @@ object Dedup {
     * Singletons are their own canonical. Oracle: DuckDB recursive CTE
     * transitive closure. */
   def dedupCorpus(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
-    val edges = jaccardNearDup(spark, dir, threshold)
+    val edges = nearDupPairs(spark, dir, threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val labels = connectedComponents(edges)
     documents(spark, dir).select(col("doc_id"))
@@ -182,30 +218,42 @@ object Dedup {
     * buckets (band, band_key); one shuffle dedups pairs; signature joins to
     * estimate similarity. Keyed equi-joins only — no cross join anywhere. */
   def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = MinhashPerms / NumBands
     val sigs = documents(spark, dir)
       .select(col("doc_id"), minhashSignature(wordShingles(col("text"))).as("mhs"))
+    val cand = minhashCandidatesOn(sigs)
 
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("mhs").as("mhs_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("mhs").as("mhs_b"))
+    // signature agreement via the codegen'd kernel — the HOF formulation
+    // (aggregate over zip_with) is CodegenFallback and interprets 64 lambda
+    // evals per candidate pair; FunctionsSpec pins kernel == HOF equality
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard",
+        Sketches.signatureAgreement(col("mhs_a"), col("mhs_b")).cast("double") / MinhashPerms)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** The LSH banding candidate stage of [[minhashLsh]]: band keys → bucket
+    * equi-join → distinct (a, b) pairs. */
+  private[graft] def minhashCandidatesOn(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = MinhashPerms / NumBands
     val bands = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)),
         b => struct(b.as("band"),
           xxhash64(slice(col("mhs"), b * rowsPerBand + 1, lit(rowsPerBand))).as("band_key")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
 
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "band_key"))
+    bands.as("x").join(bands.as("y"), Seq("band", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("mhs").as("mhs_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("mhs").as("mhs_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("mhs_a"), col("mhs_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / MinhashPerms)
-      .filter(col("est_jaccard") >= estThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
+
+  /** LSH candidate pairs only (pre signature-verify) — scale instrumentation. */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidatesOn(documents(spark, dir)
+      .select(col("doc_id"), minhashSignature(wordShingles(col("text"))).as("mhs")))
 
   /** 64-bit SimHash of the shingle set: per-bit majority vote over shingle
     * hashes, via the codegen'd Sketches.SimHash64 expression (no UDF, no
@@ -216,7 +264,13 @@ object Dedup {
     * banded 16-bit chunk equi-join (a pair within distance 3 must agree on
     * at least one of 4 chunks — pigeonhole, no false negatives for d ≤ 3).
     * Rows-only check (hash internals are engine-specific). */
-  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashCandidates(spark, dir).filter(col("hamming") <= maxHamming)
+
+  /** The banded-chunk candidate stage of [[simhashNearDup]]: distinct pairs
+    * agreeing on some 16-bit chunk, with their Hamming distance (pre
+    * distance filter) — scale instrumentation. */
+  def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
       .select(col("doc_id"), simhash64(wordShingles(col("text"))).as("sim"))
 
@@ -231,6 +285,5 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         hammingDistance(col("x.sim"), col("y.sim")).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

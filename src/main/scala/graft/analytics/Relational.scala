@@ -185,13 +185,25 @@ object Relational {
         col("sw.start").cast("double").cast("long").as("sess_start"),
         col("n_events"), col("sum_value"))
 
-  /** Approximate distinct via HLL++ — the scale path for q07; no DuckDB oracle
-    * (sketch internals differ across engines), checked rows-only. */
+  /** q13: approximate distinct via HLL++ (rsd = 0.01) — the scale path for
+    * q07 (mergeable constant-size sketch state vs q07's per-column row
+    * expansion). Gated oracle-checkably since round 3: the exact twins are
+    * the oracle columns and the booleans assert each sketch lands within 5
+    * standard errors (±5%) of exact — the q50 pattern, extended to both key
+    * columns. The sketch value itself can't be hash-compared (HLL internals
+    * are engine-specific), but the bound claim can. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        count(lit(1)).as("n_rows"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("asup"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"),
+        (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05).as("parts_ok"),
+        (abs(col("asup") - col("n_supps")) <= col("n_supps") * 0.05).as("supps_ok"))
 
   /** q33: as-of join — each purchase event attributed to the user's most
     * recent prior-or-equal click (point-in-time lookup). Spark has no asof
@@ -234,15 +246,36 @@ object Relational {
       .unionByName(open.intersect(done).withColumn("setop", lit("both")))
   }
 
-  /** Approximate percentiles — single-pass quantile sketch per group; checked
-    * rows-only (sketch semantics are engine-specific). */
-  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
-    orders(spark, dir)
+  /** q14: approximate percentiles — single-pass quantile sketch per group
+    * (accuracy = 10000), gated oracle-checkably since round 3 via the
+    * sketch's RANK guarantee: percentile_approx returns an actual element
+    * whose rank is within N/accuracy of the target rank, so the empirical
+    * rank of the returned value (fraction of the group ≤ it) must sit within
+    * eps of the target percentile. eps = 2/accuracy + 2/n covers the sketch
+    * bound plus rank granularity and keeps the claim tie- and FP-safe while
+    * still meaningful (±0.2% of rank at warehouse n). Exact p50
+    * (`percentile` ≡ DuckDB quantile_cont) anchors the oracle columns.
+    *
+    * Shape: the 3-row sketch table broadcasts back onto the fact scan —
+    * two partial+final aggregates, no extra fact shuffle, same plan family
+    * as the q58/q59 broadcast-back normalizations. */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderstatus"), col("o_totalprice"))
+    val sk = o.groupBy(col("o_orderstatus")).agg(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a50"),
+      percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("a90"),
+      percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("a99"))
+    def rankOf(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(col("o_totalprice") <= a, 1L).otherwise(0L)).cast("double") / count(lit(1))
+    val eps = lit(2.0 / 10000) + lit(2.0) / count(lit(1))
+    o.join(broadcast(sk), "o_orderstatus")
       .groupBy(col("o_orderstatus"))
-      .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"),
-        percentile_approx(col("o_totalprice"), lit(0.99), lit(10000)).as("p99"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50_exact"),
+        (abs(rankOf(col("a50")) - 0.5) <= eps).as("p50_rank_ok"),
+        (abs(rankOf(col("a90")) - 0.9) <= eps).as("p90_rank_ok"),
+        (abs(rankOf(col("a99")) - 0.99) <= eps).as("p99_rank_ok"))
+  }
 
   /** q56: batch event-time RANGE join via bin bucketing — every click in
     * the hour before each purchase (the batch twin of the streaming

@@ -94,7 +94,7 @@ object Sampling {
     * the gated dedup + split operators keeps it oracle-checkable end-to-end.
     * One extra broadcast-able join over the (tiny) pair graph. */
   def splitContamination(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardNearDup(spark, dir)
+    val pairs = Dedup.nearDupPairs(spark, dir)
     val splits = documents(spark, dir)
       .select(col("doc_id"), splitOf(col("text")).as("split"))
     pairs

@@ -89,8 +89,10 @@ object Similarity {
     * for brute force.
     *
     * Centroid "training" is a deterministic corpus sample (first
-    * `numCentroids` vec_ids) — k-means would shift cell boundaries, not the
-    * plan shape, and determinism is what makes the result gate-checkable.
+    * `numCentroids` vec_ids), optionally refined by seeded fixed-iteration
+    * Lloyd k-means (`spark.graft.ivf.kmeans.iters`, default 0) — refinement
+    * shifts cell boundaries, never the plan shape, and stays deterministic
+    * so the result remains gate-checkable (q52 passes with the flag on).
     * Plan shape: centroids BROADCAST; assignment is a narrow broadcast
     * product collapsed by a partial+final max-struct aggregate (NO window —
     * map-side combine shrinks the 16× expansion back to N rows before the
@@ -99,16 +101,56 @@ object Similarity {
     * SignBuckets, but the join/aggregate shape is already the scale shape. */
   def ivfTopKOn(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int, nprobe: Int): DataFrame = {
-    val centroids = corpus.orderBy(col("vec_id")).limit(numCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    ivfCandidatesOn(corpus, queries, numCentroids, nprobe)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
 
+  /** The probed-cell candidate stage of [[ivfTopKOn]] (everything before the
+    * per-query top-k rank) — also the scale instrumentation: candidate row
+    * count ≈ N·nprobe/numCentroids·|Q| is the quantity that must grow
+    * linearly, not quadratically, with the corpus. */
+  private[graft] def ivfCandidatesOn(corpus: DataFrame, queries: DataFrame,
+      numCentroids: Int, nprobe: Int): DataFrame = {
     // nearest centroid per corpus vector: max over (sim, -cid) structs —
     // partial aggregation collapses the numCentroids× expansion map-side
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(cosine(col("v"), col("cv")).as("s"), (-col("cid")).as("nc"))).as("m"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), (-col("m.nc")).as("cid"))
+    def assignCells(centroids: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(centroids))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(cosine(col("v"), col("cv")).as("s"), (-col("cid")).as("nc"))).as("m"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), (-col("m.nc")).as("cid"))
+
+    val init = corpus.orderBy(col("vec_id")).limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    // Optional Lloyd refinement (spark.graft.ivf.kmeans.iters, default 0):
+    // assign → per-cell per-dim mean → new centroids. Deterministic — fixed
+    // init, fixed iteration count, and the mean vectors are rebuilt through
+    // array_sort(collect_list(struct(dim, x))) so element order never
+    // depends on aggregation order (collect_list alone is layout-ordered).
+    // Cells that empty out drop their centroid — k may shrink, which only
+    // moves cell boundaries, not the plan shape: quantizer quality is
+    // pluggable; assignment/probe/re-rank stay identical (q52 pins recall
+    // with the flag on, SimilaritySpec).
+    val iters = corpus.sparkSession.conf
+      .getOption("spark.graft.ivf.kmeans.iters").map(_.toInt).getOrElse(0)
+    val centroids =
+      if (iters == 0) init
+      else graft.functions.Materialize(
+        (0 until iters).foldLeft(init) { (c, _) =>
+          assignCells(c)
+            .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+            .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("x"))
+            .groupBy(col("cid"))
+            .agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("a"))
+            .select(col("cid"), expr("transform(a, p -> p.x)").as("cv"))
+        })
+
+    val assigned = assignCells(centroids)
 
     // nprobe nearest cells per query (query set is small; window is cheap)
     val wq = Window.partitionBy(col("query_id"))
@@ -119,16 +161,11 @@ object Similarity {
       .filter(col("rk") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
 
-    // exact re-rank within probed cells only
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    // exact scoring within probed cells only; the caller ranks
     assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cos_sim"), col("rn"))
   }
 
   /** q51: IVF ANN for the q28 query set. Deterministic (fixed centroid

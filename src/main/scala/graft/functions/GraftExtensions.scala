@@ -37,9 +37,11 @@ object GraftExtensions {
     "minhash_signature" -> one(MinHashSignature(_)),
     "simhash64"         -> one(SimHash64(_)),
     "jaccard_sim"       -> two(JaccardSim(_, _)),
+    "signature_agreement" -> two(SignatureAgreement(_, _)),
     "cosine_sim"        -> two(CosineSim(_, _)),
     "dot_product"       -> two(DotProduct(_, _)),
-    "hamming_distance"  -> two(HammingDistance(_, _)))
+    "hamming_distance"  -> two(HammingDistance(_, _)),
+    "nfc_normalize"     -> one(UnicodeNorm.NfcNormalize(_)))
 
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit =

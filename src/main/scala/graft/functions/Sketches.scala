@@ -420,4 +420,46 @@ object Sketches {
     toColumn(MinHashSignature(toExpression(c), numPerms))
 
   def simhash64(c: Column): Column = toColumn(SimHash64(toExpression(c)))
+
+  /** Count of agreeing slots between two long-array signatures, over the
+    * common prefix (positions past the shorter array never match — identical
+    * to `aggregate(zip_with(a, b, (x,y) -> if(x=y,1,0)), 0, +)`, where the
+    * null padding of the longer side contributes 0). This is the MinHash
+    * verify step: est_jaccard = agreement / numPerms. The HOF formulation is
+    * CodegenFallback (interpreted per slot, per candidate pair); this kernel
+    * is one compiled loop. */
+  def sigAgreementKernel(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
+  case class SignatureAgreement(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"signature_agreement expects (array<bigint>, array<bigint>), got ($l, $r)")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sigAgreementKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.sigAgreementKernel($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "signature_agreement"
+  }
+
+  def signatureAgreement(a: Column, b: Column): Column =
+    toColumn(SignatureAgreement(toExpression(a), toExpression(b)))
 }

@@ -11,6 +11,14 @@ object ListingFixtures {
 
   val AsOfDate = "2025-04-24"
 
+  /** NFD (decomposed diacritics) encoding — row 9 carries it to pin the
+    * engine's NFC-at-ingest contract (Normalize.fromSiteText). Built from
+    * the NFC literal so the intent is explicit and byte-exactness is
+    * guaranteed on both the Spark and oracle side (SparkEntry uses the same
+    * helper for the VALUES list). */
+  def nfd(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+
   // (id, raw_post_date, raw_address, raw_price, raw_area, raw_dims,
   //  raw_road, raw_floors, raw_bedrooms, raw_parking)
   val rows: Seq[RawSiteListing] = Seq(
@@ -35,7 +43,15 @@ object ListingFixtures {
     RawSiteListing(7L, null, null, null, null, null, null, null, null, null),
     RawSiteListing(8L, "31/02/2025",
       "Lý Thường Kiệt, Phường 8, Quận Tân Bình, Hồ Chí Minh",
-      "990  triệu", "33,0 m²", "Kích thước: 3,3x10m", "5m", "4 lầu", "3 phòng ngủ", "Có"))
+      "990  triệu", "33,0 m²", "Kích thước: 3,3x10m", "5m", "4 lầu", "3 phòng ngủ", "Có"),
+    // NFD-encoded row: every Vietnamese match (relative date, prefix strips,
+    // price/floors/bedrooms units, parking sentinel) only succeeds through
+    // the NFC-at-ingest normalization — without it this row degrades to the
+    // unparsed fallbacks, which the q15 oracle would catch.
+    RawSiteListing(9L, nfd("hôm qua"),
+      nfd("Đường Nguyễn Huệ, Phường Bến Thành, Quận 3, Hồ Chí Minh"),
+      nfd("2,5 tỷ"), nfd("50 m²"), nfd("Kích thước: 5x10m"), "6m",
+      nfd("2 lầu"), nfd("3 phòng ngủ"), nfd("Có")))
 
   def df(spark: SparkSession): DataFrame = {
     import spark.implicits._

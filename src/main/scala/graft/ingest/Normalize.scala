@@ -15,27 +15,36 @@ object Normalize {
 
   /** Raw site-text fields → normalized listing. Input columns: the
     * `RawSiteListing` shape (id, raw_post_date, raw_address, raw_price,
-    * raw_area, raw_dims, raw_road, raw_floors, raw_bedrooms, raw_parking). */
-  def fromSiteText(raw: DataFrame, asOf: Column): DataFrame =
+    * raw_area, raw_dims, raw_road, raw_floors, raw_bedrooms, raw_parking).
+    *
+    * Every text field is NFC-normalized first (graft.functions.UnicodeNorm):
+    * the VnText parsers match Vietnamese prefixes/units byte-exactly, so
+    * NFD-encoded input (combining diacritics, which crawled HTML does carry)
+    * would otherwise silently miss every match. The reference has the same
+    * latent bug (alonhadat.py:112-123); here the contract is explicit and
+    * fixture row 9 (NFD-encoded) pins it under the oracle gate. */
+  def fromSiteText(raw: DataFrame, asOf: Column): DataFrame = {
+    import graft.functions.UnicodeNorm.nfc
     raw.select(
       col("id"),
-      parsePostDate(col("raw_post_date"), asOf).as("post_date"),
-      street(col("raw_address")).as("duong_pho"),
-      ward(col("raw_address")).as("phuong_xa"),
-      district(col("raw_address")).as("quan_huyen"),
-      city(col("raw_address")).as("thanh_pho"),
-      addressValid(col("raw_address")).as("addr_valid"),
+      parsePostDate(nfc(col("raw_post_date")), asOf).as("post_date"),
+      street(nfc(col("raw_address"))).as("duong_pho"),
+      ward(nfc(col("raw_address"))).as("phuong_xa"),
+      district(nfc(col("raw_address"))).as("quan_huyen"),
+      city(nfc(col("raw_address"))).as("thanh_pho"),
+      addressValid(nfc(col("raw_address"))).as("addr_valid"),
       lit("Nhà đất").as("loai_bds"),
-      areaM2(col("raw_area")).as("area"),
-      dimWidth(col("raw_dims")).as("chieu_ngang"),
-      dimLength(col("raw_dims")).as("chieu_dai"),
-      roadWidth(col("raw_road")).as("duong_truoc_nha"),
-      floors(col("raw_floors")).as("so_tang"),
-      bedrooms(col("raw_bedrooms")).as("so_phong_ngu"),
-      parking(col("raw_parking")).as("cho_de_xe"),
-      priceBillionVnd(col("raw_price")).as("price_billion_vnd"),
-      priceStatus(col("raw_price")).as("price_status"),
+      areaM2(nfc(col("raw_area"))).as("area"),
+      dimWidth(nfc(col("raw_dims"))).as("chieu_ngang"),
+      dimLength(nfc(col("raw_dims"))).as("chieu_dai"),
+      roadWidth(nfc(col("raw_road"))).as("duong_truoc_nha"),
+      floors(nfc(col("raw_floors"))).as("so_tang"),
+      bedrooms(nfc(col("raw_bedrooms"))).as("so_phong_ngu"),
+      parking(nfc(col("raw_parking"))).as("cho_de_xe"),
+      priceBillionVnd(nfc(col("raw_price"))).as("price_billion_vnd"),
+      priceStatus(nfc(col("raw_price"))).as("price_status"),
       lit("alonhadat").as("source"))
+  }
 
   /** Wire records (already crawler-normalized strings, `Listing.RawSchema`)
     * → typed columns. This is the cast pass the reference never does (it

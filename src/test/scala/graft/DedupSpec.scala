@@ -97,4 +97,21 @@ class DedupSpec extends SparkSpec {
     // at j ≥ 0.8 the 16×4 banding miss probability is ~1e-6 per pair
     assert(exact.subsetOf(lsh))
   }
+
+  test("pair-graph cache flag: one shared materialized graph, identical rows") {
+    val d = sf("sf0.001")
+    val base = Dedup.jaccardNearDup(spark, d)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    Dedup.clearPairGraphCache()
+    spark.conf.set("spark.graft.pairgraph.cache", "true")
+    try {
+      val a = Dedup.nearDupPairs(spark, d)
+      val b = Dedup.nearDupPairs(spark, d)
+      assert(a eq b, "second call must reuse the materialized graph")
+      assert(a.collect().map(_.toSeq).sortBy(_.toString).toSeq == base)
+    } finally {
+      spark.conf.unset("spark.graft.pairgraph.cache")
+      Dedup.clearPairGraphCache()
+    }
+  }
 }

@@ -33,6 +33,33 @@ class FunctionsSpec extends SparkSpec {
     hof.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-equal, no tolerance
   }
 
+  test("signature_agreement kernel matches the aggregate(zip_with) formulation") {
+    // minhash signatures of overlapping shingle sets → realistic mix of
+    // agreeing and disagreeing slots; plus unequal lengths and empties to
+    // pin the padding semantics (zip_with pads the short side with null →
+    // contributes 0, kernel stops at the common prefix — same count)
+    val texts = Seq(
+      "a b c d e f g h", "a b c d e f g x", "totally different words here now",
+      "a b c d e f g h", "x y z").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val sigs = texts.toDF("id", "t")
+      .select($"id", Sketches.minhashSignature(TextStats.wordShingles($"t")).as("s"))
+    val pairs = sigs.as("a").crossJoin(sigs.as("b"))
+      .select($"a.s".as("sa"),
+        // truncate one side on odd pairs to exercise unequal lengths
+        when(($"a.id" + $"b.id") % 2 === 1, slice($"b.s", 1, 40)).otherwise($"b.s").as("sb"))
+    val got = pairs.select(
+        Sketches.signatureAgreement($"sa", $"sb").as("kernel"),
+        aggregate(zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // empty arrays agree on nothing
+    val empty = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("x", "y")
+      .select(Sketches.signatureAgreement($"x", $"y")).head().getInt(0)
+    assert(empty == 0)
+  }
+
   test("salted join matches the plain join") {
     val big = graft.Tables.lineitem(spark, sf("sf0.001"))
       .select($"l_orderkey", $"l_linenumber", $"l_quantity")

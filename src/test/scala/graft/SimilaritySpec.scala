@@ -103,4 +103,15 @@ class SimilaritySpec extends SparkSpec {
         s"IVF score for (${r.getLong(0)},${r.getLong(1)}) diverges from exact: $expect vs ${r.getDouble(2)}")
     }
   }
+
+  test("IVF k-means refinement flag: planted recall still holds, output shape intact") {
+    spark.conf.set("spark.graft.ivf.kmeans.iters", "2")
+    try {
+      val rec = graft.analytics.Accuracy.ivfPlantedRecall(spark, sf("sf0.001")).head()
+      assert(rec.getAs[Boolean]("planted_ok"),
+        "refined quantizer must still probe every planted duplicate's cell")
+      val topk = graft.analytics.Similarity.ivfTopK(spark, sf("sf0.001"))
+      assert(topk.count() == 50) // 10 queries × k=5 regardless of quantizer
+    } finally spark.conf.unset("spark.graft.ivf.kmeans.iters")
+  }
 }

@@ -74,6 +74,25 @@ class VnTextSpec extends SparkSpec {
     assert(byId(2).isNullAt(byId(2).fieldIndex("cho_de_xe")))
   }
 
+  test("NFC-at-ingest: NFD-encoded row parses identically to composed input") {
+    // row 9 is built with ListingFixtures.nfd — every Vietnamese match below
+    // fails without the nfc() normalization in Normalize.fromSiteText
+    val r9 = byId(9)
+    assert(r9.getAs[java.sql.Date]("post_date") == d("2025-04-23")) // NFD "hôm qua"
+    assert(r9.getAs[String]("duong_pho") == "Nguyễn Huệ")   // prefix stripped, output NFC
+    assert(r9.getAs[String]("phuong_xa") == "Bến Thành")
+    assert(r9.getAs[String]("quan_huyen") == "3")
+    assert(r9.getAs[String]("thanh_pho") == "Hồ Chí Minh")
+    assert(r9.getAs[Double]("price_billion_vnd") == 2.5)    // NFD "tỷ" unit
+    assert(r9.getAs[String]("price_status") == "ok")
+    assert(r9.getAs[Double]("area") == 50.0)
+    assert(r9.getAs[Double]("chieu_ngang") == 5.0)          // NFD "Kích thước:"
+    assert(r9.getAs[Double]("chieu_dai") == 10.0)
+    assert(r9.getAs[Int]("so_tang") == 2)                   // NFD " lầu"
+    assert(r9.getAs[Int]("so_phong_ngu") == 3)              // NFD " phòng ngủ"
+    assert(r9.getAs[Boolean]("cho_de_xe") == true)          // NFD "Có"
+  }
+
   test("totality: all-null input row survives with nulls, constants filled") {
     val r7 = byId(7)
     assert(r7.getAs[String]("price_status") == "unknown")
@@ -88,6 +107,6 @@ class VnTextSpec extends SparkSpec {
     val counts = Views.districtCounts(Views.fixtureListings(spark))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("1" -> 1, "Thanh Trì" -> 1, "Gò Vấp" -> 1, "C" -> 1,
-      "Hà Đông" -> 1, "Tân Bình" -> 1))
+      "Hà Đông" -> 1, "Tân Bình" -> 1, "3" -> 1))
   }
 }
