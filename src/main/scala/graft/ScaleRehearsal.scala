@@ -120,6 +120,8 @@ object ScaleRehearsal {
       val (_, nMhCand)   = time(Dedup.minhashCandidates(spark, dir).count())
       val (tSh, _)       = time(Dedup.simhashNearDup(spark, dir).count())
       val (_, nShCand)   = time(Dedup.simhashCandidates(spark, dir).count())
+      val (tSh2, _)      = time(Dedup.simhash128NearDup(spark, dir).count())
+      val (_, nSh2Cand)  = time(Dedup.simhash128Candidates(spark, dir).count())
       val (tCc, _)       = time(Dedup.dedupCorpus(spark, dir).count())
       val (tIvf, _)      = time(Similarity.ivfTopK(spark, dir).count())
       val e = Tables.embeddings(spark, dir)
@@ -141,8 +143,9 @@ object ScaleRehearsal {
       val line =
         s"""{"scale":$s,"n_docs":$nDocs,"probe_sec":${math.rint(probeSec * 1e4) / 1e4},""" +
         s""""sec":{"q20_exact":$tExact,"q25_jaccard":$tJac,"q26_minhash":$tMh,""" +
-        s""""q27_simhash":$tSh,"q37_cc":$tCc,"q51_ivf":$tIvf},""" +
-        s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,"ivf":$nIvfCand},""" +
+        s""""q27_simhash":$tSh,"q63_simhash128":$tSh2,"q37_cc":$tCc,"q51_ivf":$tIvf},""" +
+        s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
+        s""""simhash128":$nSh2Cand,"ivf":$nIvfCand},""" +
         s""""true_pairs":$nPairs,"planted_found":$plantedFound,"planted_expected":$plantedExpected}"""
       println(line)
       line

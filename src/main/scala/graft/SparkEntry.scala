@@ -52,6 +52,7 @@ object SparkEntry {
     "q25_jaccard_neardup"          -> ((s: SparkSession, d: String) => Dedup.nearDupPairs(s, d)),
     "q26_minhash_lsh"              -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "q27_simhash_neardup"          -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
+    "q63_simhash128_neardup"       -> ((s: SparkSession, d: String) => Dedup.simhash128NearDup(s, d)),
     // -- text analysis -----------------------------------------------------
     "q21_token_stats"              -> TextStats.tokenStats _,
     "q22_quality_score"            -> TextStats.qualityScore _,
@@ -78,6 +79,7 @@ object SparkEntry {
     "q49_lsh_planted_recall"       -> Accuracy.lshPlantedRecall _,
     "q50_hll_error_bound"          -> Accuracy.hllErrorBound _,
     "q52_ivf_planted_recall"       -> Accuracy.ivfPlantedRecall _,
+    "q64_simhash128_recall"        -> Accuracy.simhash128PlantedRecall _,
     // -- pipeline-composition audits + exact twins --------------------------
     "q53_split_contamination"      -> Sampling.splitContamination _,
     "q54_price_quantiles_exact"    -> Relational.priceQuantilesExact _,
@@ -593,6 +595,10 @@ object SparkEntry {
     "q50_hll_error_bound" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, true AS hll_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q64_simhash128_recall" ->
+      """SELECT count(*) AS n_planted, true AS planted_ok FROM documents
+        |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 10""".stripMargin,
 
     "q52_ivf_planted_recall" ->
       """SELECT count(*) AS n_queries, true AS planted_ok

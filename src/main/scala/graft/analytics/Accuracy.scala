@@ -78,6 +78,26 @@ object Accuracy {
         (sum(col("found")) === count(lit(1))).as("planted_ok"))
   }
 
+  /** q64: 128-bit SimHash planted-exact-copy recall. Identical texts have
+    * identical fingerprints (distance 0, same value in EVERY chunk), so the
+    * banded join MUST surface every planted copy — a broken kernel, chunk
+    * split, or join drops this to false. Deterministic (content-derived
+    * plant selection, no RNG), so the boolean is oracle-checkable; the
+    * plant count is the exact oracle column. */
+  def simhash128PlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sample = base.filter(Sampling.contentBucket(col("text")) < 10)
+    val planted = sample.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val pairs = Dedup.simhash128CandidatesOn(base.unionByName(planted))
+      .filter(col("hamming") === 0)
+    sample.select(col("doc_id").as("sid"))
+      .join(pairs,
+        col("sid") === col("doc_a") && col("doc_b") === col("sid") + 1000000L, "left")
+      .agg(count(lit(1)).as("n_planted"),
+        (sum(when(col("doc_a").isNotNull, 1L).otherwise(0L)) === count(lit(1)))
+          .as("planted_ok"))
+  }
+
   /** q50: HLL error bound — approx_count_distinct(rsd=0.01) vs the exact
     * distinct count, per group, asserted within ±5% (5 standard errors).
     * The exact counts ARE the oracle columns; the boolean pins the sketch. */

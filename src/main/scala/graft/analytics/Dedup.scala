@@ -286,4 +286,45 @@ object Dedup {
         hammingDistance(col("x.sim"), col("y.sim")).as("hamming"))
       .distinct()
   }
+
+  /** q63: 128-bit SimHash near-duplicate pairs — the measured scale fix for
+    * q27. The 64-bit variant is pigeonhole-exact for d ≤ 3 only with 16-bit
+    * chunks, whose buckets birthday-collide at ~n²/2¹⁶ — the scale rehearsal
+    * measured candidate volume growing ~82× over a 10× corpus (SCALING.md).
+    * 128-bit fingerprints keep the exact d ≤ 3 pigeonhole with 32-bit
+    * chunks: the collision constant drops 2¹⁶×, restoring ~linear candidate
+    * growth at the cost of one extra hash + 8 signature bytes per doc.
+    * Rows-only check (fingerprints are engine-specific); q64 pins the
+    * planted-exact-copy recall as the oracle-checked claim. */
+  def simhash128NearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhash128CandidatesOn(documents(spark, dir).select(col("doc_id"), col("text")))
+      .filter(col("hamming") <= maxHamming)
+
+  /** Candidate stage of [[simhash128NearDup]] over an explicit (doc_id,
+    * text) frame — shared with the planted-recall gate (q64) and the scale
+    * instrumentation. */
+  private[graft] def simhash128CandidatesOn(docsWithText: DataFrame): DataFrame = {
+    val docs = docsWithText
+      .select(col("doc_id"), Sketches.simhash128(wordShingles(col("text"))).as("sim"))
+
+    // 4 × 32-bit chunks over the two words: chunk i = bits [32i, 32i+32)
+    val chunks = docs.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(element_at(col("sim"), i / 2 + 1), (i % 2) * 32)
+            .bitwiseAND(0xFFFFFFFFL).as("ck"))): _*)).as("c"))
+      .select(col("doc_id"), col("sim"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "ck"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (hammingDistance(element_at(col("x.sim"), 1), element_at(col("y.sim"), 1)) +
+          hammingDistance(element_at(col("x.sim"), 2), element_at(col("y.sim"), 2)))
+          .as("hamming"))
+      .distinct()
+  }
+
+  /** 128-bit SimHash candidate pairs only — scale instrumentation. */
+  def simhash128Candidates(spark: SparkSession, dir: String): DataFrame =
+    simhash128CandidatesOn(documents(spark, dir).select(col("doc_id"), col("text")))
 }

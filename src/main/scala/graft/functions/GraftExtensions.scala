@@ -36,6 +36,7 @@ object GraftExtensions {
     "sign_buckets"      -> one(SignBuckets(_)),
     "minhash_signature" -> one(MinHashSignature(_)),
     "simhash64"         -> one(SimHash64(_)),
+    "simhash128"        -> one(SimHash128(_)),
     "jaccard_sim"       -> two(JaccardSim(_, _)),
     "signature_agreement" -> two(SignatureAgreement(_, _)),
     "cosine_sim"        -> two(CosineSim(_, _)),

@@ -81,6 +81,62 @@ object Sketches {
     out
   }
 
+  /** 128-bit SimHash kernel: two independent 64-bit majority votes (seeds
+    * 42 / golden-ratio) packed as [word0, word1]. The 64-bit fingerprint's
+    * banded join needs 16-bit chunks for d ≤ 3 (4 chunks, pigeonhole), and
+    * 16-bit buckets birthday-collide at ~n²/2¹⁶ — MEASURED superlinear in
+    * the scale rehearsal (SCALING.md). 128 bits buy 32-bit chunks: same
+    * exact d ≤ 3 pigeonhole, collision constant n²/2³² — negligible to
+    * ~10⁸ docs per band. */
+  def simhash128Kernel(arr: ArrayData): ArrayData = {
+    val counts = new Array[Int](128)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(),
+        0x9E3779B97F4A7C15L)
+      var b = 0
+      while (b < 64) {
+        if (((h0 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (((h1 >>> b) & 1L) == 1L) counts(64 + b) += 1 else counts(64 + b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var w0 = 0L
+    var w1 = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) w0 |= (1L << b)
+      if (counts(64 + b) >= 0) w1 |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array(w0, w1))
+  }
+
+  case class SimHash128(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"simhash128 expects array<string>, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      simhash128Kernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.simhash128Kernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "simhash128"
+  }
+
+  def simhash128(c: Column): Column = toColumn(SimHash128(toExpression(c)))
+
   /** Word n-gram shingle kernel: one whitespace split, one pass, distinct in
     * first-occurrence order. Semantics mirror
     * `array_distinct(transform(sequence(...), i => concat_ws(" ", toks...)))`
