@@ -90,7 +90,12 @@ object SparkEntry {
     "q59_quality_normalized"       -> TextStats.qualityNormalized _,
     "q60_unigram_logprob"          -> TextStats.unigramLogProb _,
     "q61_stratified_sample"        -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
-    "q62_token_packing"            -> ((s: SparkSession, d: String) => Sampling.tokenPacking(s, d)))
+    "q62_token_packing"            -> ((s: SparkSession, d: String) => Sampling.tokenPacking(s, d)),
+    // -- corpus filtering / mixing (round 3) --------------------------------
+    "q65_repetition_ratio"         -> TextStats.repetitionRatio _,
+    "q66_gopher_filter"            -> TextStats.gopherFilter _,
+    "q67_mixture_sample"           -> Sampling.mixtureSample _,
+    "q68_boilerplate_ngrams"       -> TextStats.boilerplateNgrams _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -750,5 +755,66 @@ object SparkEntry {
         |  FROM documents)
         |SELECT fmt, count(*) AS n_media, round(avg(width), 4) AS avg_width,
         | round(avg(height), 4) AS avg_height, max(n_frames) AS max_frames
-        |FROM m GROUP BY fmt""".stripMargin)
+        |FROM m GROUP BY fmt""".stripMargin,
+
+    "q65_repetition_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS g
+        |  FROM toks)
+        |SELECT doc_id, len(g)::BIGINT AS n_bigrams,
+        | len(list_distinct(g))::BIGINT AS n_distinct,
+        | round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 4) AS rep_ratio
+        |FROM g""".stripMargin,
+
+    "q66_gopher_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    round(length(replace(text, ' ', ''))::DOUBLE /
+        |          len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stopwords,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words, mean_word_len, n_stopwords,
+        |    round(1.0 - len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1])))::DOUBLE / (len(t) - 1), 4) AS rep_ratio
+        |  FROM f),
+        |b AS (
+        |  SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len,
+        |    n_stopwords::BIGINT AS n_stopwords, rep_ratio,
+        |    n_words BETWEEN 50 AND 100000 AS ok_words,
+        |    mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+        |    n_stopwords >= 2 AS ok_stopwords,
+        |    rep_ratio <= 0.1 AS ok_repetition
+        |  FROM r)
+        |SELECT *, ok_words AND ok_mean_len AND ok_stopwords AND ok_repetition AS pass
+        |FROM b""".stripMargin,
+
+    "q67_mixture_sample" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN (substring(source, 4)::INT) % 2 = 0 THEN 100 ELSE 25 END AS target_pct
+        |FROM documents
+        |WHERE (ascii(substring(md5(text), 1, 1)) * 256 +
+        |       ascii(substring(md5(text), 2, 1))) % 100 <
+        |  CASE WHEN (substring(source, 4)::INT) % 2 = 0 THEN 100 ELSE 25 END""".stripMargin,
+
+    "q68_boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  FROM toks),
+        |dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |boiler AS (SELECT g FROM dfreq, nd WHERE df * 100 >= n_docs)
+        |SELECT grams.doc_id, count(*)::BIGINT AS n_shingles,
+        | count(boiler.g)::BIGINT AS n_boiler,
+        | round(count(boiler.g)::DOUBLE / count(*), 4) AS boiler_frac
+        |FROM grams LEFT JOIN boiler ON grams.g = boiler.g
+        |GROUP BY grams.doc_id""".stripMargin)
 }

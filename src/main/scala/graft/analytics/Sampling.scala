@@ -86,6 +86,27 @@ object Sampling {
         expr(s"(cum_tok - n_tok) div $budget").as("seq_id"))
   }
 
+  /** q67: deterministic domain-mixture sampling — re-weight the corpus to a
+    * per-source target rate (the "domain mixing" step of every pre-training
+    * recipe: up-/down-sample web vs books vs code). The mixture spec is a
+    * tiny (source → keep-pct) table broadcast against the corpus; the keep
+    * decision is the content-hash bucket, so the sample is exact-rate in
+    * expectation, layout-independent, and stable under appends — rerunning
+    * after ingesting more data never flips an existing document's fate.
+    * Here the spec is derived declaratively (even source index → 100%, odd
+    * → 25%) so the whole operator is oracle-checkable; in production the
+    * spec is a user config table with identical plan shape. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val spec = d.select(col("source")).distinct()
+      .select(col("source"),
+        when(substring(col("source"), 4, 10).cast("int") % 2 === 0, lit(100))
+          .otherwise(lit(25)).as("target_pct"))
+    d.join(broadcast(spec), "source")
+      .filter(contentBucket(col("text")) < col("target_pct"))
+      .select(col("doc_id"), col("source"), col("target_pct"))
+  }
+
   /** q53: train/test contamination audit — near-duplicate pairs (the exact
     * Jaccard graph, q25) that STRADDLE split boundaries. A test document
     * with a train-side near-duplicate is leakage: eval scores measure

@@ -158,6 +158,80 @@ object TextStats {
         round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("avg_logprob"))
   }
 
+  /** q65: intra-document repetition ratio — the C4/Gopher-style repetition
+    * signal: 1 − (distinct word bigrams / total word bigrams). High values
+    * mean the document loops on itself (boilerplate, template spam, decode
+    * glitches) and should be dropped before training. Pure per-row column
+    * expressions (total = tokens − 1; distinct via the codegen'd shingle
+    * kernel) — zero shuffle, fused into the scan. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nToks = size(split(trim(t), "\\s+"))
+    val nBigrams = (nToks - 1).cast("long")
+    val nDistinct = size(wordShingles(t, 2)).cast("long")
+    documents(spark, dir).select(
+      col("doc_id"),
+      nBigrams.as("n_bigrams"),
+      nDistinct.as("n_distinct"),
+      round(lit(1.0) - nDistinct.cast("double") / nBigrams.cast("double"), 4)
+        .as("rep_ratio"))
+  }
+
+  /** q66: Gopher-style quality-filter ruleset — the standard hard pre-
+    * training document gates (Rae et al. 2021 §A1.1 shape): token-count
+    * bounds, mean-word-length bounds, a minimum stopword signal, and a
+    * repetition cap, each emitted as an auditable boolean plus the combined
+    * verdict. Thresholds follow the paper's intent scaled to this corpus.
+    * Per-row only — the filter is a narrow map fused into the scan, so at
+    * 100 TB it costs exactly one read of the corpus. */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nToks = size(split(trim(t), "\\s+"))
+    val meanWordLen =
+      round(length(regexp_replace(t, " ", "")).cast("double") / nToks, 4)
+    val nStop = size(regexp_extract_all(lower(t), lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
+    val repRatio = round(lit(1.0) -
+      size(wordShingles(t, 2)).cast("double") / (nToks - 1), 4)
+    val okWords = nToks >= 50 && nToks <= 100000
+    val okLen   = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val okStop  = nStop >= 2
+    val okRep   = repRatio <= 0.1
+    documents(spark, dir).select(
+      col("doc_id"),
+      nToks.cast("long").as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      nStop.cast("long").as("n_stopwords"),
+      repRatio.as("rep_ratio"),
+      okWords.as("ok_words"), okLen.as("ok_mean_len"),
+      okStop.as("ok_stopwords"), okRep.as("ok_repetition"),
+      (okWords && okLen && okStop && okRep).as("pass"))
+  }
+
+  /** q68: cross-document boilerplate n-gram fraction — word trigrams that
+    * appear in ≥ 1% of the corpus's documents are boilerplate (headers,
+    * navigation, license blurbs); each document reports what fraction of
+    * its distinct trigrams are boilerplate. Plan: distinct-shingle explode
+    * (narrow, codegen'd kernel) → per-trigram document frequency as a
+    * partial+final hash aggregate (O(shingle vocabulary), not O(tokens)) →
+    * the tiny ≥1% survivor set broadcasts back — the corpus itself never
+    * re-shuffles. The integer form `df·100 ≥ n_docs` avoids float-threshold
+    * edge disagreement between engines. */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val nd = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val boiler = dfreq.crossJoin(broadcast(nd))
+      .filter(col("df") * 100 >= col("n_docs"))
+      .select(col("g"), lit(true).as("is_boiler"))
+    grams.join(broadcast(boiler), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_shingles"), 4))
+  }
+
   /** q55: per-document top-k keyword extraction by TF-IDF. Plan: explode
     * tokens (narrow) → per-(doc, term) tf and per-term df as partial+final
     * hash aggregates → broadcast the corpus-size scalar → per-doc top-k

