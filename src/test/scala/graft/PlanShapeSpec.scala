@@ -50,7 +50,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("similarity/dedup candidate joins are equi-joins (no nested loop)") {
     Seq("q25_jaccard_neardup", "q26_minhash_lsh", "q27_simhash_neardup",
-      "q29_lsh_topk", "q30_embedding_neardup").foreach { q =>
+      "q29_lsh_topk", "q30_embedding_neardup", "q63_simhash128_neardup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
@@ -94,6 +94,23 @@ class PlanShapeSpec extends SparkSpec {
     // intended shape; the vocabulary join must still be a hash join
     val p60 = plan("q60_unigram_logprob")
     assert(p60.contains("BroadcastHashJoin") || p60.contains("SortMergeJoin"), p60)
+  }
+
+  test("q67/q68: mixture spec and boilerplate set join back via broadcast") {
+    // the corpus side must meet the small side through a broadcast hash
+    // join — never by shuffling the corpus on the join key
+    val p67 = plan("q67_mixture_sample")
+    assert(p67.contains("BroadcastHashJoin"), "q67 spec join must broadcast\n" + p67)
+    val p68 = plan("q68_boilerplate_ngrams")
+    assert(p68.contains("BroadcastHashJoin"), "q68 boiler join must broadcast\n" + p68)
+    assert(!p68.contains("CartesianProduct"), "q68 has a cartesian product")
+  }
+
+  test("q65/q66: per-row corpus filters are scan-fused (zero exchange)") {
+    Seq("q65_repetition_ratio", "q66_gopher_filter").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle\n" + p)
+    }
   }
 
   test("q62: packing shuffles once on the bucket key") {
