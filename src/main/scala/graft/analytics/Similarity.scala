@@ -93,12 +93,14 @@ object Similarity {
     * Lloyd k-means (`spark.graft.ivf.kmeans.iters`, default 0) — refinement
     * shifts cell boundaries, never the plan shape, and stays deterministic
     * so the result remains gate-checkable (q52 passes with the flag on).
-    * Plan shape: centroids BROADCAST; assignment is a narrow broadcast
-    * product collapsed by a partial+final max-struct aggregate (NO window —
-    * map-side combine shrinks the 16× expansion back to N rows before the
-    * shuffle); candidate generation is an equi-join on cell id. At 100 TB
-    * the assignment argmin would move into a codegen'd kernel like
-    * SignBuckets, but the join/aggregate shape is already the scale shape. */
+    * Plan shape: centroids are packed into ONE broadcast row of parallel
+    * (cids, cvs) arrays; assignment is a pure narrow map — the codegen'd
+    * `nearest_centroid` kernel computes the argmax-cosine cell per corpus
+    * row with NO K× row expansion, NO aggregate, and NO exchange (the
+    * round-2 explode/partial-agg formulation is retained in SimilaritySpec
+    * as a bit-parity oracle for the kernel). Candidate generation is an
+    * equi-join on cell id. At 100 TB the corpus is scanned once for
+    * assignment and reshaped only by the candidate join itself. */
   def ivfTopKOn(corpus: DataFrame, queries: DataFrame, k: Int,
       numCentroids: Int, nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -115,14 +117,19 @@ object Similarity {
     * linearly, not quadratically, with the corpus. */
   private[graft] def ivfCandidatesOn(corpus: DataFrame, queries: DataFrame,
       numCentroids: Int, nprobe: Int): DataFrame = {
-    // nearest centroid per corpus vector: max over (sim, -cid) structs —
-    // partial aggregation collapses the numCentroids× expansion map-side
-    def assignCells(centroids: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(centroids))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(cosine(col("v"), col("cv")).as("s"), (-col("cid")).as("nc"))).as("m"),
-          first(col("v")).as("v"))
-        .select(col("vec_id"), col("v"), (-col("m.nc")).as("cid"))
+    // nearest centroid per corpus vector: single-row broadcast of the packed
+    // centroid arrays + the codegen'd argmax kernel — a narrow map, no
+    // expansion, no aggregate (ties on similarity resolve to smallest cid,
+    // same semantics as the former max-struct formulation)
+    def assignCells(centroids: DataFrame): DataFrame = {
+      val packed = centroids
+        .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+        .select(expr("transform(cs, c -> c.cid)").as("cids"),
+          expr("transform(cs, c -> c.cv)").as("cvs"))
+      corpus.crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("v"),
+          graft.functions.Sketches.nearestCentroid(col("v"), col("cvs"), col("cids")).as("cid"))
+    }
 
     val init = corpus.orderBy(col("vec_id")).limit(numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))

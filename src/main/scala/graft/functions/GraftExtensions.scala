@@ -29,6 +29,8 @@ object GraftExtensions {
     exprs => f(exprs.head)
   private def two(f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
     exprs => f(exprs.head, exprs(1))
+  private def three(f: (Expression, Expression, Expression) => Expression): Seq[Expression] => Expression =
+    exprs => f(exprs.head, exprs(1), exprs(2))
 
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "word_shingles"     -> one(WordShingles(_)),
@@ -42,6 +44,7 @@ object GraftExtensions {
     "cosine_sim"        -> two(CosineSim(_, _)),
     "dot_product"       -> two(DotProduct(_, _)),
     "hamming_distance"  -> two(HammingDistance(_, _)),
+    "nearest_centroid"  -> three(NearestCentroid(_, _, _)),
     "nfc_normalize"     -> one(UnicodeNorm.NfcNormalize(_)))
 
   /** Imperative registration on an existing session (tests, REPL). */

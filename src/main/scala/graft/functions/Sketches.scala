@@ -518,4 +518,52 @@ object Sketches {
 
   def signatureAgreement(a: Column, b: Column): Column =
     toColumn(SignatureAgreement(toExpression(a), toExpression(b)))
+
+  /** Nearest-centroid kernel: argmax-cosine cell id for one vector against
+    * the packed centroid arrays (parallel cids/cvs). Same comparison
+    * semantics as `max(struct(cosine(v, cv) AS s, -cid AS nc))` — ties on
+    * similarity resolve to the smallest cid — and the same summation order
+    * as cosineKernel, so assignments are bit-identical to the explode/agg
+    * formulation it replaces (asserted in SimilaritySpec). Turns IVF cell
+    * assignment into a pure narrow map: no K× row expansion, no aggregate,
+    * no exchange — at 100 TB the corpus is read once and never reshaped. */
+  def nearestCentroidKernel(v: ArrayData, cvs: ArrayData, cids: ArrayData): Long = {
+    var best = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var i = 0
+    val k = cvs.numElements()
+    while (i < k) {
+      val sim = cosineKernel(v, cvs.getArray(i))
+      val cid = cids.getLong(i)
+      if (sim > best || (sim == best && cid < bestCid)) { best = sim; bestCid = cid }
+      i += 1
+    }
+    bestCid
+  }
+
+  case class NearestCentroid(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"nearest_centroid expects (array<double>, array<array<double>>, array<bigint>), got ($a, $b, $c)")
+      }
+    override protected def nullSafeEval(v: Any, cvs: Any, cids: Any): Any =
+      nearestCentroidKernel(v.asInstanceOf[ArrayData],
+        cvs.asInstanceOf[ArrayData], cids.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, cvs, cids) =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.nearestCentroidKernel($v, $cvs, $cids);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+    override def prettyName: String = "nearest_centroid"
+  }
+
+  def nearestCentroid(v: Column, cvs: Column, cids: Column): Column =
+    toColumn(NearestCentroid(toExpression(v), toExpression(cvs), toExpression(cids)))
 }

@@ -114,4 +114,39 @@ class SimilaritySpec extends SparkSpec {
       assert(topk.count() == 50) // 10 queries × k=5 regardless of quantizer
     } finally spark.conf.unset("spark.graft.ivf.kmeans.iters")
   }
+
+  test("nearest_centroid kernel is bit-identical to the explode/max-struct assignment") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val cents = e.orderBy($"vec_id").limit(16)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    // round-2 formulation: K-fold explode + partial/final max over (sim, -cid)
+    val viaAgg = e.crossJoin(broadcast(cents))
+      .groupBy($"vec_id")
+      .agg(max(struct(cosine($"v", $"cv").as("s"), (-$"cid").as("nc"))).as("m"))
+      .select($"vec_id", (-$"m.nc").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round-3 kernel: single-row broadcast of packed arrays, narrow map
+    val packed = cents.agg(array_sort(collect_list(struct($"cid", $"cv"))).as("cs"))
+      .select(expr("transform(cs, c -> c.cid)").as("cids"),
+        expr("transform(cs, c -> c.cv)").as("cvs"))
+    val kernelDf = e.crossJoin(broadcast(packed))
+      .select($"vec_id",
+        graft.functions.Sketches.nearestCentroid($"v", $"cvs", $"cids").as("cid"))
+    // the scale property: assignment never shuffles the corpus — the only
+    // exchange is the single-row centroid broadcast
+    assert(!kernelDf.queryExecution.executedPlan.toString.contains("hashpartitioning"),
+      "kernel assignment must not shuffle the corpus")
+    val viaKernel = kernelDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaAgg)
+    // SQL registration works too
+    graft.functions.GraftExtensions.register(spark)
+    packed.createOrReplaceTempView("packed_cents")
+    e.createOrReplaceTempView("corpus_vecs")
+    val viaSql = spark.sql(
+      """SELECT vec_id, nearest_centroid(v, cvs, cids) AS cid
+        |FROM corpus_vecs CROSS JOIN packed_cents""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaAgg)
+  }
 }
