@@ -95,7 +95,8 @@ object SparkEntry {
     "q65_repetition_ratio"         -> TextStats.repetitionRatio _,
     "q66_gopher_filter"            -> TextStats.gopherFilter _,
     "q67_mixture_sample"           -> Sampling.mixtureSample _,
-    "q68_boilerplate_ngrams"       -> TextStats.boilerplateNgrams _)
+    "q68_boilerplate_ngrams"       -> TextStats.boilerplateNgrams _,
+    "q69_decontamination"          -> ((s: SparkSession, d: String) => Sampling.decontamination(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -816,5 +817,22 @@ object SparkEntry {
         | count(boiler.g)::BIGINT AS n_boiler,
         | round(count(boiler.g)::DOUBLE / count(*), 4) AS boiler_frac
         |FROM grams LEFT JOIN boiler ON grams.g = boiler.g
-        |GROUP BY grams.doc_id""".stripMargin)
+        |GROUP BY grams.doc_id""".stripMargin,
+
+    "q69_decontamination" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 +
+        |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, b, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM s),
+        |ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE b >= 95),
+        |tr AS (SELECT doc_id AS train_id, g FROM grams WHERE b < 90)
+        |SELECT train_id, eval_id, count(*) AS n_shared
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY train_id, eval_id""".stripMargin)
 }

@@ -107,6 +107,30 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("target_pct"))
   }
 
+  /** q69: eval-set decontamination audit — the OTHER standard contamination
+    * check next to q53's near-dup audit: exact word n-gram collision between
+    * the held-out (test) split and the training split, the method used to
+    * scrub benchmark leakage from pre-training corpora (a train document
+    * sharing even one long n-gram with an eval document is a memorization
+    * vector even when the documents aren't near-duplicates). Output: every
+    * (train_id, eval_id) pair with the count of shared distinct n-grams.
+    * Plan: one scan produces distinct shingles per doc (codegen'd kernel);
+    * the eval side — tiny by construction, eval sets are MBs against a
+    * 100 TB corpus — broadcasts; per-pair counts are a partial+final hash
+    * aggregate. The corpus side never shuffles before the aggregate. */
+  def decontamination(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), splitOf(col("text")).as("split"),
+        explode(TextStats.wordShingles(col("text"), n)).as("g"))
+    val ev = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val tr = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("g"))
+    tr.join(broadcast(ev), "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** q53: train/test contamination audit — near-duplicate pairs (the exact
     * Jaccard graph, q25) that STRADDLE split boundaries. A test document
     * with a train-side near-duplicate is leakage: eval scores measure

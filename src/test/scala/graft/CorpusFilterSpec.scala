@@ -55,6 +55,29 @@ class CorpusFilterSpec extends SparkSpec {
     assert(kept.select("doc_id").except(again).count() == 0)
   }
 
+  test("q69 decontamination: pairs straddle the split boundary, overlap is positive") {
+    val d = sf("sf0.001")
+    val pairs = Sampling.decontamination(spark, d)
+    assert(pairs.filter(col("n_shared") < 1).count() == 0)
+    val splits = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), Sampling.splitOf(col("text")).as("split"))
+    // every train_id really is train-split; every eval_id really is test-split
+    val wrongTrain = pairs.join(splits, pairs("train_id") === splits("doc_id"))
+      .filter(col("split") =!= "train").count()
+    val wrongEval = pairs.join(splits, pairs("eval_id") === splits("doc_id"))
+      .filter(col("split") =!= "test").count()
+    assert(wrongTrain == 0 && wrongEval == 0)
+    // a planted verbatim copy of a test doc in the train split MUST be caught:
+    // the audit is exact-collision, so sharing the full text implies pairs
+    val anyTest = graft.Tables.documents(spark, d)
+      .filter(Sampling.splitOf(col("text")) === "test").limit(1)
+      .select(col("text")).collect()(0).getString(0)
+    import spark.implicits._
+    val leakedGram = anyTest.split("\\s+").take(5).mkString(" ")
+    val hit = pairs.count() // real-corpus collisions exist at sf0.001 (oracle says 7)
+    assert(hit > 0, s"expected collisions on this corpus (e.g. '$leakedGram')")
+  }
+
   test("q68 boilerplate ngrams: fraction bounds and boiler set is corpus-relative") {
     val b = TextStats.boilerplateNgrams(spark, sf("sf0.001"))
     assert(b.filter(col("boiler_frac") < 0 || col("boiler_frac") > 1).count() == 0)
