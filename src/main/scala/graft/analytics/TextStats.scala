@@ -164,12 +164,19 @@ object TextStats {
     * glitches) and should be dropped before training. Pure per-row column
     * expressions (total = tokens − 1; distinct via the codegen'd shingle
     * kernel) — zero shuffle, fused into the scan. */
-  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    repetitionRatioOn(documents(spark, dir))
+
+  /** [[repetitionRatio]] over any (doc_id, text) frame — per-row expressions
+    * only, so this runs unchanged on a STREAMING DataFrame (filter-at-ingest
+    * is where a production pipeline applies it; StreamingSpec drives it over
+    * a MemoryStream). */
+  def repetitionRatioOn(docs: DataFrame): DataFrame = {
     val t = col("text")
     val nToks = size(split(trim(t), "\\s+"))
     val nBigrams = (nToks - 1).cast("long")
     val nDistinct = size(wordShingles(t, 2)).cast("long")
-    documents(spark, dir).select(
+    docs.select(
       col("doc_id"),
       nBigrams.as("n_bigrams"),
       nDistinct.as("n_distinct"),
@@ -184,7 +191,12 @@ object TextStats {
     * verdict. Thresholds follow the paper's intent scaled to this corpus.
     * Per-row only — the filter is a narrow map fused into the scan, so at
     * 100 TB it costs exactly one read of the corpus. */
-  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame =
+    gopherFilterOn(documents(spark, dir))
+
+  /** [[gopherFilter]] over any (doc_id, text) frame — pure per-row columns,
+    * identical semantics on batch and streaming inputs (StreamingSpec). */
+  def gopherFilterOn(docs: DataFrame): DataFrame = {
     val t = col("text")
     val nToks = size(split(trim(t), "\\s+"))
     val meanWordLen =
@@ -196,7 +208,7 @@ object TextStats {
     val okLen   = meanWordLen >= 3.0 && meanWordLen <= 10.0
     val okStop  = nStop >= 2
     val okRep   = repRatio <= 0.1
-    documents(spark, dir).select(
+    docs.select(
       col("doc_id"),
       nToks.cast("long").as("n_words"),
       meanWordLen.as("mean_word_len"),

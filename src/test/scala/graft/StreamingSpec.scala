@@ -83,6 +83,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("corpus quality filter runs unchanged on a stream (filter-at-ingest)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the q65/q66 operators are pure per-row columns, so the SAME code path
+    // filters documents at ingest time — no batch/stream fork to maintain
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val goodText = "the and " +
+      (1 to 58).map(i => s"segment$i").mkString(" ") // 60 toks, distinct bigrams, 2 stopwords
+    val loopText = ("spam ham " * 40).trim                                       // repetition + no stopwords
+    in.addData((1L, goodText), (2L, loopText), (3L, "too short"))
+    val q = graft.analytics.TextStats.gopherFilterOn(docs)
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("gopher_stream").collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("pass")).toMap
+    assert(got(1L), "stopword-rich long doc must pass")
+    assert(!got(2L), "looping doc must fail")
+    assert(!got(3L), "short doc must fail")
+    // batch/stream parity: identical rows from the batch path on the same data
+    val batch = graft.analytics.TextStats.gopherFilterOn(
+      Seq((1L, goodText), (2L, loopText), (3L, "too short")).toDF("doc_id", "text"))
+    assert(batch.collect().toSet == spark.table("gopher_stream").collect().toSet)
+    spark.sql("DROP TABLE IF EXISTS gopher_stream")
+  }
+
   test("stream-stream join: purchases matched to prior-hour clicks, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
