@@ -96,7 +96,8 @@ object SparkEntry {
     "q66_gopher_filter"            -> TextStats.gopherFilter _,
     "q67_mixture_sample"           -> Sampling.mixtureSample _,
     "q68_boilerplate_ngrams"       -> TextStats.boilerplateNgrams _,
-    "q69_decontamination"          -> ((s: SparkSession, d: String) => Sampling.decontamination(s, d)))
+    "q69_decontamination"          -> ((s: SparkSession, d: String) => Sampling.decontamination(s, d)),
+    "q70_decontaminated_train"     -> ((s: SparkSession, d: String) => Sampling.decontaminatedTrain(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -834,5 +835,23 @@ object SparkEntry {
         |tr AS (SELECT doc_id AS train_id, g FROM grams WHERE b < 90)
         |SELECT train_id, eval_id, count(*) AS n_shared
         |FROM tr JOIN ev USING (g)
-        |GROUP BY train_id, eval_id""".stripMargin)
+        |GROUP BY train_id, eval_id""".stripMargin,
+
+    "q70_decontaminated_train" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 +
+        |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, b, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM s),
+        |flagged AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM grams tr JOIN grams ev ON tr.g = ev.g
+        |  WHERE tr.b < 90 AND ev.b >= 95)
+        |SELECT doc_id, lang, source FROM s
+        |WHERE b < 90 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin)
 }

@@ -131,6 +131,22 @@ object Sampling {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** q70: the decontaminated training set — q69's audit applied: train-split
+    * documents with every n-gram-colliding document removed (left-anti join
+    * against the flagged id set). This is the actual deliverable of a
+    * decontamination pass; composing it from the gated q38 split and the
+    * gated q69 audit keeps the whole pipeline oracle-checkable end-to-end.
+    * The flagged set is O(collisions) — tiny — so the anti-join broadcasts;
+    * the corpus is scanned once and never shuffled. */
+  def decontaminatedTrain(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val flagged = decontamination(spark, dir, n)
+      .select(col("train_id").as("doc_id")).distinct()
+    documents(spark, dir)
+      .filter(splitOf(col("text")) === "train")
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** q53: train/test contamination audit — near-duplicate pairs (the exact
     * Jaccard graph, q25) that STRADDLE split boundaries. A test document
     * with a train-side near-duplicate is leakage: eval scores measure

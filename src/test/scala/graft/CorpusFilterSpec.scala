@@ -78,6 +78,19 @@ class CorpusFilterSpec extends SparkSpec {
     assert(hit > 0, s"expected collisions on this corpus (e.g. '$leakedGram')")
   }
 
+  test("q70 decontaminated train = train split minus exactly the flagged ids") {
+    val d = sf("sf0.001")
+    val clean = Sampling.decontaminatedTrain(spark, d)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val flagged = Sampling.decontamination(spark, d)
+      .select(col("train_id")).collect().map(_.getLong(0)).toSet
+    val train = graft.Tables.documents(spark, d)
+      .filter(Sampling.splitOf(col("text")) === "train")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(clean == train -- flagged)
+    assert(clean.intersect(flagged).isEmpty)
+  }
+
   test("q68 boilerplate ngrams: fraction bounds and boiler set is corpus-relative") {
     val b = TextStats.boilerplateNgrams(spark, sf("sf0.001"))
     assert(b.filter(col("boiler_frac") < 0 || col("boiler_frac") > 1).count() == 0)
