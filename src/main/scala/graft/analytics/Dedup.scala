@@ -155,27 +155,34 @@ object Dedup {
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .repartition(p, col("a")))
-    var labels = Materialize(und.select(col("a").as("node")).distinct()
+    var matLabels = Materialize(und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")))
-    var changed = 1L
-    while (changed > 0) {
-      // neighbor-min step
+    var labels = matLabels
+    var converged = false
+    while (!converged) {
+      // neighbor-min step (carry the round-start label for the change flag)
       val prop = und.join(labels, und("b") === labels("node"))
         .groupBy(und("a").as("pnode")).agg(min(col("label")).as("nbr_min"))
       val stepped = labels.join(prop, labels("node") === prop("pnode"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       // pointer-jumping step: label ← label(label). Labels are always node
       // ids present in the graph, so the self-join is total. This turns
       // convergence from O(diameter) rounds into O(log diameter) — chains
       // of near-dups otherwise cost one driver round-trip per hop.
+      // The per-node change flag is folded INTO the materialized frame, so
+      // the convergence check is an existence probe over the checkpointed
+      // result — not a separate node⋈node re-join per round (at warehouse
+      // scale the label table is corpus-sized; one fewer join per round is
+      // one fewer O(nodes) shuffle per round).
       val next = Materialize(stepped.as("l1").join(stepped.as("l2"),
           col("l1.label") === col("l2.node"))
-        .select(col("l1.node").as("node"), col("l2.label").as("label")))
-      changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("l1.node").as("node"), col("l2.label").as("label"),
+          (col("l2.label") =!= col("l1.old_label")).as("chg")))
+      converged = next.filter(col("chg")).isEmpty
+      matLabels.unpersist()
+      matLabels = next
+      labels = next.select(col("node"), col("label"))
     }
     e0.unpersist()
     labels
