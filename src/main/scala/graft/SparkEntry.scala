@@ -97,7 +97,8 @@ object SparkEntry {
     "q67_mixture_sample"           -> Sampling.mixtureSample _,
     "q68_boilerplate_ngrams"       -> TextStats.boilerplateNgrams _,
     "q69_decontamination"          -> ((s: SparkSession, d: String) => Sampling.decontamination(s, d)),
-    "q70_decontaminated_train"     -> ((s: SparkSession, d: String) => Sampling.decontaminatedTrain(s, d)))
+    "q70_decontaminated_train"     -> ((s: SparkSession, d: String) => Sampling.decontaminatedTrain(s, d)),
+    "q71_dedup_keep_best"          -> ((s: SparkSession, d: String) => Dedup.dedupKeepBest(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -853,5 +854,52 @@ object SparkEntry {
         |  FROM grams tr JOIN grams ev ON tr.g = ev.g
         |  WHERE tr.b < 90 AND ev.b >= 95)
         |SELECT doc_id, lang, source FROM s
-        |WHERE b < 90 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin)
+        |WHERE b < 90 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+
+    "q71_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |wt AS (
+        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt),
+        |e AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+        |  FROM reach GROUP BY src),
+        |m AS (
+        |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |f AS (
+        |  SELECT doc_id,
+        |    length(text) AS L,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, round(least(1.0, greatest(0.0,
+        |    0.5 * (n_alpha::DOUBLE / nullif(L, 0)::DOUBLE) +
+        |    0.3 * least(1.0, (n_stop::DOUBLE / nullif(n_tokens, 0)::DOUBLE) * 4) +
+        |    0.2 * least(1.0, n_tokens::DOUBLE / 64.0) -
+        |    (n_digit::DOUBLE / nullif(L, 0)::DOUBLE))), 4) AS quality
+        |  FROM f)
+        |SELECT m.doc_id, m.canonical_id, q.quality,
+        |  row_number() OVER (PARTITION BY m.canonical_id
+        |                     ORDER BY q.quality DESC, m.doc_id ASC) = 1 AS keep
+        |FROM m JOIN q ON m.doc_id = q.doc_id""".stripMargin)
 }

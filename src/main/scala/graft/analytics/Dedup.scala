@@ -204,6 +204,28 @@ object Dedup {
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
   }
 
+  /** q71: cluster-representative selection by QUALITY — the standard
+    * refinement over q37's min-id canonical: inside each near-duplicate
+    * cluster keep the highest-quality member (q22 score; ties break on
+    * doc_id so the choice is deterministic and oracle-checkable). Real
+    * pipelines keep the best capture of a duplicated page, not the one
+    * with the smallest id. Plan: the cluster map (q37) joins the quality
+    * scores on doc_id, then a window over canonical_id — high-cardinality
+    * (≈ one key per cluster, singletons included), so parallelism scales
+    * with the corpus; WindowGroupLimit bounds nothing here because every
+    * member row is emitted with its keep verdict (the audit view). */
+  def dedupKeepBest(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val clusters = dedupCorpus(spark, dir, threshold)
+    val quality = TextStats.qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("canonical_id"), col("quality"),
+        (col("rk") === 1).as("keep"))
+  }
+
   private val MinhashPerms = 64
   private val NumBands     = 16 // 16 bands × 4 rows: P(catch) ≈ 1 at jaccard 0.6+
 

@@ -117,6 +117,24 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0) == sigs(1) && sigs(0).length == 2)
   }
 
+  test("q71 keep-best: exactly one keeper per cluster, and it has the max quality") {
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.001")
+    val kb = Dedup.dedupKeepBest(spark, d)
+    // one keeper per cluster
+    val multi = kb.groupBy(col("canonical_id"))
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"))
+      .filter(col("n_keep") =!= 1).count()
+    assert(multi == 0, "every cluster must elect exactly one representative")
+    // the keeper's quality is the cluster max
+    val bad = kb.as("k").filter(col("keep"))
+      .join(kb.as("o"), "canonical_id")
+      .filter(col("o.quality") > col("k.quality")).count()
+    assert(bad == 0, "no member may out-score its cluster's keeper")
+    // every document appears exactly once
+    assert(kb.count() == graft.Tables.documents(spark, d).count())
+  }
+
   test("pair-graph cache flag: one shared materialized graph, identical rows") {
     val d = sf("sf0.001")
     val base = Dedup.jaccardNearDup(spark, d)
