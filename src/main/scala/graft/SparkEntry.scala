@@ -98,7 +98,8 @@ object SparkEntry {
     "q68_boilerplate_ngrams"       -> TextStats.boilerplateNgrams _,
     "q69_decontamination"          -> ((s: SparkSession, d: String) => Sampling.decontamination(s, d)),
     "q70_decontaminated_train"     -> ((s: SparkSession, d: String) => Sampling.decontaminatedTrain(s, d)),
-    "q71_dedup_keep_best"          -> ((s: SparkSession, d: String) => Dedup.dedupKeepBest(s, d)))
+    "q71_dedup_keep_best"          -> ((s: SparkSession, d: String) => Dedup.dedupKeepBest(s, d)),
+    "q72_dedup_stats"              -> ((s: SparkSession, d: String) => Dedup.dedupStats(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -901,5 +902,38 @@ object SparkEntry {
         |SELECT m.doc_id, m.canonical_id, q.quality,
         |  row_number() OVER (PARTITION BY m.canonical_id
         |                     ORDER BY q.quality DESC, m.doc_id ASC) = 1 AS keep
-        |FROM m JOIN q ON m.doc_id = q.doc_id""".stripMargin)
+        |FROM m JOIN q ON m.doc_id = q.doc_id""".stripMargin,
+
+    "q72_dedup_stats" ->
+      """WITH RECURSIVE
+        |wt AS (
+        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt),
+        |e AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+        |  FROM reach GROUP BY src),
+        |m AS (
+        |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |cs AS (
+        |  SELECT canonical_id, count(*) AS cluster_size FROM m GROUP BY canonical_id)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  (sum(cluster_size) - count(*))::BIGINT AS n_removed
+        |FROM cs GROUP BY cluster_size""".stripMargin)
 }

@@ -226,6 +226,17 @@ object Dedup {
         (col("rk") === 1).as("keep"))
   }
 
+  /** q72: duplication profile — the corpus-health view every dedup pass
+    * reports: how many clusters exist at each size, and how many documents
+    * deduplication removes (size − 1 per cluster). Two tiny partial+final
+    * aggregates over the q37 cluster map; output is O(distinct sizes). */
+  def dedupStats(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    dedupCorpus(spark, dir, threshold)
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(
+        count(lit(1)).as("n_clusters"),
+        (sum(col("cluster_size")) - count(lit(1))).as("n_removed"))
+
   private val MinhashPerms = 64
   private val NumBands     = 16 // 16 bands × 4 rows: P(catch) ≈ 1 at jaccard 0.6+
 

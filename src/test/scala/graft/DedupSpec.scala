@@ -135,6 +135,17 @@ class DedupSpec extends SparkSpec {
     assert(kb.count() == graft.Tables.documents(spark, d).count())
   }
 
+  test("q72 dedup stats: size histogram accounts for every document") {
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.001")
+    val st = Dedup.dedupStats(spark, d)
+    val total = st.agg(sum(col("cluster_size") * col("n_clusters"))).collect()(0).getLong(0)
+    assert(total == graft.Tables.documents(spark, d).count())
+    // removed = docs - clusters, and no cluster of size 1 removes anything
+    val removedAt1 = st.filter(col("cluster_size") === 1 && col("n_removed") =!= 0).count()
+    assert(removedAt1 == 0)
+  }
+
   test("pair-graph cache flag: one shared materialized graph, identical rows") {
     val d = sf("sf0.001")
     val base = Dedup.jaccardNearDup(spark, d)
