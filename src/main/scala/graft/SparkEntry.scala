@@ -99,7 +99,8 @@ object SparkEntry {
     "q69_decontamination"          -> ((s: SparkSession, d: String) => Sampling.decontamination(s, d)),
     "q70_decontaminated_train"     -> ((s: SparkSession, d: String) => Sampling.decontaminatedTrain(s, d)),
     "q71_dedup_keep_best"          -> ((s: SparkSession, d: String) => Dedup.dedupKeepBest(s, d)),
-    "q72_dedup_stats"              -> ((s: SparkSession, d: String) => Dedup.dedupStats(s, d)))
+    "q72_dedup_stats"              -> ((s: SparkSession, d: String) => Dedup.dedupStats(s, d)),
+    "q73_clean_corpus"             -> Sampling.cleanCorpus _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -935,5 +936,88 @@ object SparkEntry {
         |  SELECT canonical_id, count(*) AS cluster_size FROM m GROUP BY canonical_id)
         |SELECT cluster_size, count(*) AS n_clusters,
         |  (sum(cluster_size) - count(*))::BIGINT AS n_removed
-        |FROM cs GROUP BY cluster_size""".stripMargin)
+        |FROM cs GROUP BY cluster_size""".stripMargin,
+
+    "q73_clean_corpus" ->
+      """WITH RECURSIVE
+        |wt AS (
+        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt),
+        |e AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+        |  FROM reach GROUP BY src),
+        |m AS (
+        |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |fq AS (
+        |  SELECT doc_id,
+        |    length(text) AS L,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, round(least(1.0, greatest(0.0,
+        |    0.5 * (n_alpha::DOUBLE / nullif(L, 0)::DOUBLE) +
+        |    0.3 * least(1.0, (n_stop::DOUBLE / nullif(n_tokens, 0)::DOUBLE) * 4) +
+        |    0.2 * least(1.0, n_tokens::DOUBLE / 64.0) -
+        |    (n_digit::DOUBLE / nullif(L, 0)::DOUBLE))), 4) AS quality
+        |  FROM fq),
+        |kb AS (
+        |  SELECT m.doc_id,
+        |    row_number() OVER (PARTITION BY m.canonical_id
+        |                       ORDER BY q.quality DESC, m.doc_id ASC) = 1 AS keep
+        |  FROM m JOIN q ON m.doc_id = q.doc_id),
+        |gfr AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    round(length(replace(text, ' ', ''))::DOUBLE /
+        |          len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stopwords,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |gf AS (
+        |  SELECT doc_id,
+        |    n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND n_stopwords >= 2
+        |    AND round(1.0 - len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1])))::DOUBLE / (len(t) - 1), 4) <= 0.1 AS pass
+        |  FROM gfr),
+        |sdoc AS (
+        |  SELECT doc_id, lang, source,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 +
+        |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, b, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM sdoc),
+        |flagged AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM grams tr JOIN grams ev ON tr.g = ev.g
+        |  WHERE tr.b < 90 AND ev.b >= 95)
+        |SELECT doc_id, lang, source FROM sdoc
+        |WHERE b < 90
+        |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |  AND doc_id IN (SELECT doc_id FROM kb WHERE keep)
+        |  AND doc_id IN (SELECT doc_id FROM gf WHERE pass)""".stripMargin)
 }

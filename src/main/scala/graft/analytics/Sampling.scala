@@ -147,6 +147,27 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** q73: the end-to-end clean-corpus pipeline — what a production
+    * pre-training data build actually ships, composed entirely from gated
+    * operators so the WHOLE pipeline is oracle-checkable: a document
+    * survives iff it (a) passes the Gopher quality gates (q66), (b) is the
+    * quality-elected representative of its near-dup cluster (q71), and
+    * (c) sits in the train split with no eval n-gram collision (q70).
+    * All three membership sets join on doc_id — the filter side of each is
+    * tiny relative to the corpus at the final join (quality pass is a
+    * per-row predicate; keep-best and decontamination reduce to id sets),
+    * and every constituent keeps its own scale shape from its gated form. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val pass = TextStats.gopherFilter(spark, dir)
+      .filter(col("pass")).select(col("doc_id"))
+    val keep = Dedup.dedupKeepBest(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    decontaminatedTrain(spark, dir)
+      .join(pass, "doc_id")
+      .join(keep, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** q53: train/test contamination audit — near-duplicate pairs (the exact
     * Jaccard graph, q25) that STRADDLE split boundaries. A test document
     * with a train-side near-duplicate is leakage: eval scores measure

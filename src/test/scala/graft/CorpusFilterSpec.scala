@@ -91,6 +91,18 @@ class CorpusFilterSpec extends SparkSpec {
     assert(clean.intersect(flagged).isEmpty)
   }
 
+  test("q73 clean corpus: intersection of exactly its three constituent gates") {
+    val d = sf("sf0.001")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val clean = ids(Sampling.cleanCorpus(spark, d))
+    val pass = ids(TextStats.gopherFilter(spark, d).filter(col("pass")))
+    val keep = ids(graft.analytics.Dedup.dedupKeepBest(spark, d).filter(col("keep")))
+    val train = ids(Sampling.decontaminatedTrain(spark, d))
+    assert(clean == (pass intersect keep intersect train))
+    assert(clean.nonEmpty && clean.size < train.size)
+  }
+
   test("q68 boilerplate ngrams: fraction bounds and boiler set is corpus-relative") {
     val b = TextStats.boilerplateNgrams(spark, sf("sf0.001"))
     assert(b.filter(col("boiler_frac") < 0 || col("boiler_frac") > 1).count() == 0)
