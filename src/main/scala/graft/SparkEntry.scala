@@ -63,6 +63,7 @@ object SparkEntry {
     "q29_lsh_topk"                 -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "q30_embedding_neardup"        -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "q51_ivf_topk"                 -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q74_pq_topk"                  -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     // -- multimodal plumbing ----------------------------------------------
     "q31_media_meta"               -> Multimodal.decodeMeta _,
     "q32_media_format_stats"       -> Multimodal.formatStats _,
@@ -80,6 +81,7 @@ object SparkEntry {
     "q50_hll_error_bound"          -> Accuracy.hllErrorBound _,
     "q52_ivf_planted_recall"       -> Accuracy.ivfPlantedRecall _,
     "q64_simhash128_recall"        -> Accuracy.simhash128PlantedRecall _,
+    "q75_pq_planted_recall"        -> Accuracy.pqPlantedRecall _,
     // -- pipeline-composition audits + exact twins --------------------------
     "q53_split_contamination"      -> Sampling.splitContamination _,
     "q54_price_quantiles_exact"    -> Relational.priceQuantilesExact _,
@@ -611,6 +613,10 @@ object SparkEntry {
         |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 10""".stripMargin,
 
     "q52_ivf_planted_recall" ->
+      """SELECT count(*) AS n_queries, true AS planted_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q75_pq_planted_recall" ->
       """SELECT count(*) AS n_queries, true AS planted_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

@@ -98,6 +98,30 @@ object Accuracy {
           .as("planted_ok"))
   }
 
+  /** q75: PQ planted-copy recall — a scaled copy of each query vector
+    * normalizes to the identical unit vector, therefore encodes to the
+    * identical PQ codes, scores the maximum possible asymmetric similarity,
+    * survives the over-fetch cut, and exact re-rank puts it at cos 1.0.
+    * Deterministic end-to-end (fixed codebook sample, fixed tie-breaks), so
+    * the boolean is oracle-checkable; a broken kernel, codebook layout, or
+    * re-rank drops it to false. Scaled (not identical) copies prove the
+    * path is genuinely geometric, not an equality shortcut. */
+  def pqPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val topk = Similarity.pqTopKOn(
+      e.unionByName(planted),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
+    topk.groupBy(col("query_id"))
+      .agg(max(when(col("neighbor_id") === col("query_id") + 1000000L &&
+        col("cos_sim") === 1.0, 1L).otherwise(0L)).as("found"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("found")) === count(lit(1))).as("planted_ok"))
+  }
+
   /** q50: HLL error bound — approx_count_distinct(rsd=0.01) vs the exact
     * distinct count, per group, asserted within ±5% (5 standard errors).
     * The exact counts ARE the oracle columns; the boolean pins the sketch. */

@@ -187,6 +187,71 @@ object Similarity {
       k, numCentroids, nprobe)
   }
 
+  /** q74: product-quantization (PQ) ANN — the third classic scale tier next
+    * to sign-LSH and IVF, and the one that attacks STORAGE/BANDWIDTH: each
+    * corpus vector is encoded once into m codes (m bytes at rest — 32× less
+    * than 64 floats), queries score against reconstructions (asymmetric
+    * distance), and only the over-fetched candidate ids rejoin the full
+    * vector table for exact re-rank. At 100 TB the approx scan reads the
+    * 8-byte code column instead of the 256-byte vector column — the scan
+    * IS the bottleneck at warehouse scale, so the 32× applies to the whole
+    * pass.
+    *
+    * Determinism: codebook = subvector blocks of the first `codewords`
+    * corpus vectors (same sampling convention as IVF's quantizer), encode
+    * and ADC are codegen'd kernels with fixed tie-breaks. Corpus vectors
+    * are unit-normalized first, so dot(q, reconstruction) ranks like
+    * (negative) L2 and exact cosine re-rank is a pure refinement.
+    * q75 pins planted-copy recall as the oracle-checked claim. */
+  def pqTopKOn(corpus: DataFrame, queries: DataFrame, k: Int,
+      subDim: Int = 8, codewords: Int = 16, overfetch: Int = 4): DataFrame = {
+    import graft.functions.Sketches
+    val normC = corpus.select(col("vec_id"), l2Normalize(col("v")).as("v"))
+    val normQ = queries.select(col("query_id"), l2Normalize(col("qv")).as("qv"))
+    // codebook: one broadcast row, layout cbs[s*k + c] = block s of sample c
+    // (the interpreted transforms below run once on a single row — not a
+    // per-row path)
+    val cbs = normC.orderBy(col("vec_id")).limit(codewords)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("sv"))
+      .select(expr(
+        s"""flatten(transform(sequence(0, size(sv[0].v) div $subDim - 1), s ->
+           |  transform(sv, x -> slice(x.v, s * $subDim + 1, $subDim))))""".stripMargin)
+        .as("cbs"))
+    // encode once: the corpus's at-rest representation (vec_id, codes)
+    val coded = normC.crossJoin(broadcast(cbs))
+      .select(col("vec_id"), Sketches.pqEncode(col("v"), col("cbs")).as("codes"))
+    // approx scan: corpus codes × broadcast (queries ⨯ codebook)
+    val qcb = normQ.crossJoin(cbs)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val cand = coded.crossJoin(broadcast(qcb))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Sketches.pqAdcSim(col("qv"), col("codes"), col("cbs")).as("approx_sim"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"), col("approx_sim"))
+    // exact re-rank: only candidates fetch full vectors
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand
+      .join(normC.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(normQ), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** q74 entry: PQ ANN for the q28 query set (rows-only; q75 is the oracle). */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    pqTopKOn(e,
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
+  }
+
   /** q30: embedding-cosine near-duplicate pairs (cos ≥ τ) via the same
     * multi-table buckets: candidates collide in some table, verified
     * exactly. Rows-only check (correctly empty when no near-dups exist). */

@@ -45,6 +45,8 @@ object GraftExtensions {
     "dot_product"       -> two(DotProduct(_, _)),
     "hamming_distance"  -> two(HammingDistance(_, _)),
     "nearest_centroid"  -> three(NearestCentroid(_, _, _)),
+    "pq_encode"         -> two(PqEncode(_, _)),
+    "pq_adc_sim"        -> three(PqAdcSim(_, _, _)),
     "nfc_normalize"     -> one(UnicodeNorm.NfcNormalize(_)))
 
   /** Imperative registration on an existing session (tests, REPL). */

@@ -566,4 +566,109 @@ object Sketches {
 
   def nearestCentroid(v: Column, cvs: Column, cids: Column): Column =
     toColumn(NearestCentroid(toExpression(v), toExpression(cvs), toExpression(cids)))
+
+  /** Product-quantization encode kernel: split the vector into m equal
+    * subspaces (m = |v| / |codeword|) and emit, per subspace, the index of
+    * the L2-nearest codeword (ties → lowest index). Codebook layout:
+    * cbs[s·k + c] is codeword c of subspace s, all of equal length. The
+    * code array is the vector's 100 TB at-rest form: m bytes instead of
+    * |v| floats (32× for 64-dim float → 8 codes). */
+  def pqEncodeKernel(v: ArrayData, cbs: ArrayData): ArrayData = {
+    val subDim = cbs.getArray(0).numElements()
+    val m = v.numElements() / subDim
+    val k = cbs.numElements() / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < k) {
+        val cw = cbs.getArray(s * k + c)
+        var d2 = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = v.getDouble(s * subDim + j) - cw.getDouble(j)
+          d2 += diff * diff
+          j += 1
+        }
+        if (d2 < best) { best = d2; bestC = c }
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** PQ asymmetric-distance scoring kernel: dot(query, reconstruction) —
+    * the query stays exact, the corpus vector is its codeword chain. On
+    * unit vectors dot-ranking equals (negative) L2 ranking; exact re-rank
+    * downstream fixes residual quantization error. */
+  def pqAdcSimKernel(qv: ArrayData, codes: ArrayData, cbs: ArrayData): Double = {
+    val subDim = cbs.getArray(0).numElements()
+    val m = codes.numElements()
+    val k = cbs.numElements() / m
+    var dot = 0.0
+    var s = 0
+    while (s < m) {
+      val cw = cbs.getArray(s * k + codes.getInt(s))
+      var j = 0
+      while (j < subDim) {
+        dot += qv.getDouble(s * subDim + j) * cw.getDouble(j)
+        j += 1
+      }
+      s += 1
+    }
+    dot
+  }
+
+  case class PqEncode(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"pq_encode expects (array<double>, array<array<double>>), got ($l, $r)")
+      }
+    override protected def nullSafeEval(v: Any, cbs: Any): Any =
+      pqEncodeKernel(v.asInstanceOf[ArrayData], cbs.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, cbs) =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.pqEncodeKernel($v, $cbs);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "pq_encode"
+  }
+
+  case class PqAdcSim(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"pq_adc_sim expects (array<double>, array<int>, array<array<double>>), got ($a, $b, $c)")
+      }
+    override protected def nullSafeEval(qv: Any, codes: Any, cbs: Any): Any =
+      pqAdcSimKernel(qv.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+        cbs.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (qv, codes, cbs) =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.pqAdcSimKernel($qv, $codes, $cbs);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+    override def prettyName: String = "pq_adc_sim"
+  }
+
+  def pqEncode(v: Column, cbs: Column): Column =
+    toColumn(PqEncode(toExpression(v), toExpression(cbs)))
+  def pqAdcSim(qv: Column, codes: Column, cbs: Column): Column =
+    toColumn(PqAdcSim(toExpression(qv), toExpression(codes), toExpression(cbs)))
 }

@@ -115,6 +115,37 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ivf.kmeans.iters")
   }
 
+  test("PQ: deterministic codes, identical vectors collide, planted copy at rank 1") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // codes: 8 subspaces, values within [0, 16), equal vectors → equal codes
+    val cbs = e.orderBy($"vec_id").limit(16)
+      .agg(array_sort(collect_list(struct($"vec_id", $"v"))).as("sv"))
+      .select(expr(
+        """flatten(transform(sequence(0, size(sv[0].v) div 8 - 1), s ->
+          |  transform(sv, x -> slice(x.v, s * 8 + 1, 8))))""".stripMargin).as("cbs"))
+    val codes = e.limit(5).crossJoin(broadcast(cbs))
+      .select(graft.functions.Sketches.pqEncode($"v", $"cbs").as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val twice = e.limit(5).crossJoin(broadcast(cbs))
+      .select(graft.functions.Sketches.pqEncode($"v", $"cbs").as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.sameElements(twice))
+    // planted scaled copy: identical unit vector → retrieved at rank 1, cos 1
+    val q = e.filter($"vec_id" < 3)
+    val planted = q.select(($"vec_id" + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val topk = Similarity.pqTopKOn(e.unionByName(planted),
+      q.select($"vec_id".as("query_id"), $"v".as("qv")), k = 5)
+    val rank1 = topk.filter($"rn" === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L until 3L).foreach { qid =>
+      assert(rank1(qid) == (qid + 1000000L, 1.0),
+        s"query $qid: planted copy must be rank 1 at cos 1.0, got ${rank1(qid)}")
+    }
+  }
+
   test("nearest_centroid kernel is bit-identical to the explode/max-struct assignment") {
     val e = graft.Tables.embeddings(spark, sf("sf0.001"))
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
