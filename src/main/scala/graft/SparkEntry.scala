@@ -91,6 +91,7 @@ object SparkEntry {
     "q58_length_outliers"          -> TextStats.lengthOutliers _,
     "q59_quality_normalized"       -> TextStats.qualityNormalized _,
     "q60_unigram_logprob"          -> TextStats.unigramLogProb _,
+    "q76_bigram_logprob"           -> TextStats.bigramLogProb _,
     "q61_stratified_sample"        -> ((s: SparkSession, d: String) => Sampling.stratifiedSample(s, d)),
     "q62_token_packing"            -> ((s: SparkSession, d: String) => Sampling.tokenPacking(s, d)),
     // -- corpus filtering / mixing (round 3) --------------------------------
@@ -619,6 +620,24 @@ object SparkEntry {
     "q75_pq_planted_recall" ->
       """SELECT count(*) AS n_queries, true AS planted_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q76_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bigs AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bigs GROUP BY bg),
+        |c1 AS (
+        |  SELECT string_split(bg, ' ')[1] AS prev, count(*) AS c1
+        |  FROM bigs GROUP BY 1)
+        |SELECT bigs.doc_id, count(*) AS n_bigrams,
+        | round(avg(ln(c2.c2::DOUBLE / c1.c1)), 4) AS avg_bigram_logprob
+        |FROM bigs
+        |JOIN c2 ON bigs.bg = c2.bg
+        |JOIN c1 ON string_split(bigs.bg, ' ')[1] = c1.prev
+        |GROUP BY bigs.doc_id""".stripMargin,
 
     "q53_split_contamination" ->
       """WITH wt AS (

@@ -158,6 +158,29 @@ object TextStats {
         round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("avg_logprob"))
   }
 
+  /** q76: per-document mean bigram log-probability under the corpus's own
+    * bigram LM — the sharper perplexity-filter proxy over q60's unigram:
+    * P(cur|prev) = count(prev cur) / count(prev ·) catches locally-fluent
+    * but order-scrambled text that unigram statistics score identically.
+    * Same plan family as q60/q55: non-distinct bigram explode (codegen'd
+    * kernel — the HOF formulation is CodegenFallback), bigram and
+    * prefix-context counts as partial+final hash aggregates (O(bigram
+    * vocabulary)), broadcast-joined back, one per-doc aggregate. */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val bigs = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.Sketches.wordNgramsAll(col("text"), 2)).as("bg"))
+    val bgCount = bigs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val prevCount = bigs
+      .groupBy(substring_index(col("bg"), " ", 1).as("prev")).agg(count(lit(1)).as("c1"))
+    bigs.join(bgCount, "bg")
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+      .join(prevCount, "prev")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1"))), 4).as("avg_bigram_logprob"))
+  }
+
   /** q65: intra-document repetition ratio — the C4/Gopher-style repetition
     * signal: 1 − (distinct word bigrams / total word bigrams). High values
     * mean the document loops on itself (boilerplate, template spam, decode

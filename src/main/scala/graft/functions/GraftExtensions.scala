@@ -34,6 +34,7 @@ object GraftExtensions {
 
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "word_shingles"     -> one(WordShingles(_)),
+    "word_ngrams_all"   -> one(WordNgramsAll(_)),
     "sort_by_hash"      -> one(SortByHash(_)),
     "sign_buckets"      -> one(SignBuckets(_)),
     "minhash_signature" -> one(MinHashSignature(_)),

@@ -191,6 +191,53 @@ object Sketches {
   def wordShingles(c: Column, n: Int = 3): Column =
     toColumn(WordShingles(toExpression(c), n))
 
+  /** Non-distinct variant of [[wordShinglesKernel]]: every n-gram occurrence
+    * in order (duplicates kept) — what language-model counting needs, where
+    * `P(cur|prev)` weights by occurrence frequency, not set membership.
+    * Texts shorter than n words yield an EMPTY array (there is no n-gram to
+    * count — unlike the dedup kernel, no whole-text fallback). */
+  def wordNgramsAllKernel(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class WordNgramsAll(child: Expression, n: Int = 2) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"word_ngrams_all expects string, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      wordNgramsAllKernel(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.wordNgramsAllKernel($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "word_ngrams_all"
+  }
+
+  def wordNgramsAll(c: Column, n: Int = 2): Column =
+    toColumn(WordNgramsAll(toExpression(c), n))
+
   /** Sort a string array by the fixed hash order (XXH64 of the element, then
     * the element itself as tiebreaker — a total order). One hash per element
     * + one O(n log n) sort, all inside the row.

@@ -106,6 +106,27 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.checkpoint.dir")
   }
 
+  test("word_ngrams_all: keeps duplicates in order, empty below n, matches HOF formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("a b a b c", "x", "  ", "one two").toDF("s")
+    val got = df.select(graft.functions.Sketches.wordNgramsAll($"s", 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b", "b a", "a b", "b c")) // duplicate "a b" kept
+    assert(got(1) == Seq.empty && got(2) == Seq.empty)
+    assert(got(3) == Seq("one two"))
+    // parity with the transform(sequence(...)) HOF formulation on real docs
+    val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(50)
+    val hof = docs.selectExpr(
+      """transform(sequence(1, size(split(trim(text), '\\s+')) - 1),
+        |  i -> concat_ws(' ', split(trim(text), '\\s+')[i-1],
+        |                      split(trim(text), '\\s+')[i]))""".stripMargin)
+      .collect().map(_.getSeq[String](0))
+    val kern = docs.select(graft.functions.Sketches.wordNgramsAll(col("text"), 2))
+      .collect().map(_.getSeq[String](0))
+    assert(kern.toSeq == hof.toSeq)
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
