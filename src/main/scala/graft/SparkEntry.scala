@@ -384,7 +384,7 @@ object SparkEntry {
 
     "q21_token_stats" ->
       """SELECT doc_id,
-        | len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
+        | len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens,
         | length(text)::BIGINT AS n_chars
         |FROM documents""".stripMargin,
@@ -395,8 +395,8 @@ object SparkEntry {
         |    length(text) AS L,
         |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-        |    length(text) - length(replace(text, ' ', '')) AS n_space,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
         |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
         |  FROM documents),
         |r AS (
@@ -444,7 +444,7 @@ object SparkEntry {
 
     "q25_jaccard_neardup" ->
       """WITH wt AS (
-        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
         |  FROM documents),
         |wsh AS (
         |  SELECT doc_id, list_distinct(
@@ -461,7 +461,7 @@ object SparkEntry {
     "q37_dedup_corpus" ->
       """WITH RECURSIVE
         |wt AS (
-        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
         |  FROM documents),
         |wsh AS (
         |  SELECT doc_id, list_distinct(
@@ -586,7 +586,7 @@ object SparkEntry {
 
     "q48_minhash_recall" ->
       """WITH wt AS (
-        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
         |  FROM documents),
         |wsh AS (
         |  SELECT doc_id, list_distinct(
@@ -623,7 +623,7 @@ object SparkEntry {
 
     "q76_bigram_logprob" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
         |bigs AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
         |    i -> t[i] || ' ' || t[i+1])) AS bg
@@ -641,7 +641,7 @@ object SparkEntry {
 
     "q53_split_contamination" ->
       """WITH wt AS (
-        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks,
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks,
         |    CASE WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 90 THEN 'train'
         |         WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 95 THEN 'val'
         |         ELSE 'test' END AS split
@@ -661,7 +661,7 @@ object SparkEntry {
 
     "q60_unigram_logprob" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
         |  FROM documents),
         |freq AS (
         |  SELECT term, count(*) AS cnt FROM toks GROUP BY term),
@@ -682,7 +682,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id,
         |    (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 % 32 AS bucket,
-        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, bucket, n_tok,
@@ -706,7 +706,7 @@ object SparkEntry {
         |    length(text) AS L,
         |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
         |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
         |  FROM documents),
         |r AS (
@@ -758,7 +758,7 @@ object SparkEntry {
 
     "q55_tfidf_terms" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
         |  FROM documents),
         |tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -789,29 +789,35 @@ object SparkEntry {
 
     "q65_repetition_ratio" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t FROM documents),
         |g AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS g
+        |  SELECT doc_id, (len(t) - 1)::BIGINT AS n_bigrams,
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1]))
+        |         ELSE [tt] END AS dg
         |  FROM toks)
-        |SELECT doc_id, len(g)::BIGINT AS n_bigrams,
-        | len(list_distinct(g))::BIGINT AS n_distinct,
-        | round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 4) AS rep_ratio
+        |SELECT doc_id, n_bigrams, len(dg)::BIGINT AS n_distinct,
+        | round(1.0 - len(dg)::DOUBLE / nullif(n_bigrams, 0), 4) AS rep_ratio
         |FROM g""".stripMargin,
 
     "q66_gopher_filter" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
-        |    round(length(replace(text, ' ', ''))::DOUBLE /
-        |          len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len,
-        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stopwords,
-        |    string_split(text, ' ') AS t
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t,
+        |    len(regexp_extract_all(text, '\S+')) AS n_words,
+        |    round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+        |          nullif(len(regexp_extract_all(text, '\S+')), 0), 4) AS mean_word_len,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stopwords
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, n_words, mean_word_len, n_stopwords,
-        |    round(1.0 - len(list_distinct(list_transform(generate_series(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1])))::DOUBLE / (len(t) - 1), 4) AS rep_ratio
+        |    round(1.0 - len(CASE WHEN len(t) >= 2
+        |      THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1]))
+        |      ELSE [tt] END)::DOUBLE / nullif(len(t) - 1, 0), 4) AS rep_ratio
         |  FROM f),
         |b AS (
         |  SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len,
@@ -834,10 +840,13 @@ object SparkEntry {
 
     "q68_boilerplate_ngrams" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t FROM documents),
         |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    ELSE [tt] END) AS g
         |  FROM toks),
         |dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
         |nd AS (SELECT count(*) AS n_docs FROM documents),
@@ -853,11 +862,14 @@ object SparkEntry {
         |  SELECT doc_id,
         |    (ascii(substring(md5(text), 1, 1)) * 256 +
         |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
-        |    string_split(text, ' ') AS t
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t
         |  FROM documents),
         |grams AS (
-        |  SELECT doc_id, b, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  SELECT doc_id, b, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+        |    ELSE [tt] END) AS g
         |  FROM s),
         |ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE b >= 95),
         |tr AS (SELECT doc_id AS train_id, g FROM grams WHERE b < 90)
@@ -870,11 +882,14 @@ object SparkEntry {
         |  SELECT doc_id, lang, source,
         |    (ascii(substring(md5(text), 1, 1)) * 256 +
         |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
-        |    string_split(text, ' ') AS t
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t
         |  FROM documents),
         |grams AS (
-        |  SELECT doc_id, b, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  SELECT doc_id, b, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+        |    ELSE [tt] END) AS g
         |  FROM s),
         |flagged AS (
         |  SELECT DISTINCT tr.doc_id
@@ -886,7 +901,7 @@ object SparkEntry {
     "q71_dedup_keep_best" ->
       """WITH RECURSIVE
         |wt AS (
-        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
         |  FROM documents),
         |wsh AS (
         |  SELECT doc_id, list_distinct(
@@ -915,7 +930,7 @@ object SparkEntry {
         |    length(text) AS L,
         |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
         |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
         |  FROM documents),
         |q AS (
@@ -933,7 +948,7 @@ object SparkEntry {
     "q72_dedup_stats" ->
       """WITH RECURSIVE
         |wt AS (
-        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
         |  FROM documents),
         |wsh AS (
         |  SELECT doc_id, list_distinct(
@@ -966,7 +981,7 @@ object SparkEntry {
     "q73_clean_corpus" ->
       """WITH RECURSIVE
         |wt AS (
-        |  SELECT doc_id, trim(text) AS tt, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
         |  FROM documents),
         |wsh AS (
         |  SELECT doc_id, list_distinct(
@@ -995,7 +1010,7 @@ object SparkEntry {
         |    length(text) AS L,
         |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
         |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
         |  FROM documents),
         |q AS (
@@ -1012,29 +1027,35 @@ object SparkEntry {
         |  FROM m JOIN q ON m.doc_id = q.doc_id),
         |gfr AS (
         |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
-        |    round(length(replace(text, ' ', ''))::DOUBLE /
-        |          len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len,
-        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stopwords,
-        |    string_split(text, ' ') AS t
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t,
+        |    len(regexp_extract_all(text, '\S+')) AS n_words,
+        |    round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+        |          nullif(len(regexp_extract_all(text, '\S+')), 0), 4) AS mean_word_len,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stopwords
         |  FROM documents),
         |gf AS (
         |  SELECT doc_id,
         |    n_words BETWEEN 50 AND 100000
         |    AND mean_word_len BETWEEN 3.0 AND 10.0
         |    AND n_stopwords >= 2
-        |    AND round(1.0 - len(list_distinct(list_transform(generate_series(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1])))::DOUBLE / (len(t) - 1), 4) <= 0.1 AS pass
+        |    AND round(1.0 - len(CASE WHEN len(t) >= 2
+        |      THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1]))
+        |      ELSE [tt] END)::DOUBLE / nullif(len(t) - 1, 0), 4) <= 0.1 AS pass
         |  FROM gfr),
         |sdoc AS (
         |  SELECT doc_id, lang, source,
         |    (ascii(substring(md5(text), 1, 1)) * 256 +
         |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
-        |    string_split(text, ' ') AS t
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t
         |  FROM documents),
         |grams AS (
-        |  SELECT doc_id, b, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  SELECT doc_id, b, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+        |    ELSE [tt] END) AS g
         |  FROM sdoc),
         |flagged AS (
         |  SELECT DISTINCT tr.doc_id

@@ -119,20 +119,30 @@ object Dedup {
     * materialized result shared; default off keeps per-query isolation for
     * the correctness gate (each query's cost stays its own). On a shared
     * 100 TB warehouse this is the "pair graph as a materialized table" call
-    * — the cache is the session-scoped analogue. Entries hold
-    * localCheckpoint/checkpoint handles and die with the session (sessions
-    * here are per-job processes, so no unbounded growth). */
+    * — the cache is the session-scoped analogue.
+    *
+    * Keyed on the SparkSession OBJECT (reference equality — SparkSession
+    * does not override equals), never a hash code: identityHashCode values
+    * can collide across sessions in one JVM and would hand out a DataFrame
+    * bound to the wrong (possibly stopped) session. Entries whose session's
+    * SparkContext has stopped are evicted on every access, so handles don't
+    * accumulate across session restarts in long-lived JVMs (test suites,
+    * notebook kernels). CONTRACT: the cache assumes `dir` is immutable for
+    * the life of the session — rewriting the directory's data mid-session
+    * requires `clearPairGraphCache()` (the same freshness contract as any
+    * materialized table over mutable inputs). */
   private val pairGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Double), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
 
   private[graft] def clearPairGraphCache(): Unit = pairGraphCache.clear()
 
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
-    if (spark.conf.getOption("spark.graft.pairgraph.cache").contains("true"))
+    if (spark.conf.getOption("spark.graft.pairgraph.cache").contains("true")) {
+      pairGraphCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
       pairGraphCache.computeIfAbsent(
-        (System.identityHashCode(spark), dir, threshold),
+        (spark, dir, threshold),
         _ => Materialize(jaccardNearDup(spark, dir, threshold)))
-    else jaccardNearDup(spark, dir, threshold)
+    } else jaccardNearDup(spark, dir, threshold)
 
   /** Minimum-label-propagation connected components over undirected edges
     * (a, b): every node gets the smallest doc_id reachable from it. Pure

@@ -80,7 +80,7 @@ object Sampling {
     documents(spark, dir)
       .select(col("doc_id"),
         pmod(contentBucket(col("text")), lit(buckets)).as("bucket"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .select(col("doc_id"), col("bucket"), col("n_tok"),
         expr(s"(cum_tok - n_tok) div $budget").as("seq_id"))

@@ -136,13 +136,18 @@ object Similarity {
 
     // Optional Lloyd refinement (spark.graft.ivf.kmeans.iters, default 0):
     // assign → per-cell per-dim mean → new centroids. Deterministic — fixed
-    // init, fixed iteration count, and the mean vectors are rebuilt through
+    // init, fixed iteration count, the mean vectors are rebuilt through
     // array_sort(collect_list(struct(dim, x))) so element order never
-    // depends on aggregation order (collect_list alone is layout-ordered).
-    // Cells that empty out drop their centroid — k may shrink, which only
-    // moves cell boundaries, not the plan shape: quantizer quality is
-    // pluggable; assignment/probe/re-rank stay identical (q52 pins recall
-    // with the flag on, SimilaritySpec).
+    // depends on aggregation order (collect_list alone is layout-ordered),
+    // AND the per-cell mean itself sums in DECIMAL: decimal addition is
+    // exact and associative, so — unlike a double sum, whose value depends
+    // on partial-aggregate merge order — refined centroids are bitwise
+    // identical across any partitioning/cluster layout. decimal(38,20)
+    // holds 18 integer digits: |x| ≤ O(1) embedding components overflow
+    // only past 10^18 rows per cell. Cells that empty out drop their
+    // centroid — k may shrink, which only moves cell boundaries, not the
+    // plan shape: quantizer quality is pluggable; assignment/probe/re-rank
+    // stay identical (q52 pins recall with the flag on, SimilaritySpec).
     val iters = corpus.sparkSession.conf
       .getOption("spark.graft.ivf.kmeans.iters").map(_.toInt).getOrElse(0)
     val centroids =
@@ -151,7 +156,9 @@ object Similarity {
         (0 until iters).foldLeft(init) { (c, _) =>
           assignCells(c)
             .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-            .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("x"))
+            .groupBy(col("cid"), col("dim"))
+            .agg((sum(col("x").cast("decimal(38,20)")) / count(lit(1)))
+              .cast("double").as("x"))
             .groupBy(col("cid"))
             .agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("a"))
             .select(col("cid"), expr("transform(a, p -> p.x)").as("cv"))

@@ -19,8 +19,20 @@ object TextStats {
         transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
         .otherwise(array(c)))
 
+  /** THE engine-wide word tokenization: maximal runs of non-whitespace
+    * characters (`\S+`). One definition shared by every token-consuming
+    * operator, the shingle kernels (Sketches.wsTokens), and the DuckDB
+    * oracles (`regexp_extract_all(text, '\S+')` — the `\s` class is
+    * identical in Java regex and RE2), so token counts and n-grams agree
+    * across engines on arbitrary whitespace: leading/trailing, tabs,
+    * newlines, repeated separators. Empty/blank text = ZERO tokens.
+    * `split(trim(c), "\\s+")` is deliberately NOT used: Spark's `trim`
+    * strips only ASCII spaces, so a leading tab would fabricate an empty
+    * first token. */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+
   /** Distinct whitespace word tokens. */
-  def wordTokens(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
+  def wordTokens(c: Column): Column = array_distinct(tokens(c))
 
   /** Distinct word n-gram shingles (default trigram) — the standard document
     * shingling for near-dup detection: far more discriminative than char
@@ -38,7 +50,7 @@ object TextStats {
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).select(
       col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars"))
 
@@ -49,8 +61,8 @@ object TextStats {
     val len     = length(t)
     val nAlpha  = len - length(regexp_replace(t, "[A-Za-z]", ""))
     val nDigit  = len - length(regexp_replace(t, "[0-9]", ""))
-    val nSpace  = len - length(regexp_replace(t, " ", ""))
-    val nTokens = size(split(trim(t), "\\s+"))
+    val nSpace  = len - length(regexp_replace(t, "\\s", ""))
+    val nTokens = size(tokens(t))
     val nStop   = size(regexp_extract_all(lower(t), lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
     val alphaRatio = nAlpha.cast("double") / nullif(len, lit(0)).cast("double")
     val digitRatio = nDigit.cast("double") / nullif(len, lit(0)).cast("double")
@@ -148,7 +160,7 @@ object TextStats {
     * were plugged in. */
   def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
     val toks = documents(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = toks.agg(count(lit(1)).as("total"))
     toks.join(freq, "term")
@@ -196,7 +208,7 @@ object TextStats {
     * a MemoryStream). */
   def repetitionRatioOn(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val nToks = size(split(trim(t), "\\s+"))
+    val nToks = size(tokens(t))
     val nBigrams = (nToks - 1).cast("long")
     val nDistinct = size(wordShingles(t, 2)).cast("long")
     docs.select(
@@ -221,9 +233,9 @@ object TextStats {
     * identical semantics on batch and streaming inputs (StreamingSpec). */
   def gopherFilterOn(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val nToks = size(split(trim(t), "\\s+"))
+    val nToks = size(tokens(t))
     val meanWordLen =
-      round(length(regexp_replace(t, " ", "")).cast("double") / nToks, 4)
+      round(length(regexp_replace(t, "\\s", "")).cast("double") / nToks, 4)
     val nStop = size(regexp_extract_all(lower(t), lit("\\b(the|a|of|and|in|to)\\b"), lit(0)))
     val repRatio = round(lit(1.0) -
       size(wordShingles(t, 2)).cast("double") / (nToks - 1), 4)
@@ -283,7 +295,7 @@ object TextStats {
     * sort on both the partial and final side. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val toks = documents(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ndocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))

@@ -137,17 +137,56 @@ object Sketches {
 
   def simhash128(c: Column): Column = toColumn(SimHash128(toExpression(c)))
 
+  /** The regex-`\s` character class ([ \t\n\x0B\f\r]) — identical in Java
+    * regex and RE2 (DuckDB), which is exactly why it is THE token boundary
+    * for the whole engine: every tokenizing kernel, every Spark
+    * `regexp_extract_all(_, '\\S+')` column, and every DuckDB oracle's
+    * `regexp_extract_all(text, '\S+')` agree byte-for-byte on arbitrary
+    * whitespace (leading/trailing, tabs, newlines, runs). Java's
+    * `String.trim` (strips all chars ≤ 0x20, including non-whitespace
+    * control chars) is deliberately NOT used anywhere. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** Tokens = maximal runs of non-`\s` characters; whitespace-only or empty
+    * text yields ZERO tokens (not one empty token). */
+  private def wsTokens(str: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val len = str.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > start) out += str.substring(start, i)
+    }
+    out.toArray
+  }
+
+  /** The text with `\s`-class characters stripped from both ends — the
+    * below-n-tokens shingle fallback value (mirrors the oracles'
+    * `regexp_replace(text, '^\s+|\s+$', '', 'g')`). */
+  private def wsStrip(str: String): String = {
+    var from = 0
+    var to = str.length
+    while (from < to && isWs(str.charAt(from))) from += 1
+    while (to > from && isWs(str.charAt(to - 1))) to -= 1
+    str.substring(from, to)
+  }
+
   /** Word n-gram shingle kernel: one whitespace split, one pass, distinct in
     * first-occurrence order. Semantics mirror
     * `array_distinct(transform(sequence(...), i => concat_ws(" ", toks...)))`
-    * with fallback to the whole trimmed text below n tokens — but the
-    * higher-order-function formulation re-evaluates the split per element
-    * access (CodegenFallback + no CSE inside lambdas), which made shingling
-    * the hottest expression in the dedup family. */
+    * with fallback to the whole whitespace-stripped text below n tokens —
+    * but the higher-order-function formulation re-evaluates the split per
+    * element access (CodegenFallback + no CSE inside lambdas), which made
+    * shingling the hottest expression in the dedup family. Tokenization is
+    * [[wsTokens]] (maximal `\S+` runs) so kernels, Spark columns, and the
+    * DuckDB oracles agree on arbitrary whitespace. */
   def wordShinglesKernel(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString.trim
-    val toks = str.split("\\s+")
-    if (toks.length < n) return new GenericArrayData(Array(UTF8String.fromString(str)))
+    val toks = wsTokens(s.toString)
+    if (toks.length < n)
+      return new GenericArrayData(Array(UTF8String.fromString(wsStrip(s.toString))))
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     val sb = new java.lang.StringBuilder(64)
@@ -195,9 +234,10 @@ object Sketches {
     * in order (duplicates kept) — what language-model counting needs, where
     * `P(cur|prev)` weights by occurrence frequency, not set membership.
     * Texts shorter than n words yield an EMPTY array (there is no n-gram to
-    * count — unlike the dedup kernel, no whole-text fallback). */
+    * count — unlike the dedup kernel, no whole-text fallback). Same
+    * [[wsTokens]] tokenization as the shingle kernel. */
   def wordNgramsAllKernel(s: UTF8String, n: Int): ArrayData = {
-    val toks = s.toString.trim.split("\\s+")
+    val toks = wsTokens(s.toString)
     if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
     val out = new Array[AnyRef](toks.length - n + 1)
     val sb = new java.lang.StringBuilder(64)
@@ -571,16 +611,23 @@ object Sketches {
     * semantics as `max(struct(cosine(v, cv) AS s, -cid AS nc))` — ties on
     * similarity resolve to the smallest cid — and the same summation order
     * as cosineKernel, so assignments are bit-identical to the explode/agg
-    * formulation it replaces (asserted in SimilaritySpec). Turns IVF cell
-    * assignment into a pure narrow map: no K× row expansion, no aggregate,
-    * no exchange — at 100 TB the corpus is read once and never reshaped. */
+    * formulation it replaces (asserted in SimilaritySpec), INCLUDING the
+    * NaN case: a zero-norm vector's cosine is NaN, which Spark's ordering
+    * ranks GREATEST, so such rows tie every cell at NaN and land in the
+    * smallest cid — the kernel maps NaN to +Infinity to reproduce exactly
+    * that (cosine is otherwise ≤ 1, so +Inf is unreachable). Zero-norm
+    * rows therefore get a cell instead of being silently dropped by the
+    * downstream equi-join. Turns IVF cell assignment into a pure narrow
+    * map: no K× row expansion, no aggregate, no exchange — at 100 TB the
+    * corpus is read once and never reshaped. */
   def nearestCentroidKernel(v: ArrayData, cvs: ArrayData, cids: ArrayData): Long = {
     var best = Double.NegativeInfinity
     var bestCid = Long.MaxValue
     var i = 0
     val k = cvs.numElements()
     while (i < k) {
-      val sim = cosineKernel(v, cvs.getArray(i))
+      val raw = cosineKernel(v, cvs.getArray(i))
+      val sim = if (java.lang.Double.isNaN(raw)) Double.PositiveInfinity else raw
       val cid = cids.getLong(i)
       if (sim > best || (sim == best && cid < bestCid)) { best = sim; bestCid = cid }
       i += 1
@@ -621,8 +668,19 @@ object Sketches {
     * code array is the vector's 100 TB at-rest form: m bytes instead of
     * |v| floats (32× for 64-dim float → 8 codes). */
   def pqEncodeKernel(v: ArrayData, cbs: ArrayData): ArrayData = {
+    if (cbs.numElements() == 0)
+      throw new IllegalArgumentException("pq_encode: empty codebook")
     val subDim = cbs.getArray(0).numElements()
+    if (subDim == 0)
+      throw new IllegalArgumentException("pq_encode: zero-length codewords")
+    if (v.numElements() % subDim != 0)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${v.numElements()} not divisible by codeword dim $subDim")
     val m = v.numElements() / subDim
+    if (cbs.numElements() % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_encode: codebook size ${cbs.numElements()} not divisible by $m subspaces " +
+          s"(layout must be cbs[s*k + c])")
     val k = cbs.numElements() / m
     val out = new Array[Int](m)
     var s = 0
@@ -653,8 +711,16 @@ object Sketches {
     * unit vectors dot-ranking equals (negative) L2 ranking; exact re-rank
     * downstream fixes residual quantization error. */
   def pqAdcSimKernel(qv: ArrayData, codes: ArrayData, cbs: ArrayData): Double = {
+    if (cbs.numElements() == 0)
+      throw new IllegalArgumentException("pq_adc_sim: empty codebook")
     val subDim = cbs.getArray(0).numElements()
     val m = codes.numElements()
+    if (m == 0 || cbs.numElements() % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_adc_sim: codebook size ${cbs.numElements()} not divisible by $m codes")
+    if (qv.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_adc_sim: query dim ${qv.numElements()} != $m codes x codeword dim $subDim")
     val k = cbs.numElements() / m
     var dot = 0.0
     var s = 0

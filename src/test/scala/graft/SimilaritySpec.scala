@@ -180,4 +180,56 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaSql == viaAgg)
   }
+
+  test("nearest_centroid: zero-norm vector (NaN cosine) matches max-struct — assigned, not dropped") {
+    // cosine(0-vector, c) is NaN for every centroid; Spark's ordering ranks
+    // NaN greatest, so max(struct(sim, -cid)) ties all cells and resolves to
+    // the smallest cid. The kernel must reproduce that, not skip the row.
+    val rows = Seq(
+      (0L, Seq(0.0, 0.0, 0.0, 0.0)),            // zero-norm → all-NaN sims
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "v")
+    val cents = Seq(
+      (3L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (7L, Seq(0.0, 0.0, 0.9, 0.1))).toDF("cid", "cv")
+    val viaAgg = rows.crossJoin(broadcast(cents))
+      .groupBy($"vec_id")
+      .agg(max(struct(cosine($"v", $"cv").as("s"), (-$"cid").as("nc"))).as("m"))
+      .select($"vec_id", (-$"m.nc").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packed = cents.agg(array_sort(collect_list(struct($"cid", $"cv"))).as("cs"))
+      .select(expr("transform(cs, c -> c.cid)").as("cids"),
+        expr("transform(cs, c -> c.cv)").as("cvs"))
+    val viaKernel = rows.crossJoin(broadcast(packed))
+      .select($"vec_id",
+        graft.functions.Sketches.nearestCentroid($"v", $"cvs", $"cids").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaAgg, s"kernel $viaKernel vs max-struct $viaAgg")
+    assert(viaKernel(0L) == 3L, "zero-norm row must land in the smallest cid")
+  }
+
+  test("PQ kernels reject malformed codebooks with clear errors") {
+    def fails(df: => org.apache.spark.sql.DataFrame, frag: String): Unit = {
+      val e = intercept[Exception](df.collect())
+      val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msg.contains(frag), s"expected '$frag' in: $msg")
+    }
+    import graft.functions.Sketches
+    val v6 = typedLit(Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    val one = Seq(Tuple1(1)).toDF("x")
+    // empty codebook
+    fails(one.select(Sketches.pqEncode(v6, typedLit(Seq.empty[Seq[Double]]))), "empty codebook")
+    // dim 6 not divisible by codeword dim 4
+    fails(one.select(Sketches.pqEncode(v6, typedLit(Seq(Seq(1.0, 2.0, 3.0, 4.0))))),
+      "not divisible by codeword dim 4")
+    // 3 codewords of dim 2 → m = 3 subspaces, 3 % 3 == 0 is fine; 4 codewords
+    // of dim 4 → m = 1 (ok); 3 codewords with m = 2 subspaces → misaligned
+    fails(one.select(Sketches.pqEncode(typedLit(Seq(1.0, 2.0, 3.0, 4.0)),
+      typedLit(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0))))),
+      "not divisible by 2 subspaces")
+    // ADC: query dim mismatch
+    fails(one.select(Sketches.pqAdcSim(v6, typedLit(Seq(0)),
+      typedLit(Seq(Seq(1.0, 2.0))))), "query dim 6 != 1 codes x codeword dim 2")
+  }
 }
