@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analytics.{Dedup, Sampling, Similarity}
+import graft.analytics.{Dedup, Sampling, Similarity, TextStats}
 
 /** Scale rehearsal for the dedup/ANN family: grow the corpus 1×/2×/5×/10×
   * with KNOWN structure, measure runtime and candidate-pair counts, and
@@ -124,6 +124,13 @@ object ScaleRehearsal {
       val (_, nSh2Cand)  = time(Dedup.simhash128Candidates(spark, dir).count())
       val (tCc, _)       = time(Dedup.dedupCorpus(spark, dir).count())
       val (tIvf, _)      = time(Similarity.ivfTopK(spark, dir).count())
+      // corpus-filter family — the two operators with corpus-WIDE aggregates
+      // (q68: trigram document-frequency table + broadcast-back; q69: n-gram
+      // equi-join between splits). Their cost must track the corpus, not the
+      // pair space: the df table is O(shingle vocabulary) and the join is
+      // bounded by true collisions, so sec should grow ~linearly with scale.
+      val (tBoiler, _)         = time(TextStats.boilerplateNgrams(spark, dir).count())
+      val (tDecon, nDeconPairs) = time(Sampling.decontamination(spark, dir).count())
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val (_, nIvfCand) = time(Similarity.ivfCandidatesOn(e,
@@ -143,10 +150,12 @@ object ScaleRehearsal {
       val line =
         s"""{"scale":$s,"n_docs":$nDocs,"probe_sec":${math.rint(probeSec * 1e4) / 1e4},""" +
         s""""sec":{"q20_exact":$tExact,"q25_jaccard":$tJac,"q26_minhash":$tMh,""" +
-        s""""q27_simhash":$tSh,"q63_simhash128":$tSh2,"q37_cc":$tCc,"q51_ivf":$tIvf},""" +
+        s""""q27_simhash":$tSh,"q63_simhash128":$tSh2,"q37_cc":$tCc,"q51_ivf":$tIvf,""" +
+        s""""q68_boilerplate":$tBoiler,"q69_decontamination":$tDecon},""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand},""" +
-        s""""true_pairs":$nPairs,"planted_found":$plantedFound,"planted_expected":$plantedExpected}"""
+        s""""true_pairs":$nPairs,"decon_pairs":$nDeconPairs,""" +
+        s""""planted_found":$plantedFound,"planted_expected":$plantedExpected}"""
       println(line)
       line
     }

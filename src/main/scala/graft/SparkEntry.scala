@@ -103,7 +103,13 @@ object SparkEntry {
     "q70_decontaminated_train"     -> ((s: SparkSession, d: String) => Sampling.decontaminatedTrain(s, d)),
     "q71_dedup_keep_best"          -> ((s: SparkSession, d: String) => Dedup.dedupKeepBest(s, d)),
     "q72_dedup_stats"              -> ((s: SparkSession, d: String) => Dedup.dedupStats(s, d)),
-    "q73_clean_corpus"             -> Sampling.cleanCorpus _)
+    "q73_clean_corpus"             -> Sampling.cleanCorpus _,
+    // -- round 4: privacy, runtime-filter decon, span dedup, trend windows --
+    "q77_pii_scrub"                -> Privacy.piiScrub _,
+    "q78_bloom_decontamination"    -> ((s: SparkSession, d: String) => Sampling.decontaminationBloom(s, d)),
+    "q79_span_dedup"               -> ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
+    "q80_revenue_trend"            -> Relational.revenueTrend _,
+    "q81_small_qty_revenue"        -> Relational.smallQtyRevenue _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1065,5 +1071,85 @@ object SparkEntry {
         |WHERE b < 90
         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
         |  AND doc_id IN (SELECT doc_id FROM kb WHERE keep)
-        |  AND doc_id IN (SELECT doc_id FROM gf WHERE pass)""".stripMargin)
+        |  AND doc_id IN (SELECT doc_id FROM gf WHERE pass)""".stripMargin,
+
+    "q77_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' Contact: user' || doc_id::VARCHAR || '@example.com or +1-555-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |    ' at https://example.com/u/' || doc_id::VARCHAR AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        | len(regexp_extract_all(t, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+        | len(regexp_extract_all(t, 'https?://[^\s]+'))::BIGINT AS n_urls,
+        | regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g') AS scrubbed
+        |FROM s""".stripMargin,
+
+    "q78_bloom_decontamination" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 +
+        |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, b, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+        |    ELSE [tt] END) AS g
+        |  FROM s),
+        |flagged AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM grams tr JOIN grams ev ON tr.g = ev.g
+        |  WHERE tr.b < 90 AND ev.b >= 95)
+        |SELECT count(*) AS n_flagged_exact, true AS superset_ok, true AS fp_bounded
+        |FROM flagged""".stripMargin,
+
+    "q79_span_dedup" ->
+      """WITH wt AS (
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t FROM documents),
+        |cp AS (
+        |  SELECT doc_id, tt, t,
+        |    list_filter(generate_series(1, len(t)),
+        |      i -> substring(md5(t[i]), 1, 1) = '0') AS cps
+        |  FROM wt),
+        |ch AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(cps) >= 2
+        |    THEN list_distinct(list_transform(generate_series(1, len(cps) - 1),
+        |      j -> array_to_string(list_slice(t, cps[j], cps[j+1] - 1), ' ')))
+        |    ELSE [tt] END) AS chunk
+        |  FROM cp),
+        |dfreq AS (SELECT chunk, count(*) AS df FROM ch GROUP BY chunk)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        | sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+        | round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
+        |FROM ch JOIN dfreq d USING (chunk)
+        |GROUP BY ch.doc_id""".stripMargin,
+
+    "q80_revenue_trend" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+        |    round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue, n_orders,
+        | round(avg(revenue) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg_3m,
+        | round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2) AS mom_delta,
+        | round(cume_dist() OVER (ORDER BY month), 4) AS cum_pos
+        |FROM m""".stripMargin,
+
+    "q81_small_qty_revenue" ->
+      """WITH cut AS (
+        |  SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_cut
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+        | count(*) AS n_small
+        |FROM lineitem l JOIN cut USING (l_partkey)
+        |WHERE l.l_quantity < cut.qty_cut""".stripMargin)
 }

@@ -375,6 +375,36 @@ object Dedup {
   }
 
   /** 128-bit SimHash candidate pairs only — scale instrumentation. */
+  /** q79: exact token-SPAN dedup via content-defined chunking — per-document
+    * fraction of CDC chunks that recur elsewhere in the corpus. This is the
+    * substring-level complement of the document-level tiers above: a doc can
+    * be globally unique yet assembled from copied spans (template writing,
+    * quote farms, licence blocks), which document Jaccard at 0.6 never sees
+    * and which span coverage exposes directly. Suffix-array substring dedup
+    * doesn't distribute; fixed-stride windows fail on UNALIGNED copies (the
+    * chunk grid is anchored to the document start); content-defined
+    * boundaries (cut at tokens whose md5 high nibble is 0 → expected chunk
+    * ≈ 16 tokens) make a copied span yield byte-identical interior chunks
+    * at any offset in any document — the rsync/LBFS chunking idea on token
+    * streams (see Sketches.wordCdcChunksKernel).
+    *
+    * Plan: chunking is a codegen'd per-row kernel fused into the scan
+    * (distinct within doc); the chunk document-frequency table is a
+    * partial+final hash aggregate on the chunk string — O(distinct chunks);
+    * the join back is an equi-join on that same high-cardinality key. No
+    * window, nothing per-pair, so cost tracks corpus size, not pair count. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = documents(spark, dir)
+      .select(col("doc_id"), explode(Sketches.wordCdcChunks(col("text"))).as("chunk"))
+    val dfreq = ch.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+    ch.join(dfreq, "chunk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+  }
+
   def simhash128Candidates(spark: SparkSession, dir: String): DataFrame =
     simhash128CandidatesOn(documents(spark, dir).select(col("doc_id"), col("text")))
 }

@@ -334,4 +334,43 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
         round(expr("percentile(o_totalprice, 0.75D)"), 4).as("p75"),
         round(expr("percentile(o_totalprice, 0.99D)"), 4).as("p99"))
+
+  /** q80: revenue trend analytics — monthly revenue with a 3-month moving
+    * average (frame window), month-over-month delta (lag), and cumulative
+    * rank position (cume_dist): the frame/offset/rank window-function
+    * triple q05/q08/q61 don't cover. The window is GLOBAL but runs over the
+    * aggregate output (one row per month — dozens of rows at any corpus
+    * size), not the fact table: aggregate first, window the summary. The
+    * shuffle carries #months rows; a window over raw orders would be the
+    * scale bug. */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month"))
+    monthly.select(
+      col("month"), col("revenue"), col("n_orders"),
+      round(avg(col("revenue")).over(w.rowsBetween(-2, 0)), 2).as("mov_avg_3m"),
+      round(col("revenue") - lag(col("revenue"), 1).over(w), 2).as("mom_delta"),
+      round(cume_dist().over(w), 4).as("cum_pos"))
+  }
+
+  /** q81: small-quantity revenue (TPC-H Q17 shape) — the correlated-
+    * aggregate pattern: lineitems below 20% of their PART's average
+    * quantity. Expressed as aggregate-then-rejoin: the per-part average is
+    * a partial+final hash aggregate, and the rejoin is an equi-join on
+    * l_partkey — both sides shuffle on the SAME key, so at warehouse scale
+    * this is two co-partitioned passes over lineitem, never a per-row
+    * subquery. The per-part table is O(|part|) and deliberately NOT
+    * broadcast: parts scale with the corpus, unlike nation/region. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val cut = li.groupBy(col("l_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_cut"))
+    li.join(cut, "l_partkey")
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
 }

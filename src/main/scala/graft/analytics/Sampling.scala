@@ -147,6 +147,51 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** q78: Bloom-filter decontamination audit — the runtime-filter version of
+    * q69, which is how the n-gram scrub actually runs at 100 TB: the eval
+    * side's distinct n-grams (MBs — eval sets are tiny by construction) are
+    * folded into a Bloom filter on the driver and shipped to every task, so
+    * the corpus-side probe is a per-row codegen'd bit test (Blooms.
+    * BloomMightContain) with NO join, NO shuffle, and no broadcast-hash
+    * build — the corpus is scanned once and only Bloom-positive rows
+    * survive to any downstream exact check. Blooms admit false POSITIVES
+    * only, so the filter can only over-flag, never leak: exactly the safe
+    * direction for decontamination.
+    *
+    * Output pins both properties against the gated exact audit (q69):
+    * `superset_ok` — every exactly-flagged train doc is Bloom-flagged (no
+    * false negatives, the correctness half) — and `fp_bounded` — Bloom
+    * over-flagging stays under max(5 docs, 5% of the train split) at
+    * fpp = 1e-4 (the efficiency half: the pre-filter actually filters).
+    * Both are oracle-checkable booleans; n_flagged_exact is the shared
+    * ground truth. Filter hashing is fixed-seed Murmur3, so the whole
+    * result is deterministic. */
+  def decontaminationBloom(spark: SparkSession, dir: String,
+      n: Int = 5, fpp: Double = 1e-4): DataFrame = {
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), splitOf(col("text")).as("split"),
+        explode(TextStats.wordShingles(col("text"), n)).as("g"))
+    val ev = grams.filter(col("split") === "test").select(col("g")).distinct()
+    // the one driver-side step of the pattern: size + build the filter over
+    // the tiny side (two jobs over eval grams only — never the corpus)
+    val bloom = ev.stat.bloomFilter("g", math.max(ev.count(), 1024L), fpp)
+    val bloomFlagged = grams.filter(col("split") === "train")
+      .filter(graft.functions.Blooms.mightContain(col("g"), bloom))
+      .select(col("doc_id").as("train_id")).distinct()
+    val exactFlagged = decontamination(spark, dir, n)
+      .select(col("train_id")).distinct()
+    val trainDocs = documents(spark, dir).filter(splitOf(col("text")) === "train")
+    exactFlagged.agg(count(lit(1)).as("n_flagged_exact"))
+      .crossJoin(exactFlagged.join(bloomFlagged, Seq("train_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missed")))
+      .crossJoin(bloomFlagged.agg(count(lit(1)).as("n_bloom")))
+      .crossJoin(trainDocs.agg(count(lit(1)).as("n_train")))
+      .select(col("n_flagged_exact"),
+        (col("n_missed") === 0).as("superset_ok"),
+        ((col("n_bloom") - col("n_flagged_exact")).cast("double") <=
+          greatest(lit(5.0), col("n_train").cast("double") * 0.05)).as("fp_bounded"))
+  }
+
   /** q73: the end-to-end clean-corpus pipeline — what a production
     * pre-training data build actually ships, composed entirely from gated
     * operators so the WHOLE pipeline is oracle-checkable: a document

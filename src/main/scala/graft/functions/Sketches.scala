@@ -278,6 +278,81 @@ object Sketches {
   def wordNgramsAll(c: Column, n: Int = 2): Column =
     toColumn(WordNgramsAll(toExpression(c), n))
 
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Content-defined chunk kernel for exact span-level dedup. A token is a
+    * CUT POINT when the high nibble of md5(token) is 0 (p = 1/16 → expected
+    * chunk ≈ 16 tokens); chunks are the token runs between consecutive cut
+    * points, distinct in first-occurrence order. Because boundaries derive
+    * from token CONTENT, not position, a span copied between documents at
+    * ANY offset produces byte-identical interior chunks in both — the
+    * property fixed-stride windows lack (their grid is anchored to the
+    * document start, so an unaligned copy never collides). This is the
+    * rsync/LBFS content-defined-chunking idea applied to token streams.
+    * md5 (not XXH64) is the cut hash so the DuckDB oracle can mirror the
+    * boundary decision exactly. Head/tail partial runs are NOT emitted
+    * (they're position-dependent by nature); documents with fewer than two
+    * cut points fall back to the whole whitespace-stripped text, the
+    * shingle-family convention, so short exact dups are still caught. */
+  def wordCdcChunksKernel(s: UTF8String): ArrayData = {
+    val toks = wsTokens(s.toString)
+    val md = md5Local.get()
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 0xF0) == 0) cuts += i
+      i += 1
+    }
+    if (cuts.length < 2)
+      return new GenericArrayData(Array(UTF8String.fromString(wsStrip(s.toString))))
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(128)
+    var c = 0
+    while (c < cuts.length - 1) {
+      sb.setLength(0)
+      var j = cuts(c)
+      while (j < cuts(c + 1)) {
+        if (j > cuts(c)) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      c += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class WordCdcChunks(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"word_cdc_chunks expects string, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      wordCdcChunksKernel(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.wordCdcChunksKernel($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "word_cdc_chunks"
+  }
+
+  def wordCdcChunks(c: Column): Column = toColumn(WordCdcChunks(toExpression(c)))
+
   /** Sort a string array by the fixed hash order (XXH64 of the element, then
     * the element itself as tiebreaker — a total order). One hash per element
     * + one O(n log n) sort, all inside the row.

@@ -146,6 +146,40 @@ class DedupSpec extends SparkSpec {
     assert(removedAt1 == 0)
   }
 
+  test("q79 span dedup: copied span flagged at ANY offset (content-defined boundaries)") {
+    import spark.implicits._
+    // build a span guaranteed to contain ≥ 3 cut tokens (md5 high nibble 0),
+    // so it carries ≥ 2 full interior chunks wherever it lands
+    def isCut(tok: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (d(0) & 0xF0) == 0
+    }
+    val cuts = (1 to 2000).map(i => s"w$i").filter(isCut).take(3)
+    assert(cuts.length == 3, "fixture needs three cut tokens")
+    val filler = (1 to 2000).map(i => s"w$i").filterNot(isCut)
+    val span = (cuts(0) +: filler.slice(0, 6)) ++ (cuts(1) +: filler.slice(6, 12)) :+ cuts(2)
+    val spanTxt = span.mkString(" ")
+    // the same span at offset 0, mid-doc, and end-of-doc — different
+    // surrounding vocab per doc (disjoint, cut-free filler)
+    val docs = Seq(
+      (1L, spanTxt + " " + filler.slice(20, 30).mkString(" ")),
+      (2L, filler.slice(30, 37).mkString(" ") + " " + spanTxt + " " + filler.slice(37, 40).mkString(" ")),
+      (3L, filler.slice(40, 52).mkString(" ") + " " + spanTxt),
+      (4L, filler.slice(60, 90).mkString(" ")), // no cut tokens → whole-text fallback
+      (5L, "short doc"), (6L, "short doc")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("target/span_docs/documents.parquet")
+    val got = graft.analytics.Dedup.spanDedup(spark, "target/span_docs")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // all three span carriers share the two interior chunks, at three
+    // different offsets — exactly what fixed-stride windows cannot do
+    (1L to 3L).foreach(id =>
+      assert(got(id)._2 >= 2, s"doc $id must flag the copied span's chunks: $got"))
+    assert(got(4L)._2 == 0, "cut-free unique doc must be clean")
+    // short docs fall back to whole text → exact duplicates caught
+    assert(got(5L) == ((1L, 1L)) && got(6L) == ((1L, 1L)))
+  }
+
   test("pair-graph cache flag: one shared materialized graph, identical rows") {
     val d = sf("sf0.001")
     val base = Dedup.jaccardNearDup(spark, d)

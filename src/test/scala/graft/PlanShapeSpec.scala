@@ -150,6 +150,36 @@ class PlanShapeSpec extends SparkSpec {
     } finally old.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q80: trend window runs over the monthly aggregate, never the fact table") {
+    val p = plan("q80_revenue_trend")
+    // aggregate-then-window: the partial+final HashAggregate pair must sit
+    // BELOW the (single-partition, few-rows) window in the plan text
+    assert(p.contains("Window"), p)
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.indexOf("Window") < p.lastIndexOf("HashAggregate"),
+      "window must consume the aggregate output, not raw orders\n" + p)
+    // semantic pin: mov_avg of the first month equals its own revenue
+    val rows = SparkEntry.queries("q80_revenue_trend")(spark, sf("sf0.001"))
+      .orderBy(org.apache.spark.sql.functions.col("month")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Double]("mov_avg_3m") == rows.head.getAs[Double]("revenue"))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("mom_delta")), "first month has no delta")
+  }
+
+  test("q81: correlated aggregate is two co-partitioned passes, no nested loop") {
+    val p = plan("q81_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val row = SparkEntry.queries("q81_small_qty_revenue")(spark, sf("sf0.001")).head()
+    assert(row.getAs[Long]("n_small") > 0, "filter must select some small-quantity lineitems")
+  }
+
+  test("q79: span dedup joins on the chunk key — no window, no pair-space op") {
+    val p = plan("q79_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), "span dedup must not rank anything\n" + p)
+    assert(p.contains("word_cdc_chunks"), "chunking must be the codegen'd kernel\n" + p)
+  }
+
   test("q45: single-year read of the date-partitioned zone prunes partitions") {
     import graft.analytics.LayoutOps
     LayoutOps.prunedOrdersByYear(spark, sf("sf0.001")).count() // writes the layout
