@@ -109,7 +109,17 @@ object SparkEntry {
     "q78_bloom_decontamination"    -> ((s: SparkSession, d: String) => Sampling.decontaminationBloom(s, d)),
     "q79_span_dedup"               -> ((s: SparkSession, d: String) => Dedup.spanDedup(s, d)),
     "q80_revenue_trend"            -> Relational.revenueTrend _,
-    "q81_small_qty_revenue"        -> Relational.smallQtyRevenue _)
+    "q81_small_qty_revenue"        -> Relational.smallQtyRevenue _,
+    // -- round 4: chunking, sketch heavy hitters, weighted sampling ---------
+    "q82_doc_chunks"               -> ((s: SparkSession, d: String) => TextStats.chunkDocuments(s, d)),
+    "q83_heavy_hitters"            -> ((s: SparkSession, d: String) => TextStats.heavyHitters(s, d)),
+    "q84_weighted_sample"          -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
+    "q89_blamed_suppliers"         -> Relational.blamedSuppliers _,
+    "q90_returnflag_unpivot"       -> Relational.returnFlagUnpivot _,
+    "q85_sq_topk"                  -> ((s: SparkSession, d: String) => Similarity.sqTopK(s, d)),
+    "q86_sq_planted_recall"        -> Accuracy.sqPlantedRecall _,
+    "q87_ivfpq_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    "q88_ivfpq_planted_recall"     -> Accuracy.ivfPqPlantedRecall _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1151,5 +1161,108 @@ object SparkEntry {
         |SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
         | count(*) AS n_small
         |FROM lineitem l JOIN cut USING (l_partkey)
-        |WHERE l.l_quantity < cut.qty_cut""".stripMargin)
+        |WHERE l.l_quantity < cut.qty_cut""".stripMargin,
+
+    // window = 32, overlap = 8 ⇒ stride = 24; chunk boundaries are pure
+    // integer arithmetic mirrored from TextStats.chunkDocuments
+    "q82_doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, t, greatest(len(t), 1) AS n_tok FROM toks),
+        |ch AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n_tok <= 32 THEN 0 ELSE (n_tok - 32 + 23) // 24 END)) AS chunk_id
+        |  FROM base)
+        |SELECT doc_id, chunk_id::INT AS chunk_id,
+        |  (chunk_id * 24)::BIGINT AS start_tok,
+        |  len(t[chunk_id*24 + 1 : chunk_id*24 + 32])::BIGINT AS chunk_len,
+        |  array_to_string(t[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text
+        |FROM ch""".stripMargin,
+
+    // d = 4 hash rows × width = 512; bucket = first four hex DIGITS of
+    // md5("r:term") as a 16-bit value, mod width — mirrored from
+    // TextStats.heavyHitters (hd() decodes one hex char to its digit value)
+    "q83_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |cells AS (
+        |  SELECT term, unnest(generate_series(0, 3)) AS r FROM toks),
+        |hashed AS (
+        |  SELECT r, term, md5(r::VARCHAR || ':' || term) AS h FROM cells),
+        |bucketed AS (
+        |  SELECT r, term,
+        |    ((ascii(substring(h,1,1)) - 48 - CASE WHEN ascii(substring(h,1,1)) >= 97 THEN 39 ELSE 0 END) * 4096
+        |   + (ascii(substring(h,2,1)) - 48 - CASE WHEN ascii(substring(h,2,1)) >= 97 THEN 39 ELSE 0 END) * 256
+        |   + (ascii(substring(h,3,1)) - 48 - CASE WHEN ascii(substring(h,3,1)) >= 97 THEN 39 ELSE 0 END) * 16
+        |   + (ascii(substring(h,4,1)) - 48 - CASE WHEN ascii(substring(h,4,1)) >= 97 THEN 39 ELSE 0 END)) % 512 AS b
+        |  FROM hashed),
+        |sketch AS (SELECT r, b, count(*) AS cnt FROM bucketed GROUP BY r, b),
+        |total AS (SELECT count(*) AS n_total FROM toks),
+        |exact_c AS (SELECT term, count(*) AS n_exact FROM toks GROUP BY term),
+        |probed AS (SELECT DISTINCT term, r, b FROM bucketed),
+        |est AS (
+        |  SELECT p.term, min(s.cnt) AS n_est
+        |  FROM probed p JOIN sketch s ON s.r = p.r AND s.b = p.b
+        |  GROUP BY p.term)
+        |SELECT term, n_exact, n_est,
+        |  n_est >= n_exact AS no_undercount,
+        |  (n_est - n_exact) * 512 <= n_total * 8 AS overcount_bounded
+        |FROM est JOIN exact_c USING (term), total
+        |WHERE n_est * 100 >= n_total""".stripMargin,
+
+    // u from md5 bytes 3-4 (bytes 1-2 are contentBucket's); cost rounded to
+    // 4 dp BEFORE ranking, doc_id tie-break — mirrored from
+    // Sampling.weightedSample
+    "q84_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    ascii(substring(md5(text), 3, 1)) * 256 + ascii(substring(md5(text), 4, 1)) AS v
+        |  FROM documents)
+        |SELECT doc_id, n_chars AS weight,
+        |  round(-ln((v + 1) / 26216.0) * 1e6 / n_chars, 4) AS cost
+        |FROM w ORDER BY cost ASC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // TPC-H Q21 shape on this schema: returned line + EXISTS other supplier
+    // + NOT EXISTS other returned supplier, mirrored from
+    // Relational.blamedSuppliers
+    "q89_blamed_suppliers" ->
+      """WITH r AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R')
+        |SELECT l_suppkey, count(*) AS numwait
+        |FROM r
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = r.l_orderkey AND l2.l_suppkey <> r.l_suppkey)
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = r.l_orderkey AND l3.l_suppkey <> r.l_suppkey
+        |    AND l3.l_returnflag = 'R')
+        |GROUP BY l_suppkey
+        |ORDER BY numwait DESC, l_suppkey ASC LIMIT 10""".stripMargin,
+
+    // melt expressed as UNION ALL (portable across DuckDB versions);
+    // metric order is irrelevant — the driver sorts rows before hashing
+    "q90_returnflag_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    round(avg(l_discount), 4) AS avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'avg_disc' AS metric, avg_disc AS val FROM wide""".stripMargin,
+
+    "q86_sq_planted_recall" ->
+      """SELECT count(*) AS n_queries, true AS planted_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q88_ivfpq_planted_recall" ->
+      """SELECT count(*) AS n_queries, true AS planted_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin)
 }

@@ -122,6 +122,49 @@ object Accuracy {
         (sum(col("found")) === count(lit(1))).as("planted_ok"))
   }
 
+  /** q86: SQ planted-copy recall — a scaled copy of each query vector
+    * normalizes to the identical unit vector, hence identical int8 scale +
+    * codes, scores the maximum asymmetric similarity, survives the
+    * over-fetch cut, and exact re-rank pins it at cos 1.0. Deterministic
+    * end-to-end (per-vector scale, half-up rounding, fixed tie-breaks) so
+    * the boolean is oracle-checkable. */
+  def sqPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val topk = Similarity.sqTopKOn(
+      e.unionByName(planted),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
+    topk.groupBy(col("query_id"))
+      .agg(max(when(col("neighbor_id") === col("query_id") + 1000000L &&
+        col("cos_sim") === 1.0, 1L).otherwise(0L)).as("found"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("found")) === count(lit(1))).as("planted_ok"))
+  }
+
+  /** q88: IVF-PQ planted-copy recall — the composed path must preserve both
+    * constituent contracts at once: the plant's unit vector lands in the
+    * query's own top-1 cell (IVF leg, q52's argument) AND encodes to the
+    * query's identical PQ codes (PQ leg, q75's argument), so it must
+    * survive cell pruning, ADC over-fetch, and exact re-rank at cos 1.0. */
+  def ivfPqPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val topk = Similarity.ivfPqTopKOn(
+      e.unionByName(planted),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
+    topk.groupBy(col("query_id"))
+      .agg(max(when(col("neighbor_id") === col("query_id") + 1000000L &&
+        col("cos_sim") === 1.0, 1L).otherwise(0L)).as("found"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("found")) === count(lit(1))).as("planted_ok"))
+  }
+
   /** q50: HLL error bound — approx_count_distinct(rsd=0.01) vs the exact
     * distinct count, per group, asserted within ±5% (5 standard errors).
     * The exact counts ARE the oracle columns; the boolean pins the sketch. */

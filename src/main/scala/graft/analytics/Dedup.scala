@@ -134,7 +134,10 @@ object Dedup {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
 
-  private[graft] def clearPairGraphCache(): Unit = pairGraphCache.clear()
+  private[graft] def clearPairGraphCache(): Unit = {
+    pairGraphCache.clear()
+    clusterMapCache.clear()
+  }
 
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
     if (spark.conf.getOption("spark.graft.pairgraph.cache").contains("true")) {
@@ -202,8 +205,26 @@ object Dedup {
     * canonical (minimum) doc_id of its near-duplicate cluster, computed as
     * connected components over the exact Jaccard pair graph (q25).
     * Singletons are their own canonical. Oracle: DuckDB recursive CTE
-    * transitive closure. */
-  def dedupCorpus(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    * transitive closure.
+    *
+    * Under `spark.graft.pairgraph.cache=true` the RESULT (the cluster map)
+    * is itself cached per (session, dir, threshold) — q37's consumers
+    * (keep-best q71, the q72 profile, the q73 clean-corpus composition)
+    * otherwise each re-run the iterative CC, which is the single most
+    * expensive computation in the engine. Same freshness contract as
+    * [[pairGraphCache]]. */
+  def dedupCorpus(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    if (spark.conf.getOption("spark.graft.pairgraph.cache").contains("true")) {
+      clusterMapCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      clusterMapCache.computeIfAbsent(
+        (spark, dir, threshold),
+        _ => Materialize(dedupCorpusUncached(spark, dir, threshold)))
+    } else dedupCorpusUncached(spark, dir, threshold)
+
+  private val clusterMapCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+
+  private def dedupCorpusUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val edges = nearDupPairs(spark, dir, threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val labels = connectedComponents(edges)

@@ -373,4 +373,56 @@ object Relational {
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
         count(lit(1)).as("n_small"))
   }
+
+  /** q89: sole-blame supplier analysis — the TPC-H Q21 shape (multi-way
+    * correlated EXISTS / NOT EXISTS against the same fact table) adapted to
+    * this schema's columns: count, per supplier, the orders where that
+    * supplier had a returned line (`l_returnflag = 'R'`), at least one
+    * OTHER supplier also supplied the order (EXISTS → left-semi), and no
+    * other supplier had a returned line in it (NOT EXISTS → left-anti).
+    *
+    * The point is the decorrelation: both correlated subqueries become
+    * hash joins on `l_orderkey` with a non-equi supplier guard — no
+    * per-row re-scan of lineitem (the naive correlated plan is O(n²)).
+    * All three legs shuffle on the same orderkey key, so AQE can reuse the
+    * exchange; the final per-supplier count is a partial+final aggregate.
+    * Top-10 by blame count with supplier tie-break keeps output stable. */
+  def blamedSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = li.select(col("l_orderkey").as("o_ok"), col("l_suppkey").as("o_sk"))
+    val otherReturned = returned.select(col("l_orderkey").as("r_ok"), col("l_suppkey").as("r_sk"))
+    returned
+      .join(others,
+        col("l_orderkey") === col("o_ok") && col("l_suppkey") =!= col("o_sk"),
+        "left_semi")
+      .join(otherReturned,
+        col("l_orderkey") === col("r_ok") && col("l_suppkey") =!= col("r_sk"),
+        "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey").asc)
+      .limit(10)
+      .select(col("l_suppkey"), col("numwait"))
+  }
+
+  /** q90: unpivot (melt) — the inverse of q35's pivot: a wide per-flag
+    * aggregate (sum_qty / sum_price / avg_disc as columns) melted back to
+    * long (flag, metric, val) rows. Spark's `unpivot` plans as an Expand
+    * node — each input row fans out to one row per metric with NO shuffle;
+    * the only exchange is the small upstream aggregate. Values are rounded
+    * before the melt so the long form is oracle-comparable. */
+  def returnFlagUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+    wide.unpivot(
+      ids = Array(col("l_returnflag")),
+      values = Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+      variableColumnName = "metric",
+      valueColumnName = "val")
+  }
 }

@@ -86,6 +86,35 @@ object Sampling {
         expr(s"(cum_tok - n_tok) div $budget").as("seq_id"))
   }
 
+  /** q84: deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES, 2006): each item draws a pseudo-uniform u from its
+    * content digest and competes on cost = −ln(u)/w; the k smallest costs
+    * are EXACTLY a weight-proportional sample without replacement. Here
+    * w = n_chars (longer documents proportionally likelier — the standard
+    * token-budget-aware corpus subsampling). u comes from md5 bytes 3-4
+    * (bytes 1-2 belong to [[contentBucket]] — disjoint bytes keep the
+    * sample independent of the train/val/test split), so the whole draw is
+    * deterministic, layout-independent, and engine-portable; cost is
+    * rounded to 4 dp BEFORE ranking (the q55 round-before-rank pattern)
+    * with doc_id as the tie-break, so Spark and DuckDB agree exactly.
+    *
+    * Plan shape: a narrow per-row map, then global top-k — Spark plans
+    * `orderBy.limit(k)` as TakeOrderedAndProject: each partition keeps only
+    * its local k, the driver merges k·P rows. No full sort, no shuffle of
+    * the corpus; at 100 TB this is one scan + a k-sized merge. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    // two hex chars → 16-bit-ish value in [12336, 26214]; +1 / 26216 keeps
+    // u in (0, 1) strictly, so ln(u) is finite and negative
+    val v = ascii(substring(h, 3, 1)) * 256 + ascii(substring(h, 4, 1))
+    val u = (v + 1).cast("double") / lit(26216.0)
+    documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        round(-log(u) * 1e6 / col("n_chars"), 4).as("cost"))
+      .orderBy(col("cost").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** q67: deterministic domain-mixture sampling — re-weight the corpus to a
     * per-source target rate (the "domain mixing" step of every pre-training
     * recipe: up-/down-sample web vs books vs code). The mixture spec is a

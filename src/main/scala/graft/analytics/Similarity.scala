@@ -259,6 +259,115 @@ object Similarity {
       e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
   }
 
+  /** q85: int8 scalar-quantization (SQ) ANN — the TRAINING-FREE quantization
+    * tier next to PQ: no codebook, no sample pass — each corpus vector
+    * carries its own max-abs scale + 8-bit codes (4× smaller than float32
+    * at rest), encoded in one narrow map fused into the scan. The approx
+    * scan scores dot(query, code·scale) via the codegen'd sq_adc_sim
+    * kernel, over-fetches, and only candidate ids rejoin the full vectors
+    * for exact re-rank — the identical two-phase shape as PQ (q74) with a
+    * cheaper (and lossier-per-byte) code. Where PQ needs a training
+    * sample shipped to every encoder, SQ quantizes streaming ingest
+    * immediately — the right first tier for a continuously-growing corpus. */
+  def sqTopKOn(corpus: DataFrame, queries: DataFrame, k: Int,
+      overfetch: Int = 4): DataFrame = {
+    import graft.functions.Sketches
+    val normC = corpus.select(col("vec_id"), l2Normalize(col("v")).as("v"))
+    val normQ = queries.select(col("query_id"), l2Normalize(col("qv")).as("qv"))
+    // the at-rest representation: (vec_id, scale, codes) — no codebook
+    val coded = normC.select(col("vec_id"),
+      Sketches.sqScale(col("v")).as("scale"),
+      Sketches.sqEncode(col("v")).as("codes"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val cand = coded.crossJoin(broadcast(normQ))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Sketches.sqAdcSim(col("qv"), col("codes"), col("scale")).as("approx_sim"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand
+      .join(normC.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(normQ), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** q85 entry: SQ ANN for the q28 query set (rows-only; q86 is the oracle). */
+  def sqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    sqTopKOn(e,
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
+  }
+
+  /** q87: IVF-PQ — the composition that production vector stores actually
+    * run at 100 TB (the FAISS IVFPQ shape): IVF's coarse cells prune the
+    * corpus to nprobe/numCentroids of its rows, PQ's byte codes make the
+    * surviving scan read 8-byte codes instead of 256-byte vectors, and
+    * exact re-rank touches only the over-fetched ids. Each tier keeps its
+    * gated plan shape: broadcast centroids + narrow-map assignment (IVF),
+    * one-row broadcast codebook + narrow-map encode (PQ), candidate
+    * equi-join on cell id, per-query top-k windows on high-cardinality
+    * keys. Compounded read savings ≈ (numCentroids/nprobe) × 32. */
+  def ivfPqTopKOn(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 4,
+      subDim: Int = 8, codewords: Int = 16, overfetch: Int = 4): DataFrame = {
+    import graft.functions.Sketches
+    val normC = corpus.select(col("vec_id"), l2Normalize(col("v")).as("v"))
+    val normQ = queries.select(col("query_id"), l2Normalize(col("qv")).as("qv"))
+    // PQ codebook over the same deterministic sample convention as q74
+    val cbs = normC.orderBy(col("vec_id")).limit(codewords)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("sv"))
+      .select(expr(
+        s"""flatten(transform(sequence(0, size(sv[0].v) div $subDim - 1), s ->
+           |  transform(sv, x -> slice(x.v, s * $subDim + 1, $subDim))))""".stripMargin)
+        .as("cbs"))
+    // IVF candidates (cell-pruned), then PQ ADC scoring on the survivors:
+    // re-attach each candidate's codes (computed once, narrow) and the
+    // query's exact vector; only ADC winners fetch full vectors
+    val coded = normC.crossJoin(broadcast(cbs))
+      .select(col("vec_id").as("neighbor_id"),
+        Sketches.pqEncode(col("v"), col("cbs")).as("codes"))
+    val cand = ivfCandidatesOn(
+        normC, normQ.select(col("query_id"), col("qv")), numCentroids, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val shortlist = cand
+      .join(coded, "neighbor_id")
+      .join(broadcast(normQ.crossJoin(cbs)), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Sketches.pqAdcSim(col("qv"), col("codes"), col("cbs")).as("approx_sim"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(normC.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(normQ), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** q87 entry: IVF-PQ ANN for the q28 query set (rows-only; q88 oracle). */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    ivfPqTopKOn(e,
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
+  }
+
   /** q30: embedding-cosine near-duplicate pairs (cos ≥ τ) via the same
     * multi-table buckets: candidates collide in some table, verified
     * exactly. Rows-only check (correctly empty when no near-dups exist). */

@@ -279,6 +279,95 @@ object TextStats {
         round(col("n_boiler").cast("double") / col("n_shingles"), 4))
   }
 
+  /** q82: fixed-window document chunking with overlap — the context-window
+    * splitter every RAG / pre-training pipeline runs before embedding or
+    * packing: token windows of `window` tokens advancing by
+    * `window − overlap`, so consecutive chunks share `overlap` tokens and
+    * no token is orphaned at a boundary. The last chunk may be short;
+    * documents shorter than one window produce exactly one chunk (empty
+    * text ⇒ one empty chunk, so every document keeps ≥ 1 row for
+    * provenance joins).
+    *
+    * Plan shape: tokenize (narrow, fused into the scan) → per-row chunk
+    * count arithmetic → ONE Generate (explode of an int sequence) → slice +
+    * join back to text. No shuffle at all — the operator is a flat map, so
+    * at 100 TB it costs one corpus read and parallelism is row-granular.
+    * Chunk ids and boundaries are pure integer arithmetic — engine-portable
+    * and oracle-checked value-by-value. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      window: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < window, "need 0 <= overlap < window")
+    val stride = window - overlap
+    documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        greatest(size(col("t")), lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          when(col("n_tok") <= window, lit(0))
+            .otherwise(expr(s"cast((n_tok - $window + $stride - 1) div $stride as int)"))))
+          .as("chunk_id"))
+      .withColumn("ct", slice(col("t"), col("chunk_id") * stride + 1, lit(window)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("start_tok"),
+        size(col("ct")).cast("long").as("chunk_len"),
+        array_join(col("ct"), " ").as("chunk_text"))
+  }
+
+  /** q83: heavy hitters via a Count-Min sketch — the streaming-safe frequent-
+    * items primitive (Cormode & Muthukrishnan 2005): `d` hash rows ×
+    * `width` counters; an item's estimate is the MIN of its `d` counters,
+    * so estimates never undercount and overcount only by colliding mass.
+    *
+    * Spark-first formulation: the sketch IS a tiny aggregate table —
+    * explode each token into its `d` (row, bucket) cells (hash = first four
+    * hex digits of md5("row:term"), mod width — the same engine-portable
+    * digest family as Sampling.contentBucket, NOT Spark's murmur3, so
+    * DuckDB reproduces it bit-for-bit) → ONE partial+final hash aggregate of
+    * d·width ≤ few-thousand cells. The corpus never shuffles: the map side
+    * pre-aggregates per cell, exactly how a distributed CMS merges (cell-
+    * wise sum — the aggregate's associativity IS the sketch's mergeability).
+    * The audit side joins the (broadcast) sketch back to the exact counts
+    * and pins BOTH CMS guarantees per surviving term: `no_undercount`
+    * (est ≥ exact, structural) and `overcount_bounded`
+    * (est − exact ≤ 8·N/width — generous vs the e/width expectation, and
+    * deterministic for a fixed corpus + hash family, hence gate-stable).
+    * Output: terms whose estimate clears the φ = 1% support threshold. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      d: Int = 4, width: Int = 512): DataFrame = {
+    // first 4 hex DIGITS of the digest (not raw ascii codes — hex ascii
+    // values cluster in two bands and would waste half the buckets): a
+    // uniform 16-bit value, and 65536 ≡ 0 (mod 512) keeps the mod unbiased
+    def hexVal(c: Column): Column =
+      ascii(c) - 48 - when(ascii(c) >= 97, lit(39)).otherwise(lit(0))
+    def cellOf(row: Column, term: Column): Column = {
+      val h = md5(concat(row.cast("string"), lit(":"), term).cast("binary"))
+      pmod(hexVal(substring(h, 1, 1)) * 4096 + hexVal(substring(h, 2, 1)) * 256 +
+        hexVal(substring(h, 3, 1)) * 16 + hexVal(substring(h, 4, 1)), lit(width))
+    }
+    val toks = documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+    val cells = toks
+      .select(col("term"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col("r"), cellOf(col("r"), col("term")).as("b"))
+    val sketch = cells.groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+    exact
+      .select(col("term"), col("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("b", cellOf(col("r"), col("term")))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_est") * 100 >= col("n_total"))
+      .select(col("term"), col("n_exact"), col("n_est"),
+        (col("n_est") >= col("n_exact")).as("no_undercount"),
+        ((col("n_est") - col("n_exact")) * width <= col("n_total") * 8)
+          .as("overcount_bounded"))
+  }
+
   /** q55: per-document top-k keyword extraction by TF-IDF. Plan: explode
     * tokens (narrow) → per-(doc, term) tf and per-term df as partial+final
     * hash aggregates → broadcast the corpus-size scalar → per-doc top-k

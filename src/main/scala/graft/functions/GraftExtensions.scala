@@ -48,6 +48,9 @@ object GraftExtensions {
     "nearest_centroid"  -> three(NearestCentroid(_, _, _)),
     "pq_encode"         -> two(PqEncode(_, _)),
     "pq_adc_sim"        -> three(PqAdcSim(_, _, _)),
+    "sq_scale"          -> one(SqScale(_)),
+    "sq_encode"         -> one(SqEncode(_)),
+    "sq_adc_sim"        -> three(SqAdcSim(_, _, _)),
     "nfc_normalize"     -> one(UnicodeNorm.NfcNormalize(_)))
 
   /** Imperative registration on an existing session (tests, REPL). */

@@ -859,4 +859,119 @@ object Sketches {
     toColumn(PqEncode(toExpression(v), toExpression(cbs)))
   def pqAdcSim(qv: Column, codes: Column, cbs: Column): Column =
     toColumn(PqAdcSim(toExpression(qv), toExpression(codes), toExpression(cbs)))
+
+  // -- int8 scalar quantization (SQ) ---------------------------------------
+  // The training-free quantization tier: no codebook at all — each vector
+  // carries its own max-abs scale and 8-bit codes. 4× smaller than float32
+  // at rest (vs PQ's 32× with training); the usual first step down from
+  // full precision in a vector store.
+
+  /** Per-vector symmetric scale: maxAbs/127, or 1.0 for the zero vector so
+    * encode never divides by zero (zero vector → all-zero codes, scale 1 —
+    * reconstructs exactly; the NaN-guard lesson from nearest_centroid is
+    * built in from the start here). */
+  def sqScaleKernel(v: ArrayData): Double = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i)); if (a > maxAbs) maxAbs = a; i += 1
+    }
+    if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+  }
+
+  /** int8 codes: round(x / scale), clamped to [-127, 127]. Deterministic
+    * (half-up rounding) and self-inverse enough for ADC: x ≈ code·scale. */
+  def sqEncodeKernel(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val scale = sqScaleKernel(v)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val c = math.round(v.getDouble(i) / scale).toInt
+      out(i) = if (c > 127) 127 else if (c < -127) -127 else c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SQ asymmetric similarity: dot(query, code·scale) — the query stays
+    * exact, the corpus vector is its 8-bit reconstruction. The scale factors
+    * out of the loop, so the hot path is int×double multiply-adds. */
+  def sqAdcSimKernel(qv: ArrayData, codes: ArrayData, scale: Double): Double = {
+    val n = codes.numElements()
+    if (qv.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq_adc_sim: query dim ${qv.numElements()} != ${n} codes")
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += qv.getDouble(i) * codes.getInt(i); i += 1 }
+    dot * scale
+  }
+
+  case class SqScale(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sq_scale expects array<double>, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      sqScaleKernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.sqScaleKernel($v);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "sq_scale"
+  }
+
+  case class SqEncode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sq_encode expects array<double>, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      sqEncodeKernel(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.sqEncodeKernel($v);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "sq_encode"
+  }
+
+  case class SqAdcSim(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(IntegerType, _), DoubleType) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sq_adc_sim expects (array<double>, array<int>, double), got ($a, $b, $c)")
+      }
+    override protected def nullSafeEval(qv: Any, codes: Any, scale: Any): Any =
+      sqAdcSimKernel(qv.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+        scale.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (qv, codes, scale) =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.sqAdcSimKernel($qv, $codes, $scale);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+    override def prettyName: String = "sq_adc_sim"
+  }
+
+  def sqScale(v: Column): Column = toColumn(SqScale(toExpression(v)))
+  def sqEncode(v: Column): Column = toColumn(SqEncode(toExpression(v)))
+  def sqAdcSim(qv: Column, codes: Column, scale: Column): Column =
+    toColumn(SqAdcSim(toExpression(qv), toExpression(codes), toExpression(scale)))
 }

@@ -72,4 +72,28 @@ object IngestStream {
       .option("checkpointLocation", checkpoint)
       .partitionBy("ingest_date")
       .trigger(Trigger.ProcessingTime("60 seconds"))
+
+  /** `foreachBatch` sink with batchId-keyed idempotence — the standard
+    * recipe for exactly-once writes to sinks Spark has no transactional
+    * connector for (JDBC upserts, external indexes, object-store merges):
+    * each micro-batch lands in a DETERMINISTIC location derived from its
+    * `batchId`, written with overwrite semantics, so a batch replayed after
+    * a crash-before-checkpoint OVERWRITES its own previous (possibly
+    * partial) output instead of appending duplicates. Replay safety comes
+    * from (checkpointed offsets → same batchId → same rows → same path),
+    * not from the sink being transactional.
+    *
+    * The built-in file sink (toRawZone) already gets exactly-once from its
+    * own WAL; this path exists for every OTHER sink type — the function
+    * passed per batch is arbitrary driver-side code operating on a normal
+    * batch DataFrame, which is also what makes full-DataFrame-API writes
+    * (merge/upsert/repartition-per-batch) possible mid-stream. */
+  def toIdempotentBatchSink(df: DataFrame, outDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
 }

@@ -245,4 +245,44 @@ class StreamingSpec extends SparkSpec {
       r.getAs[String]("quan_huyen") -> r.getAs[String]("price_status")).toMap
     assert(byDistrict == Map("Gò Vấp" -> "ok", "Q3" -> "negotiable"))
   }
+
+  test("foreachBatch sink: batchId-keyed writes are idempotent, restart adds no dupes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val ckpt = s"$dir/_checkpoint"
+    val out = s"$dir/upsert"
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("id", "payload")
+
+    def runOnce(): Unit = {
+      val q = IngestStream.toIdempotentBatchSink(df, out, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    in.addData((1L, "a"), (2L, "b"))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    // restart, no new data: checkpointed offsets → no batch re-runs
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    // new data lands in a NEW batch dir; old batch dirs untouched
+    in.addData((3L, "c"))
+    runOnce()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3)
+    assert(all.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // replay semantics: re-writing a batch to its deterministic path
+    // OVERWRITES (same rows, same count) — the crash-before-commit case.
+    // (Materialize the rows first: overwriting a path being lazily read
+    // from is rejected by Spark.)
+    val batch0Rows = spark.read.parquet(s"$out/batch_id=0")
+      .as[(Long, String)].collect().toSeq
+    batch0Rows.toDF("id", "payload")
+      .write.mode("overwrite").parquet(s"$out/batch_id=0")
+    assert(spark.read.parquet(out).count() == 3,
+      "a replayed batch must overwrite its own output, never append")
+  }
 }
