@@ -119,7 +119,10 @@ object SparkEntry {
     "q85_sq_topk"                  -> ((s: SparkSession, d: String) => Similarity.sqTopK(s, d)),
     "q86_sq_planted_recall"        -> Accuracy.sqPlantedRecall _,
     "q87_ivfpq_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
-    "q88_ivfpq_planted_recall"     -> Accuracy.ivfPqPlantedRecall _)
+    "q88_ivfpq_planted_recall"     -> Accuracy.ivfPqPlantedRecall _,
+    "q91_props_map_explode"        -> Relational.propsMapExplode _,
+    "q92_conversion_funnel"        -> Relational.conversionFunnel _,
+    "q93_cohort_retention"         -> Relational.cohortRetention _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1264,5 +1267,45 @@ object SparkEntry {
 
     "q88_ivfpq_planted_recall" ->
       """SELECT count(*) AS n_queries, true AS planted_ok
-        |FROM embeddings WHERE vec_id < 10""".stripMargin)
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // dynamic-map explode over the JSON props payload
+    "q91_props_map_explode" ->
+      """WITH kv AS (
+        |  SELECT event_type, unnest(json_keys(props::JSON)) AS prop_key, props
+        |  FROM events)
+        |SELECT event_type, prop_key, count(*) AS n,
+        |  sum(json_extract(props::JSON, '$.' || prop_key)::VARCHAR::BIGINT) AS sum_value,
+        |  round(avg(json_extract(props::JSON, '$.' || prop_key)::VARCHAR::BIGINT), 4) AS avg_value
+        |FROM kv GROUP BY event_type, prop_key""".stripMargin,
+
+    // ordered funnel: first view -> first click >= view -> first purchase
+    // >= click; epoch-second flooring mirrors q12's precision rule
+    "q92_conversion_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(ts_s) AS c_ts FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts_s >= v_ts GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(ts_s) AS p_ts FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_s >= c_ts GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_after_view,
+        |  (SELECT count(*) FROM p) AS n_purchase_after_click,
+        |  round((SELECT count(*) FROM c)::DOUBLE / (SELECT count(*) FROM v), 4) AS view_to_click,
+        |  round((SELECT count(*) FROM p)::DOUBLE / (SELECT count(*) FROM c), 4) AS click_to_purchase""".stripMargin,
+
+    // ISO-Monday weeks in both engines; offset = day-diff / 7
+    "q93_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts)::DATE AS week FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week,
+        |  ((week - cohort_week) / 7)::INT AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e JOIN cohorts USING (user_id)
+        |GROUP BY cohort_week, week_offset""".stripMargin)
 }

@@ -407,6 +407,76 @@ object Relational {
       .select(col("l_suppkey"), col("numwait"))
   }
 
+  /** q91: semi-structured map explode — the events `props` JSON parsed as a
+    * dynamic MAP (schema unknown at write time, unlike q11's fixed-path
+    * `get_json_object`) and exploded to one row per key. This is the
+    * schema-on-read shape every telemetry pipeline needs: new payload keys
+    * appear in the output with zero code change. Plan: from_json + Generate
+    * are narrow (fused into the scan); the per-(event_type, key) rollup is
+    * one partial+final aggregate. */
+  def propsMapExplode(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))).as(Seq("prop_key", "prop_value")))
+      .groupBy(col("event_type"), col("prop_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("prop_value")).as("sum_value"),
+        round(avg(col("prop_value")), 4).as("avg_value"))
+
+  /** q92: conversion-funnel analysis — per user the ORDERED stage chain
+    * first view → first click at-or-after that view → first purchase
+    * at-or-after that click, reported as per-stage user counts and
+    * conversion rates. The ordering constraint is what distinguishes a
+    * funnel from three filters: each stage joins the previous stage's
+    * per-user anchor timestamp (all three stage frames are per-user
+    * aggregates — tiny relative to the event log — and the joins are
+    * equi-joins on user_id; the event log itself is scanned once per
+    * stage and never self-joined row-to-row). Epoch-second flooring keeps
+    * sub-second timestamp precision out of the comparison (q12's rule). */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(unix_timestamp(col("ts"))).as("ts_s"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_s") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_s") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+      .select(col("n_view"), col("n_click_after_view"), col("n_purchase_after_click"),
+        round(col("n_click_after_view").cast("double") / col("n_view"), 4)
+          .as("view_to_click"),
+        round(col("n_purchase_after_click").cast("double") / col("n_click_after_view"), 4)
+          .as("click_to_purchase"))
+  }
+
+  /** q93: cohort retention — users grouped by first-activity week (the
+    * cohort), counted in each subsequent week they were active: the
+    * standard growth-analytics triangle. Plan: per-user first-event
+    * aggregate (one shuffle on user_id), broadcast-able join back (the
+    * per-user cohort table is small relative to the event log), then one
+    * partial+final aggregate on (cohort_week, week_offset). Weeks are
+    * ISO-Monday `date_trunc` in both engines; the offset is integer
+    * day-diff arithmetic. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("cohort_week").cast("date").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
   /** q90: unpivot (melt) — the inverse of q35's pivot: a wide per-flag
     * aggregate (sum_qty / sum_price / avg_disc as columns) melted back to
     * long (flag, metric, val) rows. Spark's `unpivot` plans as an Expand
