@@ -122,7 +122,10 @@ object SparkEntry {
     "q88_ivfpq_planted_recall"     -> Accuracy.ivfPqPlantedRecall _,
     "q91_props_map_explode"        -> Relational.propsMapExplode _,
     "q92_conversion_funnel"        -> Relational.conversionFunnel _,
-    "q93_cohort_retention"         -> Relational.cohortRetention _)
+    "q93_cohort_retention"         -> Relational.cohortRetention _,
+    "q94_column_profile"           -> Relational.columnProfile _,
+    "q95_fuzzy_neardup"            -> ((s: SparkSession, d: String) => Relational.fuzzyNearDup(s, d)),
+    "q96_rolling_revenue"          -> Relational.rollingRevenue _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1307,5 +1310,50 @@ object SparkEntry {
         |  ((week - cohort_week) / 7)::INT AS week_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM e JOIN cohorts USING (user_id)
-        |GROUP BY cohort_week, week_offset""".stripMargin)
+        |GROUP BY cohort_week, week_offset""".stripMargin,
+
+    // one row per profiled column; min/max stringified in both engines
+    "q94_column_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+        |    count(DISTINCT l_orderkey) AS k_distinct,
+        |    min(l_orderkey)::VARCHAR AS k_min, max(l_orderkey)::VARCHAR AS k_max,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+        |    count(DISTINCT l_quantity) AS q_distinct,
+        |    min(l_quantity)::VARCHAR AS q_min, max(l_quantity)::VARCHAR AS q_max,
+        |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS f_nulls,
+        |    count(DISTINCT l_returnflag) AS f_distinct,
+        |    min(l_returnflag)::VARCHAR AS f_min, max(l_returnflag)::VARCHAR AS f_max,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+        |    count(DISTINCT l_shipdate) AS d_distinct,
+        |    min(l_shipdate)::VARCHAR AS d_min, max(l_shipdate)::VARCHAR AS d_max
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS "column", n_rows, k_nulls AS n_null,
+        |  k_distinct AS n_distinct, k_min AS min_val, k_max AS max_val FROM a
+        |UNION ALL SELECT 'l_quantity', n_rows, q_nulls, q_distinct, q_min, q_max FROM a
+        |UNION ALL SELECT 'l_returnflag', n_rows, f_nulls, f_distinct, f_min, f_max FROM a
+        |UNION ALL SELECT 'l_shipdate', n_rows, d_nulls, d_distinct, d_min, d_max FROM a""".stripMargin,
+
+    // prefix-16 blocking + length band, then exact levenshtein on candidates
+    "q95_fuzzy_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, substring(text, 1, 16) AS blk, length(text) AS l
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.text, b.text)::BIGINT AS lev,
+        |  round(1.0 - levenshtein(a.text, b.text)::DOUBLE / greatest(a.l, b.l), 4) AS edit_sim
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  AND abs(a.l - b.l) <= 30
+        |WHERE round(1.0 - levenshtein(a.text, b.text)::DOUBLE / greatest(a.l, b.l), 4) >= 0.7""".stripMargin,
+
+    // RANGE frame over the per-day aggregate: value-based 7-day bounds
+    "q96_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day, round(sum(o_totalprice), 2) AS revenue,
+        |    (o_orderdate::DATE - DATE '1970-01-01') AS day_num
+        |  FROM orders GROUP BY 1, 3)
+        |SELECT day, revenue,
+        |  round(sum(revenue) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+        |FROM daily""".stripMargin)
 }

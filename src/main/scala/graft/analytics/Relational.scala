@@ -477,6 +477,77 @@ object Relational {
         col("week_offset"), col("n_users"))
   }
 
+  /** q94: column profiling — the ANALYZE-TABLE statistics pass every
+    * warehouse runs before query planning and every data-quality monitor
+    * runs on ingest: per column, row/null/distinct counts and min/max,
+    * emitted long-form (one row per column). ONE scan computes every
+    * column's aggregates in a single partial+final HashAggregate (the
+    * multi-countDistinct expands internally, still one pass over the
+    * data); the wide 1-row result is melted client-side via unpivot-style
+    * unioned selects over a frame that is already tiny. Values are
+    * stringified for the uniform schema; doubles/timestamps cast
+    * identically in both engines. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    val agg = lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))): _*)
+    cols.map { c =>
+      agg.select(lit(c).as("column"), col("n_rows"),
+        col(s"${c}_nulls").as("n_null"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** q95: fuzzy record-linkage join — near-identical document pairs by
+    * EDIT distance (levenshtein), the classic entity-resolution primitive
+    * that set-similarity (q25) can't express: character-level edits don't
+    * move Jaccard much on long texts, and vice versa. Exact all-pairs edit
+    * distance is O(n²·len²) — the standard scale shape is BLOCKING: an
+    * equi-join on a cheap deterministic key (here: first 16 chars) plus a
+    * length band, then the expensive distance only on blocked candidates.
+    * Blocking keys are content-derived, so the join is a plain hash join
+    * that AQE can skew-split; candidate volume tracks true near-pair
+    * density. Similarity = 1 − lev/max(len), threshold 0.7. */
+  def fuzzyNearDup(spark: SparkSession, dir: String, simThreshold: Double = 0.7): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, 16).as("blk"), length(col("text")).as("l"))
+    val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+      col("blk"), col("l").as("la"))
+    val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+      col("blk"), col("l").as("lb"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b") && abs(col("la") - col("lb")) <= 30)
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("lev").cast("double") / greatest(col("la"), col("lb")), 4))
+      .filter(col("edit_sim") >= simThreshold)
+      .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"), col("edit_sim"))
+  }
+
+  /** q96: rolling 7-day revenue — a RANGE-frame window (value-based bounds,
+    * not row counts: days with no orders still age out of the frame) over
+    * the per-day aggregate. The event log reduces to O(distinct days)
+    * BEFORE the window, so the ordered global window runs on a tiny frame —
+    * the correct time-series shape at any scale (the window input is
+    * bounded by the calendar, not the corpus). */
+  def rollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_7d", round(sum(col("revenue")).over(w), 2))
+      .select(col("day"), col("revenue"), col("rolling_7d"))
+  }
+
   /** q90: unpivot (melt) — the inverse of q35's pivot: a wide per-flag
     * aggregate (sum_qty / sum_price / avg_disc as columns) melted back to
     * long (flag, metric, val) rows. Spark's `unpivot` plans as an Expand

@@ -336,14 +336,14 @@ object TextStats {
   def heavyHitters(spark: SparkSession, dir: String,
       d: Int = 4, width: Int = 512): DataFrame = {
     // first 4 hex DIGITS of the digest (not raw ascii codes — hex ascii
-    // values cluster in two bands and would waste half the buckets): a
-    // uniform 16-bit value, and 65536 ≡ 0 (mod 512) keeps the mod unbiased
-    def hexVal(c: Column): Column =
-      ascii(c) - 48 - when(ascii(c) >= 97, lit(39)).otherwise(lit(0))
+    // values cluster in two bands and would waste half the buckets) as a
+    // uniform 16-bit value via ONE conv(hex, 16, 10) — the hex-digit
+    // arithmetic form (4096·d1 + 256·d2 + 16·d3 + d4, what the DuckDB
+    // oracle computes) is value-identical but evaluates the md5 four
+    // times per cell. 65536 ≡ 0 (mod 512) keeps the mod unbiased.
     def cellOf(row: Column, term: Column): Column = {
       val h = md5(concat(row.cast("string"), lit(":"), term).cast("binary"))
-      pmod(hexVal(substring(h, 1, 1)) * 4096 + hexVal(substring(h, 2, 1)) * 256 +
-        hexVal(substring(h, 3, 1)) * 16 + hexVal(substring(h, 4, 1)), lit(width))
+      pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(width))
     }
     val toks = documents(spark, dir)
       .select(explode(tokens(col("text"))).as("term"))
@@ -351,7 +351,9 @@ object TextStats {
       .select(col("term"), explode(sequence(lit(0), lit(d - 1))).as("r"))
       .select(col("r"), cellOf(col("r"), col("term")).as("b"))
     val sketch = cells.groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // every CMS row's counters sum to the stream length N — read n_total
+    // off row 0 of the (tiny) sketch instead of re-scanning the corpus
+    val total = sketch.filter(col("r") === 0).agg(sum(col("cnt")).as("n_total"))
     val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
     exact
       .select(col("term"), col("n_exact"),

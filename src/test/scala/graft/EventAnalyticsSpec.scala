@@ -52,6 +52,49 @@ class EventAnalyticsSpec extends SparkSpec {
       "user 1's pre-view click must not convert")
   }
 
+  test("q94 column profile: one scan, counts consistent") {
+    val d = sf("sf0.001")
+    val p = Relational.columnProfile(spark, d).cache()
+    assert(p.count() == 4, "one row per profiled column")
+    val nRows = graft.Tables.lineitem(spark, d).count()
+    assert(p.filter(col("n_rows") =!= nRows).count() == 0)
+    assert(p.filter(col("n_distinct") > col("n_rows")).count() == 0)
+    assert(p.filter(col("n_null") < 0 || col("n_null") > col("n_rows")).count() == 0)
+    p.unpersist()
+  }
+
+  test("q95 fuzzy near-dup: self-similarity 1, blocked pairs symmetric-free, sim in range") {
+    import spark.implicits._
+    // hand-built: one-char edit on a 40-char text => sim 0.975
+    val base = "the quick brown fox jumps over the lazy!"
+    val edit = "the quick brown fox jumps over the lazy?"
+    val docs = Seq((1L, base), (2L, edit), (3L, "completely different text here")).toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 16).as("blk"), length(col("text")).as("l"))
+    val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"), col("blk"), col("l").as("la"))
+    val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"), col("blk"), col("l").as("lb"))
+    val pairs = a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .collect()
+    assert(pairs.length == 1 && pairs(0).getAs[Int]("lev") == 1,
+      "the single-edit pair must block together at distance 1")
+    // corpus invariants: a < b, sim in [0.7, 1]
+    val r = Relational.fuzzyNearDup(spark, sf("sf0.001"))
+    assert(r.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(r.filter(col("edit_sim") < 0.7 || col("edit_sim") > 1.0).count() == 0)
+  }
+
+  test("q96 rolling revenue: 7-day range frame >= the day's own revenue, window input pre-aggregated") {
+    val r = Relational.rollingRevenue(spark, sf("sf0.001")).cache()
+    assert(r.filter(col("rolling_7d") < col("revenue")).count() == 0)
+    // value-based frame: rolling over a 1-day-per-row table never exceeds 7 days' sum
+    val days = r.count()
+    assert(days > 0 && r.select(col("day")).distinct().count() == days,
+      "window input must be the per-day aggregate (one row per day)")
+    r.unpersist()
+  }
+
   test("q93 cohort retention: offset-0 cell equals cohort size; offsets non-negative") {
     val r = Relational.cohortRetention(spark, sf("sf0.001")).cache()
     assert(r.filter(col("week_offset") < 0).count() == 0)
