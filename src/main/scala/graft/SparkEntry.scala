@@ -125,7 +125,14 @@ object SparkEntry {
     "q93_cohort_retention"         -> Relational.cohortRetention _,
     "q94_column_profile"           -> Relational.columnProfile _,
     "q95_fuzzy_neardup"            -> ((s: SparkSession, d: String) => Relational.fuzzyNearDup(s, d)),
-    "q96_rolling_revenue"          -> Relational.rollingRevenue _)
+    "q96_rolling_revenue"          -> Relational.rollingRevenue _,
+    // -- round 4: quantizer-matrix completion, session funnel, freshness ----
+    "q97_ivfsq_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfSqTopK(s, d)),
+    "q98_ivfsq_planted_recall"     -> Accuracy.ivfSqPlantedRecall _,
+    "q99_session_funnel"           -> Relational.sessionFunnel _,
+    "q100_source_freshness"        -> ((s: SparkSession, d: String) => Relational.sourceFreshness(s, d)),
+    "q101_split_drift"             -> Sampling.splitDrift _,
+    "q102_mergeable_quantiles"     -> Relational.mergeableQuantiles _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -320,6 +327,14 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
         | true AS p50_rank_ok, true AS p90_rank_ok, true AS p99_rank_ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // custom MRL mergeable sketch (q102): exact p50 anchors the oracle,
+    // booleans pin the deterministic worst-case rank bound (q14's pattern)
+    "q102_mergeable_quantiles" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        | true AS s50_rank_ok, true AS s90_rank_ok, true AS s99_rank_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q42_session_window" ->
@@ -1271,6 +1286,81 @@ object SparkEntry {
     "q88_ivfpq_planted_recall" ->
       """SELECT count(*) AS n_queries, true AS planted_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // IVF-SQ composition: deterministic planted-copy recall (q98 pins q97)
+    "q98_ivfsq_planted_recall" ->
+      """SELECT count(*) AS n_queries, true AS planted_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // session-scoped funnel: q12's session assignment + q92's stage
+    // ordering, all within one session; epoch-second flooring throughout
+    "q99_session_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+        |g AS (
+        |  SELECT *, ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s FROM e),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM g),
+        |w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_s END)
+        |    OVER (PARTITION BY user_id, session_id) AS v_ts FROM s),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_s >= v_ts THEN ts_s END)
+        |    OVER (PARTITION BY user_id, session_id) AS c_ts FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_s >= c_ts THEN ts_s END)
+        |    OVER (PARTITION BY user_id, session_id) AS p_ts FROM w2),
+        |sess AS (
+        |  SELECT user_id, session_id, max(v_ts) AS v_ts, max(c_ts) AS c_ts, max(p_ts) AS p_ts
+        |  FROM w3 GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_sessions,
+        |  count(v_ts) AS n_view_sessions,
+        |  count(c_ts) AS n_click_sessions,
+        |  count(p_ts) AS n_purchase_sessions,
+        |  round(count(c_ts)::DOUBLE / count(v_ts), 4) AS view_to_click,
+        |  round(count(p_ts)::DOUBLE / count(c_ts), 4) AS click_to_purchase
+        |FROM sess""".stripMargin,
+
+    // freshness vs the corpus watermark (max ts anywhere) — deterministic,
+    // no wall clock; staleness bar 3600 s
+    "q100_source_freshness" ->
+      """WITH e AS (
+        |  SELECT event_type, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+        |wm AS (SELECT max(ts_s) AS watermark FROM e)
+        |SELECT event_type, count(*) AS n_events, max(ts_s) AS last_ts,
+        |  watermark - max(ts_s) AS lag_s,
+        |  sum(CASE WHEN ts_s >= watermark - 86400 THEN 1 ELSE 0 END) AS n_last_24h,
+        |  watermark - max(ts_s) > 3600 AS is_stale
+        |FROM e CROSS JOIN wm GROUP BY event_type, watermark""".stripMargin,
+
+    // per-language train/val mixture drift; Laplace-smoothed KL terms,
+    // ln-parity at 4 dp (q60's rule); same content-hash split as q38
+    "q101_split_drift" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 90 THEN 'train'
+        |         WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang,
+        |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+        |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val
+        |  FROM d WHERE split IN ('train', 'val') GROUP BY lang),
+        |tot AS (
+        |  SELECT sum(n_train) AS tot_train, sum(n_val) AS tot_val, count(*) AS n_langs
+        |  FROM counts),
+        |p AS (
+        |  SELECT lang, n_train, n_val,
+        |    (n_train + 1)::DOUBLE / (tot_train + n_langs) AS p_train,
+        |    (n_val + 1)::DOUBLE / (tot_val + n_langs) AS p_val
+        |  FROM counts CROSS JOIN tot)
+        |SELECT lang, n_train, n_val,
+        |  round(p_train, 4) AS p_train, round(p_val, 4) AS p_val,
+        |  round(p_train * ln(p_train / p_val), 4) AS kl_term
+        |FROM p""".stripMargin,
 
     // dynamic-map explode over the JSON props payload
     "q91_props_map_explode" ->

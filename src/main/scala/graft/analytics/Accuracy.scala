@@ -165,6 +165,28 @@ object Accuracy {
         (sum(col("found")) === count(lit(1))).as("planted_ok"))
   }
 
+  /** q98: IVF-SQ planted-copy recall — the composed path must preserve both
+    * constituent contracts at once: the plant's unit vector lands in the
+    * query's own top-1 cell (IVF leg, q52's argument) AND self-quantizes to
+    * the query's identical int8 scale + codes (SQ leg, q86's argument), so
+    * it must survive cell pruning, ADC over-fetch, and exact re-rank at
+    * cos 1.0. Deterministic end-to-end → oracle-checkable boolean. */
+  def ivfSqPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val topk = Similarity.ivfSqTopKOn(
+      e.unionByName(planted),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
+    topk.groupBy(col("query_id"))
+      .agg(max(when(col("neighbor_id") === col("query_id") + 1000000L &&
+        col("cos_sim") === 1.0, 1L).otherwise(0L)).as("found"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("found")) === count(lit(1))).as("planted_ok"))
+  }
+
   /** q50: HLL error bound — approx_count_distinct(rsd=0.01) vs the exact
     * distinct count, per group, asserted within ±5% (5 standard errors).
     * The exact counts ARE the oracle columns; the boolean pins the sketch. */

@@ -277,6 +277,36 @@ object Relational {
         (abs(rankOf(col("a99")) - 0.99) <= eps).as("p99_rank_ok"))
   }
 
+  /** q102: quantiles via the custom mergeable MRL sketch
+    * (graft.functions.QuantileSketch, a native TypedImperativeAggregate) —
+    * the third quantile tier next to q14's built-in approx_percentile and
+    * q54's exact percentile, proving the engine can grow its own aggregate
+    * state machines: partial sketches build on map tasks, kilobyte buffers
+    * merge through the shuffle, and the deterministic worst-case rank
+    * bound (L·n/2k, see the Scaladoc) holds under ANY merge order — so
+    * the gated booleans are layout-stable by construction, not by luck.
+    * Gate shape mirrors q14: exact p50 anchors the oracle columns; each
+    * sketch estimate is rank-checked in-query against a generous 2% + 2/n
+    * bound (theory says ≈0.15% at k=1024 and this n). */
+  def mergeableQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderstatus"), col("o_totalprice"))
+    val sk = o.groupBy(col("o_orderstatus")).agg(
+      graft.functions.QuantileSketch.quantileSketch(
+        col("o_totalprice"), Seq(0.5, 0.9, 0.99)).as("qs"))
+      .select(col("o_orderstatus"),
+        col("qs")(0).as("s50"), col("qs")(1).as("s90"), col("qs")(2).as("s99"))
+    def rankOf(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(col("o_totalprice") <= a, 1L).otherwise(0L)).cast("double") / count(lit(1))
+    val eps = lit(0.02) + lit(2.0) / count(lit(1))
+    o.join(broadcast(sk), "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50_exact"),
+        (abs(rankOf(col("s50")) - 0.5) <= eps).as("s50_rank_ok"),
+        (abs(rankOf(col("s90")) - 0.9) <= eps).as("s90_rank_ok"),
+        (abs(rankOf(col("s99")) - 0.99) <= eps).as("s99_rank_ok"))
+  }
+
   /** q56: batch event-time RANGE join via bin bucketing — every click in
     * the hour before each purchase (the batch twin of the streaming
     * `purchasesWithRecentClicks`, and the all-matches complement of the
@@ -546,6 +576,77 @@ object Relational {
     daily
       .withColumn("rolling_7d", round(sum(col("revenue")).over(w), 2))
       .select(col("day"), col("revenue"), col("rolling_7d"))
+  }
+
+  /** q99: session-scoped conversion funnel — q92's ordered funnel run
+    * WITHIN each 30-min-gap session (q12's assignment) instead of over a
+    * user's whole history: view → click at-or-after the session's first
+    * view → purchase at-or-after that click, all inside one session. The
+    * composition answers the product question q92 can't ("does a visit
+    * convert?" vs "does a user ever convert?"). Plan: the sessionize
+    * window shuffles once on user_id; every per-session stage is a
+    * whole-partition window over (user_id, session_id) — hash(user_id)
+    * already co-locates those rows, so Spark adds NO second exchange,
+    * only a partition-local sort; the stage dependency (c_ts needs v_ts)
+    * chains three Window nodes over the same distribution. The final
+    * one-row reduce is a partial+final aggregate. */
+  def sessionFunnel(spark: SparkSession, dir: String): DataFrame =
+    sessionFunnelOn(events(spark, dir))
+
+  /** Core of q99 over an explicit (user_id, event_id, event_type, ts) frame
+    * (unit-testable with hand-built sessions). */
+  def sessionFunnelOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s").asc, col("event_id").asc)
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+    val sessions = events
+      .withColumn("ts_s", floor(col("ts").cast("double")).cast("long"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("v_ts", min(when(col("event_type") === "view", col("ts_s"))).over(bySess))
+      .withColumn("c_ts", min(when(col("event_type") === "click" &&
+        col("ts_s") >= col("v_ts"), col("ts_s"))).over(bySess))
+      .withColumn("p_ts", min(when(col("event_type") === "purchase" &&
+        col("ts_s") >= col("c_ts"), col("ts_s"))).over(bySess))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(col("v_ts")).as("v_ts"), max(col("c_ts")).as("c_ts"),
+        max(col("p_ts")).as("p_ts"))
+    sessions.agg(
+        count(lit(1)).as("n_sessions"),
+        count(col("v_ts")).as("n_view_sessions"),
+        count(col("c_ts")).as("n_click_sessions"),
+        count(col("p_ts")).as("n_purchase_sessions"))
+      .select(col("n_sessions"), col("n_view_sessions"), col("n_click_sessions"),
+        col("n_purchase_sessions"),
+        round(col("n_click_sessions").cast("double") / col("n_view_sessions"), 4)
+          .as("view_to_click"),
+        round(col("n_purchase_sessions").cast("double") / col("n_click_sessions"), 4)
+          .as("click_to_purchase"))
+  }
+
+  /** q100: per-stream freshness/lag monitor — the ingest-health view every
+    * multi-source pipeline runs continuously: per event stream, volume,
+    * last-seen timestamp, lag behind the corpus watermark (max ts anywhere
+    * — explicit, replayable; wall-clock `now()` would make the result
+    * non-deterministic), trailing-24h volume, and a staleness flag. Plan:
+    * the watermark is a one-row global aggregate broadcast back over the
+    * per-stream aggregate (never a window over the event log); the event
+    * scan feeds ONE partial+final HashAggregate keyed by stream. */
+  def sourceFreshness(spark: SparkSession, dir: String, staleAfterS: Long = 3600): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_type"), floor(col("ts").cast("double")).cast("long").as("ts_s"))
+    val wm = e.agg(max(col("ts_s")).as("watermark"))
+    e.crossJoin(broadcast(wm))
+      .groupBy(col("event_type"), col("watermark"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts_s")).as("last_ts"),
+        sum(when(col("ts_s") >= col("watermark") - 86400L, 1L).otherwise(0L))
+          .as("n_last_24h"))
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+        (col("watermark") - col("last_ts")).as("lag_s"),
+        col("n_last_24h"),
+        (col("watermark") - col("last_ts") > staleAfterS).as("is_stale"))
   }
 
   /** q90: unpivot (melt) — the inverse of q35's pivot: a wide per-flag

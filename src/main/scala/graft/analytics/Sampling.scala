@@ -259,4 +259,38 @@ object Sampling {
       .filter(col("split_a") =!= col("split_b"))
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
   }
+
+  /** q101: split distribution drift — per-language KL-divergence terms
+    * between the train and val splits' language mixtures: the monitoring
+    * view that catches a content-hash split (or an upstream filter) that
+    * skews a language's share between what a model trains on and what it
+    * validates against. Probabilities are Laplace-smoothed (+1 per
+    * language), so a language absent from one split contributes a finite,
+    * well-defined term instead of a division by zero — the standard
+    * mixture-drift formulation. Plan: one scan → per-(lang) conditional
+    * partial+final aggregate; the split totals and language count are a
+    * one-row aggregate broadcast back (never a window). KL terms are
+    * natural-log doubles rounded at 4 dp (q60's ln-parity rule). */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .select(col("lang"), splitOf(col("text")).as("split"))
+      .filter(col("split").isin("train", "val"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    val totals = counts.agg(
+      sum(col("n_train")).as("tot_train"),
+      sum(col("n_val")).as("tot_val"),
+      count(lit(1)).as("n_langs"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_train"), col("n_val"),
+        ((col("n_train") + 1).cast("double") / (col("tot_train") + col("n_langs")))
+          .as("p_train"),
+        ((col("n_val") + 1).cast("double") / (col("tot_val") + col("n_langs")))
+          .as("p_val"))
+      .select(col("lang"), col("n_train"), col("n_val"),
+        round(col("p_train"), 4).as("p_train"),
+        round(col("p_val"), 4).as("p_val"),
+        round(col("p_train") * log(col("p_train") / col("p_val")), 4).as("kl_term"))
+  }
 }

@@ -368,6 +368,61 @@ object Similarity {
       e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
   }
 
+  /** q97: IVF-SQ — the training-light cell composition completing the
+    * quantizer matrix (coarse cells × {full vectors, PQ codes, SQ codes}):
+    * IVF's cells prune the corpus to ~nprobe/numCentroids of its rows, and
+    * the surviving approx scan reads SQ's self-scaled int8 codes (4× less
+    * than float32) with NO codebook training pass at all. Versus IVF-PQ
+    * (q87) this trades ~8× weaker compression for a quantizer that applies
+    * to streaming ingest immediately — the right composition while a corpus
+    * is still growing, before a PQ codebook is worth training; re-encoding
+    * later changes only the at-rest code column, never the plan. Plan shape
+    * = IVF candidates (broadcast centroids, narrow-map cell assignment,
+    * candidate equi-join on cell id) + SQ ADC on survivors + exact re-rank
+    * on the over-fetched winners — every stage inherits its gated twin's
+    * shape (q51's candidates, q85's ADC + re-rank). */
+  def ivfSqTopKOn(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCentroids: Int = 16, nprobe: Int = 4, overfetch: Int = 4): DataFrame = {
+    import graft.functions.Sketches
+    val normC = corpus.select(col("vec_id"), l2Normalize(col("v")).as("v"))
+    val normQ = queries.select(col("query_id"), l2Normalize(col("qv")).as("qv"))
+    // the at-rest representation: (vec_id, scale, codes) — no codebook
+    val coded = normC.select(col("vec_id").as("neighbor_id"),
+      Sketches.sqScale(col("v")).as("scale"),
+      Sketches.sqEncode(col("v")).as("codes"))
+    val cand = ivfCandidatesOn(
+        normC, normQ.select(col("query_id"), col("qv")), numCentroids, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val shortlist = cand
+      .join(coded, "neighbor_id")
+      .join(broadcast(normQ), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Sketches.sqAdcSim(col("qv"), col("codes"), col("scale")).as("approx_sim"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= k * overfetch)
+      .select(col("query_id"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(normC.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(normQ), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** q97 entry: IVF-SQ ANN for the q28 query set (rows-only; q98 oracle). */
+  def ivfSqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    ivfSqTopKOn(e,
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
+  }
+
   /** q30: embedding-cosine near-duplicate pairs (cos ≥ τ) via the same
     * multi-table buckets: candidates collide in some table, verified
     * exactly. Rows-only check (correctly empty when no near-dups exist). */

@@ -109,4 +109,53 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(base.count() == cohortsCovered, "every cohort has an offset-0 cell")
     r.unpersist()
   }
+
+  test("q99 session funnel: conversion must stay inside one session; no second exchange") {
+    import java.sql.Timestamp
+    // user 1: view in session 1, click 2h later (new session) — must NOT
+    // convert (q92's global funnel WOULD count it: that's the difference
+    // this operator exists for). user 2: view → click → purchase within one
+    // session — converts fully. user 3: click before the session's first
+    // view — ordering violation, no conversion.
+    val e = Seq(
+      (1L, 10L, "view", Timestamp.valueOf("2025-01-01 00:00:00")),
+      (1L, 11L, "click", Timestamp.valueOf("2025-01-01 02:00:00")),
+      (2L, 20L, "view", Timestamp.valueOf("2025-01-01 00:00:00")),
+      (2L, 21L, "click", Timestamp.valueOf("2025-01-01 00:10:00")),
+      (2L, 22L, "purchase", Timestamp.valueOf("2025-01-01 00:20:00")),
+      (3L, 30L, "click", Timestamp.valueOf("2025-01-01 00:00:00")),
+      (3L, 31L, "view", Timestamp.valueOf("2025-01-01 00:10:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val r = Relational.sessionFunnelOn(e).collect()(0)
+    // sessions: u1 has 2 (gap > 30 min), u2 has 1, u3 has 1 → 4 total
+    assert(r.getLong(0) == 4, s"n_sessions ${r.getLong(0)}")
+    assert(r.getLong(1) == 3, "view sessions: u1-s1, u2, u3")
+    assert(r.getLong(2) == 1, "only u2's click is in-session after a view")
+    assert(r.getLong(3) == 1, "only u2 purchases after an in-session click")
+    // the per-session windows must reuse the sessionize shuffle:
+    // hash(user_id) already clusters (user_id, session_id)
+    val plan = Relational.sessionFunnel(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected the single user_id exchange, got $exchanges\n$plan")
+  }
+
+  test("q100 freshness: lag non-negative, one stream at lag 0, 24h window bounded") {
+    val r = Relational.sourceFreshness(spark, sf("sf0.001")).cache()
+    assert(r.filter(col("lag_s") < 0).count() == 0, "nothing is fresher than the watermark")
+    assert(r.filter(col("lag_s") === 0).count() >= 1, "the watermark stream has lag 0")
+    assert(r.filter(col("n_last_24h") > col("n_events")).count() == 0)
+    assert(r.filter(col("is_stale") =!= (col("lag_s") > 3600)).count() == 0)
+    r.unpersist()
+  }
+
+  test("q101 split drift: smoothed probabilities valid, absent-split language finite") {
+    val r = graft.analytics.Sampling.splitDrift(spark, sf("sf0.001")).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("p_train") <= 0 || col("p_train") > 1).count() == 0)
+    assert(r.filter(col("p_val") <= 0 || col("p_val") > 1).count() == 0)
+    assert(r.filter(col("kl_term").isNull || isnan(col("kl_term"))).count() == 0,
+      "Laplace smoothing keeps every term finite, even for a lang absent from val")
+    r.unpersist()
+  }
 }

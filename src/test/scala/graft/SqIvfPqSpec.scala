@@ -88,4 +88,24 @@ class SqIvfPqSpec extends SparkSpec {
     // sides; the corpus-cell candidate join itself must be hash/sort-merge
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("q97/q98: IVF-SQ composition retrieves planted copies; equi-join candidates") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" < 3)
+    val planted = q.select(($"vec_id" + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val topk = Similarity.ivfSqTopKOn(e.unionByName(planted),
+      q.select($"vec_id".as("query_id"), $"v".as("qv")), k = 5)
+    val rank1 = topk.filter($"rn" === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L until 3L).foreach { qid =>
+      assert(rank1(qid) == (qid + 1000000L, 1.0),
+        s"query $qid: planted copy must survive cell pruning + SQ ADC, got ${rank1(qid)}")
+    }
+    // the corpus-cell candidate join must be hash/sort-merge, not nested loop
+    val p = Similarity.ivfSqTopK(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
