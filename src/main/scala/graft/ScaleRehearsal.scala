@@ -131,6 +131,13 @@ object ScaleRehearsal {
       // bounded by true collisions, so sec should grow ~linearly with scale.
       val (tBoiler, _)         = time(TextStats.boilerplateNgrams(spark, dir).count())
       val (tDecon, nDeconPairs) = time(Sampling.decontamination(spark, dir).count())
+      // round-4 operators with corpus-wide state: q79's chunk table is
+      // O(corpus tokens), q83's CMS is fixed-size with an O(vocabulary)
+      // verify join, q95's blocked candidates must track near-pair density
+      val (tSpan, _)            = time(analytics.Dedup.spanDedup(spark, dir).count())
+      val (tCms, _)             = time(TextStats.heavyHitters(spark, dir).count())
+      val (tFuzzy, _)           = time(analytics.Relational.fuzzyNearDup(spark, dir).count())
+      val (_, nFuzzyCand)       = time(analytics.Relational.fuzzyCandidates(spark, dir).count())
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val (_, nIvfCand) = time(Similarity.ivfCandidatesOn(e,
@@ -151,9 +158,10 @@ object ScaleRehearsal {
         s"""{"scale":$s,"n_docs":$nDocs,"probe_sec":${math.rint(probeSec * 1e4) / 1e4},""" +
         s""""sec":{"q20_exact":$tExact,"q25_jaccard":$tJac,"q26_minhash":$tMh,""" +
         s""""q27_simhash":$tSh,"q63_simhash128":$tSh2,"q37_cc":$tCc,"q51_ivf":$tIvf,""" +
-        s""""q68_boilerplate":$tBoiler,"q69_decontamination":$tDecon},""" +
+        s""""q68_boilerplate":$tBoiler,"q69_decontamination":$tDecon,""" +
+        s""""q79_span_dedup":$tSpan,"q83_heavy_hitters":$tCms,"q95_fuzzy":$tFuzzy},""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
-        s""""simhash128":$nSh2Cand,"ivf":$nIvfCand},""" +
+        s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
         s""""true_pairs":$nPairs,"decon_pairs":$nDeconPairs,""" +
         s""""planted_found":$plantedFound,"planted_expected":$plantedExpected}"""
       println(line)

@@ -132,7 +132,15 @@ object SparkEntry {
     "q99_session_funnel"           -> Relational.sessionFunnel _,
     "q100_source_freshness"        -> ((s: SparkSession, d: String) => Relational.sourceFreshness(s, d)),
     "q101_split_drift"             -> Sampling.splitDrift _,
-    "q102_mergeable_quantiles"     -> Relational.mergeableQuantiles _)
+    "q102_mergeable_quantiles"     -> Relational.mergeableQuantiles _,
+    "q103_mad_outliers"            -> Relational.madOutliers _,
+    "q104_inverted_index"          -> ((s: SparkSession, d: String) => TextStats.invertedIndex(s, d)),
+    "q105_top_part_per_nation"     -> Relational.topPartPerNation _,
+    "q106_shipping_priority"       -> Relational.shippingPriority _,
+    "q107_new_vs_returning"        -> Relational.newVsReturning _,
+    "q108_big_orders"              -> ((s: SparkSession, d: String) => Relational.bigOrders(s, d)),
+    "q109_equidepth_histogram"     -> ((s: SparkSession, d: String) => Relational.equiDepthHistogram(s, d)),
+    "q110_table_checksums"         -> Relational.tableChecksums _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -336,6 +344,114 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
         | true AS s50_rank_ok, true AS s90_rank_ok, true AS s99_rank_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // robust per-stream outliers: exact median/MAD, normal-consistent scale
+    "q103_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  round(min(med), 4) AS med, round(min(mad), 4) AS mad,
+        |  sum(CASE WHEN abs(value - med) > mad * (3 * 1.4826) THEN 1 ELSE 0 END) AS n_outliers
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
+
+    // inverted index: exact df over distinct (term, doc) pairs; postings =
+    // first 20 sorted doc_ids; \S+ tokens (the unified rule)
+    "q104_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT unnest(regexp_extract_all(text, '\S+')) AS term, doc_id
+        |  FROM documents)
+        |SELECT term, count(*) AS df,
+        |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        |FROM td GROUP BY term HAVING count(*) >= 10""".stripMargin,
+
+    // argmax per group: revenue rounded BEFORE the argmax in both engines;
+    // ties break to the smallest partkey
+    "q105_top_part_per_nation" ->
+      """WITH pp AS (
+        |  SELECT s_nationkey, l_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_nationkey, l_partkey),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY s_nationkey ORDER BY revenue DESC, l_partkey ASC) AS rn
+        |  FROM pp)
+        |SELECT n_name AS nation, l_partkey AS p_partkey, revenue
+        |FROM r JOIN nation ON s_nationkey = n_nationkey WHERE rn = 1""".stripMargin,
+
+    // TPC-H Q3 shape; revenue-desc/orderkey-asc top 10
+    "q106_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate::DATE AS o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    // TPC-H Q18 shape: HAVING on the rounded total, AQE-broadcast join back
+    "q108_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c_name, o_orderkey, o_orderdate::DATE AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // equi-depth histogram: interior deciles as one percentile array;
+    // bucket = count of boundaries strictly below the value. Interpolated
+    // boundaries are either exactly a data value (frac = 0 — both engines
+    // return `lower` exactly) or strictly between two adjacent data values,
+    // so the strict < compares identically in both engines.
+    "q109_equidepth_histogram" ->
+      ("""WITH b AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM orders)
+        |SELECT (""".stripMargin +
+        (1 to 9).map(i => s"(CASE WHEN bs[$i] < o_totalprice THEN 1 ELSE 0 END)")
+          .mkString(" + ") +
+        """) AS bucket,
+        |  count(*) AS n_orders,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM orders CROSS JOIN b GROUP BY bucket""".stripMargin),
+
+    // order-insensitive content checksums: 12 hex digits of the row digest
+    // as an integer, summed exactly (HUGEINT / decimal(38,0))
+    "q110_table_checksums" ->
+      """WITH d AS (
+        |  SELECT ('0x' || substring(md5(concat_ws('|', doc_id, text, lang, source)), 1, 12))::BIGINT AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT ('0x' || substring(md5(concat_ws('|', o_orderkey, o_custkey, o_totalprice)), 1, 12))::BIGINT AS h
+        |  FROM orders),
+        |l AS (
+        |  SELECT ('0x' || substring(md5(concat_ws('|', l_orderkey, l_linenumber, l_quantity, l_extendedprice)), 1, 12))::BIGINT AS h
+        |  FROM lineitem)
+        |SELECT 'documents' AS table_name, count(*) AS n_rows, sum(h) AS checksum FROM d
+        |UNION ALL
+        |SELECT 'orders' AS table_name, count(*) AS n_rows, sum(h) AS checksum FROM o
+        |UNION ALL
+        |SELECT 'lineitem' AS table_name, count(*) AS n_rows, sum(h) AS checksum FROM l""".stripMargin,
+
+    // growth accounting: ISO-Monday weeks (q93's rule)
+    "q107_new_vs_returning" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |fw AS (
+        |  SELECT user_id, min(week) AS first_week FROM e GROUP BY user_id)
+        |SELECT week::DATE AS week, count(*) AS active_users,
+        |  sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS new_users,
+        |  count(*) - sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS returning_users
+        |FROM e JOIN fw USING (user_id)
+        |GROUP BY week""".stripMargin,
 
     "q42_session_window" ->
       """WITH e AS (

@@ -307,6 +307,168 @@ object Relational {
         (abs(rankOf(col("s99")) - 0.99) <= eps).as("s99_rank_ok"))
   }
 
+  /** q103: robust outlier detection — per-stream median/MAD z-scores over
+    * the event value column: the data-quality monitor that survives the
+    * heavy tails that break mean/stddev (one corrupt 10^9 value moves a
+    * mean arbitrarily; the median and MAD move by at most one rank). Flags
+    * |x − med| > 3·1.4826·MAD (the normal-consistent MAD scale). Plan: two
+    * tiny per-group EXACT percentile aggregates (group count is the
+    * cardinality of event_type — the q54 buffering caveat does not bite on
+    * low-cardinality keys) broadcast back over the fact scan; the final
+    * pass is one partial+final aggregate. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min(col("med")), 4).as("med"),
+        round(min(col("mad")), 4).as("mad"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * (3 * 1.4826), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** q105: argmax-per-group WITHOUT a window — the top-revenue part per
+    * supplier nation, computed as max(struct(revenue, −partkey)) over the
+    * per-(nation, part) aggregate: two partial+final hash aggregates and a
+    * broadcast dim join, no rank window anywhere. On a 25-key group this
+    * beats a window by a constant, but the shape matters at scale: the
+    * struct-max is a partial aggregate (each map task emits one candidate
+    * per nation), where a window must co-locate and sort EVERY
+    * (nation, part) row per nation. Revenue is rounded before the argmax
+    * in both engines, and ties break to the smallest partkey via the
+    * negated key — fully deterministic. */
+  def topPartPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = lineitem(spark, dir)
+      .join(broadcast(supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    perPart
+      .groupBy(col("s_nationkey"))
+      .agg(max(struct(col("revenue"), (-col("l_partkey")).as("negk"))).as("m"))
+      .join(broadcast(nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), (-col("m.negk")).as("p_partkey"),
+        col("m.revenue").as("revenue"))
+  }
+
+  /** q106: shipping-priority top-10 (the TPC-H Q3 shape): unshipped-revenue
+    * per order for one market segment — a selective broadcast dim filter
+    * (customer segment), date predicates pushed to both fact scans, the
+    * one genuinely big-big shuffle join (orders ⋈ lineitem on orderkey),
+    * one aggregate, and a global top-10 that plans as TakeOrderedAndProject
+    * (per-partition heaps, never a full sort). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-06-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-06-01"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("revenue"))
+  }
+
+  /** q107: growth accounting — weekly active users split into new (first
+    * week of activity) vs returning: the companion view to q93's cohort
+    * triangle, collapsed to the top row every dashboard actually tracks.
+    * Plan: distinct (user, week) activity (one shuffle), per-user first
+    * week (reuses the user clustering), join back, one aggregate. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val firstWeek = e.groupBy(col("user_id")).agg(min(col("week")).as("first_week"))
+    e.join(firstWeek, "user_id")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("week") === col("first_week"), 1L).otherwise(0L)).as("new_users"))
+      .select(col("week").cast("date").as("week"), col("active_users"),
+        col("new_users"), (col("active_users") - col("new_users")).as("returning_users"))
+  }
+
+  /** q108: large-volume orders (the TPC-H Q18 shape) — orders whose total
+    * quantity clears a threshold, rejoined to order/customer detail: the
+    * group-HAVING-semi-join pattern. The aggregate runs partial+final over
+    * the fact table; the surviving key set is tiny and data-dependent, so
+    * the join back is left to AQE (which sees the post-filter size at
+    * runtime and broadcasts it — exactly what static planning can't know);
+    * the customer dim broadcasts statically. */
+  def bigOrders(spark: SparkSession, dir: String, qtyCut: Double = 250.0): DataFrame = {
+    val big = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > qtyCut)
+    orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+  }
+
+  /** q109: equi-DEPTH histogram build — the ANALYZE statistics primitive
+    * behind selectivity estimation (equi-width histograms lie under skew;
+    * equi-depth buckets hold equal row mass by construction). Boundaries
+    * are the exact interior deciles computed in ONE percentile-array
+    * aggregate (one row), broadcast back over the scan; bucket assignment
+    * is nine codegen'd comparisons (no interpreted higher-order function
+    * in the per-row path), then one partial+final aggregate per bucket. */
+  def equiDepthHistogram(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = orders(spark, dir).agg(
+      expr(s"percentile(o_totalprice, array(${ps.mkString("D,")}D))").as("bs"))
+    val bucket = (0 until buckets - 1)
+      .map(i => when(col("bs").getItem(i) < col("o_totalprice"), 1).otherwise(0))
+      .reduce(_ + _)
+    orders(spark, dir).crossJoin(broadcast(bounds))
+      .select(col("o_totalprice"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+  }
+
+  /** q110: order-insensitive table checksums — the data-integrity audit
+    * every migration/compaction/replication pipeline runs: per table, an
+    * exact row count plus a content checksum that is invariant to row
+    * order, partitioning, and file layout (sum of a per-row digest-derived
+    * integer — commutative, so no sort and no single-point collector; the
+    * sum accumulates in decimal so it is exact, never a wrapped long).
+    * Rewriting a table (q47's compaction, a repartition, a format
+    * migration) must preserve the checksum; any dropped, duplicated, or
+    * altered row moves it. */
+  def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
+    def sumOf(df: DataFrame, name: String, rowStr: org.apache.spark.sql.Column): DataFrame =
+      df.select(conv(substring(md5(rowStr.cast("binary")), 1, 12), 16, 10)
+          .cast("decimal(38,0)").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    val docs = sumOf(documents(spark, dir), "documents",
+      concat_ws("|", col("doc_id"), col("text"), col("lang"), col("source")))
+    val ord = sumOf(orders(spark, dir), "orders",
+      concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    val li = sumOf(lineitem(spark, dir), "lineitem",
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice")))
+    docs.unionByName(ord).unionByName(li)
+  }
+
   /** q56: batch event-time RANGE join via bin bucketing — every click in
     * the hour before each purchase (the batch twin of the streaming
     * `purchasesWithRecentClicks`, and the all-matches complement of the
@@ -544,7 +706,19 @@ object Relational {
     * Blocking keys are content-derived, so the join is a plain hash join
     * that AQE can skew-split; candidate volume tracks true near-pair
     * density. Similarity = 1 − lev/max(len), threshold 0.7. */
-  def fuzzyNearDup(spark: SparkSession, dir: String, simThreshold: Double = 0.7): DataFrame = {
+  def fuzzyNearDup(spark: SparkSession, dir: String, simThreshold: Double = 0.7): DataFrame =
+    fuzzyCandidates(spark, dir)
+      .withColumn("lev", levenshtein(col("ta"), col("tb")))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("lev").cast("double") / greatest(col("la"), col("lb")), 4))
+      .filter(col("edit_sim") >= simThreshold)
+      .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"), col("edit_sim"))
+
+  /** The blocked candidate stage of [[fuzzyNearDup]] (equi-join on the
+    * 16-char prefix block + length band, BEFORE the edit distance) — also
+    * the scale instrumentation: blocked-pair count is what must grow with
+    * true near-pair density, not the n² pair space (ScaleRehearsal). */
+  private[graft] def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir)
       .select(col("doc_id"), col("text"),
         substring(col("text"), 1, 16).as("blk"), length(col("text")).as("l"))
@@ -554,11 +728,6 @@ object Relational {
       col("blk"), col("l").as("lb"))
     a.join(b, Seq("blk"))
       .filter(col("doc_a") < col("doc_b") && abs(col("la") - col("lb")) <= 30)
-      .withColumn("lev", levenshtein(col("ta"), col("tb")))
-      .withColumn("edit_sim",
-        round(lit(1.0) - col("lev").cast("double") / greatest(col("la"), col("lb")), 4))
-      .filter(col("edit_sim") >= simThreshold)
-      .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"), col("edit_sim"))
   }
 
   /** q96: rolling 7-day revenue — a RANGE-frame window (value-based bounds,

@@ -110,4 +110,24 @@ class CorpusFilterSpec extends SparkSpec {
     // every document is covered (one row per doc)
     assert(b.count() == graft.Tables.documents(spark, sf("sf0.001")).count())
   }
+
+  test("q104 inverted index: df exact, postings sorted/capped/consistent") {
+    val d = sf("sf0.001")
+    val idx = TextStats.invertedIndex(spark, d).cache()
+    assert(idx.filter(col("df") < 10).count() == 0, "min-df filter")
+    assert(idx.filter(size(col("postings")) > 20).count() == 0, "cap")
+    // postings are sorted ascending and hold min(df, cap) entries
+    assert(idx.filter(size(col("postings")) =!= least(col("df"), lit(20))).count() == 0)
+    assert(idx.filter(expr(
+      "exists(zip_with(postings, slice(postings, 2, size(postings)), (a, b) -> a >= b), x -> x)"
+    )).count() == 0, "postings must be strictly ascending")
+    // spot-check df for one term against a direct count
+    val term = idx.orderBy(col("df").desc).select(col("term")).first().getString(0)
+    val direct = graft.Tables.documents(spark, d)
+      .filter(array_contains(TextStats.tokens(col("text")), term))
+      .count()
+    val df = idx.filter(col("term") === term).select(col("df")).first().getLong(0)
+    assert(df == direct, s"df($term)=$df vs direct=$direct")
+    idx.unpersist()
+  }
 }

@@ -149,6 +149,35 @@ class EventAnalyticsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q103 MAD outliers: med/mad match a direct recompute; flags consistent") {
+    val d = sf("sf0.001")
+    val r = Relational.madOutliers(spark, d).cache()
+    // recompute the robust stats directly and compare exactly
+    val med = graft.Tables.events(spark, d).groupBy(col("event_type"))
+      .agg(expr("round(percentile(value, 0.5D), 4)").as("med2"))
+    assert(r.join(med, "event_type").filter(col("med") =!= col("med2")).count() == 0)
+    assert(r.filter(col("mad") < 0).count() == 0)
+    // 3-MAD outliers are rare by construction on any unimodal value column
+    assert(r.filter(col("n_outliers") * 5 > col("n_events")).count() == 0,
+      "more than 20% outliers means the threshold logic is wrong")
+    r.unpersist()
+  }
+
+  test("q107 growth accounting: active = new + returning; first week all new") {
+    val d = sf("sf0.001")
+    val r = Relational.newVsReturning(spark, d).orderBy(col("week")).cache()
+    assert(r.filter(col("active_users") =!= col("new_users") + col("returning_users"))
+      .count() == 0)
+    val first = r.collect()(0)
+    assert(first.getLong(3) == 0, "nobody can return in the corpus's first week")
+    // every user is new exactly once
+    val totalNew = r.agg(sum(col("new_users"))).collect()(0).getLong(0)
+    val users = graft.Tables.events(spark, d)
+      .select(col("user_id")).distinct().count()
+    assert(totalNew == users, s"sum(new)=$totalNew vs distinct users=$users")
+    r.unpersist()
+  }
+
   test("q101 split drift: smoothed probabilities valid, absent-split language finite") {
     val r = graft.analytics.Sampling.splitDrift(spark, sf("sf0.001")).cache()
     assert(r.count() > 0)

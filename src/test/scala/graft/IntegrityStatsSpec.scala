@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Relational
+
+/** Warehouse-maintenance operators: large-volume orders (q108), equi-depth
+  * histogram statistics (q109), order-insensitive table checksums (q110). */
+class IntegrityStatsSpec extends SparkSpec {
+
+  test("q108 big orders: every row clears the cut; one row per qualifying order") {
+    val d = sf("sf0.001")
+    val r = Relational.bigOrders(spark, d, qtyCut = 150.0).cache()
+    assert(r.filter(col("total_qty") <= 150.0).count() == 0)
+    val qualifying = graft.Tables.lineitem(spark, d)
+      .groupBy(col("l_orderkey")).agg(round(sum(col("l_quantity")), 2).as("t"))
+      .filter(col("t") > 150.0).count()
+    assert(r.count() == qualifying, "the join back must preserve the HAVING set")
+    assert(r.select(col("o_orderkey")).distinct().count() == r.count())
+    r.unpersist()
+  }
+
+  test("q109 equi-depth: buckets cover all rows with near-equal mass, ordered ranges") {
+    val d = sf("sf0.001")
+    val r = Relational.equiDepthHistogram(spark, d).cache()
+    val total = graft.Tables.orders(spark, d).count()
+    assert(r.agg(sum(col("n_orders"))).collect()(0).getLong(0) == total)
+    assert(r.count() == 10, "deciles give exactly 10 buckets on continuous data")
+    val counts = r.select(col("n_orders")).collect().map(_.getLong(0))
+    // equi-depth property: all buckets within ±2 of n/10 barring heavy ties
+    assert(counts.max - counts.min <= 2, s"bucket skew: ${counts.mkString(",")}")
+    // ranges are disjoint and ordered: bucket i's hi <= bucket i+1's lo
+    val byBucket = r.orderBy(col("bucket")).collect()
+    byBucket.sliding(2).foreach { w =>
+      assert(w(0).getDouble(3) <= w(1).getDouble(2),
+        s"overlapping buckets: ${w(0)} vs ${w(1)}")
+    }
+    r.unpersist()
+  }
+
+  test("q110 checksums: invariant to partitioning and rewrite; sensitive to edits") {
+    val d = sf("sf0.001")
+    val base = Relational.tableChecksums(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+
+    // rewrite the documents table with a different layout; checksum must hold
+    val tmp = java.nio.file.Files.createTempDirectory("cksum").toString
+    graft.Tables.documents(spark, d).repartition(13).write
+      .mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // point the checksum at the rewritten copy for its documents leg
+    val rewritten = spark.read.parquet(s"$tmp/documents.parquet")
+      .select(concat_ws("|", col("doc_id"), col("text"), col("lang"), col("source")).as("s"))
+      .select(conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
+        .cast("decimal(38,0)").as("h"))
+      .agg(sum(col("h"))).collect()(0).getDecimal(0)
+    assert(rewritten == base("documents")._2,
+      "layout rewrite must not move the checksum")
+
+    // a single-row edit must move it
+    val edited = graft.Tables.documents(spark, d)
+      .withColumn("text", when(col("doc_id") === 0, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+      .select(concat_ws("|", col("doc_id"), col("text"), col("lang"), col("source")).as("s"))
+      .select(conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
+        .cast("decimal(38,0)").as("h"))
+      .agg(sum(col("h"))).collect()(0).getDecimal(0)
+    assert(edited != base("documents")._2, "a one-character edit must move the checksum")
+  }
+}

@@ -180,6 +180,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("word_cdc_chunks"), "chunking must be the codegen'd kernel\n" + p)
   }
 
+  test("q105: argmax-per-group is two aggregates + broadcast dims — no window") {
+    val p = plan("q105_top_part_per_nation")
+    assert(!p.contains("Window"), "struct-max argmax must not plan a window\n" + p)
+    // both aggregates map-side combine: the revenue sum hash-aggregates,
+    // the struct-max (not hash-aggregable) partial+final SortAggregates —
+    // each map task still emits one candidate per nation
+    assert(p.contains("partial_sum"), "revenue aggregate must be partial+final\n" + p)
+    assert(p.contains("partial_max"), "struct-max must be partial+final\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q106: top-10 plans as TakeOrderedAndProject; segment dim broadcasts") {
+    val p = plan("q106_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate") ||
+      p.contains("GreaterThan(l_shipdate"), "shipdate predicate must reach the scan\n" + p)
+  }
+
+  test("q103: median/MAD tables broadcast back; no corpus-wide window") {
+    val p = plan("q103_mad_outliers")
+    assert(!p.contains("Window"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "med and mad must both broadcast back\n" + p)
+  }
+
+  test("q104: posting collect is capped by the rank; one exchange feeds window+agg") {
+    val p = plan("q104_inverted_index")
+    // the rank window and the per-term aggregate share the hash(term)
+    // clustering — no exchange between them (only distinct's shuffle and
+    // the window's term shuffle exist)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "distinct + term clustering only\n" + p)
+  }
+
   test("q45: single-year read of the date-partitioned zone prunes partitions") {
     import graft.analytics.LayoutOps
     LayoutOps.prunedOrdersByYear(spark, sf("sf0.001")).count() // writes the layout
