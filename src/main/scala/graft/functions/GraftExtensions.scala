@@ -51,7 +51,32 @@ object GraftExtensions {
     "sq_scale"          -> one(SqScale(_)),
     "sq_encode"         -> one(SqEncode(_)),
     "sq_adc_sim"        -> three(SqAdcSim(_, _, _)),
-    "nfc_normalize"     -> one(UnicodeNorm.NfcNormalize(_)))
+    "nfc_normalize"     -> one(UnicodeNorm.NfcNormalize(_)),
+    // custom aggregate: the registry builder returns the AggregateFunction
+    // itself; the analyzer wraps it. Percentiles must be a foldable literal
+    // (scalar or array) — evaluated once at plan time.
+    "graft_quantile_sketch" -> (exprs => {
+      require(exprs.length == 2,
+        "graft_quantile_sketch(value, percentile | array(percentiles))")
+      val pExpr = exprs(1)
+      require(pExpr.foldable, "percentiles must be a literal")
+      def toD(v: Any): Double = v match {
+        case d: Double => d
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case f: Float => f.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case other => throw new IllegalArgumentException(
+          s"percentile literal must be numeric, got $other")
+      }
+      val ps = (pExpr.eval(), pExpr.dataType) match {
+        case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(et, _)) =>
+          a.toObjectArray(et).map(toD).toSeq
+        case (v, _) => Seq(toD(v))
+      }
+      QuantileSketch.QuantileSketchAgg(exprs.head, ps)
+    }))
 
   /** Imperative registration on an existing session (tests, REPL). */
   def register(spark: SparkSession): Unit =

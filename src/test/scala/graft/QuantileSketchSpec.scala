@@ -77,6 +77,20 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: graft_quantile_sketch callable from spark.sql") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v").createOrReplaceTempView("qs_vals")
+    val arr = spark.sql(
+      "SELECT graft_quantile_sketch(v, array(0.5D, 0.8D)) AS qs FROM qs_vals")
+      .collect()(0).getSeq[Double](0)
+    assert(arr == Seq(3.0, 4.0), s"got $arr")
+    // scalar percentile literal (parses as decimal) also accepted
+    val one = spark.sql(
+      "SELECT graft_quantile_sketch(v, 0.5) AS qs FROM qs_vals")
+      .collect()(0).getSeq[Double](0)
+    assert(one == Seq(3.0))
+  }
+
   test("empty group evaluates to null, null inputs are skipped") {
     val df = Seq[(String, Option[Double])](
       ("a", Some(1.0)), ("a", None), ("a", Some(3.0))
