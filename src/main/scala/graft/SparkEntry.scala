@@ -140,7 +140,9 @@ object SparkEntry {
     "q107_new_vs_returning"        -> Relational.newVsReturning _,
     "q108_big_orders"              -> ((s: SparkSession, d: String) => Relational.bigOrders(s, d)),
     "q109_equidepth_histogram"     -> ((s: SparkSession, d: String) => Relational.equiDepthHistogram(s, d)),
-    "q110_table_checksums"         -> Relational.tableChecksums _)
+    "q110_table_checksums"         -> Relational.tableChecksums _,
+    "q111_key_skew_profile"        -> Relational.keySkewProfile _,
+    "q112_order_count_distribution" -> Relational.orderCountDistribution _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -440,6 +442,28 @@ object SparkEntry {
         |SELECT 'orders' AS table_name, count(*) AS n_rows, sum(h) AS checksum FROM o
         |UNION ALL
         |SELECT 'lineitem' AS table_name, count(*) AS n_rows, sum(h) AS checksum FROM l""".stripMargin,
+
+    // skew profiler: H = ln(N) − (Σ c·ln c)/N; ln-parity at 4 dp
+    "q111_key_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |top10 AS (
+        |  SELECT sum(c) AS top10_mass FROM (
+        |    SELECT c FROM counts ORDER BY c DESC, user_id ASC LIMIT 10)),
+        |agg AS (
+        |  SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_freq,
+        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
+        |  FROM counts)
+        |SELECT n_rows, n_keys, max_freq,
+        |  round(top10_mass::DOUBLE / n_rows, 4) AS top10_share,
+        |  round(ln(n_rows::DOUBLE) - clogc / n_rows, 4) AS entropy
+        |FROM agg CROSS JOIN top10""".stripMargin,
+
+    // degree distribution: double aggregate
+    "q112_order_count_distribution" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |GROUP BY n_orders""".stripMargin,
 
     // growth accounting: ISO-Monday weeks (q93's rule)
     "q107_new_vs_returning" ->

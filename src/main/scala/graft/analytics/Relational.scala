@@ -469,6 +469,43 @@ object Relational {
     docs.unionByName(ord).unionByName(li)
   }
 
+  /** q111: join-key skew profiler — the diagnostic that decides WHEN to
+    * salt (q43) or rely on AQE skew splitting: per-key frequency stats
+    * (max, top-10 mass share) plus the Shannon entropy of the key
+    * distribution, in one pass over the per-key counts. A uniform key has
+    * entropy ≈ ln(n_keys) and top10_share ≈ 10/n_keys; a hot key drags
+    * entropy down and share up LONG before a shuffle partition OOMs —
+    * profile first, then pick the mitigation. Plan: one partial+final
+    * count aggregate on the key, then two tiny passes over the
+    * O(n_keys) count table (a one-row global aggregate and a
+    * TakeOrdered top-10), crossJoined back — the fact table is scanned
+    * once. */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val top10 = counts.orderBy(col("c").desc, col("user_id").asc).limit(10)
+      .agg(sum(col("c")).as("top10_mass"))
+    counts
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_freq"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .crossJoin(top10)
+      .select(col("n_rows"), col("n_keys"), col("max_freq"),
+        round(col("top10_mass").cast("double") / col("n_rows"), 4).as("top10_share"),
+        // H = ln(N) - (Σ c·ln c)/N — one pass, no per-key division
+        round(log(col("n_rows").cast("double")) - col("clogc") / col("n_rows"), 4)
+          .as("entropy"))
+  }
+
+  /** q112: degree distribution — "how many customers placed k orders": the
+    * double aggregate (entity → count, count → frequency) behind every
+    * power-law / engagement analysis. The second aggregate runs on the
+    * O(entities) count table and groups on a tiny key domain. */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .groupBy(col("n_orders")).agg(count(lit(1)).as("n_customers"))
+
   /** q56: batch event-time RANGE join via bin bucketing — every click in
     * the hour before each purchase (the batch twin of the streaming
     * `purchasesWithRecentClicks`, and the all-matches complement of the

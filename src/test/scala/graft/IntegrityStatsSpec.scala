@@ -37,6 +37,32 @@ class IntegrityStatsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q111 skew profile: entropy bounded by ln(n_keys), shares consistent") {
+    val d = sf("sf0.001")
+    val r = Relational.keySkewProfile(spark, d).collect()(0)
+    val (nRows, nKeys, maxFreq) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (share, entropy) = (r.getDouble(3), r.getDouble(4))
+    assert(nKeys > 0 && nRows >= nKeys)
+    assert(entropy <= math.log(nKeys.toDouble) + 1e-9, "ln(n_keys) is max entropy")
+    assert(entropy >= 0)
+    assert(share <= 1.0 && share >= maxFreq.toDouble / nRows - 1e-9,
+      "top-10 mass includes the hottest key")
+    // the 10 largest counts average at least the overall mean
+    assert(share * nRows >= 10.0 * (nRows.toDouble / nKeys) - 1.0,
+      "top-10 mass can't undercut 10 mean-mass keys")
+  }
+
+  test("q112 degree distribution: masses reconcile with the orders table") {
+    val d = sf("sf0.001")
+    val r = Relational.orderCountDistribution(spark, d).cache()
+    val orders = graft.Tables.orders(spark, d).count()
+    val customers = graft.Tables.orders(spark, d)
+      .select(col("o_custkey")).distinct().count()
+    assert(r.agg(sum(col("n_customers"))).collect()(0).getLong(0) == customers)
+    assert(r.agg(sum(col("n_orders") * col("n_customers"))).collect()(0).getLong(0) == orders)
+    r.unpersist()
+  }
+
   test("q110 checksums: invariant to partitioning and rewrite; sensitive to edits") {
     val d = sf("sf0.001")
     val base = Relational.tableChecksums(spark, d).collect()

@@ -246,6 +246,26 @@ class StreamingSpec extends SparkSpec {
     assert(byDistrict == Map("Gò Vấp" -> "ok", "Q3" -> "negotiable"))
   }
 
+  test("custom mergeable sketch aggregates a stream (per-key quantiles, update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = in.toDF().toDF("k", "v")
+      .groupBy($"k")
+      .agg(graft.functions.QuantileSketch.quantileSketch($"v", Seq(0.5)).as("qs"))
+      .select($"k", $"qs"(0).as("p50"))
+      .writeStream.format("memory").queryName("stream_qs").outputMode("update").start()
+    try {
+      in.addData((1 to 100).map(i => ("a", i.toDouble)): _*)
+      q.processAllAvailable()
+      // second micro-batch MERGES into the existing sketch state
+      in.addData((101 to 200).map(i => ("a", i.toDouble)): _*)
+      q.processAllAvailable()
+      val p50 = spark.table("stream_qs").collect().map(r => r.getString(0) -> r.getDouble(1))
+        .toMap.apply("a")
+      assert(p50 == 100.0, s"median of 1..200 across two micro-batches: got $p50")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: batchId-keyed writes are idempotent, restart adds no dupes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
