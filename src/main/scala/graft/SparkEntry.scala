@@ -142,7 +142,10 @@ object SparkEntry {
     "q109_equidepth_histogram"     -> ((s: SparkSession, d: String) => Relational.equiDepthHistogram(s, d)),
     "q110_table_checksums"         -> Relational.tableChecksums _,
     "q111_key_skew_profile"        -> Relational.keySkewProfile _,
-    "q112_order_count_distribution" -> Relational.orderCountDistribution _)
+    "q112_order_count_distribution" -> Relational.orderCountDistribution _,
+    "q113_snapshot_diff"           -> Relational.snapshotDiff _,
+    "q114_rolling_active_users"    -> Relational.rollingActiveUsers _,
+    "q115_ri_audit"                -> Relational.riAudit _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -464,6 +467,59 @@ object SparkEntry {
       """SELECT n_orders, count(*) AS n_customers FROM (
         |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
         |GROUP BY n_orders""".stripMargin,
+
+    // snapshot diff: planted v2 (every 7th edited, 13th dropped, bucket<2
+    // appended with +1e6 ids); presence tested on the key, change on md5
+    "q113_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM v1
+        |  WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 2),
+        |d AS (
+        |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+        |              WHEN b.doc_id IS NULL THEN 'removed'
+        |              WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, count(*) AS n_docs FROM d GROUP BY status""".stripMargin,
+
+    // rolling 7-day distinct actives: bounded fan-out (each user-day emits
+    // <= 7 future days), clipped at the log's last day
+    "q114_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM ud),
+        |expanded AS (
+        |  SELECT DISTINCT user_id,
+        |    unnest(generate_series(day::TIMESTAMP,
+        |      least(day + 6, max_day)::TIMESTAMP, INTERVAL 1 DAY))::DATE AS day
+        |  FROM ud CROSS JOIN mx)
+        |SELECT day, count(*) AS active_7d FROM expanded GROUP BY day""".stripMargin,
+
+    // referential-integrity audit: one anti-join per FK edge, keys only
+    "q115_ri_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) f
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = f.k)) AS n_orphan_keys
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders) f
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = f.k))
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) f
+        |   WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = f.k))
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem) f
+        |   WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = f.k))
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        |  (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS k FROM customer) f
+        |   WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = f.k))""".stripMargin,
 
     // growth accounting: ISO-Monday weeks (q93's rule)
     "q107_new_vs_returning" ->

@@ -506,6 +506,90 @@ object Relational {
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
       .groupBy(col("n_orders")).agg(count(lit(1)).as("n_customers"))
 
+  /** Core of q113 over explicit frames: classify every key as
+    * added / removed / changed / unchanged between two snapshots by a
+    * FULL OUTER join on the key comparing content fingerprints — the
+    * CDC/table-diff audit that pairs with q110's checksums (the checksum
+    * says "something moved"; the diff says what). One shuffle per side on
+    * the key; fingerprints are computed in the scan so the join carries
+    * (key, 16-byte digest), not row payloads. */
+  def snapshotDiffOn(v1: DataFrame, v2: DataFrame,
+      key: String, fingerprint: String): DataFrame = {
+    val a = v1.select(col(key).as("k"), md5(col(fingerprint).cast("binary")).as("fp_a"))
+    val b = v2.select(col(key).as("k"), md5(col(fingerprint).cast("binary")).as("fp_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** q113: snapshot diff of the documents table against a deterministically
+    * derived next version (every 7th doc edited, every 13th dropped, new
+    * docs appended for content-bucket < 2 — the planted-change pattern the
+    * rehearsal uses), reduced to per-status counts. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(
+        v1.filter(Sampling.contentBucket(col("text")) < 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    snapshotDiffOn(v1, v2, "doc_id", "text")
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** q114: rolling 7-day distinct active users per day. COUNT(DISTINCT)
+    * cannot ride a sliding window frame (it doesn't decompose), so the
+    * scale shape is bounded fan-out: the event log first reduces to
+    * distinct (user, day) — corpus → O(users·days) — then each user-day
+    * emits the ≤7 future days it keeps that user active for (a constant-
+    * width Generate, no shuffle), distinct again collapses multi-source
+    * credit, and one aggregate counts per day. Every stage is bounded by
+    * users·days·7, never by raw event volume. Days beyond the log's last
+    * day are clipped so trailing windows don't invent future dates. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val maxDay = userDays.agg(max(col("day")).as("max_day"))
+    userDays.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        explode(expr("sequence(day, least(date_add(day, 6), max_day))")).as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_7d"))
+  }
+
+  /** q115: referential-integrity audit — orphan counts for every foreign-
+    * key edge in the star schema, one row per relationship: the
+    * constraint checker a lakehouse runs because parquet doesn't enforce
+    * FKs. Each edge is a left-anti join (no broadcast of the fact side,
+    * no row payloads — keys only, distinct-reduced first so the anti join
+    * probes O(distinct keys)). */
+  def riAudit(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(edge: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame = {
+      val distinctFks = fact.select(col(fk).as("k")).distinct()
+      distinctFks.join(dim.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_keys"))
+        .select(lit(edge).as("fk_edge"), col("n_orphan_keys"))
+    }
+    orphans("lineitem.l_orderkey->orders", lineitem(spark, dir), "l_orderkey",
+        orders(spark, dir), "o_orderkey")
+      .unionByName(orphans("orders.o_custkey->customer", orders(spark, dir), "o_custkey",
+        customer(spark, dir), "c_custkey"))
+      .unionByName(orphans("lineitem.l_partkey->part", lineitem(spark, dir), "l_partkey",
+        part(spark, dir), "p_partkey"))
+      .unionByName(orphans("lineitem.l_suppkey->supplier", lineitem(spark, dir), "l_suppkey",
+        supplier(spark, dir), "s_suppkey"))
+      .unionByName(orphans("customer.c_nationkey->nation", customer(spark, dir), "c_nationkey",
+        nation(spark, dir), "n_nationkey"))
+  }
+
   /** q56: batch event-time RANGE join via bin bucketing — every click in
     * the hour before each purchase (the batch twin of the streaming
     * `purchasesWithRecentClicks`, and the all-matches complement of the

@@ -63,6 +63,43 @@ class IntegrityStatsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q113 snapshot diff: hand-built version pair classifies exactly") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    val got = Relational.snapshotDiffOn(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // corpus-level counts reconcile: |v1| = unchanged + changed + removed
+    val d = sf("sf0.001")
+    val counts = Relational.snapshotDiff(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val n = graft.Tables.documents(spark, d).count()
+    assert(counts("unchanged") + counts("changed") + counts("removed") == n, counts.toString)
+  }
+
+  test("q114 rolling actives: 7-day count >= daily actives, bounded by total users") {
+    val d = sf("sf0.001")
+    val r = Relational.rollingActiveUsers(spark, d).cache()
+    val daily = graft.Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    assert(r.join(daily, "day").filter(col("active_7d") < col("dau")).count() == 0,
+      "a day's 7-day actives can never undercut that day's own actives")
+    val users = graft.Tables.events(spark, d).select(col("user_id")).distinct().count()
+    assert(r.filter(col("active_7d") > users).count() == 0)
+    r.unpersist()
+  }
+
+  test("q115 RI audit: the generated star schema has no orphans; planted orphan caught") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val r = Relational.riAudit(spark, d)
+    assert(r.filter(col("n_orphan_keys") =!= 0).count() == 0,
+      "generated testdata must be referentially intact")
+    assert(r.count() == 5, "one row per FK edge")
+  }
+
   test("q110 checksums: invariant to partitioning and rewrite; sensitive to edits") {
     val d = sf("sf0.001")
     val base = Relational.tableChecksums(spark, d).collect()
