@@ -145,7 +145,9 @@ object SparkEntry {
     "q112_order_count_distribution" -> Relational.orderCountDistribution _,
     "q113_snapshot_diff"           -> Relational.snapshotDiff _,
     "q114_rolling_active_users"    -> Relational.rollingActiveUsers _,
-    "q115_ri_audit"                -> Relational.riAudit _)
+    "q115_ri_audit"                -> Relational.riAudit _,
+    "q116_top_session_paths"       -> ((s: SparkSession, d: String) => Relational.topSessionPaths(s, d)),
+    "q117_time_to_convert"         -> Relational.timeToConvert _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -520,6 +522,54 @@ object SparkEntry {
         |SELECT 'customer.c_nationkey->nation',
         |  (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS k FROM customer) f
         |   WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = f.k))""".stripMargin,
+
+    // top session paths: q12's session CTE + two LEADs; null-propagating
+    // concat drops tail rows; ties break on path
+    "q116_top_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+        |g AS (
+        |  SELECT *, ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s FROM e),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM g),
+        |p AS (
+        |  SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER w || '>' ||
+        |    lead(event_type, 2) OVER w AS path
+        |  FROM s WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts_s, event_id))
+        |SELECT path, count(*) AS n FROM p WHERE path IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
+
+    // conversion latency over q99's session stage anchors
+    "q117_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+        |g AS (
+        |  SELECT *, ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s FROM e),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM g),
+        |w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_s END)
+        |    OVER (PARTITION BY user_id, session_id) AS v_ts FROM s),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_s >= v_ts THEN ts_s END)
+        |    OVER (PARTITION BY user_id, session_id) AS c_ts FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_s >= c_ts THEN ts_s END)
+        |    OVER (PARTITION BY user_id, session_id) AS p_ts FROM w2),
+        |sess AS (
+        |  SELECT user_id, session_id, max(v_ts) AS v_ts, max(c_ts) AS c_ts, max(p_ts) AS p_ts
+        |  FROM w3 GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_converting,
+        |  round(avg(p_ts - v_ts), 4) AS mean_v2p_s,
+        |  round(quantile_cont(p_ts - v_ts, 0.5), 4) AS p50_v2p_s,
+        |  round(quantile_cont(p_ts - v_ts, 0.9), 4) AS p90_v2p_s,
+        |  round(quantile_cont(p_ts - c_ts, 0.5), 4) AS p50_c2p_s
+        |FROM sess WHERE p_ts IS NOT NULL""".stripMargin,
 
     // growth accounting: ISO-Monday weeks (q93's rule)
     "q107_new_vs_returning" ->

@@ -883,12 +883,14 @@ object Relational {
   def sessionFunnel(spark: SparkSession, dir: String): DataFrame =
     sessionFunnelOn(events(spark, dir))
 
-  /** Core of q99 over an explicit (user_id, event_id, event_type, ts) frame
-    * (unit-testable with hand-built sessions). */
-  def sessionFunnelOn(events: DataFrame): DataFrame = {
+  /** Per-session funnel stage anchors: one row per (user, session) with the
+    * session's first view, first in-session click at-or-after it, and first
+    * purchase at-or-after that (nulls where a stage never fires). Shared by
+    * q99 (stage counts) and q117 (conversion-latency stats). */
+  private[graft] def sessionStagesOn(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s").asc, col("event_id").asc)
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
-    val sessions = events
+    events
       .withColumn("ts_s", floor(col("ts").cast("double")).cast("long"))
       .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
       .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
@@ -902,6 +904,12 @@ object Relational {
       .groupBy(col("user_id"), col("session_id"))
       .agg(max(col("v_ts")).as("v_ts"), max(col("c_ts")).as("c_ts"),
         max(col("p_ts")).as("p_ts"))
+  }
+
+  /** Core of q99 over an explicit (user_id, event_id, event_type, ts) frame
+    * (unit-testable with hand-built sessions). */
+  def sessionFunnelOn(events: DataFrame): DataFrame = {
+    val sessions = sessionStagesOn(events)
     sessions.agg(
         count(lit(1)).as("n_sessions"),
         count(col("v_ts")).as("n_view_sessions"),
@@ -914,6 +922,47 @@ object Relational {
         round(col("n_purchase_sessions").cast("double") / col("n_click_sessions"), 4)
           .as("click_to_purchase"))
   }
+
+  /** q116: top session paths — the most frequent within-session event-type
+    * trigrams, the sequence-mining view behind "what do users actually do":
+    * each event row derives its forward path via two LEADs over the session
+    * order (no per-session collect, no list state — path extraction is a
+    * pure window over the same (user, session) clustering q99 rides, so it
+    * reuses the single user_id exchange), then one partial+final count
+    * aggregate and a global top-10 (TakeOrderedAndProject). */
+  def topSessionPaths(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s").asc, col("event_id").asc)
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_s").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("ts_s", floor(col("ts").cast("double")).cast("long"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("path", concat(col("event_type"), lit(">"),
+        lead(col("event_type"), 1).over(bySess), lit(">"),
+        lead(col("event_type"), 2).over(bySess)))
+      .filter(col("path").isNotNull)
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** q117: conversion latency — among fully-converting sessions (q99's
+    * stage anchors all present), the distribution of seconds from first
+    * view to purchase and from click to purchase: count, mean, exact
+    * median/p90. Runs on the per-session stage frame (already tiny), so
+    * the exact percentile buffering is bounded by session count. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame =
+    sessionStagesOn(events(spark, dir))
+      .filter(col("p_ts").isNotNull)
+      .select((col("p_ts") - col("v_ts")).as("v2p"), (col("p_ts") - col("c_ts")).as("c2p"))
+      .agg(count(lit(1)).as("n_converting"),
+        round(avg(col("v2p")), 4).as("mean_v2p_s"),
+        round(expr("percentile(v2p, 0.5D)"), 4).as("p50_v2p_s"),
+        round(expr("percentile(v2p, 0.9D)"), 4).as("p90_v2p_s"),
+        round(expr("percentile(c2p, 0.5D)"), 4).as("p50_c2p_s"))
 
   /** q100: per-stream freshness/lag monitor — the ingest-health view every
     * multi-source pipeline runs continuously: per event stream, volume,
