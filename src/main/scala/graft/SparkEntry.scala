@@ -147,7 +147,9 @@ object SparkEntry {
     "q114_rolling_active_users"    -> Relational.rollingActiveUsers _,
     "q115_ri_audit"                -> Relational.riAudit _,
     "q116_top_session_paths"       -> ((s: SparkSession, d: String) => Relational.topSessionPaths(s, d)),
-    "q117_time_to_convert"         -> Relational.timeToConvert _)
+    "q117_time_to_convert"         -> Relational.timeToConvert _,
+    "q118_phash_neardup"           -> Multimodal.phashNearDup _,
+    "q119_phash_planted_recall"    -> Multimodal.phashPlantedRecall _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1537,6 +1539,11 @@ object SparkEntry {
     "q98_ivfsq_planted_recall" ->
       """SELECT count(*) AS n_queries, true AS planted_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // perceptual-hash media dedup: planted perturbed-copy recall (pins q118)
+    "q119_phash_planted_recall" ->
+      """SELECT count(*) AS n_media, true AS planted_ok
+        |FROM documents WHERE doc_id < 10""".stripMargin,
 
     // session-scoped funnel: q12's session assignment + q92's stage
     // ordering, all within one session; epoch-second flooring throughout

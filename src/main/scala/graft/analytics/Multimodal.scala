@@ -105,4 +105,111 @@ object Multimodal {
         round(avg(col("width")), 4).as("avg_width"),
         round(avg(col("height")), 4).as("avg_height"),
         max(col("n_frames")).as("max_frames"))
+
+  case class MediaHash(doc_id: Long, dhash: Long)
+
+  /** Perceptual difference-hash over the stub decode: an 8×9 "grayscale
+    * tile" (each cell averages one contiguous payload window, so a small
+    * byte-level edit perturbs ONE cell) reduced to 64 adjacent-cell
+    * comparisons — the standard dHash. A real codec replaces `grayTile`
+    * with decode+resize-to-8×9; the hash, banding, and joins stay. Pure
+    * function of the payload bytes → deterministic, testable. */
+  object PerceptualHash {
+    val Rows = 8
+    val Cols = 9
+
+    def grayTile(payload: Array[Byte]): Array[Int] = {
+      val cells = Rows * Cols
+      val out = new Array[Int](cells)
+      val n = payload.length
+      if (n == 0) return out
+      var k = 0
+      while (k < cells) {
+        val lo = (k.toLong * n / cells).toInt
+        val hi = math.max(lo + 1, ((k + 1).toLong * n / cells).toInt)
+        var s = 0
+        var i = lo
+        while (i < hi) { s += payload(i) & 0xFF; i += 1 }
+        out(k) = s / (hi - lo)
+        k += 1
+      }
+      out
+    }
+
+    def dHash(tile: Array[Int]): Long = {
+      var h = 0L
+      var r = 0
+      while (r < Rows) {
+        var c = 0
+        while (c < Cols - 1) {
+          if (tile(r * Cols + c) < tile(r * Cols + c + 1))
+            h |= 1L << (r * (Cols - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
+    def of(payload: Array[Byte]): Long = dHash(grayTile(payload))
+  }
+
+  /** Per-media perceptual hashes, computed in the same partition-wise
+    * decode pass as q31 (one blob read, constant memory per partition). */
+  def mediaHashesOn(media: Dataset[MediaBlob]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { blobs =>
+      blobs.map(b => MediaHash(b.doc_id, PerceptualHash.of(b.payload)))
+    }
+  }
+
+  /** q118: media near-duplicate pairs by perceptual hash — the multimodal
+    * member of the dedup family: 8-byte dHash per blob at rest, banded
+    * 16-bit-chunk equi-join for candidates (pigeonhole-exact for Hamming
+    * ≤ 3, the q27 shape), exact Hamming verify on candidates only. On a
+    * corpus with no visually-near media this is correctly empty (q30's
+    * contract); q119 pins the positive path with planted perturbed copies.
+    * At 100 TB the blobs are read once (hash fused into the decode pass)
+    * and only 8-byte hashes ever shuffle. */
+  def phashNearDupOn(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.BitOps.hammingDistance
+    val chunks = hashes.select(col("doc_id"), col("dhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("dhash"), i * 16).bitwiseAND(0xFFFFL).as("ck"))): _*)).as("c"))
+      .select(col("doc_id"), col("dhash"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    chunks.as("x").join(chunks.as("y"), Seq("chunk", "ck"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hammingDistance(col("x.dhash"), col("y.dhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** q118 entry: over the fake media table (rows-only; q119 is the oracle). */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame =
+    phashNearDupOn(mediaHashesOn(mediaTable(spark, dir)).toDF())
+
+  /** q119: planted perceptual recall — every query blob gets a copy with
+    * its LAST byte flipped: one grayscale cell moves, so the dHash differs
+    * in at most 2 bits and the pair MUST survive banding (two untouched
+    * 16-bit chunks always remain) and the Hamming ≤ 3 verify. A broken
+    * tile, hash, banding, or verify drops the boolean to false. */
+  def phashPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = mediaTable(spark, dir)
+    val planted = base.filter(col("doc_id") < 10).as[MediaBlob].map { b =>
+      val p = b.payload.clone()
+      if (p.nonEmpty) p(p.length - 1) = (p(p.length - 1) ^ 0x01).toByte
+      MediaBlob(b.doc_id + 1000000L, p)
+    }
+    val pairs = phashNearDupOn(mediaHashesOn(base.unionByName(planted)).toDF())
+    val queries = base.filter(col("doc_id") < 10).select(col("doc_id"))
+    queries
+      .join(pairs, col("doc_id") === col("doc_a") &&
+        col("doc_b") === col("doc_id") + 1000000L, "left")
+      .agg(count(lit(1)).as("n_media"),
+        (sum(when(col("doc_b").isNotNull, 1L).otherwise(0L)) === count(lit(1)))
+          .as("planted_ok"))
+  }
 }

@@ -40,4 +40,29 @@ class SinkMultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("n_frames") == 1)
     assert(meta.count() == 500)
   }
+
+  test("q118/q119: perceptual hash — single-byte edit stays within 2 bits, planted found") {
+    import Multimodal.PerceptualHash
+    // tile/hash determinism and locality on hand bytes
+    val p = Array.tabulate(720)(i => ((i * 37) % 251).toByte)
+    val h1 = PerceptualHash.of(p)
+    val p2 = p.clone(); p2(719) = (p2(719) ^ 0x7F).toByte // big flip, last cell only
+    val h2 = PerceptualHash.of(p2)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 2,
+      "a last-byte edit may move only the final cell's two comparisons")
+    // unrelated payloads should differ widely (sanity, not a guarantee)
+    val q = Array.tabulate(720)(i => ((i * 101 + 7) % 249).toByte)
+    assert(java.lang.Long.bitCount(h1 ^ PerceptualHash.of(q)) > 8)
+
+    // planted perturbed copies are retrieved on the corpus
+    val row = Multimodal.phashPlantedRecall(spark, sf("sf0.001")).head()
+    assert(row.getLong(0) == 10 && row.getBoolean(1),
+      s"planted recall failed: $row")
+
+    // candidate generation is an equi-join (no nested loop over media)
+    val plan = Multimodal.phashNearDup(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
