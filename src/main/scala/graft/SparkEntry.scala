@@ -149,7 +149,9 @@ object SparkEntry {
     "q116_top_session_paths"       -> ((s: SparkSession, d: String) => Relational.topSessionPaths(s, d)),
     "q117_time_to_convert"         -> Relational.timeToConvert _,
     "q118_phash_neardup"           -> Multimodal.phashNearDup _,
-    "q119_phash_planted_recall"    -> Multimodal.phashPlantedRecall _)
+    "q119_phash_planted_recall"    -> Multimodal.phashPlantedRecall _,
+    "q120_phrase_search"           -> ((s: SparkSession, d: String) => TextStats.phraseSearch(s, d)),
+    "q121_zipf_fit"                -> ((s: SparkSession, d: String) => TextStats.zipfFit(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1544,6 +1546,28 @@ object SparkEntry {
     "q119_phash_planted_recall" ->
       """SELECT count(*) AS n_media, true AS planted_ok
         |FROM documents WHERE doc_id < 10""".stripMargin,
+
+    // phrase search: token-boundary exact match (the oracle scans; the
+    // Spark side proves index-pruned candidates + verify give the same set)
+    "q120_phrase_search" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE contains(' ' || array_to_string(regexp_extract_all(text, '\S+'), ' ') || ' ',
+        |  ' stream table hash ')""".stripMargin,
+
+    // Zipf fit over the top-500 term frequencies; REGR_* in both engines
+    "q121_zipf_fit" ->
+      """WITH freq AS (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |cnt AS (
+        |  SELECT term, count(*) AS cnt FROM freq GROUP BY term
+        |  ORDER BY cnt DESC, term ASC LIMIT 500),
+        |ranked AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank FROM cnt)
+        |SELECT count(*) AS n_terms,
+        |  round(regr_slope(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 4) AS zipf_slope,
+        |  round(regr_intercept(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 4) AS zipf_intercept,
+        |  round(regr_r2(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 4) AS r2
+        |FROM ranked""".stripMargin,
 
     // session-scoped funnel: q12's session assignment + q92's stage
     // ordering, all within one session; epoch-second flooring throughout

@@ -406,6 +406,57 @@ object TextStats {
         col("tfidf"), col("rk").cast("int").as("rk"))
   }
 
+  /** q120: phrase search through the inverted-index pattern — retrieval's
+    * two-phase shape: the distinct (term, doc) posting pairs prune
+    * candidates to documents containing ALL phrase terms (one aggregate
+    * over the postings restricted to the phrase's terms — each a selective
+    * index lookup, never a corpus scan per term), then the exact
+    * token-boundary phrase verify runs ONLY on the candidates. At 100 TB
+    * the verify — the expensive contains over full text — touches the
+    * handful of docs that share the phrase vocabulary, not the corpus. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: String = "stream table hash"): DataFrame = {
+    val terms = phrase.trim.split("\\s+").toSeq
+    val pairs = documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val cand = pairs.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === terms.length)
+      .select(col("doc_id"))
+    documents(spark, dir)
+      .join(cand, Seq("doc_id"), "left_semi")
+      .filter(concat(lit(" "), array_join(tokens(col("text")), " "), lit(" "))
+        .contains(s" $phrase "))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** q121: Zipf fit of the term-frequency distribution — the vocabulary
+    * health check (natural corpora fit ln(freq) ≈ a + s·ln(rank) with
+    * s ≈ −1; template/boilerplate-heavy corpora flatten it): frequencies
+    * aggregate to O(vocabulary), the top-N cut is a TakeOrdered (never a
+    * full sort), and the regression runs via the built-in REGR_* aggregates
+    * over the tiny ranked frame. The one global rank window is bounded at
+    * `topN` rows by construction — documented small-frame exception. */
+  def zipfFit(spark: SparkSession, dir: String, topN: Int = 500): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+    val top = documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(w))
+    top
+      .select(log(col("cnt").cast("double")).as("lf"),
+        log(col("rank").cast("double")).as("lr"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(lf, lr)"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(lf, lr)"), 4).as("zipf_intercept"),
+        round(expr("regr_r2(lf, lr)"), 4).as("r2"))
+  }
+
   /** q104: inverted-index build — term → document frequency + the first
     * `cap` postings (sorted doc_ids): the text-retrieval primitive behind
     * every keyword-search and data-exploration tool over a corpus. Plan:

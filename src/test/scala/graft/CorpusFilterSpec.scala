@@ -111,6 +111,28 @@ class CorpusFilterSpec extends SparkSpec {
     assert(b.count() == graft.Tables.documents(spark, sf("sf0.001")).count())
   }
 
+  test("q120 phrase search: index-pruned result equals the direct scan") {
+    val d = sf("sf0.001")
+    val phrase = "stream table hash"
+    val viaIndex = TextStats.phraseSearch(spark, d, phrase)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val direct = graft.Tables.documents(spark, d)
+      .filter(concat(lit(" "), array_join(TextStats.tokens(col("text")), " "), lit(" "))
+        .contains(s" $phrase "))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaIndex == direct, s"index path $viaIndex vs scan $direct")
+    // candidate pruning is genuinely narrower than the corpus whenever the
+    // result is smaller than the doc count
+    assert(direct.size < graft.Tables.documents(spark, d).count())
+  }
+
+  test("q121 zipf fit: slope negative, r2 in [0,1], n bounded by topN") {
+    val r = TextStats.zipfFit(spark, sf("sf0.001"), topN = 200).collect()(0)
+    assert(r.getLong(0) <= 200)
+    assert(r.getDouble(1) < 0, "frequency must fall with rank")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+  }
+
   test("q104 inverted index: df exact, postings sorted/capped/consistent") {
     val d = sf("sf0.001")
     val idx = TextStats.invertedIndex(spark, d).cache()
