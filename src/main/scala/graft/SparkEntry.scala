@@ -151,7 +151,11 @@ object SparkEntry {
     "q118_phash_neardup"           -> Multimodal.phashNearDup _,
     "q119_phash_planted_recall"    -> Multimodal.phashPlantedRecall _,
     "q120_phrase_search"           -> ((s: SparkSession, d: String) => TextStats.phraseSearch(s, d)),
-    "q121_zipf_fit"                -> ((s: SparkSession, d: String) => TextStats.zipfFit(s, d)))
+    "q121_zipf_fit"                -> ((s: SparkSession, d: String) => TextStats.zipfFit(s, d)),
+    "q122_ensemble_dedup"          -> ((s: SparkSession, d: String) => Dedup.ensembleDedup(s, d)),
+    "q123_min_cost_supplier"       -> Relational.minCostSupplier _,
+    "q124_copurchase_pairs"        -> ((s: SparkSession, d: String) => Relational.copurchasePairs(s, d)),
+    "q125_association_rules"       -> ((s: SparkSession, d: String) => Relational.associationRules(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1722,5 +1726,86 @@ object SparkEntry {
         |  FROM orders GROUP BY 1, 3)
         |SELECT day, revenue,
         |  round(sum(revenue) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
-        |FROM daily""".stripMargin)
+        |FROM daily""".stripMargin,
+
+    // transitive closure over the UNION of the q25 and q95 edge sets
+    "q122_ensemble_dedup" ->
+      """WITH RECURSIVE
+        |wt AS (
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt),
+        |ej AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
+        |fd AS (
+        |  SELECT doc_id, text, substring(text, 1, 16) AS blk, length(text) AS l
+        |  FROM documents),
+        |ef AS (
+        |  SELECT fa.doc_id AS a, fb.doc_id AS b
+        |  FROM fd fa JOIN fd fb ON fa.blk = fb.blk AND fa.doc_id < fb.doc_id
+        |    AND abs(fa.l - fb.l) <= 30
+        |  WHERE round(1.0 - levenshtein(fa.text, fb.text)::DOUBLE / greatest(fa.l, fb.l), 4) >= 0.7),
+        |e AS (SELECT a, b FROM ej UNION SELECT a, b FROM ef),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+        |  coalesce(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+
+    // the correlated scalar subquery stated literally (Q2 shape); the Spark
+    // side runs the decorrelated min-aggregate + join-back equivalent
+    "q123_min_cost_supplier" ->
+      """WITH u AS (
+        |  SELECT l_partkey, l_suppkey, round(l_extendedprice / l_quantity, 4) AS unit_price
+        |  FROM lineitem)
+        |SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation, u.unit_price
+        |FROM part p
+        |JOIN u ON u.l_partkey = p.p_partkey
+        |JOIN supplier s ON u.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_type = 'PROMO' AND p.p_size < 15
+        |  AND u.unit_price = (SELECT min(u2.unit_price) FROM u u2
+        |                      WHERE u2.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q124_copurchase_pairs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
+
+    "q125_association_rules" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+        |freq AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3)
+        |SELECT part_a, part_b, n_both, fa.n_part AS n_a, fb.n_part AS n_b,
+        |  round(n_both::DOUBLE / fa.n_part, 4) AS confidence,
+        |  round(n_both::DOUBLE * n.n_orders / (fa.n_part * fb.n_part), 4) AS lift
+        |FROM pairs
+        |JOIN freq fa ON pairs.part_a = fa.l_partkey
+        |JOIN freq fb ON pairs.part_b = fb.l_partkey
+        |CROSS JOIN n""".stripMargin)
 }

@@ -428,4 +428,35 @@ object Dedup {
 
   def simhash128Candidates(spark: SparkSession, dir: String): DataFrame =
     simhash128CandidatesOn(documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** q122: ensemble dedup — ONE connected-components pass over the UNION of
+    * two independently-gated edge sets: the exact word-trigram Jaccard pairs
+    * (q25, set-overlap similarity) and the blocked edit-distance pairs (q95,
+    * character-level similarity). The two measures disagree on real data —
+    * token reorderings keep Jaccard high but blow up edit distance, while a
+    * long shared prefix with a divergent tail does the opposite — so a
+    * production dedup pass unions the edge sets and lets transitivity merge
+    * the clusters; a doc pair joined by EITHER measure (or by a chain
+    * alternating between them) lands in one cluster.
+    *
+    * Plan shape: both edge generators are the gated bucketed equi-joins
+    * (PPJoin prefix index / 16-char-prefix block); the union adds one
+    * distinct on the tiny edge list; CC is the same pointer-jumped
+    * iteration as q37. Cost is edges + corpus — nothing pairwise appears
+    * that the per-measure passes didn't already generate. Oracle: DuckDB
+    * recursive-CTE transitive closure over the union of the two gated edge
+    * queries' SQL. */
+  def ensembleDedup(spark: SparkSession, dir: String,
+      jaccardThreshold: Double = 0.6, editThreshold: Double = 0.7): DataFrame = {
+    val textEdges = nearDupPairs(spark, dir, jaccardThreshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val fuzzyEdges = Relational.fuzzyNearDup(spark, dir, editThreshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(textEdges.union(fuzzyEdges))
+    documents(spark, dir).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+  }
 }

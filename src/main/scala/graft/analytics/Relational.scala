@@ -988,6 +988,92 @@ object Relational {
         (col("watermark") - col("last_ts") > staleAfterS).as("is_stale"))
   }
 
+  /** q123: minimum-cost supplier (the TPC-H Q2 shape) — for each part in a
+    * selective slice, every supplier quoting the MINIMUM unit price observed
+    * for that part, with supplier/nation detail. The defining feature is the
+    * correlated scalar subquery (`price = (SELECT min(price) … WHERE
+    * part = outer.part)`), which the oracle states literally; the Spark side
+    * is the decorrelated plan Catalyst would produce anyway — one
+    * partial+final min-aggregate per part, joined back on (part, price) —
+    * written explicitly so the shape is visible and plan-assertable. All
+    * price arithmetic is rounded BEFORE the min and the equi-join, so the
+    * argmin ties are exact in both engines; ties keep every tied supplier
+    * (Q2 semantics), deduped to one row per (part, supplier, price).
+    * Scale: the part slice broadcasts into the fact scan (filter first, so
+    * the fact join is selective), the min-table is tiny (≤ |parts|) and
+    * AQE-broadcast, supplier/nation broadcast statically. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val u = lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"),
+      round(col("l_extendedprice") / col("l_quantity"), 4).as("unit_price"))
+    val p = part(spark, dir)
+      .filter(col("p_type") === "PROMO" && col("p_size") < 15)
+      .select(col("p_partkey"), col("p_brand"))
+    val priced = u.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val mins = priced.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("unit_price")).as("min_price"))
+    priced
+      .join(mins, col("l_partkey") === col("mk") &&
+        col("unit_price") === col("min_price"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        col("n_name").as("nation"), col("unit_price"))
+      .distinct()
+  }
+
+  /** q124: co-purchase pairs — the market-basket edge list: distinct part
+    * pairs appearing in the same order, counted across orders, global
+    * top-20. Pair generation is a self-equi-join on l_orderkey over the
+    * DISTINCT (order, part) projection, so fan-out per order is
+    * C(basket, 2) with baskets bounded by order size (≤ 7 lineitems in
+    * TPC-H) — per-order quadratic, globally linear in orders. The count is
+    * partial+final on the pair key; the top-20 plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def copurchasePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
+      .limit(k)
+  }
+
+  /** q125: association rules over the co-purchase graph — for every
+    * DIRECTED pair (a → b) co-occurring in ≥ minSupport orders: support
+    * count, confidence = P(b | a), and lift = confidence / P(b). The whole
+    * measure stack is exact integer counts until the two final divisions
+    * (rounded at the edge), so it is deterministic and oracle-checkable —
+    * no FP accumulation anywhere. Plan: ONE pair aggregate (reusing q124's
+    * bounded per-order fan-out), one per-part aggregate, the order count
+    * as a one-row broadcast; both enrichment joins are on the tiny
+    * aggregate tables, never on the fact scan. */
+  def associationRules(spark: SparkSession, dir: String, minSupport: Long = 3): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // order universe as a one-row broadcast (never a driver-side action)
+    val nOrders = op.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+    val freq = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") =!= col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(freq.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(freq.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") / col("n_a"), 4).as("confidence"),
+        round(col("n_both").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")), 4).as("lift"))
+  }
+
   /** q90: unpivot (melt) — the inverse of q35's pivot: a wide per-flag
     * aggregate (sum_qty / sum_price / avg_disc as columns) melted back to
     * long (flag, metric, val) rows. Spark's `unpivot` plans as an Expand

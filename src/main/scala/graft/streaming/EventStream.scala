@@ -74,6 +74,70 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class FunnelState(start: Long, last: Long, n: Long,
+      vTs: Long, cTs: Long, pTs: Long) // -1 = stage not reached
+
+  case class SessionFunnel(user_id: Long, sess_start: Long, sess_end: Long,
+      n_events: Long, viewed: Boolean, clicked: Boolean, purchased: Boolean)
+
+  /** Streaming session funnel — the stateful twin of the batch q99: the
+    * same 30-min-gap session state machine, extended with ordered stage
+    * anchors (first view; first click at-or-after it; first purchase
+    * at-or-after that — processing in event order makes the greedy rule
+    * equal to q99's per-session minimums). Each closed session emits one
+    * row with its conversion flags, so the funnel DASHBOARD is a plain
+    * streaming aggregate over this output. State is one fixed-size record
+    * per ACTIVE user (timeout-flushed), independent of history length. */
+  def sessionFunnel(events: Dataset[Event], gapSeconds: Long = 1800,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[SessionFunnel] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+
+    def stage(s: FunnelState, e: Event, t: Long): FunnelState = e.event_type match {
+      case "view" if s.vTs < 0 => s.copy(vTs = t)
+      case "click" if s.vTs >= 0 && s.cTs < 0 && t >= s.vTs => s.copy(cTs = t)
+      case "purchase" if s.cTs >= 0 && s.pTs < 0 && t >= s.cTs => s.copy(pTs = t)
+      case _ => s
+    }
+    def close(userId: Long, s: FunnelState): SessionFunnel =
+      SessionFunnel(userId, s.start, s.last, s.n,
+        viewed = s.vTs >= 0, clicked = s.cTs >= 0, purchased = s.pTs >= 0)
+    def fresh(t: Long): FunnelState = FunnelState(t, t, 0, -1, -1, -1)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) => {
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[SessionFunnel]
+          if (state.hasTimedOut) {
+            cur.foreach(s => out += close(userId, s))
+            state.remove()
+            out.iterator
+          } else {
+            for (e <- batch.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last > gapSeconds =>
+                  out += close(userId, s)
+                  cur = Some(stage(fresh(t), e, t).copy(n = 1))
+                case Some(s) =>
+                  cur = Some(stage(s.copy(last = t, n = s.n + 1), e, t))
+                case None =>
+                  cur = Some(stage(fresh(t), e, t).copy(n = 1))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+              case None => ()
+            }
+            out.iterator
+          }
+        })
+  }
+
   /** Gap-based sessionization (30-min inactivity) with explicit keyed state:
     * emits a Session row when a gap closes a session or the state times out.
     * Processing-time timeout keeps state bounded — sessions for idle users

@@ -180,6 +180,34 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) == ((1L, 1L)) && got(6L) == ((1L, 1L)))
   }
 
+  test("q122 ensemble dedup: cluster forms only through the UNION of measures") {
+    import spark.implicits._
+    // doc 2 = exact copy of doc 1 (Jaccard edge); doc 3 shares doc 2's
+    // 16-char prefix with small char edits in EVERY later token (edit_sim
+    // ≈ 0.92 → fuzzy edge) but trigram Jaccard ≈ 0.14 (no Jaccard edge).
+    // Only the union of the two edge sets chains 1-2-3 into one cluster.
+    val base = "alpha beta gamma delta epsilon zeta"
+    val edited = "alpha beta gamma deltax epsilonx zetax"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, edited),
+      (4L, "completely unrelated singleton text body")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("target/ensemble_docs/documents.parquet")
+    val dir = "target/ensemble_docs"
+
+    val jac = Dedup.jaccardNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac == Set((1L, 2L)), s"Jaccard alone must NOT reach doc 3: $jac")
+    val fuzzy = graft.analytics.Relational.fuzzyNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fuzzy.contains((2L, 3L)) && !fuzzy.contains((1L, 4L)))
+
+    val got = Dedup.ensembleDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((4L, true))), s"union must chain 1-2-3: $got")
+  }
+
   test("pair-graph cache flag: one shared materialized graph, identical rows") {
     val d = sf("sf0.001")
     val base = Dedup.jaccardNearDup(spark, d)

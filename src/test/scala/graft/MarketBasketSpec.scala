@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Relational
+
+/** q123 (Q2-shape correlated argmin), q124 (co-purchase pairs), q125
+  * (association rules): the decorrelated Spark plans checked against
+  * Spark's own correlated-subquery SQL and hand-verified basket math. */
+class MarketBasketSpec extends SparkSpec {
+
+  test("q123 min-cost supplier: decorrelated plan == literal correlated subquery") {
+    val d = sf("sf0.001")
+    Tables.lineitem(spark, d).createOrReplaceTempView("mb_lineitem")
+    Tables.part(spark, d).createOrReplaceTempView("mb_part")
+    Tables.supplier(spark, d).createOrReplaceTempView("mb_supplier")
+    Tables.nation(spark, d).createOrReplaceTempView("mb_nation")
+    // the oracle's correlated form, run by Spark itself (Catalyst
+    // decorrelates it into the same min-agg + join-back shape we hand-wrote)
+    val correlated = spark.sql(
+      """WITH u AS (
+        |  SELECT l_partkey, l_suppkey, round(l_extendedprice / l_quantity, 4) AS unit_price
+        |  FROM mb_lineitem)
+        |SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation, u.unit_price
+        |FROM mb_part p
+        |JOIN u ON u.l_partkey = p.p_partkey
+        |JOIN mb_supplier s ON u.l_suppkey = s.s_suppkey
+        |JOIN mb_nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_type = 'PROMO' AND p.p_size < 15
+        |  AND u.unit_price = (SELECT min(u2.unit_price) FROM u u2
+        |                      WHERE u2.l_partkey = p.p_partkey)""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val got = Relational.minCostSupplier(spark, d).collect().map(_.toSeq).toSet
+    assert(got == correlated)
+    assert(got.nonEmpty)
+    // Q2 tie semantics: a part may keep several suppliers, but only ONE
+    // distinct price — the minimum
+    val prices = got.toSeq.groupBy(_.head).map { case (_, rs) => rs.map(_.last).distinct.size }
+    assert(prices.forall(_ == 1), "every part must carry exactly its min price")
+  }
+
+  test("q124 co-purchase pairs: counts match brute SQL, ordering deterministic") {
+    val d = sf("sf0.001")
+    Tables.lineitem(spark, d).createOrReplaceTempView("mb_lineitem")
+    val brute = spark.sql(
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM mb_lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val got = Relational.copurchasePairs(spark, d).collect().map(_.toSeq).toSeq
+    assert(got == brute)
+    assert(got.size == 20)
+  }
+
+  test("q125 association rules: directed measures, exact-integer invariants") {
+    val d = sf("sf0.001")
+    val rows = Relational.associationRules(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nBoth, nA, nB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (conf, lift) = (r.getDouble(5), r.getDouble(6))
+      assert(nBoth >= 3 && nBoth <= math.min(nA, nB))
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(math.abs(conf - (nBoth.toDouble / nA)) < 1e-9 + 5e-5)
+      assert(lift > 0.0)
+    }
+    // support is symmetric across the two directions of a pair
+    val bySupport = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    bySupport.foreach { case ((a, b), n) =>
+      assert(bySupport.get((b, a)).contains(n), s"support asymmetry at ($a,$b)")
+    }
+  }
+}

@@ -246,6 +246,45 @@ class StreamingSpec extends SparkSpec {
     assert(byDistrict == Map("Gò Vấp" -> "ok", "Q3" -> "negotiable"))
   }
 
+  test("streaming session funnel: stage order enforced, cross-session conversion rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    // NoTimeout for the same reason as the sessionize test above: with
+    // ProcessingTimeTimeout the engine keeps scheduling timeout-check
+    // batches and processAllAvailable never quiesces.
+    val q = EventStream.sessionFunnel(in.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sfunnel").outputMode("append").start()
+    try {
+      in.addData(
+        // u1: view, then click 2h later (NEW session) — no in-session click
+        EventStream.Event(10, ts("2025-01-01 00:00:00"), 1, "view", 0),
+        EventStream.Event(11, ts("2025-01-01 02:00:00"), 1, "click", 0),
+        // u2: full in-session conversion
+        EventStream.Event(20, ts("2025-01-01 00:00:00"), 2, "view", 0),
+        EventStream.Event(21, ts("2025-01-01 00:10:00"), 2, "click", 0),
+        EventStream.Event(22, ts("2025-01-01 00:20:00"), 2, "purchase", 0),
+        // u3: click precedes the session's first view — ordering violation
+        EventStream.Event(30, ts("2025-01-01 00:00:00"), 3, "click", 0),
+        EventStream.Event(31, ts("2025-01-01 00:10:00"), 3, "view", 0))
+      q.processAllAvailable()
+      // close every open session with a far-future event per user
+      (1L to 3L).foreach(u => in.addData(
+        EventStream.Event(90 + u, ts("2025-01-02 00:00:00"), u, "error", 0)))
+      q.processAllAvailable()
+      val closed = spark.table("sfunnel")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toSet
+      // u1 session 1: viewed only; u1 session 2 (the lone click): nothing
+      assert(closed.contains((1L, ts("2025-01-01 00:00:00").getTime / 1000, true, false, false)))
+      assert(closed.contains((1L, ts("2025-01-01 02:00:00").getTime / 1000, false, false, false)))
+      // u2: fully converted
+      assert(closed.contains((2L, ts("2025-01-01 00:00:00").getTime / 1000, true, true, true)))
+      // u3: viewed, but the pre-view click must not count
+      assert(closed.contains((3L, ts("2025-01-01 00:00:00").getTime / 1000, true, false, false)))
+    } finally q.stop()
+  }
+
   test("custom mergeable sketch aggregates a stream (per-key quantiles, update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double)]
