@@ -215,6 +215,43 @@ class PlanShapeSpec extends SparkSpec {
       "distinct + term clustering only\n" + p)
   }
 
+  test("q123: Q2 argmin is aggregate + join-back with broadcast dims — no window, no subquery loop") {
+    val p = plan("q123_min_cost_supplier")
+    assert(!p.contains("Window"), "argmin must decorrelate to agg + join-back, not rank\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // part slice, supplier, nation all broadcast; the min-table join may be
+    // AQE-broadcast or hash — but never a nested loop
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q124: top-20 co-purchase pairs plan as TakeOrderedAndProject over one pair aggregate") {
+    val p = plan("q124_copurchase_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "global top-k must not full-sort\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q125: rule joins run on aggregate tables; order universe is a one-row broadcast") {
+    val p = plan("q125_association_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the deliberate one-row count broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "pair and frequency counts must map-side combine\n" + p)
+  }
+
+  test("q122: ensemble edge union stays on bucketed equi-joins (pre-CC stage)") {
+    // assert on the edge-generation stage: the CC iteration checkpoints its
+    // input, so the final q122 plan would hide the joins that matter
+    import org.apache.spark.sql.functions.col
+    val d = sf("sf0.001")
+    val edges = graft.analytics.Dedup.jaccardNearDup(spark, d)
+      .select(col("doc_a"), col("doc_b"))
+      .union(Relational.fuzzyNearDup(spark, d).select(col("doc_a"), col("doc_b")))
+    val p = edges.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ensemble dedup must stay on bucketed equi-joins\n" + p)
+  }
+
   test("q45: single-year read of the date-partitioned zone prunes partitions") {
     import graft.analytics.LayoutOps
     LayoutOps.prunedOrdersByYear(spark, sf("sf0.001")).count() // writes the layout
