@@ -155,7 +155,11 @@ object SparkEntry {
     "q122_ensemble_dedup"          -> ((s: SparkSession, d: String) => Dedup.ensembleDedup(s, d)),
     "q123_min_cost_supplier"       -> Relational.minCostSupplier _,
     "q124_copurchase_pairs"        -> ((s: SparkSession, d: String) => Relational.copurchasePairs(s, d)),
-    "q125_association_rules"       -> ((s: SparkSession, d: String) => Relational.associationRules(s, d)))
+    "q125_association_rules"       -> ((s: SparkSession, d: String) => Relational.associationRules(s, d)),
+    "q126_revenue_share"           -> Relational.revenueShare _,
+    "q127_order_gap_stats"         -> Relational.orderGapStats _,
+    "q128_rfm_segments"            -> Relational.rfmSegments _,
+    "q129_scd2_intervals"          -> Relational.scd2Intervals _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1807,5 +1811,94 @@ object SparkEntry {
         |FROM pairs
         |JOIN freq fa ON pairs.part_a = fa.l_partkey
         |JOIN freq fb ON pairs.part_b = fb.l_partkey
-        |CROSS JOIN n""".stripMargin)
+        |CROSS JOIN n""".stripMargin,
+
+    "q126_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT r_name, sum(revenue) AS region_rev FROM rev GROUP BY 1),
+        |g AS (SELECT sum(revenue) AS total_rev FROM rev)
+        |SELECT rev.r_name AS region, rev.n_name AS nation, rev.revenue,
+        |  round(rev.revenue / rt.region_rev, 4) AS share_of_region,
+        |  round(rev.revenue / g.total_rev, 4) AS share_of_total
+        |FROM rev JOIN rt ON rev.r_name = rt.r_name CROSS JOIN g""".stripMargin,
+
+    "q127_order_gap_stats" ->
+      """WITH g AS (
+        |  SELECT o_orderdate::DATE -
+        |    lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS gap_days
+        |  FROM orders)
+        |SELECT count(*) AS n_gaps,
+        |  round(avg(gap_days), 4) AS mean_gap_days,
+        |  round(quantile_cont(gap_days, 0.5), 4) AS p50_gap_days,
+        |  round(quantile_cont(gap_days, 0.9), 4) AS p90_gap_days,
+        |  max(gap_days)::INT AS max_gap_days
+        |FROM g WHERE gap_days IS NOT NULL""".stripMargin,
+
+    // quintile boundaries via the q109 pattern (quantile_cont ≡ Spark
+    // percentile); the segment CASE mirrors the Spark side verbatim
+    "q128_rfm_segments" ->
+      """WITH wm AS (SELECT max(o_orderdate::DATE) AS watermark FROM orders),
+        |pc AS (
+        |  SELECT o_custkey,
+        |    (wm.watermark - max(o_orderdate::DATE)) AS recency_days,
+        |    count(*) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders CROSS JOIN wm
+        |  GROUP BY o_custkey, wm.watermark),
+        |b AS (
+        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+        |    quantile_cont(frequency::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS fq,
+        |    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+        |  FROM pc),
+        |s AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    (6 - (1 + (CASE WHEN recency_days > rq[1] THEN 1 ELSE 0 END)
+        |            + (CASE WHEN recency_days > rq[2] THEN 1 ELSE 0 END)
+        |            + (CASE WHEN recency_days > rq[3] THEN 1 ELSE 0 END)
+        |            + (CASE WHEN recency_days > rq[4] THEN 1 ELSE 0 END)))::INT AS r_score,
+        |    (1 + (CASE WHEN frequency > fq[1] THEN 1 ELSE 0 END)
+        |       + (CASE WHEN frequency > fq[2] THEN 1 ELSE 0 END)
+        |       + (CASE WHEN frequency > fq[3] THEN 1 ELSE 0 END)
+        |       + (CASE WHEN frequency > fq[4] THEN 1 ELSE 0 END))::INT AS f_score,
+        |    (1 + (CASE WHEN monetary > mq[1] THEN 1 ELSE 0 END)
+        |       + (CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END)
+        |       + (CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END)
+        |       + (CASE WHEN monetary > mq[4] THEN 1 ELSE 0 END))::INT AS m_score
+        |  FROM pc CROSS JOIN b)
+        |SELECT o_custkey, recency_days::INT AS recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+        |       WHEN f_score <= 2 AND m_score <= 2 THEN 'low_value'
+        |       ELSE 'regular' END AS segment
+        |FROM s""".stripMargin,
+
+    "q129_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, floor(epoch(ts))::BIGINT AS ts_s
+        |  FROM events),
+        |ch AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id) AS prev_type
+        |  FROM e),
+        |k AS (
+        |  SELECT user_id, event_id, event_type, ts_s FROM ch
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER w AS version,
+        |  event_type AS state,
+        |  ts_s AS valid_from,
+        |  lead(ts_s) OVER w AS valid_to,
+        |  (lead(ts_s) OVER w IS NULL) AS is_current
+        |FROM k
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)""".stripMargin)
 }

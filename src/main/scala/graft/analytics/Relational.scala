@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -1072,6 +1072,126 @@ object Relational {
         round(col("n_both").cast("double") / col("n_a"), 4).as("confidence"),
         round(col("n_both").cast("double") * col("n_orders") /
           (col("n_a") * col("n_b")), 4).as("lift"))
+  }
+
+  /** q126: ratio-to-report at two levels — each nation's revenue as a share
+    * of its region and of the grand total. The classic OLAP "percent of
+    * total" is often written as a windowed sum; here both denominators are
+    * LOW-cardinality (5 regions, 1 total), so the right 100 TB shape is the
+    * q58/q59 one: aggregate the denominators separately and broadcast them
+    * back — a window over the detail would serialize on 5 partition keys.
+    * Per-nation revenue is rounded to cents before the share division in
+    * both engines, so the ratios are oracle-stable at 4 dp. */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    val regionTot = rev.groupBy(col("r_name").as("rt_name"))
+      .agg(sum(col("revenue")).as("region_rev"))
+    val grand = rev.agg(sum(col("revenue")).as("total_rev"))
+    rev
+      .join(broadcast(regionTot), col("r_name") === col("rt_name"))
+      .crossJoin(broadcast(grand))
+      .select(col("r_name").as("region"), col("n_name").as("nation"), col("revenue"),
+        round(col("revenue") / col("region_rev"), 4).as("share_of_region"),
+        round(col("revenue") / col("total_rev"), 4).as("share_of_total"))
+  }
+
+  /** q127: inter-order gap distribution — per customer, days between
+    * consecutive orders (lag over the customer's order history), reduced to
+    * the corpus-level purchase-cadence profile: gap count, mean, exact
+    * median/p90, max. The window partitions on the high-cardinality
+    * customer key (parallelism scales with customers); the exact
+    * percentiles buffer only the gap table, which is strictly smaller than
+    * orders. Ties in order date break on o_orderkey, so gaps are
+    * deterministic. */
+  def orderGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+      .filter(col("gap_days").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_days")), 4).as("mean_gap_days"),
+        round(expr("percentile(gap_days, 0.5D)"), 4).as("p50_gap_days"),
+        round(expr("percentile(gap_days, 0.9D)"), 4).as("p90_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+  }
+
+  /** q128: RFM segmentation — the standard customer scoring: recency (days
+    * since last order, against the corpus watermark — max order date, never
+    * wall clock), frequency (order count), monetary (total spend), each
+    * scored 1-5 by exact quintile. Scores use the q109 equi-depth pattern:
+    * the four interior quintile boundaries per metric come from ONE
+    * percentile-array aggregate row broadcast back over the per-customer
+    * aggregate, and score assignment is four codegen'd comparisons — a
+    * global ntile window would single-partition the customer universe,
+    * which is exactly what doesn't survive 100 TB. Segment labels are a
+    * deterministic CASE over the three scores, mirrored verbatim in the
+    * oracle. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val wm = o.agg(max(col("o_orderdate").cast("date")).as("watermark"))
+    val perCust = o
+      .crossJoin(broadcast(wm))
+      .groupBy(col("o_custkey"), col("watermark"))
+      .agg(count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"),
+        max(col("o_orderdate").cast("date")).as("last_order"))
+      .select(col("o_custkey"),
+        datediff(col("watermark"), col("last_order")).as("recency_days"),
+        col("frequency"), col("monetary"))
+    val bounds = perCust.agg(
+      expr("percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rq"),
+      expr("percentile(frequency,    array(0.2D, 0.4D, 0.6D, 0.8D))").as("fq"),
+      expr("percentile(monetary,     array(0.2D, 0.4D, 0.6D, 0.8D))").as("mq"))
+    def score(metric: Column, qs: Column): Column =
+      (lit(1) + (0 until 4).map(i => when(metric > element_at(qs, i + 1), 1).otherwise(0))
+        .reduce(_ + _)).cast("int")
+    perCust.crossJoin(broadcast(bounds))
+      // recency: LOWER is better, so the quintile rank is inverted
+      .withColumn("r_score", (lit(6) - score(col("recency_days").cast("double"), col("rq"))).cast("int"))
+      .withColumn("f_score", score(col("frequency").cast("double"), col("fq")))
+      .withColumn("m_score", score(col("monetary"), col("mq")))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "recent")
+          .when(col("f_score") <= 2 && col("m_score") <= 2, "low_value")
+          .otherwise("regular"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+  }
+
+  /** q129: SCD2 interval build from the event log — per user, the
+    * event_type value treated as a changing attribute: consecutive repeats
+    * collapse, each retained change opens an interval [valid_from,
+    * valid_to) closed by the next change (null = current version), with a
+    * version number. This is the type-2 slowly-changing-dimension
+    * construction every CDC warehouse pipeline runs. Both windows (the
+    * change filter's lag and the interval-closing lead) share the
+    * hash(user_id) clustering — one exchange total; ordering ties break on
+    * event_id so intervals are deterministic. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        floor(col("ts").cast("double")).cast("long").as("ts_s"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_from", col("ts_s"))
+      .withColumn("valid_to", lead(col("ts_s"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
   }
 
   /** q90: unpivot (melt) — the inverse of q35's pivot: a wide per-flag

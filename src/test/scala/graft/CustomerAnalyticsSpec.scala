@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Relational
+
+/** q126 (ratio-to-report), q127 (order-gap stats), q128 (RFM segmentation),
+  * q129 (SCD2 intervals): semantic invariants beyond the oracle hashes. */
+class CustomerAnalyticsSpec extends SparkSpec {
+
+  test("q126 revenue share: shares sum to 1 per region and across regions") {
+    val rows = Relational.revenueShare(spark, sf("sf0.001")).collect()
+    // sf0.001's supplier table covers a subset of the 25 nations
+    assert(rows.length >= 5 && rows.length <= 25)
+    val byRegion = rows.groupBy(_.getString(0))
+    assert(byRegion.size >= 3)
+    byRegion.foreach { case (r, ns) =>
+      val s = ns.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-2, s"region $r shares sum to $s")
+    }
+    val total = rows.map(_.getDouble(4)).sum
+    assert(math.abs(total - 1.0) < 1e-2, s"global shares sum to $total")
+  }
+
+  test("q127 order gaps: count reconciles with orders minus first-order rows") {
+    val d = sf("sf0.001")
+    val row = Relational.orderGapStats(spark, d).head()
+    val nOrders = Tables.orders(spark, d).count()
+    val nCustomers = Tables.orders(spark, d).select(col("o_custkey")).distinct().count()
+    assert(row.getLong(0) == nOrders - nCustomers,
+      "every order except each customer's first contributes one gap")
+    // ordering of the distribution
+    assert(row.getDouble(2) <= row.getDouble(3), "p50 <= p90")
+    assert(row.getDouble(3) <= row.getInt(4).toDouble, "p90 <= max")
+  }
+
+  test("q128 RFM: scores bounded, quintiles balanced, segment rules hold") {
+    val rows = Relational.rfmSegments(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    rows.foreach { r =>
+      val (rs, fs, ms, seg) = (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      if (seg == "champion") assert(rs >= 4 && fs >= 4 && ms >= 4)
+      if (seg == "recent") assert(rs >= 4 && fs <= 2)
+    }
+    // monetary has few ties → its quintiles must be near-balanced
+    val mBuckets = rows.groupBy(_.getInt(6)).map(_._2.size)
+    assert(mBuckets.size == 5)
+    mBuckets.foreach(b => assert(b > n / 10 && b < 3 * n / 10,
+      s"monetary quintile badly unbalanced: $mBuckets"))
+  }
+
+  test("q129 SCD2: intervals chain per user, one current version, no repeated state") {
+    val rows = Relational.scd2Intervals(spark, sf("sf0.001"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._2)
+      // versions are 1..k dense
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"user $u versions")
+      // exactly one open interval, and it is the last version
+      assert(sorted.count(_._5 == -1L) == 1 && sorted.last._5 == -1L, s"user $u current")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 == b._4, s"user $u: interval must close at the next valid_from")
+          assert(a._3 != b._3, s"user $u: consecutive versions must change state")
+        case _ =>
+      }
+    }
+  }
+}

@@ -252,6 +252,32 @@ class PlanShapeSpec extends SparkSpec {
       "ensemble dedup must stay on bucketed equi-joins\n" + p)
   }
 
+  test("q126: ratio-to-report broadcasts denominators back — no window over detail") {
+    val p = plan("q126_revenue_share")
+    assert(!p.contains("Window"), "percent-of-total must not window on 5 region keys\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "dims + region totals must all broadcast\n" + p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "only the one-row grand total may nested-loop\n" + p)
+  }
+
+  test("q128: RFM scores via broadcast quintile bounds — never a global ntile window") {
+    val p = plan("q128_rfm_segments")
+    assert(!p.contains("Window"),
+      "a global ntile would single-partition the customer universe\n" + p)
+    // the only nested-loops are one-row broadcasts: the bounds row plus one
+    // watermark per per-customer aggregate branch (built twice: once to
+    // feed the bounds, once for the scored output)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q129: SCD2 build shares one user_id exchange across both windows") {
+    val p = plan("q129_scd2_intervals")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "lag filter and lead/version windows must reuse the same clustering\n" + p)
+  }
+
   test("q45: single-year read of the date-partitioned zone prunes partitions") {
     import graft.analytics.LayoutOps
     LayoutOps.prunedOrdersByYear(spark, sf("sf0.001")).count() // writes the layout
