@@ -159,7 +159,8 @@ object SparkEntry {
     "q126_revenue_share"           -> Relational.revenueShare _,
     "q127_order_gap_stats"         -> Relational.orderGapStats _,
     "q128_rfm_segments"            -> Relational.rfmSegments _,
-    "q129_scd2_intervals"          -> Relational.scd2Intervals _)
+    "q129_scd2_intervals"          -> Relational.scd2Intervals _,
+    "q130_triangle_count"          -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1900,5 +1901,30 @@ object SparkEntry {
         |  lead(ts_s) OVER w AS valid_to,
         |  (lead(ts_s) OVER w IS NULL) AS is_current
         |FROM k
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)""".stripMargin)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)""".stripMargin,
+
+    // id-ordered enumeration (a<b<c): same count as the degree-ordered
+    // orientation the Spark side uses for bounded wedge fan-out
+    "q130_triangle_count" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        |  GROUP BY 1),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |    (SELECT count(*) FROM e) AS n_edges,
+        |    (SELECT sum(deg * (deg - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+        |    (SELECT count(*) FROM e e1
+        |       JOIN e e2 ON e1.pb = e2.pa
+        |       JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb) AS n_triangles)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(3.0 * n_triangles / n_wedges, 4) AS global_clustering
+        |FROM stats""".stripMargin)
 }

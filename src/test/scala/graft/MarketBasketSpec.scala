@@ -70,4 +70,22 @@ class MarketBasketSpec extends SparkSpec {
       assert(bySupport.get((b, a)).contains(n), s"support asymmetry at ($a,$b)")
     }
   }
+
+  test("q130 triangle stats: K4 fully clustered, path graph has wedges but no triangle") {
+    import spark.implicits._
+    def stats(edges: (Long, Long)*) =
+      graft.analytics.Graph.triangleStatsOn(edges.toDF("pa", "pb")).head()
+    // K4: every C(4,2)=6 edge present → C(4,3)=4 triangles, 12 wedges, cc=1
+    val k4 = stats((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert((k4.getLong(0), k4.getLong(1), k4.getLong(2), k4.getLong(3)) == ((4L, 6L, 12L, 4L)))
+    assert(k4.getDouble(4) == 1.0)
+    // path 1-2-3: one wedge at node 2, no triangle
+    val path = stats((1L, 2L), (2L, 3L))
+    assert((path.getLong(0), path.getLong(1), path.getLong(2), path.getLong(3)) == ((3L, 2L, 1L, 0L)))
+    assert(path.getDouble(4) == 0.0)
+    // triangle + pendant edge: exactly 1 triangle; degrees 2,2,3,1 → 5 wedges
+    val tri = stats((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(tri.getLong(3) == 1L)
+    assert(tri.getLong(2) == 5L, "three corner wedges + two through the degree-3 node")
+  }
 }
