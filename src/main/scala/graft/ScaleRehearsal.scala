@@ -138,6 +138,25 @@ object ScaleRehearsal {
       val (tCms, _)             = time(TextStats.heavyHitters(spark, dir).count())
       val (tFuzzy, _)           = time(analytics.Relational.fuzzyNearDup(spark, dir).count())
       val (_, nFuzzyCand)       = time(analytics.Relational.fuzzyCandidates(spark, dir).count())
+      // round-4 second-half operators: the ensemble CC runs over the UNION
+      // of the Jaccard and fuzzy edge sets (cost must track edges + corpus),
+      // and the triangle pass runs on the near-dup pair graph itself —
+      // planted copies only ever pair with their original, so triangle
+      // growth exposes any accidental clique blow-up in the corpus builder
+      val (tEns, _) = time(Dedup.ensembleDedup(spark, dir).count())
+      val (tTri, nTriangles) = {
+        val edges = Dedup.jaccardNearDup(spark, dir)
+          .select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+        var best = Double.MaxValue
+        var tri = 0L
+        (1 to runs).foreach { _ =>
+          val t0 = System.nanoTime()
+          tri = analytics.Graph.triangleStatsOn(edges)
+            .select(col("n_triangles")).collect()(0).getLong(0)
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        (math.rint(best * 1e4) / 1e4, tri)
+      }
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val (_, nIvfCand) = time(Similarity.ivfCandidatesOn(e,
@@ -159,10 +178,11 @@ object ScaleRehearsal {
         s""""sec":{"q20_exact":$tExact,"q25_jaccard":$tJac,"q26_minhash":$tMh,""" +
         s""""q27_simhash":$tSh,"q63_simhash128":$tSh2,"q37_cc":$tCc,"q51_ivf":$tIvf,""" +
         s""""q68_boilerplate":$tBoiler,"q69_decontamination":$tDecon,""" +
-        s""""q79_span_dedup":$tSpan,"q83_heavy_hitters":$tCms,"q95_fuzzy":$tFuzzy},""" +
+        s""""q79_span_dedup":$tSpan,"q83_heavy_hitters":$tCms,"q95_fuzzy":$tFuzzy,""" +
+        s""""q122_ensemble":$tEns,"q130_triangles":$tTri},""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
-        s""""true_pairs":$nPairs,"decon_pairs":$nDeconPairs,""" +
+        s""""true_pairs":$nPairs,"decon_pairs":$nDeconPairs,"neardup_triangles":$nTriangles,""" +
         s""""planted_found":$plantedFound,"planted_expected":$plantedExpected}"""
       println(line)
       line

@@ -138,6 +138,44 @@ object EventStream {
         })
   }
 
+  case class Scd2State(state: String, from: Long, version: Long)
+
+  case class Scd2Closed(user_id: Long, version: Long, state: String,
+      valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD2 maintenance — the stateful twin of the batch q129: per
+    * user, the event_type attribute's consecutive repeats collapse, and
+    * each attribute CHANGE closes the previous version's interval, which is
+    * emitted downstream (Append mode — only closed, immutable versions
+    * flow; the open "current" version lives in state until its closing
+    * change arrives). This is how a CDC pipeline maintains a type-2
+    * dimension incrementally instead of rebuilding it per batch. State is
+    * ONE fixed-size record per user — bounded by the entity universe
+    * exactly like the dimension table itself, so no timeout eviction is
+    * needed for boundedness. */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[Scd2State]) => {
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[Scd2Closed]
+          for (e <- batch.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
+            val t = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if s.state != e.event_type =>
+                out += Scd2Closed(userId, s.version, s.state, s.from, t)
+                cur = Some(Scd2State(e.event_type, t, s.version + 1))
+              case Some(_) => () // consecutive repeat: collapse
+              case None => cur = Some(Scd2State(e.event_type, t, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Gap-based sessionization (30-min inactivity) with explicit keyed state:
     * emits a Session row when a gap closes a session or the state times out.
     * Processing-time timeout keeps state bounded — sessions for idle users

@@ -285,6 +285,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2: repeats collapse, changes close versions, versions chain across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2").outputMode("append").start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts("2025-01-01 00:00:00"), 1, "view", 0),
+        EventStream.Event(2, ts("2025-01-01 00:05:00"), 1, "view", 0),  // repeat: collapse
+        EventStream.Event(3, ts("2025-01-01 00:10:00"), 1, "click", 0)) // closes v1
+      q.processAllAvailable()
+      in.addData( // second batch: the open v2 must close against retained state
+        EventStream.Event(4, ts("2025-01-01 00:20:00"), 1, "purchase", 0),
+        EventStream.Event(5, ts("2025-01-01 00:30:00"), 2, "view", 0))  // u2 opens, never closes
+      q.processAllAvailable()
+      val closed = spark.table("scd2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val t0 = ts("2025-01-01 00:00:00").getTime / 1000
+      assert(closed == Set(
+        (1L, 1L, "view", t0, t0 + 600),        // v1: repeat collapsed, closed by click
+        (1L, 2L, "click", t0 + 600, t0 + 1200) // v2: closed across the batch boundary
+      ), s"only closed versions may flow: $closed")
+    } finally q.stop()
+  }
+
   test("custom mergeable sketch aggregates a stream (per-key quantiles, update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Double)]
