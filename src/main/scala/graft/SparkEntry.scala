@@ -160,7 +160,8 @@ object SparkEntry {
     "q127_order_gap_stats"         -> Relational.orderGapStats _,
     "q128_rfm_segments"            -> Relational.rfmSegments _,
     "q129_scd2_intervals"          -> Relational.scd2Intervals _,
-    "q130_triangle_count"          -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)))
+    "q130_triangle_count"          -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
+    "q131_maintenance_overlap"     -> Relational.maintenanceOverlap _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1926,5 +1927,29 @@ object SparkEntry {
         |       JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb) AS n_triangles)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  round(3.0 * n_triangles / n_wedges, 4) AS global_clustering
-        |FROM stats""".stripMargin)
+        |FROM stats""".stripMargin,
+
+    // interval×interval overlap stated as the direct range join; the Spark
+    // side runs the day-binned equi-join decomposition of the same predicate
+    "q131_maintenance_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+        |g AS (
+        |  SELECT *, ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s FROM e),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts_s) AS sess_start, max(ts_s) AS sess_end
+        |  FROM s GROUP BY 1, 2),
+        |b AS (SELECT min(ts_s) // 86400 AS dmin, max(ts_s) // 86400 AS dmax FROM e),
+        |w AS (
+        |  SELECT unnest(generate_series(dmin, dmax)) AS day FROM b),
+        |wi AS (
+        |  SELECT day, day * 86400 AS win_start, day * 86400 + 3600 AS win_end FROM w)
+        |SELECT wi.day, wi.win_start, count(*) AS n_sessions,
+        |  sum(least(sess_end, win_end) - greatest(sess_start, win_start)) AS overlap_s
+        |FROM wi JOIN sess ON sess_start < win_end AND sess_end >= win_start
+        |GROUP BY 1, 2""".stripMargin)
 }

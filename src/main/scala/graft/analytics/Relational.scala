@@ -1194,6 +1194,40 @@ object Relational {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** q131: interval-OVERLAP join — q56's binned range-join pattern extended
+    * from point-in-interval to interval×interval: user sessions (q12's
+    * 30-min-gap assignment) joined to the daily 00:00-01:00 maintenance
+    * window they overlap, reporting sessions caught in the window and the
+    * overlapping seconds. The naive formulation is a cross join with two
+    * inequality predicates; here each session explodes to the DAYS it
+    * spans (bounded — sessions are minutes-to-hours, so almost always one
+    * or two rows) and joins the window table on the day key, with the
+    * exact overlap predicate evaluated only on day-collocated candidates.
+    * At warehouse scale the bin key makes this a plain shuffle equi-join
+    * whose fan-out tracks session duration, never the session×window
+    * cross-product. All interval math is integer epoch seconds. */
+  def maintenanceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("sess_start"), col("sess_end"))
+      .withColumn("day", explode(sequence(
+        floor(col("sess_start") / 86400L).cast("long"),
+        floor(col("sess_end") / 86400L).cast("long"))))
+    val bounds = events(spark, dir)
+      .select(floor(col("ts").cast("double")).cast("long").as("ts_s"))
+      .agg(floor(min(col("ts_s")) / 86400L).cast("long").as("dmin"),
+        floor(max(col("ts_s")) / 86400L).cast("long").as("dmax"))
+    val wins = bounds
+      .select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+      .select(col("day"), (col("day") * 86400L).as("win_start"),
+        (col("day") * 86400L + 3600L).as("win_end"))
+    sess.join(wins, Seq("day"))
+      .filter(col("sess_start") < col("win_end") && col("sess_end") >= col("win_start"))
+      .groupBy(col("day"), col("win_start"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(least(col("sess_end"), col("win_end")) -
+          greatest(col("sess_start"), col("win_start"))).as("overlap_s"))
+  }
+
   /** q90: unpivot (melt) — the inverse of q35's pivot: a wide per-flag
     * aggregate (sum_qty / sum_price / avg_disc as columns) melted back to
     * long (flag, metric, val) rows. Spark's `unpivot` plans as an Expand

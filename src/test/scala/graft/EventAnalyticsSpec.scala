@@ -217,6 +217,34 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q131 maintenance overlap: day-binned join equals the direct range join") {
+    val d = sf("sf0.001")
+    val got = Relational.maintenanceOverlap(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty, "some session must cross a 00:00-01:00 window")
+    // brute force: direct inequality join, no binning
+    val sess = Relational.sessionize(spark, d)
+      .select(col("sess_start"), col("sess_end"))
+    val wins = graft.Tables.events(spark, d)
+      .select(floor(col("ts").cast("double")).cast("long").as("ts_s"))
+      .agg(floor(min(col("ts_s")) / 86400L).cast("long").as("dmin"),
+        floor(max(col("ts_s")) / 86400L).cast("long").as("dmax"))
+      .select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+      .select(col("day"), (col("day") * 86400L).as("win_start"),
+        (col("day") * 86400L + 3600L).as("win_end"))
+    val brute = wins.join(sess,
+        col("sess_start") < col("win_end") && col("sess_end") >= col("win_start"))
+      .groupBy(col("day"), col("win_start"))
+      .agg(count(lit(1)).as("n"),
+        sum(least(col("sess_end"), col("win_end")) -
+          greatest(col("sess_start"), col("win_start"))).as("ov"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == brute, "binned decomposition must not change the join result")
+    // every window is exactly the first hour of its day
+    got.keys.foreach { case (day, ws) => assert(ws == day * 86400L) }
+    got.values.foreach { case (n, ov) => assert(ov >= 0 && ov <= n * 3600L) }
+  }
+
   test("q101 split drift: smoothed probabilities valid, absent-split language finite") {
     val r = graft.analytics.Sampling.splitDrift(spark, sf("sf0.001")).cache()
     assert(r.count() > 0)
