@@ -161,7 +161,8 @@ object SparkEntry {
     "q128_rfm_segments"            -> Relational.rfmSegments _,
     "q129_scd2_intervals"          -> Relational.scd2Intervals _,
     "q130_triangle_count"          -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
-    "q131_maintenance_overlap"     -> Relational.maintenanceOverlap _)
+    "q131_maintenance_overlap"     -> Relational.maintenanceOverlap _,
+    "q132_pagerank"                -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1951,5 +1952,30 @@ object SparkEntry {
         |SELECT wi.day, wi.win_start, count(*) AS n_sessions,
         |  sum(least(sess_end, win_end) - greatest(sess_start, win_start)) AS overlap_s
         |FROM wi JOIN sess ON sess_start < win_end AND sess_end >= win_start
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // integer fixed-point PageRank, 5 iterations unrolled — floor division
+    // and exact integer sums make Spark and DuckDB bitwise identical
+    "q132_pagerank" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+        |d AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |oe AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+        |n AS (SELECT src AS node FROM d),
+        |r0 AS (SELECT node, 1000000::BIGINT AS r FROM n),
+        |c1 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r0 r ON oe.src = r.node GROUP BY 1),
+        |r1 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c1 c ON n.node = c.dst),
+        |c2 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r1 r ON oe.src = r.node GROUP BY 1),
+        |r2 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c2 c ON n.node = c.dst),
+        |c3 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r2 r ON oe.src = r.node GROUP BY 1),
+        |r3 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c3 c ON n.node = c.dst),
+        |c4 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r3 r ON oe.src = r.node GROUP BY 1),
+        |r4 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c4 c ON n.node = c.dst),
+        |c5 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r4 r ON oe.src = r.node GROUP BY 1),
+        |r5 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c5 c ON n.node = c.dst)
+        |SELECT node, r AS rank_micro FROM r5""".stripMargin)
 }

@@ -85,4 +85,62 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4).as("global_clustering"))
   }
+
+  /** q132: PageRank over the co-purchase graph (q124/q130's edge rule,
+    * each undirected edge emitted in BOTH directions, so every node has
+    * out-degree ≥ 1 and there is no dangling mass to redistribute).
+    *
+    * Arithmetic is exact INTEGER fixed point — ranks in micro-units
+    * (r₀ = 1 000 000), per-edge contribution `r div deg`, update
+    * `150 000 + (850 · Σ contrib) div 1000` (damping 0.85). Integer
+    * addition is associative and floor division is deterministic, so the
+    * result is bitwise identical across any partitioning, cluster layout,
+    * or engine — which is exactly why the double-precision formulation was
+    * rejected (TODO.md: FP sum order diverges between engines) and this
+    * one gates against DuckDB hash-exact.
+    *
+    * Scale posture: the degree is pre-joined onto the edge list ONCE and
+    * the result materialized — each of the `iters` rounds is then a single
+    * shuffle join (small rank table onto the edge layout) plus one
+    * partial+final sum, with [[Materialize]] cutting lineage per round so
+    * plan size stays O(1) in iteration count. On a cluster, pre-partition
+    * `outEdges` by src and the rank table inherits that layout from the
+    * groupBy(dst) of the previous round — the classic Pregel join shape. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
+      minSupport: Long = 2): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val und = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb"))
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+    pageRankOn(edges, iters)
+  }
+
+  /** Core of q132 over an explicit directed edge frame (src, dst) where
+    * every src has ≥ 1 out-edge — unit-testable with hand graphs. Returns
+    * (node, rank_micro). */
+  def pageRankOn(edgesRaw: DataFrame, iters: Int): DataFrame = {
+    val edges = Materialize(edgesRaw.select(col("src"), col("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree attached once, reused by every iteration
+    val outEdges = Materialize(edges.join(deg, "src"))
+    val nodes = Materialize(deg.select(col("src").as("node")))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = outEdges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = Materialize(nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .selectExpr("node", "150000 + (850 * coalesce(s, 0)) div 1000 AS r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
 }

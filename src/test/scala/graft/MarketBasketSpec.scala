@@ -88,4 +88,43 @@ class MarketBasketSpec extends SparkSpec {
     assert(tri.getLong(3) == 1L)
     assert(tri.getLong(2) == 5L, "three corner wedges + two through the degree-3 node")
   }
+
+  test("q132 pagerank: hand graphs exact; integer fixed point is partition-invariant") {
+    import spark.implicits._
+    def ranks(iters: Int, edges: (Long, Long)*): Map[Long, Long] =
+      graft.analytics.Graph.pageRankOn(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2-cycle is a fixed point: r' = 150000 + 850*(1000000 div 1) div 1000 = 1000000
+    val cyc = ranks(5, (1L, 2L), (2L, 1L))
+    assert(cyc == Map(1L -> 1000000L, 2L -> 1000000L))
+    // star (center 0, leaves 1..3), one iteration, by hand:
+    //   center: 150000 + 850*3000000 div 1000 = 2700000
+    //   leaf:   150000 + 850*(1000000 div 3) div 1000 = 150000 + 283333 = 433333
+    val starEdges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+    val star1 = ranks(1, starEdges: _*)
+    assert(star1 == Map(0L -> 2700000L, 1L -> 433333L, 2L -> 433333L, 3L -> 433333L))
+    // more iterations keep center dominant and leaves symmetric
+    val star5 = ranks(5, starEdges: _*)
+    assert(star5(0L) > star5(1L) && star5(1L) == star5(2L) && star5(2L) == star5(3L))
+    // determinism: the same graph under a different partitioning/row order
+    // must give bitwise-identical ranks (integer sums are order-free)
+    val d = sf("sf0.001")
+    val base = graft.analytics.Graph.pageRank(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base.nonEmpty)
+    val op = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val und = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("pa"), col("pb"))
+    val shuffled = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+      .repartition(7, col("dst"))   // deliberately NOT the layout pageRank builds
+      .sortWithinPartitions(col("dst"))
+    val reRun = graft.analytics.Graph.pageRankOn(shuffled, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reRun == base, "rank must not depend on edge layout")
+  }
 }
