@@ -162,7 +162,9 @@ object SparkEntry {
     "q129_scd2_intervals"          -> Relational.scd2Intervals _,
     "q130_triangle_count"          -> ((s: SparkSession, d: String) => Graph.triangleCount(s, d)),
     "q131_maintenance_overlap"     -> Relational.maintenanceOverlap _,
-    "q132_pagerank"                -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)))
+    "q132_pagerank"                -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
+    "q133_kcore"                   -> ((s: SparkSession, d: String) => Graph.kCore(s, d)),
+    "q134_ensemble_full"           -> ((s: SparkSession, d: String) => Dedup.ensembleDedupFull(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1977,5 +1979,75 @@ object SparkEntry {
         |r4 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c4 c ON n.node = c.dst),
         |c5 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r4 r ON oe.src = r.node GROUP BY 1),
         |r5 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c5 c ON n.node = c.dst)
-        |SELECT node, r AS rank_micro FROM r5""".stripMargin)
+        |SELECT node, r AS rank_micro FROM r5""".stripMargin,
+
+    // 12 peel rounds unrolled — extra rounds past the fixpoint are no-ops,
+    // so the fixed count matches Spark's kCore(rounds = 12) by construction.
+    // CTEs are MATERIALIZED: each round references the previous edge set 3×,
+    // and DuckDB's default inlining would make the scan tree exponential.
+    "q133_kcore" -> {
+      val peels = (1 to 12).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, count(*) AS deg FROM (
+           |    SELECT pa AS node FROM e${i - 1} UNION ALL SELECT pb FROM e${i - 1})
+           |  GROUP BY 1),
+           |e$i AS MATERIALIZED (
+           |  SELECT pa, pb FROM e${i - 1}
+           |  WHERE pa IN (SELECT node FROM d$i WHERE deg >= 3)
+           |    AND pb IN (SELECT node FROM d$i WHERE deg >= 3))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |$peels
+         |SELECT node, count(*)::BIGINT AS core_deg FROM (
+         |  SELECT pa AS node FROM e12 UNION ALL SELECT pb FROM e12)
+         |GROUP BY 1""".stripMargin
+    },
+
+    // q122's union extended with the exact brute-force cosine edge set
+    // (vec_id ≡ doc_id); same recursive-CTE transitive closure
+    "q134_ensemble_full" ->
+      """WITH RECURSIVE
+        |wt AS (
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt),
+        |ej AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
+        |fd AS (
+        |  SELECT doc_id, text, substring(text, 1, 16) AS blk, length(text) AS l
+        |  FROM documents),
+        |ef AS (
+        |  SELECT fa.doc_id AS a, fb.doc_id AS b
+        |  FROM fd fa JOIN fd fb ON fa.blk = fb.blk AND fa.doc_id < fb.doc_id
+        |    AND abs(fa.l - fb.l) <= 30
+        |  WHERE round(1.0 - levenshtein(fa.text, fb.text)::DOUBLE / greatest(fa.l, fb.l), 4) >= 0.7),
+        |ec AS (
+        |  SELECT ea.vec_id AS a, eb.vec_id AS b
+        |  FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
+        |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.95),
+        |e AS (SELECT a, b FROM ej UNION SELECT a, b FROM ef UNION SELECT a, b FROM ec),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+        |  coalesce(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin)
 }

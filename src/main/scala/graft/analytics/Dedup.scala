@@ -459,4 +459,48 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("canonical_id"),
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
   }
+
+  /** q134: the FULL three-measure ensemble — q122's Jaccard ∪ edit edge
+    * union extended with the embedding-cosine leg (the gap TODO.md called
+    * out): documents whose embeddings are near-parallel (cosine ≥
+    * `cosineThreshold`) merge into one component even when their TEXTS
+    * share nothing (translations, paraphrases). vec_id ≡ doc_id is the
+    * generator's alignment convention for the two tables.
+    *
+    * The cosine leg here is the EXACT all-pairs verify — deliberately
+    * quadratic at gate scale so the edge set is decidable and the DuckDB
+    * oracle (brute-force `list_cosine_similarity`) matches hash-exact.
+    * At 100 TB you swap this leg for the sign-LSH candidate generator
+    * ([[Similarity.embeddingNearDup]], q30) — same verify threshold, the
+    * candidates come from O(n) bucket joins instead of n²/2 pairs.
+    * DedupSpec plants a cosine-only duplicate (identical vectors, disjoint
+    * texts) and pins that the third leg merges what text measures can't. */
+  def ensembleDedupFull(spark: SparkSession, dir: String,
+      jaccardThreshold: Double = 0.6, editThreshold: Double = 0.7,
+      cosineThreshold: Double = 0.95): DataFrame = {
+    val textEdges = nearDupPairs(spark, dir, jaccardThreshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val fuzzyEdges = Relational.fuzzyNearDup(spark, dir, editThreshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val labels = connectedComponents(
+      textEdges.union(fuzzyEdges).union(cosineEdgesOn(emb, cosineThreshold)))
+    documents(spark, dir).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+  }
+
+  /** Exact all-pairs cosine edge set over (vec_id, v) — the verification
+    * twin of the LSH leg, unit-testable with hand vectors. Rounded at the
+    * edge like every similarity gate. */
+  private[graft] def cosineEdgesOn(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("b"), col("v").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .filter(round(Sketches.cosineSim(col("va"), col("vb")), 4) >= threshold)
+      .select(col("a"), col("b"))
+  }
 }

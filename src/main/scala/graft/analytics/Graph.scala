@@ -143,4 +143,55 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
+
+  /** q133: k-core decomposition by fixed-round degree peel — each round
+    * drops every node whose degree in the SURVIVING subgraph is < k, and
+    * the edges incident to it. Peeling is monotone, so once the fixpoint
+    * is reached every further round is a no-op: running a FIXED `rounds`
+    * count (rather than loop-until-converged) costs a few empty rounds but
+    * makes the semantics engine-independent and exactly unrollable in the
+    * DuckDB oracle — same fixed-round trick as q132, and like q132 the
+    * arithmetic is pure integers/set logic, so the gate is hash-exact.
+    * KCoreSpec pins that `rounds` = 12 reaches the fixpoint on the test
+    * corpus (rounds 12 ≡ rounds 14).
+    *
+    * Scale posture: one partial+final degree agg plus two left-semi joins
+    * per round — the keep-list is at most the node set (shrinking every
+    * round, broadcast-able long before the edge list is small), and
+    * [[Materialize]] caps lineage at O(1) per round. Output: surviving
+    * (node, core_deg), core_deg ≥ k at the fixpoint. */
+  def kCore(spark: SparkSession, dir: String, k: Int = 3, rounds: Int = 12,
+      minSupport: Long = 2): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val edges = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb"))
+    kCoreOn(edges, k, rounds)
+  }
+
+  /** Core of q133 over an explicit undirected edge frame (pa < pb, no
+    * duplicates) — unit-testable with hand graphs. */
+  def kCoreOn(edgesRaw: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = Materialize(edgesRaw.select(col("pa"), col("pb")))
+    (1 to rounds).foreach { _ =>
+      val keep = edges.select(col("pa").as("node"))
+        .unionByName(edges.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      edges = Materialize(edges
+        .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+        .select(col("pa"), col("pb")))
+    }
+    edges.select(col("pa").as("node"))
+      .unionByName(edges.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

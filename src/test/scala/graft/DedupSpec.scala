@@ -208,6 +208,46 @@ class DedupSpec extends SparkSpec {
       4L -> ((4L, true))), s"union must chain 1-2-3: $got")
   }
 
+  test("q134 full ensemble: cosine leg merges docs no text measure can see") {
+    import spark.implicits._
+    // docs 1-3 chain through text measures exactly as in the q122 spec;
+    // docs 5 and 6 share NO tokens and no prefix — only their embeddings
+    // are parallel, so only the cosine leg can merge them
+    val base = "alpha beta gamma delta epsilon zeta"
+    val edited = "alpha beta gamma deltax epsilonx zetax"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, edited),
+      (4L, "completely unrelated singleton text body"),
+      (5L, "the quick brown fox jumps over lazy dogs"),
+      (6L, "un texto distinto sin palabras compartidas aqui")).toDF("doc_id", "text")
+    val dir = "target/ensemble_full_docs"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def unit(i: Int): Array[Float] = Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    Seq(
+      (1L, unit(0)), (2L, unit(1)), (3L, unit(2)), (4L, unit(3)),
+      (5L, unit(5)), (6L, unit(5)))  // 5 and 6: identical → cosine 1.0
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // the text-only ensemble must NOT merge 5-6...
+    val textOnly = Dedup.ensembleDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(textOnly(5L) == 5L && textOnly(6L) == 6L)
+    // ...and the exact cosine edge set is precisely {(5,6)}
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cosEdges = Dedup.cosineEdgesOn(emb, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cosEdges == Set((5L, 6L)), s"cosine edges: $cosEdges")
+
+    val got = Dedup.ensembleDedupFull(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((4L, true)), 5L -> ((5L, true)), 6L -> ((5L, false))),
+      s"cosine leg must chain 5-6 and nothing else: $got")
+  }
+
   test("pair-graph cache flag: one shared materialized graph, identical rows") {
     val d = sf("sf0.001")
     val base = Dedup.jaccardNearDup(spark, d)

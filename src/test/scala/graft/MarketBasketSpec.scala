@@ -127,4 +127,28 @@ class MarketBasketSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reRun == base, "rank must not depend on edge layout")
   }
+
+  test("q133 k-core: peel cascades through hand graphs; fixed rounds reach the fixpoint") {
+    import spark.implicits._
+    def core(k: Int, edges: (Long, Long)*): Map[Long, Long] =
+      graft.analytics.Graph.kCoreOn(edges.toDF("pa", "pb"), k, rounds = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 is its own 3-core: every node keeps degree 3
+    assert(core(3, (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path graph has no 2-core — the peel eats it from both ends (3 rounds)
+    assert(core(2, (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).isEmpty)
+    // lollipop: triangle + 3-node tail — the tail peels away round by
+    // round (a CASCADE: node 6 only drops after 7 does), triangle survives
+    assert(core(2, (1L, 2L), (2L, 3L), (1L, 3L), (3L, 5L), (5L, 6L), (6L, 7L)) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // fixpoint on real data: 12 rounds ≡ 14 rounds (extra rounds are no-ops)
+    val d = sf("sf0.001")
+    val r12 = graft.analytics.Graph.kCore(spark, d, rounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r14 = graft.analytics.Graph.kCore(spark, d, rounds = 14).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r12 == r14, "peel must converge within 12 rounds on the test corpus")
+    r12.values.foreach(deg => assert(deg >= 3L, "every surviving node keeps core degree >= k"))
+  }
 }

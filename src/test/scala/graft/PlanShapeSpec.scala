@@ -127,6 +127,15 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), "expected a hash-keyed equi-join\n" + p)
   }
 
+  test("q131: interval overlap join is day-keyed, not a nested loop") {
+    val p = plan("q131_maintenance_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval×interval join fell back to nested loop\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected a hash-keyed equi-join on day\n" + p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // At 100 TB: a selective dim filter (one order priority) should reach
