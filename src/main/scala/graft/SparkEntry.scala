@@ -164,7 +164,8 @@ object SparkEntry {
     "q131_maintenance_overlap"     -> Relational.maintenanceOverlap _,
     "q132_pagerank"                -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q133_kcore"                   -> ((s: SparkSession, d: String) => Graph.kCore(s, d)),
-    "q134_ensemble_full"           -> ((s: SparkSession, d: String) => Dedup.ensembleDedupFull(s, d)))
+    "q134_ensemble_full"           -> ((s: SparkSession, d: String) => Dedup.ensembleDedupFull(s, d)),
+    "q135_attribution"             -> Relational.attribution _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2049,5 +2050,25 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
         |  coalesce(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin)
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+
+    "q135_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+        |g AS (
+        |  SELECT *, ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s FROM e),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM g),
+        |t AS (
+        |  SELECT *,
+        |    first_value(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS first_touch,
+        |    coalesce(lag(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts_s, event_id),
+        |      'direct') AS last_touch
+        |  FROM s)
+        |SELECT first_touch, last_touch, count(*)::BIGINT AS n_purchases,
+        |  round(sum(value), 2) AS revenue
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin)
 }

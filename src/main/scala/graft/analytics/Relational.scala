@@ -1228,6 +1228,37 @@ object Relational {
           greatest(col("sess_start"), col("win_start"))).as("overlap_s"))
   }
 
+  /** q135: marketing-style session attribution — every purchase event is
+    * credited to its session's FIRST touch (the event_type that opened the
+    * session) and its LAST touch (the event_type immediately preceding the
+    * purchase inside the session; 'direct' when the purchase itself opens
+    * the session), aggregated to (first_touch, last_touch) cells with
+    * purchase counts and revenue.
+    *
+    * Plan shape: the session chain and both touch windows all partition by
+    * user_id (or a superset key whose clustering user_id satisfies), so
+    * the whole derivation rides ONE user_id exchange — the q129 pattern;
+    * the only second shuffle is the final small aggregate. Revenue sums
+    * round at the edge like every double aggregate under the gate. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s").asc, col("event_id").asc)
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_s").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("ts_s", floor(col("ts").cast("double")).cast("long"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("first_touch", first(col("event_type")).over(
+        bySession.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("last_touch", coalesce(lag(col("event_type"), 1).over(bySession), lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+  }
+
   /** q90: unpivot (melt) — the inverse of q35's pivot: a wide per-flag
     * aggregate (sum_qty / sum_price / avg_disc as columns) melted back to
     * long (flag, metric, val) rows. Spark's `unpivot` plans as an Expand

@@ -245,6 +245,23 @@ class EventAnalyticsSpec extends SparkSpec {
     got.values.foreach { case (n, ov) => assert(ov >= 0 && ov <= n * 3600L) }
   }
 
+  test("q135 attribution: purchase mass reconciles; direct ⇔ session-opening purchase") {
+    val d = sf("sf0.001")
+    val rows = Relational.attribution(spark, d).collect()
+    assert(rows.nonEmpty)
+    // total attributed purchases == total purchase events
+    val nPurchases = graft.Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(2)).sum == nPurchases, "every purchase credited exactly once")
+    // a 'direct' last touch means the purchase OPENED its session, so its
+    // first touch must be 'purchase' itself
+    rows.filter(_.getString(1) == "direct").foreach { r =>
+      assert(r.getString(0) == "purchase",
+        s"direct purchase must be its own first touch: $r")
+    }
+    rows.foreach(r => assert(!r.getDouble(3).isNaN, s"revenue must be finite: $r"))
+  }
+
   test("q101 split drift: smoothed probabilities valid, absent-split language finite") {
     val r = graft.analytics.Sampling.splitDrift(spark, sf("sf0.001")).cache()
     assert(r.count() > 0)

@@ -287,6 +287,14 @@ class PlanShapeSpec extends SparkSpec {
       "lag filter and lead/version windows must reuse the same clustering\n" + p)
   }
 
+  test("q135: attribution rides one user_id exchange plus the final aggregate only") {
+    val p = plan("q135_attribution")
+    val ex = "Exchange hashpartitioning\\(([^,)]+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(ex.size == 2, s"expected session chain + final agg exchanges, got $ex\n" + p)
+    assert(ex.exists(_.startsWith("user_id")),
+      "all three windows must share the user_id clustering\n" + p)
+  }
+
   test("q45: single-year read of the date-partitioned zone prunes partitions") {
     import graft.analytics.LayoutOps
     LayoutOps.prunedOrdersByYear(spark, sf("sf0.001")).count() // writes the layout
