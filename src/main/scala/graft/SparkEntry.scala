@@ -165,7 +165,8 @@ object SparkEntry {
     "q132_pagerank"                -> ((s: SparkSession, d: String) => Graph.pageRank(s, d)),
     "q133_kcore"                   -> ((s: SparkSession, d: String) => Graph.kCore(s, d)),
     "q134_ensemble_full"           -> ((s: SparkSession, d: String) => Dedup.ensembleDedupFull(s, d)),
-    "q135_attribution"             -> Relational.attribution _)
+    "q135_attribution"             -> Relational.attribution _,
+    "q136_pagerank_weighted"       -> ((s: SparkSession, d: String) => Graph.pageRankWeighted(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2070,5 +2071,30 @@ object SparkEntry {
         |  FROM s)
         |SELECT first_touch, last_touch, count(*)::BIGINT AS n_purchases,
         |  round(sum(value), 2) AS revenue
-        |FROM t WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin)
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+
+    // q132 with co-purchase support as the edge weight; contribution is
+    // (r·w) // W_u — identical integer floor semantics on both engines
+    "q136_pagerank_weighted" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS w
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst, w FROM e0 UNION ALL SELECT pb, pa, w FROM e0),
+        |d AS (SELECT src, sum(w)::BIGINT AS wsum FROM e GROUP BY 1),
+        |oe AS (SELECT e.src, e.dst, e.w, d.wsum FROM e JOIN d USING (src)),
+        |n AS (SELECT src AS node FROM d),
+        |r0 AS (SELECT node, 1000000::BIGINT AS r FROM n),
+        |c1 AS (SELECT oe.dst, sum((r.r * oe.w) // oe.wsum)::BIGINT AS s FROM oe JOIN r0 r ON oe.src = r.node GROUP BY 1),
+        |r1 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c1 c ON n.node = c.dst),
+        |c2 AS (SELECT oe.dst, sum((r.r * oe.w) // oe.wsum)::BIGINT AS s FROM oe JOIN r1 r ON oe.src = r.node GROUP BY 1),
+        |r2 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c2 c ON n.node = c.dst),
+        |c3 AS (SELECT oe.dst, sum((r.r * oe.w) // oe.wsum)::BIGINT AS s FROM oe JOIN r2 r ON oe.src = r.node GROUP BY 1),
+        |r3 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c3 c ON n.node = c.dst),
+        |c4 AS (SELECT oe.dst, sum((r.r * oe.w) // oe.wsum)::BIGINT AS s FROM oe JOIN r3 r ON oe.src = r.node GROUP BY 1),
+        |r4 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c4 c ON n.node = c.dst),
+        |c5 AS (SELECT oe.dst, sum((r.r * oe.w) // oe.wsum)::BIGINT AS s FROM oe JOIN r4 r ON oe.src = r.node GROUP BY 1),
+        |r5 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c5 c ON n.node = c.dst)
+        |SELECT node, r AS rank_micro FROM r5""".stripMargin)
 }

@@ -144,6 +144,49 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** q136: WEIGHTED PageRank — q132 with the co-purchase support count as
+    * the edge weight, so heavily co-bought pairs carry proportionally more
+    * rank. Same exact integer fixed point: per-edge contribution is
+    * `(r · w) div W_u` (W_u = total out-weight of u), update unchanged.
+    * Magnitudes stay far from Long range: r ≤ n·10⁶ total mass, w is a
+    * support count — the product tops out around 10¹⁰ at bench scale. */
+  def pageRankWeighted(spark: SparkSession, dir: String, iters: Int = 5,
+      minSupport: Long = 2): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val und = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    pageRankWeightedOn(edges, iters)
+  }
+
+  /** Core of q136 over an explicit weighted directed edge frame
+    * (src, dst, w); every src needs ≥ 1 out-edge. Returns (node,
+    * rank_micro). With all weights equal it reduces to [[pageRankOn]]
+    * up to flooring — MarketBasketSpec pins the uniform-weight case. */
+  def pageRankWeightedOn(edgesRaw: DataFrame, iters: Int): DataFrame = {
+    val edges = Materialize(edgesRaw.select(col("src"), col("dst"), col("w")))
+    val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val outEdges = Materialize(edges.join(wsum, "src"))
+    val nodes = Materialize(wsum.select(col("src").as("node")))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = outEdges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(r * w) div wsum").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = Materialize(nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .selectExpr("node", "150000 + (850 * coalesce(s, 0)) div 1000 AS r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
   /** q133: k-core decomposition by fixed-round degree peel — each round
     * drops every node whose degree in the SURVIVING subgraph is < k, and
     * the edges incident to it. Peeling is monotone, so once the fixpoint

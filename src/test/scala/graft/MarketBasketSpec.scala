@@ -151,4 +151,25 @@ class MarketBasketSpec extends SparkSpec {
     assert(r12 == r14, "peel must converge within 12 rounds on the test corpus")
     r12.values.foreach(deg => assert(deg >= 3L, "every surviving node keeps core degree >= k"))
   }
+
+  test("q136 weighted pagerank: uniform weights reduce to q132; weight skews rank") {
+    import spark.implicits._
+    // uniform weights ≡ unweighted: (r·w) div (deg·w) == r div deg for any w
+    val starU = Seq((0L, 1L, 7L), (0L, 2L, 7L), (0L, 3L, 7L),
+      (1L, 0L, 7L), (2L, 0L, 7L), (3L, 0L, 7L))
+    val unweighted = graft.analytics.Graph.pageRankOn(
+      starU.map(e => (e._1, e._2)).toDF("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uniform = graft.analytics.Graph.pageRankWeightedOn(
+      starU.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uniform == unweighted, "uniform weights must reproduce the unweighted ranks")
+    // triangle where node 0 routes 9/10 of its mass to node 1: after one
+    // iteration node 1 must out-rank node 2 (symmetric otherwise)
+    val skew = Seq((0L, 1L, 9L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (1L, 2L, 1L), (2L, 0L, 1L), (2L, 1L, 1L))
+    val ranks = graft.analytics.Graph.pageRankWeightedOn(skew.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(1L) > ranks(2L), s"weight must skew rank toward node 1: $ranks")
+  }
 }
