@@ -166,7 +166,8 @@ object SparkEntry {
     "q133_kcore"                   -> ((s: SparkSession, d: String) => Graph.kCore(s, d)),
     "q134_ensemble_full"           -> ((s: SparkSession, d: String) => Dedup.ensembleDedupFull(s, d)),
     "q135_attribution"             -> Relational.attribution _,
-    "q136_pagerank_weighted"       -> ((s: SparkSession, d: String) => Graph.pageRankWeighted(s, d)))
+    "q136_pagerank_weighted"       -> ((s: SparkSession, d: String) => Graph.pageRankWeighted(s, d)),
+    "q137_incremental_agg"         -> Relational.incrementalAgg _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2096,5 +2097,19 @@ object SparkEntry {
         |r4 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c4 c ON n.node = c.dst),
         |c5 AS (SELECT oe.dst, sum((r.r * oe.w) // oe.wsum)::BIGINT AS s FROM oe JOIN r4 r ON oe.src = r.node GROUP BY 1),
         |r5 AS (SELECT n.node, (150000 + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM n LEFT JOIN c5 c ON n.node = c.dst)
-        |SELECT node, r AS rank_micro FROM r5""".stripMargin)
+        |SELECT node, r AS rank_micro FROM r5""".stripMargin,
+
+    // the oracle recomputes the view directly over the updated snapshot —
+    // the Spark side must reach the identical table via the signed merge
+    "q137_incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice::DECIMAL(18,2) AS price FROM orders),
+        |base AS (SELECT * FROM o WHERE o_orderkey % 10 <> 0),
+        |ins AS (SELECT * FROM o WHERE o_orderkey % 10 = 0),
+        |net AS (
+        |  SELECT * FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |  sum(price)::DECIMAL(38,2) AS total_spend
+        |FROM net GROUP BY 1""".stripMargin)
 }

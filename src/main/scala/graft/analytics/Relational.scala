@@ -542,6 +542,47 @@ object Relational {
       .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q137: incremental materialized-view maintenance — a per-customer
+    * (n_orders, total_spend) view kept current under a CDC delta WITHOUT
+    * recomputing from the fact table. Deterministically derived scenario
+    * (q113's planted-change pattern): orders with key % 10 == 0 arrive as
+    * INSERTS after the base snapshot; base orders with key % 13 == 0 are
+    * DELETED. Maintenance = aggregate the delta with SIGNED measures
+    * (+1/+price for inserts, −1/−price for deletes), then one full-outer
+    * merge join against the stored view, dropping keys whose count reaches
+    * zero. The gate proves merged ≡ direct recompute over the updated
+    * snapshot — exactly, because money sums run in DECIMAL (exact,
+    * associative) rather than double, so incremental and one-pass
+    * summation cannot diverge by FP order.
+    *
+    * Scale posture: cost is O(|delta|) + one join against the view —
+    * never a fact-table rescan ([[graft.functions.Materialize]] stands in
+    * for the stored view). On a cluster the view is bucketed by the view
+    * key, making the merge join exchange-free on the big side; the delta
+    * agg is partial+final and tiny. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val base = o.filter(col("o_orderkey") % 10 =!= 0)
+    val inserts = o.filter(col("o_orderkey") % 10 === 0)
+    val deletes = base.filter(col("o_orderkey") % 13 === 0)
+    val storedView = graft.functions.Materialize(base.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("spend")))
+    val delta = inserts
+      .select(col("o_custkey"), lit(1L).as("dn"), col("price").as("dp"))
+      .unionByName(deletes
+        .select(col("o_custkey"), lit(-1L).as("dn"), (-col("price")).as("dp")))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dp")).as("dp"))
+    storedView.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("spend"), expr("cast(0 as decimal(28,2))")) +
+          coalesce(col("dp"), expr("cast(0 as decimal(28,2))")))
+          .cast("decimal(38,2)").as("total_spend"))
+      .filter(col("n_orders") > 0)
+  }
+
   /** q114: rolling 7-day distinct active users per day. COUNT(DISTINCT)
     * cannot ride a sliding window frame (it doesn't decompose), so the
     * scale shape is bounded fan-out: the event log first reduces to
