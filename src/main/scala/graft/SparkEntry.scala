@@ -167,7 +167,8 @@ object SparkEntry {
     "q134_ensemble_full"           -> ((s: SparkSession, d: String) => Dedup.ensembleDedupFull(s, d)),
     "q135_attribution"             -> Relational.attribution _,
     "q136_pagerank_weighted"       -> ((s: SparkSession, d: String) => Graph.pageRankWeighted(s, d)),
-    "q137_incremental_agg"         -> Relational.incrementalAgg _)
+    "q137_incremental_agg"         -> Relational.incrementalAgg _,
+    "q138_pagerank_personalized"   -> ((s: SparkSession, d: String) => Graph.pageRankPersonalized(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2111,5 +2112,39 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM ins)
         |SELECT o_custkey, count(*)::BIGINT AS n_orders,
         |  sum(price)::DECIMAL(38,2) AS total_spend
-        |FROM net GROUP BY 1""".stripMargin)
+        |FROM net GROUP BY 1""".stripMargin,
+
+    // personalized restart: seed term (150000·n)//|S| on Brand#1 parts,
+    // zero elsewhere; initial mass likewise concentrated on the seeds
+    "q138_pagerank_personalized" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+        |d AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        |oe AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+        |sd AS (
+        |  SELECT d.src AS node, p.p_partkey IS NOT NULL AS is_seed
+        |  FROM d LEFT JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1') p
+        |    ON d.src = p.p_partkey),
+        |ct AS (SELECT count(*)::BIGINT AS nn,
+        |  sum(CASE WHEN is_seed THEN 1 ELSE 0 END)::BIGINT AS ns FROM sd),
+        |b AS (
+        |  SELECT sd.node,
+        |    (CASE WHEN sd.is_seed THEN (150000 * ct.nn) // ct.ns ELSE 0 END)::BIGINT AS base_r,
+        |    (CASE WHEN sd.is_seed THEN (1000000 * ct.nn) // ct.ns ELSE 0 END)::BIGINT AS r
+        |  FROM sd, ct),
+        |c1 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN b r ON oe.src = r.node GROUP BY 1),
+        |r1 AS (SELECT b.node, (b.base_r + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM b LEFT JOIN c1 c ON b.node = c.dst),
+        |c2 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r1 r ON oe.src = r.node GROUP BY 1),
+        |r2 AS (SELECT b.node, (b.base_r + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM b LEFT JOIN c2 c ON b.node = c.dst),
+        |c3 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r2 r ON oe.src = r.node GROUP BY 1),
+        |r3 AS (SELECT b.node, (b.base_r + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM b LEFT JOIN c3 c ON b.node = c.dst),
+        |c4 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r3 r ON oe.src = r.node GROUP BY 1),
+        |r4 AS (SELECT b.node, (b.base_r + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM b LEFT JOIN c4 c ON b.node = c.dst),
+        |c5 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r4 r ON oe.src = r.node GROUP BY 1),
+        |r5 AS (SELECT b.node, (b.base_r + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM b LEFT JOIN c5 c ON b.node = c.dst)
+        |SELECT node, r AS rank_micro FROM r5""".stripMargin)
 }

@@ -187,6 +187,63 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** q138: PERSONALIZED PageRank — the restart mass lands on a SEED set
+    * (parts of one brand) instead of uniformly, so ranks measure proximity
+    * to the seeds: "what else does this brand's buyer graph orbit". Same
+    * exact integer fixed point as q132; the per-node restart term is
+    * `(150 000 · n) div |S|` for seeds and 0 otherwise (initial mass
+    * likewise concentrated on seeds), so components containing no seed
+    * correctly drain to rank 0. Seed membership is one broadcast-able
+    * left join onto the node list, computed once outside the loop. */
+  def pageRankPersonalized(spark: SparkSession, dir: String,
+      brand: String = "Brand#1", iters: Int = 5, minSupport: Long = 2): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val und = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb"))
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val seeds = graft.Tables.part(spark, dir)
+      .filter(col("p_brand") === brand)
+      .select(col("p_partkey").as("node"), lit(true).as("is_seed"))
+    pageRankPersonalizedOn(edges, seeds, iters)
+  }
+
+  /** Core of q138: edges (src, dst) + a seed frame (node, is_seed=true).
+    * Returns (node, rank_micro); nodes outside any seed's component end
+    * at 0. */
+  def pageRankPersonalizedOn(edgesRaw: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val edges = Materialize(edgesRaw.select(col("src"), col("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outEdges = Materialize(edges.join(deg, "src"))
+    val flagged = deg.select(col("src").as("node"))
+      .join(seeds, Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    val counts = flagged.agg(count(lit(1)).as("nn"),
+      sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"))
+    val based = Materialize(flagged.crossJoin(broadcast(counts))
+      .selectExpr("node",
+        "CASE WHEN is_seed THEN (150000 * nn) div ns ELSE 0 END AS base_r",
+        "CASE WHEN is_seed THEN (1000000 * nn) div ns ELSE 0 END AS r"))
+    var ranks = based.select(col("node"), col("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = outEdges.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = Materialize(based
+        .join(contrib, col("node") === col("dst"), "left")
+        .selectExpr("node", "base_r + (850 * coalesce(s, 0)) div 1000 AS r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
   /** q133: k-core decomposition by fixed-round degree peel — each round
     * drops every node whose degree in the SURVIVING subgraph is < k, and
     * the edges incident to it. Peeling is monotone, so once the fixpoint

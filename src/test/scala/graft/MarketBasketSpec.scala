@@ -172,4 +172,30 @@ class MarketBasketSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ranks(1L) > ranks(2L), s"weight must skew rank toward node 1: $ranks")
   }
+
+  test("q138 personalized pagerank: hand values exact; seedless component drains to 0") {
+    import spark.implicits._
+    // 2-cycle 1↔2 with seed {1}, plus a seedless 2-cycle 3↔4.
+    // Hand-iterated (n=4 nodes? no — per-component semantics fall out of
+    // the GLOBAL n, so keep the graph to just 1↔2 for exact values):
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq((1L, true)).toDF("node", "is_seed")
+    val got = graft.analytics.Graph.pageRankPersonalizedOn(edges, seeds, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=2, |S|=1: base(1)=300000, r0=(2000000, 0); five exact iterations
+    assert(got == Map(1L -> 673351L, 2L -> 1326647L), s"hand iteration mismatch: $got")
+    // seedless component: nodes 3,4 carry no restart mass and never gain any
+    val twoComp = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val got2 = graft.analytics.Graph.pageRankPersonalizedOn(twoComp, seeds, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(3L) == 0L && got2(4L) == 0L, s"seedless component must drain: $got2")
+    assert(got2(1L) > 0L && got2(2L) > 0L)
+    // real data: seeds exist in the graph and total mass never exceeds n·10⁶
+    val d = sf("sf0.001")
+    val real = graft.analytics.Graph.pageRankPersonalized(spark, d).collect()
+    assert(real.nonEmpty)
+    val total = real.map(_.getLong(1)).sum
+    assert(total <= real.length.toLong * 1000000L, "flooring can only lose mass")
+    assert(real.exists(_.getLong(1) > 0L), "some node must be reachable from the seeds")
+  }
 }
