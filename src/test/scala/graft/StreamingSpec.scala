@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{EventStream, IngestStream}
+import graft.streaming.{EventStream, IngestStream, ViewMaintenance}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -369,5 +369,52 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$out/batch_id=0")
     assert(spark.read.parquet(out).count() == 3,
       "a replayed batch must overwrite its own output, never append")
+  }
+
+  test("streaming view maintenance: signed CDC merge equals recompute across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_viewmaint").toString
+    val viewDir = s"$dir/view"
+    val ckpt = s"$dir/_checkpoint"
+    val in = MemoryStream[(String, Long, String)]
+    val cdc = in.toDF().toDF("op", "o_custkey", "price_s")
+      .select(col("op"), col("o_custkey"), col("price_s").cast("decimal(18,2)").as("price"))
+
+    def runOnce(): Unit = {
+      val q = ViewMaintenance.maintainView(cdc, viewDir, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def view(): Map[Long, (Long, BigDecimal)] =
+      ViewMaintenance.latestView(spark, viewDir, Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+
+    // batch 0: three inserts over two customers
+    in.addData(("I", 1L, "10.00"), ("I", 1L, "5.50"), ("I", 2L, "7.25"))
+    runOnce()
+    assert(view() == Map(
+      1L -> ((2L, BigDecimal("15.50"))), 2L -> ((1L, BigDecimal("7.25")))))
+    // batch 1: insert for 3, delete one of customer 1's orders, delete
+    // customer 2's ONLY order — its key must drop from the view
+    in.addData(("I", 3L, "2.00"), ("D", 1L, "10.00"), ("D", 2L, "7.25"))
+    runOnce()
+    val v = view()
+    assert(v == Map(
+      1L -> ((1L, BigDecimal("5.50"))), 3L -> ((1L, BigDecimal("2.00")))),
+      s"merge must subtract deletes and drop drained keys: $v")
+    // restart with no new data: checkpoint prevents re-application
+    runOnce()
+    assert(view() == v, "an empty restart must not change the view")
+    // replay safety: re-merging batch 1's inputs against the view BEFORE
+    // batch 1 reproduces v=1 exactly (crash-before-commit overwrite)
+    val replayed = ViewMaintenance.applyDelta(
+      ViewMaintenance.latestView(spark, viewDir, 1L),
+      Seq(("I", 3L, "2.00"), ("D", 1L, "10.00"), ("D", 2L, "7.25"))
+        .toDF("op", "o_custkey", "price_s")
+        .select(col("op"), col("o_custkey"), col("price_s").cast("decimal(18,2)").as("price")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    assert(replayed == v, "replaying a batch must be idempotent")
   }
 }
