@@ -168,7 +168,8 @@ object SparkEntry {
     "q135_attribution"             -> Relational.attribution _,
     "q136_pagerank_weighted"       -> ((s: SparkSession, d: String) => Graph.pageRankWeighted(s, d)),
     "q137_incremental_agg"         -> Relational.incrementalAgg _,
-    "q138_pagerank_personalized"   -> ((s: SparkSession, d: String) => Graph.pageRankPersonalized(s, d)))
+    "q138_pagerank_personalized"   -> ((s: SparkSession, d: String) => Graph.pageRankPersonalized(s, d)),
+    "q139_label_propagation"       -> ((s: SparkSession, d: String) => Graph.labelPropagation(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2146,5 +2147,29 @@ object SparkEntry {
         |r4 AS (SELECT b.node, (b.base_r + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM b LEFT JOIN c4 c ON b.node = c.dst),
         |c5 AS (SELECT oe.dst, sum(r.r // oe.deg)::BIGINT AS s FROM oe JOIN r4 r ON oe.src = r.node GROUP BY 1),
         |r5 AS (SELECT b.node, (b.base_r + (850 * coalesce(c.s, 0)) // 1000)::BIGINT AS r FROM b LEFT JOIN c5 c ON b.node = c.dst)
-        |SELECT node, r AS rank_micro FROM r5""".stripMargin)
+        |SELECT node, r AS rank_micro FROM r5""".stripMargin,
+
+    // 4 synchronous LPA rounds unrolled; (count DESC, label ASC) tie-break
+    // makes every round a pure function of the last — MATERIALIZED per the
+    // q133 lesson (each round references the previous labeling twice)
+    "q139_label_propagation" -> {
+      val roundsSql = (1 to 4).map { i =>
+        s"""v$i AS MATERIALIZED (
+           |  SELECT e.dst, l.lbl, count(*) AS c
+           |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (
+           |  SELECT dst AS node, lbl FROM (
+           |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl ASC) AS rn
+           |    FROM v$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT dst AS node, dst AS lbl FROM e),
+         |$roundsSql
+         |SELECT node, lbl AS community FROM l4""".stripMargin
+    })
 }

@@ -275,6 +275,56 @@ object Graph {
     kCoreOn(edges, k, rounds)
   }
 
+  /** q139: label-propagation communities — every node starts as its own
+    * label; each SYNCHRONOUS round it adopts the most frequent label among
+    * its neighbors, ties broken by smallest label. The tie-break makes
+    * each round a pure function of the previous labeling, so a FIXED
+    * round count is engine-independent and unrolls exactly in the oracle
+    * (q132/q133's trick — convergence detection never has to be expressed
+    * in SQL; LPA's known oscillation modes don't matter for the gate
+    * because both sides run the identical round count). CC (q37) answers
+    * reachability; LPA splits dense regions connected by thin bridges —
+    * the complementary community question.
+    *
+    * Scale posture per round: one shuffle join (labels onto the edge
+    * layout), one (dst, label) count aggregate, one argmax via
+    * max(struct) partial+final — no window over the full node set — and
+    * Materialize caps lineage. */
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 4,
+      minSupport: Long = 2): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val und = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb"))
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+    labelPropagationOn(edges, rounds)
+  }
+
+  /** Core of q139 over a directed edge frame where every node appears as a
+    * dst (true for doubled undirected edges) — unit-testable with hand
+    * graphs. Returns (node, community). */
+  def labelPropagationOn(edgesRaw: DataFrame, rounds: Int): DataFrame = {
+    val edges = Materialize(edgesRaw.select(col("src"), col("dst")))
+    val nodes = Materialize(edges.select(col("dst").as("node")).distinct())
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    (1 to rounds).foreach { _ =>
+      labels = Materialize(edges
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl")))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Core of q133 over an explicit undirected edge frame (pa < pb, no
     * duplicates) — unit-testable with hand graphs. */
   def kCoreOn(edgesRaw: DataFrame, k: Int, rounds: Int): DataFrame = {

@@ -198,4 +198,29 @@ class MarketBasketSpec extends SparkSpec {
     assert(total <= real.length.toLong * 1000000L, "flooring can only lose mass")
     assert(real.exists(_.getLong(1) > 0L), "some node must be reachable from the seeds")
   }
+
+  test("q139 label propagation: components keep distinct communities; K4 converges") {
+    import spark.implicits._
+    def lpa(rounds: Int, edges: (Long, Long)*): Map[Long, Long] = {
+      val und = edges.flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      graft.analytics.Graph.labelPropagationOn(und.toDF("src", "dst"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // K4 converges to the all-1 community within 2 rounds
+    assert(lpa(4, (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // two disjoint triangles: one community each, never mixed
+    val two = lpa(4, (1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    assert(two(1L) == two(2L) && two(2L) == two(3L))
+    assert(two(10L) == two(11L) && two(11L) == two(12L))
+    assert(two(1L) != two(10L), s"disjoint components must keep distinct labels: $two")
+    // determinism under re-layout
+    val d = sf("sf0.001")
+    val base = graft.analytics.Graph.labelPropagation(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base.nonEmpty)
+    val again = graft.analytics.Graph.labelPropagation(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == base)
+  }
 }
