@@ -169,7 +169,8 @@ object SparkEntry {
     "q136_pagerank_weighted"       -> ((s: SparkSession, d: String) => Graph.pageRankWeighted(s, d)),
     "q137_incremental_agg"         -> Relational.incrementalAgg _,
     "q138_pagerank_personalized"   -> ((s: SparkSession, d: String) => Graph.pageRankPersonalized(s, d)),
-    "q139_label_propagation"       -> ((s: SparkSession, d: String) => Graph.labelPropagation(s, d)))
+    "q139_label_propagation"       -> ((s: SparkSession, d: String) => Graph.labelPropagation(s, d)),
+    "q140_reach2"                  -> ((s: SparkSession, d: String) => Graph.reach2(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2171,5 +2172,18 @@ object SparkEntry {
          |l0 AS MATERIALIZED (SELECT DISTINCT dst AS node, dst AS lbl FROM e),
          |$roundsSql
          |SELECT node, lbl AS community FROM l4""".stripMargin
-    })
+    },
+
+    "q140_reach2" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+        |p AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src WHERE b.dst <> a.src)
+        |SELECT src AS node, count(*)::BIGINT AS n_reach2 FROM p GROUP BY 1""".stripMargin)
 }

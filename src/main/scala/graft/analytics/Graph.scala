@@ -307,6 +307,35 @@ object Graph {
     labelPropagationOn(edges, rounds)
   }
 
+  /** q140: bounded-depth BFS reach — for every node, the count of DISTINCT
+    * nodes within ≤ 2 hops (self excluded): the "friend-of-friend audience"
+    * metric, and the exact-integer fixed-depth slice of BFS that gates
+    * hash-exact where full shortest-paths can't. One self-join builds the
+    * 2-hop pairs (fan-out bounded by the wedge count — tame here because
+    * the support filter already bounds degree), a union-distinct dedups
+    * overlapping 1-hop/2-hop paths, and a partial+final count finishes.
+    * Deeper horizons unroll the same way (k−1 self-joins). */
+  def reach2(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val und = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb"))
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val hop2 = edges.as("x").join(edges.as("y"), col("x.dst") === col("y.src"))
+      .filter(col("y.dst") =!= col("x.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+    edges.unionByName(hop2).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("n_reach2"))
+      .select(col("src").as("node"), col("n_reach2"))
+  }
+
   /** Core of q139 over a directed edge frame where every node appears as a
     * dst (true for doubled undirected edges) — unit-testable with hand
     * graphs. Returns (node, community). */

@@ -223,4 +223,30 @@ class MarketBasketSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == base)
   }
+
+  test("q140 2-hop reach: path and clique counts by hand") {
+    val d = sf("sf0.001")
+    val got = graft.analytics.Graph.reach2(spark, d).collect()
+    assert(got.nonEmpty)
+    // reach2 is bounded by n−1 and at least the node's degree
+    val n = got.length.toLong
+    got.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= n - 1))
+    // hand check through the public entry is impractical (edge rule bakes
+    // in lineitem), so pin the SQL-shape invariant instead: reach2 ≥ deg
+    val deg = {
+      import org.apache.spark.sql.functions.{col => c}
+      val op = Tables.lineitem(spark, d).select(c("l_orderkey"), c("l_partkey")).distinct()
+      val a = op.select(c("l_orderkey"), c("l_partkey").as("pa"))
+      val b = op.select(c("l_orderkey"), c("l_partkey").as("pb"))
+      val und = a.join(b, Seq("l_orderkey")).filter(c("pa") < c("pb"))
+        .groupBy(c("pa"), c("pb")).agg(count(lit(1)).as("m")).filter(c("m") >= 2)
+      und.select(c("pa").as("node")).unionByName(und.select(c("pb").as("node")))
+        .groupBy(c("node")).agg(count(lit(1)).as("deg"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    got.foreach { r =>
+      assert(r.getLong(1) >= deg(r.getLong(0)),
+        s"2-hop reach must include every direct neighbor: $r vs deg ${deg(r.getLong(0))}")
+    }
+  }
 }
