@@ -170,7 +170,8 @@ object SparkEntry {
     "q137_incremental_agg"         -> Relational.incrementalAgg _,
     "q138_pagerank_personalized"   -> ((s: SparkSession, d: String) => Graph.pageRankPersonalized(s, d)),
     "q139_label_propagation"       -> ((s: SparkSession, d: String) => Graph.labelPropagation(s, d)),
-    "q140_reach2"                  -> ((s: SparkSession, d: String) => Graph.reach2(s, d)))
+    "q140_reach2"                  -> ((s: SparkSession, d: String) => Graph.reach2(s, d)),
+    "q141_modularity"              -> ((s: SparkSession, d: String) => Graph.modularity(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2185,5 +2186,42 @@ object SparkEntry {
         |  SELECT src, dst FROM e
         |  UNION
         |  SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src WHERE b.dst <> a.src)
-        |SELECT src AS node, count(*)::BIGINT AS n_reach2 FROM p GROUP BY 1""".stripMargin)
+        |SELECT src AS node, count(*)::BIGINT AS n_reach2 FROM p GROUP BY 1""".stripMargin,
+
+    // modularity of the q139 partition over the common denominator 4m² —
+    // numerator/denominator exact integers, one division at the edge
+    "q141_modularity" -> {
+      val roundsSql = (1 to 4).map { i =>
+        s"""v$i AS MATERIALIZED (
+           |  SELECT e.dst, l.lbl, count(*) AS c
+           |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (
+           |  SELECT dst AS node, lbl FROM (
+           |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl ASC) AS rn
+           |    FROM v$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT dst AS node, dst AS lbl FROM e),
+         |$roundsSql,
+         |inc AS (
+         |  SELECT la.lbl AS community, count(*)::BIGINT AS in_c
+         |  FROM e0 JOIN l4 la ON e0.pa = la.node JOIN l4 lb ON e0.pb = lb.node
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |dg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+         |tot AS (
+         |  SELECT l.lbl AS community, sum(d.deg)::BIGINT AS tot_c
+         |  FROM dg d JOIN l4 l ON d.node = l.node GROUP BY 1),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM e0),
+         |agg AS (
+         |  SELECT count(*)::BIGINT AS n_communities, max(mm.m) AS m,
+         |    sum(4 * mm.m * coalesce(i.in_c, 0) - t.tot_c * t.tot_c)::BIGINT AS q_num
+         |  FROM tot t LEFT JOIN inc i USING (community) CROSS JOIN mm)
+         |SELECT n_communities, m, q_num, (4 * m * m)::BIGINT AS q_den,
+         |  round(q_num::DOUBLE / (4 * m * m)::DOUBLE, 6) AS modularity FROM agg""".stripMargin
+    })
 }

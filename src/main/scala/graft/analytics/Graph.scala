@@ -307,6 +307,54 @@ object Graph {
     labelPropagationOn(edges, rounds)
   }
 
+  /** q141: modularity of the q139 community partition — the standard
+    * quality score Q = Σ_c [in_c/m − (tot_c/2m)²] stated over the COMMON
+    * DENOMINATOR 4m²: Q = Σ_c (4·m·in_c − tot_c²) / 4m², where m is the
+    * undirected edge count, in_c the edges internal to community c and
+    * tot_c its total degree. Numerator and denominator are exact integers
+    * (the only division happens once, at the output edge), so the score
+    * gates hash-exact like the rest of the graph family. Output is one
+    * row: community count, m, the exact fraction, and the rounded score.
+    * Cost: the LPA labeling plus two broadcast-joined aggregates over the
+    * edge list — no new shuffle shape. */
+  def modularity(spark: SparkSession, dir: String, rounds: Int = 4,
+      minSupport: Long = 2): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val und = Materialize(a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb")))
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val labels = labelPropagationOn(edges, rounds)
+      .select(col("node"), col("community"))
+    val la = labels.select(col("node").as("pa"), col("community").as("ca"))
+    val lb = labels.select(col("node").as("pb"), col("community").as("cb"))
+    val inC = und.join(la, "pa").join(lb, "pb")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("in_c"))
+    val totC = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .join(labels, "node")
+      .groupBy(col("community")).agg(sum(col("deg")).as("tot_c"))
+    val m = und.agg(count(lit(1)).as("m"))
+    totC.join(inC, Seq("community"), "left")
+      .select(col("community"), col("tot_c"),
+        coalesce(col("in_c"), lit(0L)).as("in_c"))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("m"),
+        sum(lit(4L) * col("m") * col("in_c") - col("tot_c") * col("tot_c")).as("q_num"))
+      .select(col("n_communities"), col("m"), col("q_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"),
+        round(col("q_num").cast("double") / (lit(4.0) * col("m") * col("m")), 6)
+          .as("modularity"))
+  }
+
   /** q140: bounded-depth BFS reach — for every node, the count of DISTINCT
     * nodes within ≤ 2 hops (self excluded): the "friend-of-friend audience"
     * metric, and the exact-integer fixed-depth slice of BFS that gates

@@ -249,4 +249,18 @@ class MarketBasketSpec extends SparkSpec {
         s"2-hop reach must include every direct neighbor: $r vs deg ${deg(r.getLong(0))}")
     }
   }
+
+  test("q141 modularity: exact fraction invariants hold on real data") {
+    val r = graft.analytics.Graph.modularity(spark, sf("sf0.001")).head()
+    val (nc, m, qNum, qDen, q) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(nc >= 1 && m >= 1)
+    assert(qDen == 4 * m * m)
+    // modularity is bounded: −1/2 ≤ Q < 1, and the rounded double must
+    // equal the exact fraction re-derived from the integer columns
+    assert(q >= -0.5 && q < 1.0)
+    assert(math.abs(q - math.rint(qNum.toDouble / qDen * 1e6) / 1e6) < 1e-12)
+    // Σ tot_c = 2m ⇒ Σ tot_c² ≥ (2m)²/nc; the numerator can't exceed 4m·m
+    assert(qNum <= 4L * m * m)
+  }
 }
