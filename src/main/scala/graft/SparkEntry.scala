@@ -134,7 +134,11 @@ object SparkEntry {
     "q101_split_drift"             -> Sampling.splitDrift _,
     "q102_mergeable_quantiles"     -> Relational.mergeableQuantiles _,
     "q103_mad_outliers"            -> Relational.madOutliers _,
-    "q104_inverted_index"          -> ((s: SparkSession, d: String) => TextStats.invertedIndex(s, d)),
+    // gate edge serializes postings to a comma string: the driver's pandas
+    // sorter cannot hash array columns (the raw array API stays spec-tested)
+    "q104_inverted_index"          -> ((s: SparkSession, d: String) =>
+      TextStats.invertedIndex(s, d).select(col("term"), col("df"),
+        array_join(col("postings").cast("array<string>"), ",").as("postings"))),
     "q105_top_part_per_nation"     -> Relational.topPartPerNation _,
     "q106_shipping_priority"       -> Relational.shippingPriority _,
     "q107_new_vs_returning"        -> Relational.newVsReturning _,
@@ -385,18 +389,20 @@ object SparkEntry {
         |  FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
         |SELECT e.event_type, count(*) AS n_events,
         |  round(min(med), 4) AS med, round(min(mad), 4) AS mad,
-        |  sum(CASE WHEN abs(value - med) > mad * (3 * 1.4826) THEN 1 ELSE 0 END) AS n_outliers
+        |  sum(CASE WHEN abs(value - med) > mad * (3 * 1.4826) THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
         |GROUP BY e.event_type""".stripMargin,
 
     // inverted index: exact df over distinct (term, doc) pairs; postings =
-    // first 20 sorted doc_ids; \S+ tokens (the unified rule)
+    // first 20 sorted doc_ids serialized to a comma string so the gate
+    // edge is scalar (array columns crash the driver's pandas sorter);
+    // \S+ tokens (the unified rule)
     "q104_inverted_index" ->
       """WITH td AS (
         |  SELECT DISTINCT unnest(regexp_extract_all(text, '\S+')) AS term, doc_id
         |  FROM documents)
-        |SELECT term, count(*) AS df,
-        |  (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        |SELECT term, count(*)::BIGINT AS df,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
         |FROM td GROUP BY term HAVING count(*) >= 10""".stripMargin,
 
     // argmax per group: revenue rounded BEFORE the argmax in both engines;
@@ -455,7 +461,9 @@ object SparkEntry {
         |FROM orders CROSS JOIN b GROUP BY bucket""".stripMargin),
 
     // order-insensitive content checksums: 12 hex digits of the row digest
-    // as an integer, summed exactly (HUGEINT / decimal(38,0))
+    // as an integer, summed exactly (HUGEINT / decimal(38,0)); the sum
+    // exceeds 2^53 so it is emitted as a STRING on both edges — float64
+    // cannot represent it exactly and the driver's hash is dtype-sensitive
     "q110_table_checksums" ->
       """WITH d AS (
         |  SELECT ('0x' || substring(md5(concat_ws('|', doc_id, text, lang, source)), 1, 12))::BIGINT AS h
@@ -466,11 +474,11 @@ object SparkEntry {
         |l AS (
         |  SELECT ('0x' || substring(md5(concat_ws('|', l_orderkey, l_linenumber, l_quantity, l_extendedprice)), 1, 12))::BIGINT AS h
         |  FROM lineitem)
-        |SELECT 'documents' AS table_name, count(*) AS n_rows, sum(h) AS checksum FROM d
+        |SELECT 'documents' AS table_name, count(*) AS n_rows, sum(h)::VARCHAR AS checksum FROM d
         |UNION ALL
-        |SELECT 'orders' AS table_name, count(*) AS n_rows, sum(h) AS checksum FROM o
+        |SELECT 'orders' AS table_name, count(*) AS n_rows, sum(h)::VARCHAR AS checksum FROM o
         |UNION ALL
-        |SELECT 'lineitem' AS table_name, count(*) AS n_rows, sum(h) AS checksum FROM l""".stripMargin,
+        |SELECT 'lineitem' AS table_name, count(*) AS n_rows, sum(h)::VARCHAR AS checksum FROM l""".stripMargin,
 
     // skew profiler: H = ln(N) − (Σ c·ln c)/N; ln-parity at 4 dp
     "q111_key_skew_profile" ->
@@ -483,7 +491,7 @@ object SparkEntry {
         |  SELECT sum(c) AS n_rows, count(*) AS n_keys, max(c) AS max_freq,
         |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clogc
         |  FROM counts)
-        |SELECT n_rows, n_keys, max_freq,
+        |SELECT n_rows::BIGINT AS n_rows, n_keys, max_freq,
         |  round(top10_mass::DOUBLE / n_rows, 4) AS top10_share,
         |  round(ln(n_rows::DOUBLE) - clogc / n_rows, 4) AS entropy
         |FROM agg CROSS JOIN top10""".stripMargin,
@@ -602,8 +610,8 @@ object SparkEntry {
         |fw AS (
         |  SELECT user_id, min(week) AS first_week FROM e GROUP BY user_id)
         |SELECT week::DATE AS week, count(*) AS active_users,
-        |  sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS new_users,
-        |  count(*) - sum(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS returning_users
+        |  sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)::BIGINT AS new_users,
+        |  (count(*) - sum(CASE WHEN week = first_week THEN 1 ELSE 0 END))::BIGINT AS returning_users
         |FROM e JOIN fw USING (user_id)
         |GROUP BY week""".stripMargin,
 
@@ -1628,7 +1636,7 @@ object SparkEntry {
         |wm AS (SELECT max(ts_s) AS watermark FROM e)
         |SELECT event_type, count(*) AS n_events, max(ts_s) AS last_ts,
         |  watermark - max(ts_s) AS lag_s,
-        |  sum(CASE WHEN ts_s >= watermark - 86400 THEN 1 ELSE 0 END) AS n_last_24h,
+        |  sum(CASE WHEN ts_s >= watermark - 86400 THEN 1 ELSE 0 END)::BIGINT AS n_last_24h,
         |  watermark - max(ts_s) > 3600 AS is_stale
         |FROM e CROSS JOIN wm GROUP BY event_type, watermark""".stripMargin,
 
@@ -1654,7 +1662,7 @@ object SparkEntry {
         |    (n_train + 1)::DOUBLE / (tot_train + n_langs) AS p_train,
         |    (n_val + 1)::DOUBLE / (tot_val + n_langs) AS p_val
         |  FROM counts CROSS JOIN tot)
-        |SELECT lang, n_train, n_val,
+        |SELECT lang, n_train::BIGINT AS n_train, n_val::BIGINT AS n_val,
         |  round(p_train, 4) AS p_train, round(p_val, 4) AS p_val,
         |  round(p_train * ln(p_train / p_val), 4) AS kl_term
         |FROM p""".stripMargin,
@@ -1665,7 +1673,7 @@ object SparkEntry {
         |  SELECT event_type, unnest(json_keys(props::JSON)) AS prop_key, props
         |  FROM events)
         |SELECT event_type, prop_key, count(*) AS n,
-        |  sum(json_extract(props::JSON, '$.' || prop_key)::VARCHAR::BIGINT) AS sum_value,
+        |  sum(json_extract(props::JSON, '$.' || prop_key)::VARCHAR::BIGINT)::BIGINT AS sum_value,
         |  round(avg(json_extract(props::JSON, '$.' || prop_key)::VARCHAR::BIGINT), 4) AS avg_value
         |FROM kv GROUP BY event_type, prop_key""".stripMargin,
 
@@ -1703,16 +1711,16 @@ object SparkEntry {
     "q94_column_profile" ->
       """WITH a AS (
         |  SELECT count(*) AS n_rows,
-        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS k_nulls,
         |    count(DISTINCT l_orderkey) AS k_distinct,
         |    min(l_orderkey)::VARCHAR AS k_min, max(l_orderkey)::VARCHAR AS k_max,
-        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS q_nulls,
         |    count(DISTINCT l_quantity) AS q_distinct,
         |    min(l_quantity)::VARCHAR AS q_min, max(l_quantity)::VARCHAR AS q_max,
-        |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS f_nulls,
+        |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS f_nulls,
         |    count(DISTINCT l_returnflag) AS f_distinct,
         |    min(l_returnflag)::VARCHAR AS f_min, max(l_returnflag)::VARCHAR AS f_max,
-        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS d_nulls,
         |    count(DISTINCT l_shipdate) AS d_distinct,
         |    min(l_shipdate)::VARCHAR AS d_min, max(l_shipdate)::VARCHAR AS d_max
         |  FROM lineitem)
@@ -1959,7 +1967,7 @@ object SparkEntry {
         |wi AS (
         |  SELECT day, day * 86400 AS win_start, day * 86400 + 3600 AS win_end FROM w)
         |SELECT wi.day, wi.win_start, count(*) AS n_sessions,
-        |  sum(least(sess_end, win_end) - greatest(sess_start, win_start)) AS overlap_s
+        |  sum(least(sess_end, win_end) - greatest(sess_start, win_start))::BIGINT AS overlap_s
         |FROM wi JOIN sess ON sess_start < win_end AND sess_end >= win_start
         |GROUP BY 1, 2""".stripMargin,
 
@@ -2114,7 +2122,7 @@ object SparkEntry {
         |  SELECT * FROM base WHERE o_orderkey % 13 <> 0
         |  UNION ALL SELECT * FROM ins)
         |SELECT o_custkey, count(*)::BIGINT AS n_orders,
-        |  sum(price)::DECIMAL(38,2) AS total_spend
+        |  sum(price)::DOUBLE AS total_spend
         |FROM net GROUP BY 1""".stripMargin,
 
     // personalized restart: seed term (150000·n)//|S| on Brand#1 parts,

@@ -458,7 +458,10 @@ object Relational {
       df.select(conv(substring(md5(rowStr.cast("binary")), 1, 12), 16, 10)
           .cast("decimal(38,0)").as("h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
-        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+        // the exact decimal sum exceeds 2^53, so the gate edge is a string
+        // (float64 would silently round it on the oracle side)
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("checksum").cast("string").as("checksum"))
     val docs = sumOf(documents(spark, dir), "documents",
       concat_ws("|", col("doc_id"), col("text"), col("lang"), col("source")))
     val ord = sumOf(orders(spark, dir), "orders",
@@ -577,9 +580,12 @@ object Relational {
     storedView.join(delta, Seq("o_custkey"), "full_outer")
       .select(col("o_custkey"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        // exact decimal arithmetic throughout; the gate edge casts to
+        // double AFTER the exact sum (both engines round the same decimal
+        // to the same nearest double — dtype-stable for the driver's hash)
         (coalesce(col("spend"), expr("cast(0 as decimal(28,2))")) +
           coalesce(col("dp"), expr("cast(0 as decimal(28,2))")))
-          .cast("decimal(38,2)").as("total_spend"))
+          .cast("decimal(38,2)").cast("double").as("total_spend"))
       .filter(col("n_orders") > 0)
   }
 

@@ -460,24 +460,24 @@ object TextStats {
   /** q104: inverted-index build — term → document frequency + the first
     * `cap` postings (sorted doc_ids): the text-retrieval primitive behind
     * every keyword-search and data-exploration tool over a corpus. Plan:
-    * distinct (term, doc_id) pairs (map-side partial distinct), then a
-    * rank window and the per-term aggregate share ONE hash(term) exchange;
-    * the collect gathers only rank ≤ cap ids, so buffered state per term
-    * is bounded even for a stopword that appears in every document — the
-    * df count stays exact over all rows (a real index stores the full
-    * posting list in blocks; the capped list is this view's first block).
-    * The min-df filter keeps the hapax tail out of the output. */
+    * distinct (term, doc_id) pairs (map-side partial distinct), then ONE
+    * hash(term) aggregate where the capped posting list is a
+    * [[graft.functions.BoundedMinK]] mergeable aggregate — per-term state
+    * is ≤ cap ids on every map task and the reducer merges ≤cap-entry
+    * partial buffers, so a stopword term that appears in every document
+    * costs O(cap · map_partitions), never a single-task sort of its full
+    * posting list (the former rank-window formulation was exactly that
+    * power-law straggler). The df count stays exact over all rows (a real
+    * index stores the full posting list in blocks; the capped list is
+    * this view's first block). The min-df filter keeps the hapax tail out
+    * of the output. */
   def invertedIndex(spark: SparkSession, dir: String,
-      minDf: Int = 10, cap: Int = 20): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term")).orderBy(col("doc_id").asc)
+      minDf: Int = 10, cap: Int = 20): DataFrame =
     documents(spark, dir)
       .select(explode(tokens(col("text"))).as("term"), col("doc_id"))
       .distinct()
-      .withColumn("rk", row_number().over(w))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(when(col("rk") <= cap, col("doc_id")))).as("postings"))
+        graft.functions.BoundedMinK.minK(col("doc_id"), cap).as("postings"))
       .filter(col("df") >= minDf)
-  }
 }

@@ -75,16 +75,20 @@ class CustomerAnalyticsSpec extends SparkSpec {
   test("q137 incremental view: signed merge equals direct recompute, zero-count keys drop") {
     val d = sf("sf0.001")
     val merged = Relational.incrementalAgg(spark, d)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(merged.nonEmpty)
     // direct recompute over the updated snapshot, same decimal arithmetic
+    // (both sides cast the exact decimal to double at the very edge, the
+    // q137 gate contract — equality is still exact because the inputs are
+    // the same decimal value)
     val o = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"),
       col("o_totalprice").cast("decimal(18,2)").as("price"))
     val net = o.filter(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 13 =!= 0)
       .unionByName(o.filter(col("o_orderkey") % 10 === 0))
     val direct = net.groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n"), sum(col("price")).cast("decimal(38,2)").as("s"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("decimal(38,2)").cast("double").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(merged == direct, "incremental maintenance must match full recompute exactly")
     merged.values.foreach { case (n, _) => assert(n > 0L, "zero-count keys must drop") }
   }

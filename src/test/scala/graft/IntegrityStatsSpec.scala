@@ -103,7 +103,7 @@ class IntegrityStatsSpec extends SparkSpec {
   test("q110 checksums: invariant to partitioning and rewrite; sensitive to edits") {
     val d = sf("sf0.001")
     val base = Relational.tableChecksums(spark, d).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
 
     // rewrite the documents table with a different layout; checksum must hold
     val tmp = java.nio.file.Files.createTempDirectory("cksum").toString
@@ -115,7 +115,7 @@ class IntegrityStatsSpec extends SparkSpec {
       .select(conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
         .cast("decimal(38,0)").as("h"))
       .agg(sum(col("h"))).collect()(0).getDecimal(0)
-    assert(rewritten == base("documents")._2,
+    assert(rewritten.toPlainString == base("documents")._2,
       "layout rewrite must not move the checksum")
 
     // a single-row edit must move it
@@ -126,6 +126,7 @@ class IntegrityStatsSpec extends SparkSpec {
       .select(conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
         .cast("decimal(38,0)").as("h"))
       .agg(sum(col("h"))).collect()(0).getDecimal(0)
-    assert(edited != base("documents")._2, "a one-character edit must move the checksum")
+    assert(edited.toPlainString != base("documents")._2,
+      "a one-character edit must move the checksum")
   }
 }

@@ -215,11 +215,13 @@ class PlanShapeSpec extends SparkSpec {
       "med and mad must both broadcast back\n" + p)
   }
 
-  test("q104: posting collect is capped by the rank; one exchange feeds window+agg") {
+  test("q104: bounded min-k aggregate — no per-term window, two exchanges") {
     val p = plan("q104_inverted_index")
-    // the rank window and the per-term aggregate share the hash(term)
-    // clustering — no exchange between them (only distinct's shuffle and
-    // the window's term shuffle exist)
+    // postings come from the mergeable BoundedMinK aggregate: no global
+    // rank window (the hot-term straggler), just distinct's shuffle and
+    // the hash(term) aggregate exchange with map-side partials
+    assert(!p.contains("Window"), "no per-term rank window\n" + p)
+    assert(p.contains("graft_min_k"), "BoundedMinK aggregate in plan\n" + p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
       "distinct + term clustering only\n" + p)
   }

@@ -4,11 +4,49 @@
 Runs DuckDB over the same parquet tables with SparkEntry.oracleSql (dumped by
 graft.Verify as oracle_sql.json) and compares against the parquet results
 Verify wrote — values stringified, columns sorted by name, rows sorted.
+
+Additionally mirrors the DRIVER's comparison path, which is pandas-based and
+dtype/repr-sensitive: both sides are materialized as pandas frames and their
+dtypes compared column-by-column (DuckDB HUGEINT -> float64 vs Spark int64
+was the class of bug behind 10 round-4 hash mismatches), and array-typed
+output columns are rejected outright (pandas sort_values crashes on ndarray
+cells — the round-4 q104 harness crash).
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json, sys, glob, math
 
 import duckdb
+import pandas as pd
+
+
+def dtype_preflight(name, spark_df, duck_df):
+    """Return a list of driver-compat problems (empty = clean)."""
+    problems = []
+    for df, side in ((spark_df, "spark"), (duck_df, "duck")):
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                    lambda v: isinstance(v, (list, tuple)) or
+                    type(v).__name__ == "ndarray").any():
+                problems.append(
+                    f"{side}.{c} is array-typed (driver pandas sorter crashes)")
+    def eff(df, c):
+        d = str(df[c].dtype)
+        # Spark parquet DATE loads as object-of-datetime.date; the driver
+        # canonicalizes that against DuckDB's datetime64 (q106 et al. were
+        # hash-green in round 4), so normalize both to "date" here.
+        if d.startswith("datetime64"):
+            return "date"
+        import datetime
+        if d == "object" and len(df) and df[c].map(
+                lambda v: v is None or isinstance(v, datetime.date)).all():
+            return "date"
+        return d
+    sd = {c: eff(spark_df, c) for c in spark_df.columns}
+    dd = {c: eff(duck_df, c) for c in duck_df.columns}
+    for c in sorted(set(sd) & set(dd)):
+        if sd[c] != dd[c]:
+            problems.append(f"dtype[{c}]: spark={sd[c]} duck={dd[c]}")
+    return problems
 
 
 def canon(v):
@@ -70,7 +108,15 @@ def main(sf_dir, out_dir):
                     print(f"   only-duck  {r}")
             failures += 1
         else:
-            print(f"ok   {name}: {len(got)} rows")
+            probs = dtype_preflight(name, pd.read_parquet(f"{out_dir}/{name}"),
+                                    want_rel.df())
+            if probs:
+                print(f"FAIL {name}: values match but driver-dtype preflight red:")
+                for p in probs:
+                    print(f"   {p}")
+                failures += 1
+            else:
+                print(f"ok   {name}: {len(got)} rows")
     # rows-only queries (no oracle): just report row counts
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
