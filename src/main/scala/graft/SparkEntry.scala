@@ -18,6 +18,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Shared oracle for the six ANN gate queries (q29/q51/q74/q85/q87/q97):
+    * each planted scaled copy must come back at rank 1, cosine 1.0. */
+  private val PlantedTopKOracle: String =
+    """SELECT vec_id AS query_id, 1::BIGINT AS plant_rank, 1.0::DOUBLE AS plant_sim
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
+  /** Shared oracle for the SimHash gate queries (q27/q63): the planted
+    * exact copy of every doc in the deterministic 10% content sample (the
+    * q64 bucket rule) must surface at Hamming distance 0. */
+  private val SimhashPlantedOracle: String =
+    """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, 0::BIGINT AS hamming
+      |FROM documents
+      |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational core ---------------------------------------------------
     "q01_pricing_summary"          -> Relational.pricingSummary _,
@@ -50,9 +64,12 @@ object SparkEntry {
     "q38_train_split"              -> Sampling.trainSplit _,
     "q39_split_counts"             -> Sampling.splitCounts _,
     "q25_jaccard_neardup"          -> ((s: SparkSession, d: String) => Dedup.nearDupPairs(s, d)),
-    "q26_minhash_lsh"              -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
-    "q27_simhash_neardup"          -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
-    "q63_simhash128_neardup"       -> ((s: SparkSession, d: String) => Dedup.simhash128NearDup(s, d)),
+    // gate forms: oracle-exact planted/join-back outputs (raw candidate
+    // APIs — minhashLsh, simhashNearDup, simhash128NearDup — stay
+    // spec-tested and benchable)
+    "q26_minhash_lsh"              -> Accuracy.minhashLshGate _,
+    "q27_simhash_neardup"          -> Accuracy.simhash64Gate _,
+    "q63_simhash128_neardup"       -> Accuracy.simhash128Gate _,
     // -- text analysis -----------------------------------------------------
     "q21_token_stats"              -> TextStats.tokenStats _,
     "q22_quality_score"            -> TextStats.qualityScore _,
@@ -60,10 +77,10 @@ object SparkEntry {
     "q24_fingerprint"              -> TextStats.fingerprints _,
     // -- similarity search -------------------------------------------------
     "q28_cosine_topk"              -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
-    "q29_lsh_topk"                 -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
-    "q30_embedding_neardup"        -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
-    "q51_ivf_topk"                 -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
-    "q74_pq_topk"                  -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    "q29_lsh_topk"                 -> Accuracy.lshTopKGate _,
+    "q30_embedding_neardup"        -> Accuracy.embeddingNearDupGate _,
+    "q51_ivf_topk"                 -> Accuracy.ivfTopKGate _,
+    "q74_pq_topk"                  -> Accuracy.pqTopKGate _,
     // -- multimodal plumbing ----------------------------------------------
     "q31_media_meta"               -> Multimodal.decodeMeta _,
     "q32_media_format_stats"       -> Multimodal.formatStats _,
@@ -116,9 +133,9 @@ object SparkEntry {
     "q84_weighted_sample"          -> ((s: SparkSession, d: String) => Sampling.weightedSample(s, d)),
     "q89_blamed_suppliers"         -> Relational.blamedSuppliers _,
     "q90_returnflag_unpivot"       -> Relational.returnFlagUnpivot _,
-    "q85_sq_topk"                  -> ((s: SparkSession, d: String) => Similarity.sqTopK(s, d)),
+    "q85_sq_topk"                  -> Accuracy.sqTopKGate _,
     "q86_sq_planted_recall"        -> Accuracy.sqPlantedRecall _,
-    "q87_ivfpq_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    "q87_ivfpq_topk"               -> Accuracy.ivfPqTopKGate _,
     "q88_ivfpq_planted_recall"     -> Accuracy.ivfPqPlantedRecall _,
     "q91_props_map_explode"        -> Relational.propsMapExplode _,
     "q92_conversion_funnel"        -> Relational.conversionFunnel _,
@@ -127,7 +144,7 @@ object SparkEntry {
     "q95_fuzzy_neardup"            -> ((s: SparkSession, d: String) => Relational.fuzzyNearDup(s, d)),
     "q96_rolling_revenue"          -> Relational.rollingRevenue _,
     // -- round 4: quantizer-matrix completion, session funnel, freshness ----
-    "q97_ivfsq_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfSqTopK(s, d)),
+    "q97_ivfsq_topk"               -> Accuracy.ivfSqTopKGate _,
     "q98_ivfsq_planted_recall"     -> Accuracy.ivfSqPlantedRecall _,
     "q99_session_funnel"           -> Relational.sessionFunnel _,
     "q100_source_freshness"        -> ((s: SparkSession, d: String) => Relational.sourceFreshness(s, d)),
@@ -152,7 +169,7 @@ object SparkEntry {
     "q115_ri_audit"                -> Relational.riAudit _,
     "q116_top_session_paths"       -> ((s: SparkSession, d: String) => Relational.topSessionPaths(s, d)),
     "q117_time_to_convert"         -> Relational.timeToConvert _,
-    "q118_phash_neardup"           -> Multimodal.phashNearDup _,
+    "q118_phash_neardup"           -> Multimodal.phashNearDupGate _,
     "q119_phash_planted_recall"    -> Multimodal.phashPlantedRecall _,
     "q120_phrase_search"           -> ((s: SparkSession, d: String) => TextStats.phraseSearch(s, d)),
     "q121_zipf_fit"                -> ((s: SparkSession, d: String) => TextStats.zipfFit(s, d)),
@@ -919,6 +936,50 @@ object SparkEntry {
     "q49_lsh_planted_recall" ->
       """SELECT count(*) AS n_queries, true AS planted_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // gate forms of the formerly rows-only operators: the oracle states the
+    // planted-copy outcome exactly (rank 1 / sim 1.0 / Hamming 0 per plant)
+    // — deterministic by construction, so every row is value-checked
+    "q29_lsh_topk" -> PlantedTopKOracle,
+    "q51_ivf_topk" -> PlantedTopKOracle,
+    "q74_pq_topk" -> PlantedTopKOracle,
+    "q85_sq_topk" -> PlantedTopKOracle,
+    "q87_ivfpq_topk" -> PlantedTopKOracle,
+    "q97_ivfsq_topk" -> PlantedTopKOracle,
+
+    // exact near-dup pair set (q25's statement) + per-pair LSH recall flag
+    "q26_minhash_lsh" ->
+      """WITH wt AS (
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard,
+        |  true AS lsh_found
+        |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6""".stripMargin,
+
+    // planted exact copies of the deterministic 10% content sample:
+    // identical text -> identical fingerprint -> Hamming 0, every plant found
+    "q27_simhash_neardup" -> SimhashPlantedOracle,
+    "q63_simhash128_neardup" -> SimhashPlantedOracle,
+
+    // scaled plants of vec_id < 100 are the ONLY pairs >= tau on the
+    // isotropic corpus; sign pattern is scale-invariant so all are found
+    "q30_embedding_neardup" ->
+      """SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, 1.0::DOUBLE AS cos_sim
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    // perturbed planted media copies on the (id, id+1e6) pattern
+    "q118_phash_neardup" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+        |FROM documents WHERE doc_id < 10""".stripMargin,
 
     "q50_hll_error_bound" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, true AS hll_ok

@@ -197,4 +197,120 @@ object Accuracy {
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
       .select(col("l_returnflag"), col("n_parts"),
         (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05).as("hll_ok"))
+
+  // --- per-query / per-pair GATE forms of the rows-only operators --------
+  //
+  // The raw candidate/top-k APIs stay available (and spec-tested) for users;
+  // the driver-gated entries below reshape each one's output to rows a
+  // DuckDB oracle can state exactly, using the planted-copy harnesses the
+  // single-row recall twins (q48/q49/.../q119) already established — folded
+  // into the query itself so every gated query is value-checked, not
+  // rows-only.
+
+  /** Shared ANN gate harness: plant a scaled copy of each query vector
+    * (cos = 1 by construction), run a top-k method over corpus ∪ plants,
+    * and emit ONE row per query with the plant's rank and similarity. The
+    * oracle states (rank 1, sim 1.0) for every query — a broken bucketing,
+    * quantizer, codebook, or re-rank moves rank/sim (or drops the row) and
+    * the hash mismatches. Richer than the single-boolean twins: failures
+    * localize to the query that broke. */
+  private def plantedTopKGate(spark: SparkSession, dir: String,
+      run: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val topk = run(e.unionByName(planted),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")))
+    topk.groupBy(col("query_id"))
+      .agg(min(when(col("neighbor_id") === col("query_id") + 1000000L,
+          col("rn"))).as("rk"),
+        max(when(col("neighbor_id") === col("query_id") + 1000000L,
+          col("cos_sim"))).as("ps"))
+      .select(col("query_id"), col("rk").cast("long").as("plant_rank"),
+        col("ps").cast("double").as("plant_sim"))
+  }
+
+  /** q29 gate: sign-LSH top-k, per-query planted rank/sim. */
+  def lshTopKGate(spark: SparkSession, dir: String): DataFrame =
+    plantedTopKGate(spark, dir, (c, q) => Similarity.lshTopKOn(c, q, k = 5))
+
+  /** q51 gate: IVF top-k, per-query planted rank/sim. */
+  def ivfTopKGate(spark: SparkSession, dir: String): DataFrame =
+    plantedTopKGate(spark, dir,
+      (c, q) => Similarity.ivfTopKOn(c, q, k = 5, numCentroids = 16, nprobe = 4))
+
+  /** q74 gate: PQ-ADC top-k, per-query planted rank/sim. */
+  def pqTopKGate(spark: SparkSession, dir: String): DataFrame =
+    plantedTopKGate(spark, dir, (c, q) => Similarity.pqTopKOn(c, q, k = 5))
+
+  /** q85 gate: SQ-int8 top-k, per-query planted rank/sim. */
+  def sqTopKGate(spark: SparkSession, dir: String): DataFrame =
+    plantedTopKGate(spark, dir, (c, q) => Similarity.sqTopKOn(c, q, k = 5))
+
+  /** q87 gate: IVF-PQ top-k, per-query planted rank/sim. */
+  def ivfPqTopKGate(spark: SparkSession, dir: String): DataFrame =
+    plantedTopKGate(spark, dir, (c, q) => Similarity.ivfPqTopKOn(c, q, k = 5))
+
+  /** q97 gate: IVF-SQ top-k, per-query planted rank/sim. */
+  def ivfSqTopKGate(spark: SparkSession, dir: String): DataFrame =
+    plantedTopKGate(spark, dir, (c, q) => Similarity.ivfSqTopKOn(c, q, k = 5))
+
+  /** q26 gate: exact Jaccard ≥ 0.6 pair set (the q25 oracle re-states it)
+    * with a per-pair `lsh_found` flag from the MinHash-LSH candidate path.
+    * The oracle asserts TRUE for every exact pair — i.e. recall 1.0 over
+    * the real (not planted) near-dup set, which holds for this banding
+    * because true near-dup pairs sit far above the 0.6 threshold. Stronger
+    * than q48's aggregate recall bound: a single missed pair flips one
+    * row's flag and the hash mismatches. */
+  def minhashLshGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup.nearDupPairs(spark, dir)
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("f", lit(true))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("f"), lit(false)).as("lsh_found"))
+  }
+
+  /** Shared SimHash planted-pair gate: plant an exact copy (+1e6 id) of the
+    * deterministic 10% content sample; identical texts hash to identical
+    * fingerprints, which agree on EVERY banded chunk, so the candidate join
+    * must surface each (id, id+1e6) pair at Hamming 0. One output row per
+    * planted doc — the oracle re-derives the sample and states distance 0.
+    * A broken kernel, chunk split, or join drops rows or moves `hamming`. */
+  private def simhashPlantedGate(spark: SparkSession, dir: String,
+      candidates: DataFrame => DataFrame): DataFrame = {
+    val base = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sample = base.filter(Sampling.contentBucket(col("text")) < 10)
+    val planted = sample.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    candidates(base.unionByName(planted))
+      .filter(col("hamming") <= 3)
+      .filter(col("doc_b") === col("doc_a") + 1000000L)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** q27 gate: 64-bit SimHash planted exact-copy pairs. */
+  def simhash64Gate(spark: SparkSession, dir: String): DataFrame =
+    simhashPlantedGate(spark, dir, Dedup.simhash64CandidatesOn)
+
+  /** q63 gate: 128-bit SimHash planted exact-copy pairs. */
+  def simhash128Gate(spark: SparkSession, dir: String): DataFrame =
+    simhashPlantedGate(spark, dir, Dedup.simhash128CandidatesOn)
+
+  /** q30 gate: sign-LSH embedding near-dup over corpus ∪ scaled plants of
+    * vec_id < 100. A scaled copy keeps the exact sign pattern, so it shares
+    * the plant's bucket in EVERY table and verifies at cos 1.0; the
+    * isotropic noise corpus has no organic pair ≥ τ (q30's raw form is
+    * correctly empty), so the found-pair set is EXACTLY the planted set —
+    * output left unfiltered, which also gates precision (a false positive
+    * would add a row the oracle doesn't state). */
+  def embeddingNearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v"))
+    Similarity.embeddingNearDupOn(e.unionByName(planted), tau = 0.95)
+  }
 }

@@ -341,8 +341,13 @@ object Dedup {
   /** The banded-chunk candidate stage of [[simhashNearDup]]: distinct pairs
     * agreeing on some 16-bit chunk, with their Hamming distance (pre
     * distance filter) — scale instrumentation. */
-  def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+  def simhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    simhash64CandidatesOn(documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** [[simhashCandidates]] over an explicit (doc_id, text) frame — shared
+    * with the planted-pair gate (q27). */
+  private[graft] def simhash64CandidatesOn(docsWithText: DataFrame): DataFrame = {
+    val docs = docsWithText
       .select(col("doc_id"), simhash64(wordShingles(col("text"))).as("sim"))
 
     val chunks = docs.select(col("doc_id"), col("sim"),

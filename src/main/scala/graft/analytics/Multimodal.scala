@@ -212,4 +212,22 @@ object Multimodal {
         (sum(when(col("doc_b").isNotNull, 1L).otherwise(0L)) === count(lit(1)))
           .as("planted_ok"))
   }
+
+  /** q118 gate: per-pair form of q119's planted harness — one row per
+    * planted perturbed copy that the banded-dHash path recovered, on the
+    * (id, id+1e6) pattern. The oracle re-states the planted id set, so a
+    * single lost plant drops a row and the hash mismatches; the raw
+    * unplanted near-dup API ([[phashNearDup]]) stays spec-tested. */
+  def phashNearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = mediaTable(spark, dir)
+    val planted = base.filter(col("doc_id") < 10).as[MediaBlob].map { b =>
+      val p = b.payload.clone()
+      if (p.nonEmpty) p(p.length - 1) = (p(p.length - 1) ^ 0x01).toByte
+      MediaBlob(b.doc_id + 1000000L, p)
+    }
+    phashNearDupOn(mediaHashesOn(base.unionByName(planted)).toDF())
+      .filter(col("doc_b") === col("doc_a") + 1000000L)
+      .select(col("doc_a"), col("doc_b"))
+  }
 }

@@ -426,11 +426,16 @@ object Similarity {
   /** q30: embedding-cosine near-duplicate pairs (cos ≥ τ) via the same
     * multi-table buckets: candidates collide in some table, verified
     * exactly. Rows-only check (correctly empty when no near-dups exist). */
-  def embeddingNearDup(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
-    val e = withBuckets(
+  def embeddingNearDup(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame =
+    embeddingNearDupOn(
       embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-      "v")
+      tau)
+
+  /** [[embeddingNearDup]] over an explicit (vec_id, v) frame — shared with
+    * the planted-pair gate (q30). */
+  private[graft] def embeddingNearDupOn(vecs: DataFrame, tau: Double): DataFrame = {
+    val e = withBuckets(vecs, "v")
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("tbl"), col("bk"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("tbl"), col("bk"))
     a.join(b, Seq("tbl", "bk"))
