@@ -208,6 +208,14 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("GreaterThan(l_shipdate"), "shipdate predicate must reach the scan\n" + p)
   }
 
+  test("q36: set-op classification is one scan, one exchange") {
+    val p = plan("q36_customer_setops")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "single partial+final aggregate — not the 4-exchange except/intersect chain\n" + p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, "one fact scan\n" + p)
+    assert(p.contains("In(o_orderstatus"), "status filter must reach the scan\n" + p)
+  }
+
   test("q103: median/MAD tables broadcast back; no corpus-wide window") {
     val p = plan("q103_mad_outliers")
     assert(!p.contains("Window"), p)
