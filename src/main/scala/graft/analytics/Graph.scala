@@ -55,8 +55,11 @@ object Graph {
 
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    // wedges (paths of length 2) = Σ C(deg, 2), exact in integers
-    val nWedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    // wedges (paths of length 2) = Σ C(deg, 2), exact in integers: `div`
+    // (integer floor division) keeps every per-row term and the sum in
+    // longs — Spark's `/` is double division, which silently loses
+    // exactness past 2^53 on power-law degree distributions
+    val nWedges = deg.agg(sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
 
     // orient: src = (deg, id)-smaller endpoint. Broadcast-join the tiny
     // degree table onto both endpoints, then flip where needed.

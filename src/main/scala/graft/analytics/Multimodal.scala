@@ -127,10 +127,13 @@ object Multimodal {
       while (k < cells) {
         val lo = (k.toLong * n / cells).toInt
         val hi = math.max(lo + 1, ((k + 1).toLong * n / cells).toInt)
-        var s = 0
+        // accumulate in a Long: an Int sum overflows once a cell window
+        // exceeds ~8.4 MB (payload ≳ 600 MB), corrupting the hash exactly
+        // in the large-blob regime
+        var s = 0L
         var i = lo
         while (i < hi) { s += payload(i) & 0xFF; i += 1 }
-        out(k) = s / (hi - lo)
+        out(k) = (s / (hi - lo)).toInt
         k += 1
       }
       out

@@ -893,20 +893,33 @@ object Relational {
       .filter(col("edit_sim") >= simThreshold)
       .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"), col("edit_sim"))
 
-  /** The blocked candidate stage of [[fuzzyNearDup]] (equi-join on the
-    * 16-char prefix block + length band, BEFORE the edit distance) — also
-    * the scale instrumentation: blocked-pair count is what must grow with
-    * true near-pair density, not the n² pair space (ScaleRehearsal). */
+  /** The blocked candidate stage of [[fuzzyNearDup]] (equi-join on a
+    * COMPOSITE key: 16-char prefix block × width-30 length bucket, BEFORE
+    * the edit distance) — also the scale instrumentation: blocked-pair
+    * count is what must grow with true near-pair density, not the n² pair
+    * space (ScaleRehearsal).
+    *
+    * The length bucket is part of the JOIN KEY, not a post-filter: a
+    * prefix-only block is content-skew-exposed (boilerplate prefixes
+    * collapse the corpus into one key, and one task gets the whole block's
+    * cross product). Bucketing by ⌊len/30⌋ caps any (prefix, bucket) block
+    * at the docs of one length class. The band |la−lb| ≤ 30 spans at most
+    * adjacent buckets, so the probe side emits its bucket ±1 (3 keys) and
+    * every band pair still meets on exactly one key — identical candidate
+    * semantics, deterministically bounded worst block. */
   private[graft] def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        substring(col("text"), 1, 16).as("blk"), length(col("text")).as("l"))
+        substring(col("text"), 1, 16).as("blk"), length(col("text")).as("l"),
+        (col("l") / 30).cast("int").as("lbk0"))
     val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
-      col("blk"), col("l").as("la"))
+      col("blk"), col("l").as("la"), col("lbk0").as("lbk"))
     val b = d.select(col("doc_id").as("doc_b"), col("text").as("tb"),
-      col("blk"), col("l").as("lb"))
-    a.join(b, Seq("blk"))
+      col("blk"), col("l").as("lb"),
+      explode(array(col("lbk0") - 1, col("lbk0"), col("lbk0") + 1)).as("lbk"))
+    a.join(b, Seq("blk", "lbk"))
       .filter(col("doc_a") < col("doc_b") && abs(col("la") - col("lb")) <= 30)
+      .drop("lbk")
   }
 
   /** q96: rolling 7-day revenue — a RANGE-frame window (value-based bounds,

@@ -118,6 +118,11 @@ object EventStream {
             for (e <- batch.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
               val t = e.ts.getTime / 1000
               cur match {
+                // late-event guard (watermark mirror): an event from a later
+                // micro-batch with event-time before the state's frontier
+                // would extend the session backwards (negative gap) and
+                // regress `last`; drop it, as an upstream watermark would
+                case Some(s) if t < s.last => ()
                 case Some(s) if t - s.last > gapSeconds =>
                   out += close(userId, s)
                   cur = Some(stage(fresh(t), e, t).copy(n = 1))
@@ -164,6 +169,10 @@ object EventStream {
           for (e <- batch.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
             val t = e.ts.getTime / 1000
             cur match {
+              // late-event guard: a change event older than the open
+              // version's valid_from would close an interval with
+              // valid_to < valid_from; drop it (watermark mirror)
+              case Some(s) if t < s.from => ()
               case Some(s) if s.state != e.event_type =>
                 out += Scd2Closed(userId, s.version, s.state, s.from, t)
                 cur = Some(Scd2State(e.event_type, t, s.version + 1))
@@ -200,6 +209,9 @@ object EventStream {
             for (e <- batch.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
               val t = e.ts.getTime / 1000
               cur match {
+                // late-event guard (watermark mirror): never extend a
+                // session backwards from a cross-batch straggler
+                case Some(s) if t < s.last => ()
                 case Some(s) if t - s.last <= gapSeconds =>
                   cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>

@@ -52,6 +52,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late cross-batch events are dropped, never extend a session backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(in.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      in.addData(
+        EventStream.Event(1, ts("2024-01-01 10:00:00"), 9, "click", 1.0),
+        EventStream.Event(2, ts("2024-01-01 10:10:00"), 9, "click", 2.0))
+      q.processAllAvailable()
+      // a later micro-batch delivers an event with EARLIER event-time than
+      // the state frontier (10:10): the watermark-mirror guard must drop it
+      // (unguarded, its negative gap would extend the session and regress
+      // `last`, corrupting the eventual session row)
+      in.addData(EventStream.Event(3, ts("2024-01-01 09:00:00"), 9, "view", 100.0))
+      q.processAllAvailable()
+      // 40-min gap from the TRUE frontier closes the session
+      in.addData(EventStream.Event(4, ts("2024-01-01 10:50:00"), 9, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // the closed session is exactly the two on-time events — the late
+      // straggler contributed nothing and the interval never regressed
+      val s = ts("2024-01-01 10:00:00").getTime / 1000
+      val e = ts("2024-01-01 10:10:00").getTime / 1000
+      assert(rows == Set((9L, s, e, 2L, 3.0)), rows)
+    } finally q.stop()
+  }
+
+  test("SCD2 stream drops change events older than the open version") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val q = EventStream.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("late_scd2").outputMode("append").start()
+    try {
+      in.addData(EventStream.Event(1, ts("2024-01-01 12:00:00"), 5, "view", 0))
+      q.processAllAvailable()
+      // late change: would close version 1 with valid_to 11:00 < valid_from
+      in.addData(EventStream.Event(2, ts("2024-01-01 11:00:00"), 5, "click", 0))
+      q.processAllAvailable()
+      in.addData(EventStream.Event(3, ts("2024-01-01 13:00:00"), 5, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.table("late_scd2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toList
+      rows.foreach { case (_, _, _, from, to) =>
+        assert(to >= from, s"interval must never be negative: $rows") }
+      // exactly one closed version: view from 12:00 to the ON-TIME click
+      assert(rows == List((5L, 1L, "view",
+        ts("2024-01-01 12:00:00").getTime / 1000,
+        ts("2024-01-01 13:00:00").getTime / 1000)), rows)
+    } finally q.stop()
+  }
+
   test("raw-zone streaming sink: partitioned parquet, no duplicates on restart") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_rawzone").toString
