@@ -32,6 +32,34 @@ object SparkEntry {
       |FROM documents
       |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 10""".stripMargin
 
+  /** Shared recursive-CTE prefix: exact Jaccard ≥ 0.6 pair graph and its
+    * connected components (q37's statement; reused by the q142 composed-
+    * pipeline summary). Ends with `comp(doc_id, canonical_id)`. */
+  private val DedupCcCte: String =
+    """WITH RECURSIVE
+      |wt AS (
+      |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
+      |  FROM documents),
+      |wsh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3
+      |         THEN list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |         ELSE [tt] END) AS s
+      |  FROM wt),
+      |e AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
+      |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM und
+      |  UNION
+      |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+      |comp AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+      |  FROM reach GROUP BY src)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational core ---------------------------------------------------
     "q01_pricing_summary"          -> Relational.pricingSummary _,
@@ -192,7 +220,10 @@ object SparkEntry {
     "q138_pagerank_personalized"   -> ((s: SparkSession, d: String) => Graph.pageRankPersonalized(s, d)),
     "q139_label_propagation"       -> ((s: SparkSession, d: String) => Graph.labelPropagation(s, d)),
     "q140_reach2"                  -> ((s: SparkSession, d: String) => Graph.reach2(s, d)),
-    "q141_modularity"              -> ((s: SparkSession, d: String) => Graph.modularity(s, d)))
+    "q141_modularity"              -> ((s: SparkSession, d: String) => Graph.modularity(s, d)),
+    // composed dedup pipeline with the shared pair-graph cache ON —
+    // correctness-pins the cached shared-scan shape q37/q71/q72/q73 share
+    "q142_dedup_pipeline"          -> ((s: SparkSession, d: String) => Dedup.dedupPipelineSummary(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -791,33 +822,27 @@ object SparkEntry {
         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6""".stripMargin,
 
     "q37_dedup_corpus" ->
-      """WITH RECURSIVE
-        |wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt),
-        |e AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
-        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-        |comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
-        |  FROM reach GROUP BY src)
+      (DedupCcCte +
+      """
         |SELECT d.doc_id,
         |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
         |  coalesce(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin),
+
+    // composed pipeline summary (gated with the shared pair-graph cache ON
+    // Spark-side); the oracle recomputes pair graph + components directly
+    "q142_dedup_pipeline" ->
+      (DedupCcCte +
+      """,
+        |cm AS (
+        |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |sz AS (SELECT canonical_id, count(*) AS sz FROM cm GROUP BY 1)
+        |SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+        |  (SELECT count(*) FROM e)::BIGINT AS n_dup_pairs,
+        |  (SELECT count(*) FROM sz)::BIGINT AS n_clusters,
+        |  ((SELECT count(*) FROM documents) - (SELECT count(*) FROM sz))::BIGINT AS n_removed,
+        |  (SELECT max(sz) FROM sz)::BIGINT AS max_cluster_size""".stripMargin),
 
     "q38_train_split" ->
       """SELECT doc_id,
