@@ -136,6 +136,10 @@ object ScaleRehearsal {
       // verify join, q95's blocked candidates must track near-pair density
       val (tSpan, _)            = time(analytics.Dedup.spanDedup(spark, dir).count())
       val (tCms, _)             = time(TextStats.heavyHitters(spark, dir).count())
+      // q104 (round 5): per-term state is a bounded min-k buffer, so cost
+      // must track the corpus token volume — a hot-term straggler would
+      // show up here as superlinear wall-clock growth
+      val (tIdx, _)             = time(TextStats.invertedIndex(spark, dir).count())
       val (tFuzzy, _)           = time(analytics.Relational.fuzzyNearDup(spark, dir).count())
       val (_, nFuzzyCand)       = time(analytics.Relational.fuzzyCandidates(spark, dir).count())
       // round-4 second-half operators: the ensemble CC runs over the UNION
@@ -164,6 +168,18 @@ object ScaleRehearsal {
           .select(col("vec_id").as("query_id"), col("v").as("qv")),
         numCentroids = 16, nprobe = 4).count())
 
+      // q95 skew-cap evidence: the largest single join group under the
+      // prefix-only blocking key (round ≤4) vs the composite
+      // (prefix, ⌊len/30⌋) key in use since round 5 — the composite cap is
+      // what bounds the worst task when boilerplate prefixes collide
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+        .select(substring(col("text"), 1, 16).as("blk"),
+          (length(col("text")) / 30).cast("int").as("lbk"))
+      val maxPrefixBlock = dd.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).collect()(0).getLong(0)
+      val maxCompositeBlock = dd.groupBy(col("blk"), col("lbk")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).collect()(0).getLong(0)
+
       // every planted pair is (original, copy) with copy ids ≥ stride;
       // expected = Σ_j |bucket ∈ [2(j−1), 2j)| over the base corpus
       val plantedFound = Dedup.jaccardNearDup(spark, dir)
@@ -179,9 +195,11 @@ object ScaleRehearsal {
         s""""q27_simhash":$tSh,"q63_simhash128":$tSh2,"q37_cc":$tCc,"q51_ivf":$tIvf,""" +
         s""""q68_boilerplate":$tBoiler,"q69_decontamination":$tDecon,""" +
         s""""q79_span_dedup":$tSpan,"q83_heavy_hitters":$tCms,"q95_fuzzy":$tFuzzy,""" +
+        s""""q104_inverted_index":$tIdx,""" +
         s""""q122_ensemble":$tEns,"q130_triangles":$tTri},""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
+        s""""fuzzy_max_block":{"prefix":$maxPrefixBlock,"composite":$maxCompositeBlock},""" +
         s""""true_pairs":$nPairs,"decon_pairs":$nDeconPairs,"neardup_triangles":$nTriangles,""" +
         s""""planted_found":$plantedFound,"planted_expected":$plantedExpected}"""
       println(line)

@@ -223,7 +223,9 @@ object SparkEntry {
     "q141_modularity"              -> ((s: SparkSession, d: String) => Graph.modularity(s, d)),
     // composed dedup pipeline with the shared pair-graph cache ON —
     // correctness-pins the cached shared-scan shape q37/q71/q72/q73 share
-    "q142_dedup_pipeline"          -> ((s: SparkSession, d: String) => Dedup.dedupPipelineSummary(s, d)))
+    "q142_dedup_pipeline"          -> ((s: SparkSession, d: String) => Dedup.dedupPipelineSummary(s, d)),
+    "q143_embedding_drift"         -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
+    "q144_ivf_cell_stats"          -> ((s: SparkSession, d: String) => Similarity.ivfCellStats(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -994,6 +996,42 @@ object SparkEntry {
     // identical text -> identical fingerprint -> Hamming 0, every plant found
     "q27_simhash_neardup" -> SimhashPlantedOracle,
     "q63_simhash128_neardup" -> SimhashPlantedOracle,
+
+    // per-label centroid geometry from exact decimal sums of 6-dp-quantized
+    // components; dim-ordered list reductions mirror the Spark HOF order
+    "q143_embedding_drift" ->
+      """WITH u AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    round(unnest(embedding)::DOUBLE, 6) AS xq
+        |  FROM embeddings),
+        |pd AS (
+        |  SELECT label, dim, sum(xq::DECIMAL(28,12))::DOUBLE / count(*) AS m, count(*) AS n
+        |  FROM u GROUP BY 1, 2),
+        |lv AS (
+        |  SELECT label, max(n)::BIGINT AS n_vecs, list(m ORDER BY dim) AS mv
+        |  FROM pd GROUP BY label),
+        |gd AS (
+        |  SELECT dim, sum(xq::DECIMAL(28,12))::DOUBLE / count(*) AS g FROM u GROUP BY 1),
+        |gv AS (SELECT list(g ORDER BY dim) AS gv FROM gd)
+        |SELECT label, n_vecs,
+        |  round(sqrt(list_aggregate(list_transform(mv, x -> x * x), 'sum')), 4) AS centroid_norm,
+        |  round(list_cosine_similarity(mv, gv), 4) AS cos_to_global
+        |FROM lv CROSS JOIN gv""".stripMargin,
+
+    // independent recomputation of argmax-cosine cell assignment (ties to
+    // the smallest cid) — pins the nearest_centroid kernel vector by vector
+    "q144_ivf_cell_stats" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+        |  ORDER BY vec_id LIMIT 16),
+        |s AS (
+        |  SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS sim
+        |  FROM embeddings e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        |  FROM s)
+        |SELECT cid, count(*)::BIGINT AS n_vectors FROM r WHERE rn = 1 GROUP BY cid""".stripMargin,
 
     // scaled plants of vec_id < 100 are the ONLY pairs >= tau on the
     // isotropic corpus; sign pattern is scale-invariant so all are found

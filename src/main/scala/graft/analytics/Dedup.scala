@@ -339,15 +339,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** The LSH banding candidate stage of [[minhashLsh]]: band keys → bucket
-    * equi-join → distinct (a, b) pairs. */
-  private[graft] def minhashCandidatesOn(sigs: DataFrame): DataFrame = {
+  /** LSH band keys of a (doc_id, mhs) signature frame: one (doc_id, band,
+    * band_key) row per band — the bucketing primitive shared by the batch
+    * candidate join and the streaming near-dup detector
+    * ([[graft.streaming.DedupStream]]). */
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame = {
     val rowsPerBand = MinhashPerms / NumBands
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)),
         b => struct(b.as("band"),
           xxhash64(slice(col("mhs"), b * rowsPerBand + 1, lit(rowsPerBand))).as("band_key")))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Band keys straight from (doc_id, text) — signature + banding in one
+    * narrow projection (works on a streaming frame: no shuffle, no state). */
+  private[graft] def bandKeysFor(docsWithText: DataFrame): DataFrame =
+    bandsOf(docsWithText.select(col("doc_id"),
+      minhashSignature(wordShingles(col("text"))).as("mhs")))
+
+  /** The LSH banding candidate stage of [[minhashLsh]]: band keys → bucket
+    * equi-join → distinct (a, b) pairs. */
+  private[graft] def minhashCandidatesOn(sigs: DataFrame): DataFrame = {
+    val bands = bandsOf(sigs)
 
     bands.as("x").join(bands.as("y"), Seq("band", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))

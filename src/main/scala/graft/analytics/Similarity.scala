@@ -115,21 +115,24 @@ object Similarity {
     * per-query top-k rank) — also the scale instrumentation: candidate row
     * count ≈ N·nprobe/numCentroids·|Q| is the quantity that must grow
     * linearly, not quadratically, with the corpus. */
+  /** Nearest-centroid cell assignment: single-row broadcast of the packed
+    * centroid arrays + the codegen'd argmax kernel — a narrow map, no
+    * expansion, no aggregate (ties on similarity resolve to smallest cid,
+    * same semantics as the former max-struct formulation). Shared by the
+    * IVF candidate stage and the q144 index-balance diagnostic. */
+  private[graft] def assignCellsOn(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val packed = centroids
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+      .select(expr("transform(cs, c -> c.cid)").as("cids"),
+        expr("transform(cs, c -> c.cv)").as("cvs"))
+    corpus.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("v"),
+        graft.functions.Sketches.nearestCentroid(col("v"), col("cvs"), col("cids")).as("cid"))
+  }
+
   private[graft] def ivfCandidatesOn(corpus: DataFrame, queries: DataFrame,
       numCentroids: Int, nprobe: Int): DataFrame = {
-    // nearest centroid per corpus vector: single-row broadcast of the packed
-    // centroid arrays + the codegen'd argmax kernel — a narrow map, no
-    // expansion, no aggregate (ties on similarity resolve to smallest cid,
-    // same semantics as the former max-struct formulation)
-    def assignCells(centroids: DataFrame): DataFrame = {
-      val packed = centroids
-        .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
-        .select(expr("transform(cs, c -> c.cid)").as("cids"),
-          expr("transform(cs, c -> c.cv)").as("cvs"))
-      corpus.crossJoin(broadcast(packed))
-        .select(col("vec_id"), col("v"),
-          graft.functions.Sketches.nearestCentroid(col("v"), col("cvs"), col("cids")).as("cid"))
-    }
+    def assignCells(centroids: DataFrame): DataFrame = assignCellsOn(corpus, centroids)
 
     val init = corpus.orderBy(col("vec_id")).limit(numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -431,6 +434,70 @@ object Similarity {
       embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       tau)
+
+  /** q144: IVF index balance diagnostic — vectors per cell under the
+    * default deterministic quantizer (first `numCentroids` vec_ids). The
+    * operational question behind it: is the inverted file BALANCED? A cell
+    * holding half the corpus makes every probe of that cell a full scan
+    * (the ANN twin of join skew, diagnosed BEFORE queries are slow, the
+    * q111 philosophy). Plan: the same broadcast-packed `nearest_centroid`
+    * narrow map as assignment (corpus scanned once, never reshaped) + one
+    * partial+final count. Oracle-exact: the DuckDB side recomputes the
+    * argmax-cosine assignment per vector (ties to the smallest cid), so
+    * the gate pins the codegen'd kernel's ASSIGNMENT PARITY vector by
+    * vector against an independent engine — stronger than planted recall,
+    * which only pins the self-cell. */
+  def ivfCellStats(spark: SparkSession, dir: String, numCentroids: Int = 16): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val init = e.orderBy(col("vec_id")).limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    assignCellsOn(e, init)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+  }
+
+  /** q143: embedding drift / segment-skew monitor — per-label centroid
+    * geometry: how far each label's mean embedding sits from the origin
+    * (centroid_norm — isotropic noise collapses toward 0 at 1/√n; a
+    * clustered label keeps a large norm) and how aligned it is with the
+    * global centroid (cos_to_global). This is the ML-data-ops check that
+    * catches a source whose embeddings shifted after a model or
+    * preprocessing change, per segment, without labels on quality.
+    *
+    * Determinism across engines (the interesting part): per-dim means are
+    * accumulated as EXACT decimals of 6-dp-quantized components — decimal
+    * addition is associative, so the sums are identical under any
+    * partitioning AND identical to DuckDB's; the per-dim mean divides in
+    * double (same two operands → same double). The dim-ordered mean
+    * vectors then reduce sequentially (sorted-struct HOF here, dim-ordered
+    * list_aggregate in the oracle), so even the final double sums add in
+    * the same order — the 4-dp edge rounding is belt over suspenders.
+    * Plan: one posexplode + one partial+final (label, dim) aggregate
+    * (64·|labels| groups), then label-count-sized array ops — the corpus
+    * is scanned once, nothing corpus-sized shuffles. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val comps = embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), round(col("x"), 6).as("xq"))
+    // per-(label, dim) exact sums → double means → dim-ordered vectors
+    val labelVecs = comps.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xq").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), (col("s").cast("double") / col("n")).as("m"), col("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        array_sort(collect_list(struct(col("dim"), col("m")))).as("a"))
+      .select(col("label"), col("n_vecs"), expr("transform(a, p -> p.m)").as("mv"))
+    val globalVec = comps.groupBy(col("dim"))
+      .agg(sum(col("xq").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+      .select(col("dim"), (col("s").cast("double") / col("n")).as("g"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("g")))).as("a"))
+      .select(expr("transform(a, p -> p.g)").as("gv"))
+    labelVecs.crossJoin(broadcast(globalVec))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(expr("aggregate(transform(mv, x -> x * x), 0D, (acc, x) -> acc + x)")), 4)
+          .as("centroid_norm"),
+        round(cosine(col("mv"), col("gv")), 4).as("cos_to_global"))
+  }
 
   /** [[embeddingNearDup]] over an explicit (vec_id, v) frame — shared with
     * the planted-pair gate (q30). */

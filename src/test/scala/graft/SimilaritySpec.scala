@@ -208,6 +208,32 @@ class SimilaritySpec extends SparkSpec {
     assert(viaKernel(0L) == 3L, "zero-norm row must land in the smallest cid")
   }
 
+  test("q144 cell stats: every vector assigned exactly once, centroids self-assign") {
+    val d = sf("sf0.001")
+    val stats = Similarity.ivfCellStats(spark, d).collect()
+    val total = stats.map(_.getLong(1)).sum
+    assert(total == graft.Tables.embeddings(spark, d).count(),
+      "cell sizes must partition the corpus")
+    val cids = stats.map(_.getLong(0)).toSet
+    assert(cids.subsetOf((0L until 16L).toSet), s"cells come from the first 16 ids: $cids")
+    // each centroid's own vector has cosine 1.0 to itself -> its own cell
+    // is non-empty
+    assert((0L until 16L).toSet.subsetOf(cids), "every centroid keeps its own vector")
+  }
+
+  test("q143 drift: label centroids cover the corpus, geometry in range") {
+    val d = sf("sf0.001")
+    val r = Similarity.embeddingDrift(spark, d).collect()
+    assert(r.map(_.getLong(1)).sum == graft.Tables.embeddings(spark, d).count())
+    r.foreach { row =>
+      assert(row.getDouble(2) >= 0, "norms are non-negative")
+      assert(math.abs(row.getDouble(3)) <= 1.0001, "cosine bounded")
+    }
+    // isotropic noise: per-label centroid of n vectors concentrates at
+    // O(1/sqrt(n)) — far below the ~1 norm of any single vector
+    assert(r.forall(_.getDouble(2) < 0.5), r.mkString(","))
+  }
+
   test("PQ kernels reject malformed codebooks with clear errors") {
     def fails(df: => org.apache.spark.sql.DataFrame, frag: String): Unit = {
       val e = intercept[Exception](df.collect())

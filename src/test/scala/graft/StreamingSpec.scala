@@ -52,6 +52,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: cross-batch duplicate alerts, bounded bucket state") {
+    import graft.streaming.DedupStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DedupStream.DocArrival]
+    val q = DedupStream.nearDupAlerts(in.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("dup_alerts").outputMode("append").start()
+    try {
+      val textA = "the quick brown fox jumps over the lazy dog again and again today"
+      val textB = "completely different content about stream processing state machines"
+      in.addData(
+        DedupStream.DocArrival(1L, textA),
+        DedupStream.DocArrival(2L, textB))
+      q.processAllAvailable()
+      assert(spark.table("dup_alerts").count() == 0,
+        "unrelated docs must not alert")
+      // a later micro-batch delivers an exact copy of doc 1: identical
+      // shingles -> identical signature -> same bucket in EVERY band
+      in.addData(DedupStream.DocArrival(3L, textA))
+      q.processAllAvailable()
+      val alerts = spark.table("dup_alerts")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(alerts == Set((3L, 1L)),
+        s"the copy must alert against its prior, and only that pair: $alerts")
+      // and the alert fires from every band (16 identical-bucket collisions)
+      assert(spark.table("dup_alerts").count() == 16)
+    } finally q.stop()
+  }
+
   test("late cross-batch events are dropped, never extend a session backwards") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
