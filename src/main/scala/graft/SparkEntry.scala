@@ -225,7 +225,11 @@ object SparkEntry {
     // correctness-pins the cached shared-scan shape q37/q71/q72/q73 share
     "q142_dedup_pipeline"          -> ((s: SparkSession, d: String) => Dedup.dedupPipelineSummary(s, d)),
     "q143_embedding_drift"         -> ((s: SparkSession, d: String) => Similarity.embeddingDrift(s, d)),
-    "q144_ivf_cell_stats"          -> ((s: SparkSession, d: String) => Similarity.ivfCellStats(s, d)))
+    "q144_ivf_cell_stats"          -> ((s: SparkSession, d: String) => Similarity.ivfCellStats(s, d)),
+    // -- round 5: containment contamination, z-order skipping, closeness --
+    "q145_containment"             -> ((s: SparkSession, d: String) => Sampling.containmentScores(s, d)),
+    "q146_zorder_skipping"         -> ((s: SparkSession, d: String) => Layout.zorderSkipping(s, d)),
+    "q147_closeness_pivots"        -> ((s: SparkSession, d: String) => Graph.closenessPivots(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1032,6 +1036,100 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
         |  FROM s)
         |SELECT cid, count(*)::BIGINT AS n_vectors FROM r WHERE rn = 1 GROUP BY cid""".stripMargin,
+
+    // q69's gram machinery + eval-side totals; the one division happens at
+    // the edge in double with identical operands, rounded 4 dp
+    "q145_containment" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 +
+        |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, b, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+        |    ELSE [tt] END) AS g
+        |  FROM s),
+        |ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE b >= 95),
+        |evn AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |tr AS (SELECT doc_id AS train_id, g FROM grams WHERE b < 90),
+        |j AS (SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
+        |      FROM tr JOIN ev USING (g) GROUP BY 1, 2)
+        |SELECT train_id, eval_id, n_shared,
+        |  round(n_shared::DOUBLE / n_eval, 4) AS containment
+        |FROM j JOIN evn USING (eval_id)""".stripMargin,
+
+    // the identical Morton term sum, stated digit by digit — integer bit
+    // arithmetic end-to-end so the file assignment is engine-exact
+    "q146_zorder_skipping" -> {
+      val zTerms = (0 until 16).map(i =>
+        s"((((xq & 65535) >> $i) & 1) << ${2 * i}) + " +
+          s"((((yq & 65535) >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_custkey AS ck,
+         |    date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS dy
+         |  FROM orders),
+         |bd AS (SELECT min(ck) AS cklo, max(ck) AS ckhi, min(dy) AS dlo, max(dy) AS dhi FROM o),
+         |nq AS (
+         |  SELECT ck,
+         |    ((ck - cklo) * 65535) // greatest(ckhi - cklo, 1) AS xq,
+         |    ((dy - dlo) * 65535) // greatest(dhi - dlo, 1) AS yq,
+         |    (dy - dlo) // ((dhi - dlo) // 64 + 1) AS f_lin
+         |  FROM o CROSS JOIN bd),
+         |f AS (SELECT ck, f_lin, ($zTerms) >> 26 AS f_z FROM nq),
+         |sz AS (
+         |  SELECT f_z AS file, min(ck) AS ck_min, max(ck) AS ck_max, count(*) AS n,
+         |    sum(CASE WHEN ck BETWEEN 100 AND 199 THEN 1 ELSE 0 END) AS nm
+         |  FROM f GROUP BY 1),
+         |sl AS (
+         |  SELECT f_lin AS file, min(ck) AS ck_min, max(ck) AS ck_max, count(*) AS n,
+         |    sum(CASE WHEN ck BETWEEN 100 AND 199 THEN 1 ELSE 0 END) AS nm
+         |  FROM f GROUP BY 1)
+         |SELECT 'zorder' AS layout, count(*)::BIGINT AS n_files,
+         |  sum(CASE WHEN ck_min <= 199 AND ck_max >= 100 THEN 1 ELSE 0 END)::BIGINT AS files_scanned,
+         |  sum(CASE WHEN ck_min <= 199 AND ck_max >= 100 THEN n ELSE 0 END)::BIGINT AS rows_scanned,
+         |  sum(nm)::BIGINT AS rows_matched
+         |FROM sz
+         |UNION ALL
+         |SELECT 'linear', count(*)::BIGINT,
+         |  sum(CASE WHEN ck_min <= 199 AND ck_max >= 100 THEN 1 ELSE 0 END)::BIGINT,
+         |  sum(CASE WHEN ck_min <= 199 AND ck_max >= 100 THEN n ELSE 0 END)::BIGINT,
+         |  sum(nm)::BIGINT
+         |FROM sl""".stripMargin
+    },
+
+    // bounded-depth BFS from the 8 smallest node ids, unrolled one
+    // MATERIALIZED CTE per hop (the q133/q141 pattern); harmonic sums in
+    // integer micro-units so the aggregate gates hash-exact
+    "q147_closeness_pivots" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+        |pv AS MATERIALIZED (SELECT DISTINCT src AS piv FROM e ORDER BY 1 LIMIT 8),
+        |d0 AS MATERIALIZED (SELECT piv, piv AS node FROM pv),
+        |d1 AS MATERIALIZED (
+        |  SELECT DISTINCT p.piv, e.dst AS node FROM d0 p JOIN e ON p.node = e.src
+        |  EXCEPT SELECT piv, node FROM d0),
+        |d2 AS MATERIALIZED (
+        |  SELECT DISTINCT p.piv, e.dst AS node FROM d1 p JOIN e ON p.node = e.src
+        |  EXCEPT (SELECT piv, node FROM d1 UNION ALL SELECT piv, node FROM d0)),
+        |d3 AS MATERIALIZED (
+        |  SELECT DISTINCT p.piv, e.dst AS node FROM d2 p JOIN e ON p.node = e.src
+        |  EXCEPT (SELECT piv, node FROM d2 UNION ALL SELECT piv, node FROM d1
+        |          UNION ALL SELECT piv, node FROM d0)),
+        |u AS (
+        |  SELECT piv, node, 1 AS dist FROM d1
+        |  UNION ALL SELECT piv, node, 2 FROM d2
+        |  UNION ALL SELECT piv, node, 3 FROM d3)
+        |SELECT node, count(*)::BIGINT AS n_pivots_reached,
+        |  sum(1000000 // dist)::BIGINT AS harmonic_micro
+        |FROM u GROUP BY 1""".stripMargin,
 
     // scaled plants of vec_id < 100 are the ONLY pairs >= tau on the
     // isotropic corpus; sign pattern is scale-invariant so all are found

@@ -387,6 +387,66 @@ object Graph {
       .select(col("src").as("node"), col("n_reach2"))
   }
 
+  /** q147: pivot-sampled harmonic closeness — the scalable stand-in for
+    * exact closeness centrality (all-pairs BFS is O(V·E): out of the
+    * question at warehouse scale). The standard estimator runs BFS from a
+    * small pivot set and scores each node by its harmonic sum over the
+    * pivots that reach it; here the pivot set is DETERMINISTIC (the
+    * `nPivots` smallest node ids) and the horizon is bounded at `depth`,
+    * which is what lets an approximation algorithm gate hash-exact against
+    * an independent engine — the approximation is in the pivot/horizon
+    * CHOICE, fixed up front, not in any runtime randomness.
+    *
+    * Output per node: how many pivots reach it within `depth` hops and the
+    * harmonic sum Σ 1/d in exact micro-units (10^6 div d — integers
+    * end-to-end, no FP merge-order hazard). Pivots score each other like
+    * any other node; dist-0 self rows are excluded.
+    *
+    * Plan: per round, one equi-join of the frontier against the doubled
+    * edge list + an anti-join against the visited set, Materialize capping
+    * lineage — the Pregel shape shared with PageRank/k-core/LPA. Frontier
+    * size is bounded by nPivots · V, and every join keys on node id, so
+    * parallelism scales with the graph, not the pivot count. */
+  def closenessPivots(spark: SparkSession, dir: String, nPivots: Int = 8,
+      depth: Int = 3, minSupport: Long = 2): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val und = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb"))
+    closenessPivotsOn(und, nPivots, depth)
+  }
+
+  /** Core of q147 over an explicit undirected edge frame (pa < pb, no
+    * duplicates) — unit-testable with hand graphs. */
+  def closenessPivotsOn(und: DataFrame, nPivots: Int, depth: Int): DataFrame = {
+    val edges = Materialize(und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst"))))
+    val pivots = edges.select(col("src")).distinct()
+      .orderBy(col("src")).limit(nPivots)
+      .select(col("src").as("pivot"))
+    var reached = Materialize(pivots
+      .select(col("pivot"), col("pivot").as("node"), lit(0).as("dist")))
+    var frontier = reached
+    (1 to depth).foreach { d =>
+      frontier = Materialize(frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("pivot"), col("dst").as("node")).distinct()
+        .join(reached, Seq("pivot", "node"), "left_anti")
+        .withColumn("dist", lit(d)))
+      reached = Materialize(reached.unionByName(frontier))
+    }
+    reached.filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_pivots_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_micro"))
+  }
+
   /** Core of q139 over a directed edge frame where every node appears as a
     * dst (true for doubled undirected edges) — unit-testable with hand
     * graphs. Returns (node, community). */

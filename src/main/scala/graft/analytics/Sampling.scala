@@ -160,6 +160,40 @@ object Sampling {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** q145: n-gram CONTAINMENT scores — the directional contamination metric
+    * that q69's raw collision counts feed: containment(train, eval) =
+    * |grams(train) ∩ grams(eval)| / |grams(eval)|, i.e. what fraction of the
+    * EVAL document is covered by shared n-grams. Containment, not Jaccard
+    * resemblance, is the right statistic for benchmark leakage: a 100-word
+    * eval prompt fully embedded in a 10k-word train document has Jaccard
+    * ≈ 0.01 (invisible to near-dup thresholds) but containment 1.0. The
+    * denominator is eval-side on purpose — it makes the score independent
+    * of train-document length, so one threshold works across the corpus.
+    *
+    * Plan: identical shape to q69 (eval grams broadcast, corpus side never
+    * shuffles before the partial+final pair count); the per-eval gram
+    * totals are an O(|eval docs|) aggregate broadcast into the final join.
+    * Exactness: n_shared and n_eval are exact integers; the one division
+    * happens at the edge in double with identical operands on both
+    * engines, rounded 4 dp. */
+  def containmentScores(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), splitOf(col("text")).as("split"),
+        explode(TextStats.wordShingles(col("text"), n)).as("g"))
+    val ev = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("eval_id"), col("g"))
+    // wordShingles emits DISTINCT grams per doc, so count(*) = |grams(eval)|
+    val evSizes = ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n_eval"))
+    val tr = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("g"))
+    tr.join(broadcast(ev), "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(evSizes), "eval_id")
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_eval"), 4).as("containment"))
+  }
+
   /** q70: the decontaminated training set — q69's audit applied: train-split
     * documents with every n-gram-colliding document removed (left-anti join
     * against the flagged id set). This is the actual deliverable of a

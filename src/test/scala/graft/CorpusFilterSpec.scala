@@ -152,4 +152,26 @@ class CorpusFilterSpec extends SparkSpec {
     assert(df == direct, s"df($term)=$df vs direct=$direct")
     idx.unpersist()
   }
+
+  test("q145 containment: scores bounded, consistent with q69 counts and eval gram totals") {
+    val d = sf("sf0.001")
+    val c = Sampling.containmentScores(spark, d)
+    assert(c.filter(col("containment") <= 0 || col("containment") > 1.0).count() == 0,
+      "containment is a fraction of the eval doc's grams")
+    // same pair set and identical n_shared as the raw q69 audit
+    val audit = Sampling.decontamination(spark, d)
+      .withColumnRenamed("n_shared", "n_audit")
+    val joined = c.join(audit, Seq("train_id", "eval_id"), "full_outer")
+    assert(joined.filter(col("n_shared").isNull || col("n_audit").isNull ||
+      col("n_shared") =!= col("n_audit")).count() == 0)
+    // containment * n_eval recovers n_shared for a spot-checked eval doc
+    val evalGrams = graft.Tables.documents(spark, d)
+      .filter(Sampling.splitOf(col("text")) === "test")
+      .select(col("doc_id").as("eval_id"),
+        size(TextStats.wordShingles(col("text"), 5)).cast("long").as("n_eval"))
+    val bad = c.join(evalGrams, "eval_id")
+      .filter(abs(col("containment") * col("n_eval") - col("n_shared")) > col("n_eval") * 1e-4)
+      .count()
+    assert(bad == 0, "containment must equal n_shared / |grams(eval)| to 4 dp")
+  }
 }

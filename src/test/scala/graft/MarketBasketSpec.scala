@@ -263,4 +263,22 @@ class MarketBasketSpec extends SparkSpec {
     // Σ tot_c = 2m ⇒ Σ tot_c² ≥ (2m)²/nc; the numerator can't exceed 4m·m
     assert(qNum <= 4L * m * m)
   }
+
+  test("q147 closeness: hand path graph distances and harmonic micro-units exact") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6, pivots = {1, 2}, horizon 3
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("pa", "pb")
+    val r = graft.analytics.Graph.closenessPivotsOn(und, nPivots = 2, depth = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // node 3: d(1,3)=2, d(2,3)=1 → 500000 + 1000000
+    assert(r(3L) == ((2L, 1500000L)))
+    // node 4: d(1,4)=3, d(2,4)=2 → 333333 + 500000 (floor division, exact)
+    assert(r(4L) == ((2L, 833333L)))
+    // node 5: only pivot 2 reaches within 3 hops
+    assert(r(5L) == ((1L, 333333L)))
+    // node 6: beyond the horizon from both pivots
+    assert(!r.contains(6L))
+    // pivots score each other, dist-0 self rows excluded: d(1,2)=1 both ways
+    assert(r(1L) == ((1L, 1000000L)) && r(2L) == ((1L, 1000000L)))
+  }
 }
