@@ -168,8 +168,23 @@ object ScaleRehearsal {
           .select(col("vec_id").as("query_id"), col("v").as("qv")),
         numCentroids = 16, nprobe = 4).count())
 
+      // q148 K-knob evidence: same-cell candidate pairs Σ n_c(n_c−1)/2 under
+      // a FIXED K=16 quantizer vs K scaled to hold cell size ≈ 64 — fixed K
+      // must grow ~quadratically with the corpus, scaled K ~linearly; this
+      // is the measured form of the docstring's "K is the scale knob"
+      def cellCand(k: Int): Long = {
+        val init = e.orderBy(col("vec_id")).limit(k)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        Similarity.assignCellsOn(e, init)
+          .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
+      }
+      val nVecs = e.count()
+      val ivfNdFixedCand  = cellCand(16)
+      val ivfNdScaledCand = cellCand(math.max(16, (nVecs / 64).toInt))
+
       // q95 skew-cap evidence: the largest single join group under the
-      // prefix-only blocking key (round ≤4) vs the composite
+  // prefix-only blocking key (round ≤4) vs the composite
       // (prefix, ⌊len/30⌋) key in use since round 5 — the composite cap is
       // what bounds the worst task when boilerplate prefixes collide
       val dd = spark.read.parquet(s"$dir/documents.parquet")
@@ -200,6 +215,7 @@ object ScaleRehearsal {
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
         s""""fuzzy_max_block":{"prefix":$maxPrefixBlock,"composite":$maxCompositeBlock},""" +
+        s""""ivf_neardup_cand":{"fixed16":$ivfNdFixedCand,"scaled":$ivfNdScaledCand},""" +
         s""""true_pairs":$nPairs,"decon_pairs":$nDeconPairs,"neardup_triangles":$nTriangles,""" +
         s""""planted_found":$plantedFound,"planted_expected":$plantedExpected}"""
       println(line)

@@ -229,7 +229,10 @@ object SparkEntry {
     // -- round 5: containment contamination, z-order skipping, closeness --
     "q145_containment"             -> ((s: SparkSession, d: String) => Sampling.containmentScores(s, d)),
     "q146_zorder_skipping"         -> ((s: SparkSession, d: String) => Layout.zorderSkipping(s, d)),
-    "q147_closeness_pivots"        -> ((s: SparkSession, d: String) => Graph.closenessPivots(s, d)))
+    "q147_closeness_pivots"        -> ((s: SparkSession, d: String) => Graph.closenessPivots(s, d)),
+    "q148_ivf_neardup"             -> Accuracy.ivfNearDupGate _,
+    "q149_pareto_frontier"         -> ((s: SparkSession, d: String) => Relational.paretoFrontier(s, d)),
+    "q150_item_knn"                -> ((s: SparkSession, d: String) => Relational.itemKnn(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1136,6 +1139,43 @@ object SparkEntry {
     "q30_embedding_neardup" ->
       """SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, 1.0::DOUBLE AS cos_sim
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    // same planted construction, IVF-cell blocking: a scaled copy argmaxes
+    // to its original's cell, so the found set is exactly the planted set
+    "q148_ivf_neardup" ->
+      """SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, 1.0::DOUBLE AS cos_sim
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    // rank on the ROUNDED cosine with id tie-break so the top-k cut is
+    // engine-exact even among 4-dp ties
+    "q150_item_knn" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
+        |pr AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sim AS (
+        |  SELECT part_a, part_b,
+        |    round(n_both::DOUBLE / sqrt(fa.n_part * fb.n_part), 4) AS cos_sim
+        |  FROM pr JOIN freq fa ON pr.part_a = fa.l_partkey
+        |          JOIN freq fb ON pr.part_b = fb.l_partkey),
+        |r AS (
+        |  SELECT part_a, part_b, cos_sim,
+        |    (row_number() OVER (PARTITION BY part_a ORDER BY cos_sim DESC, part_b ASC))::INT AS rnk
+        |  FROM sim)
+        |SELECT part_a, part_b, cos_sim, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    // the full dominance statement the bucketed plan must reproduce exactly
+    "q149_pareto_frontier" ->
+      """WITH p AS (
+        |  SELECT DISTINCT o_totalprice AS price, o_orderdate::DATE AS odate
+        |  FROM orders)
+        |SELECT price, odate FROM p r
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p s
+        |  WHERE s.price <= r.price AND s.odate >= r.odate
+        |    AND (s.price < r.price OR s.odate > r.odate))""".stripMargin,
 
     // perturbed planted media copies on the (id, id+1e6) pattern
     "q118_phash_neardup" ->

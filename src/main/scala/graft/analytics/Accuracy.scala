@@ -313,4 +313,21 @@ object Accuracy {
         expr("transform(v, x -> x * 2.0d)").as("v"))
     Similarity.embeddingNearDupOn(e.unionByName(planted), tau = 0.95)
   }
+
+  /** q148 gate: IVF-cell-blocked near-dup over the same corpus ∪ scaled
+    * plants as q30. A scaled copy has its original's exact direction, so
+    * its argmax-cosine cell is the original's cell (same similarities,
+    * same smallest-cid tie-break — the centroid set is the 16 smallest
+    * ORIGINAL vec_ids, untouched by the +1000000 plants), and the pair is
+    * scored within the cell at cos 1.0. No organic pair reaches τ on the
+    * isotropic corpus, so the found set is exactly the planted set — the
+    * geometric-recall contract (same cell ⇒ found) stated in SQL. */
+  def ivfNearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v"))
+    Similarity.ivfNearDupOn(e.unionByName(planted), numCentroids = 16, tau = 0.95)
+  }
 }

@@ -1145,6 +1145,44 @@ object Relational {
           (col("n_a") * col("n_b")), 4).as("lift"))
   }
 
+  /** q150: item-kNN neighbor lists — the top-k most-cosine-similar items
+    * per item over the co-purchase matrix: cos(a,b) = n_both/√(n_a·n_b)
+    * on binary order-membership vectors. This is the classic item-based
+    * collaborative-filtering precompute (the neighbor table a recommender
+    * serves from), and the third co-purchase measure after q125's
+    * confidence (directional) and lift (independence-relative) — cosine is
+    * the symmetric, popularity-normalized one.
+    *
+    * Determinism: all inputs to the similarity are exact integers; the one
+    * double expression (÷√) has identical operands in both engines, and
+    * ranking uses the ROUNDED similarity with item-id tie-break, so the
+    * top-k cut is engine-exact even among 4-dp ties. Plan: q124's bounded
+    * pair aggregate + two joins against the tiny per-item frequency table,
+    * then a per-item window — rank ≤ k lowers to WindowGroupLimit (per-
+    * partition top-k heaps, no full sort materialization), parallelism
+    * scales with the item universe. */
+  def itemKnn(spark: SparkSession, dir: String, minSupport: Long = 3,
+      k: Int = 3): DataFrame = {
+    val op = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") =!= col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(freq.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(freq.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .select(col("part_a"), col("part_b"),
+        round(col("n_both").cast("double") / sqrt(col("n_a") * col("n_b")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("part_a")).orderBy(col("cos_sim").desc, col("part_b").asc)))
+      .filter(col("rnk") <= k)
+  }
+
   /** q126: ratio-to-report at two levels — each nation's revenue as a share
     * of its region and of the grand total. The classic OLAP "percent of
     * total" is often written as a windowed sum; here both denominators are
@@ -1347,5 +1385,63 @@ object Relational {
       values = Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
       variableColumnName = "metric",
       valueColumnName = "val")
+  }
+
+  /** q149: Pareto frontier (skyline) of distinct (price, order date) points —
+    * the orders no other order beats on BOTH "cheaper" and "more recent":
+    * r survives iff no s has s.price ≤ r.price ∧ s.odate ≥ r.odate with at
+    * least one strict. The skyline operator the multi-objective "best
+    * trade-off" question needs, done without the quadratic all-pairs
+    * dominance join.
+    *
+    * Plan — bucket-prefilter + bounded window, both dominance checks split
+    * by date bucket:
+    *  1. distinct points, date-bucketed (fixed integer widths from one
+    *     scalar bounds aggregate, broadcast back);
+    *  2. per-bucket min price (≤ nBuckets rows) → suffix-min over STRICTLY
+    *     later buckets (a window over the tiny bucket table only);
+    *  3. prefilter: r survives only if r.price < sufmin(bucket+1) — any
+    *     strictly-later-bucket point has a strictly later date, so price ≥
+    *     that min is certain domination. The prefilter is LOSSLESS for the
+    *     remaining check: a dropped s cannot dominate a surviving r in the
+    *     same bucket (s dropped ⇒ s.price ≥ sufmin > r.price, but
+    *     domination needs s.price ≤ r.price) — so the within-bucket window
+    *     in step 4 runs on survivors only, a skyline-band-sized frame, not
+    *     the corpus;
+    *  4. within-bucket running min of price in (odate DESC, price ASC)
+    *     order: every window-preceding point has a strictly later date or
+    *     (same date, strictly smaller price) — dominated iff that min ≤
+    *     r.price. Partitioned by bucket, so no global sort anywhere.
+    * Comparisons only (no FP arithmetic), so the result is engine-exact
+    * against the NOT EXISTS dominance statement. */
+  def paretoFrontier(spark: SparkSession, dir: String, nBuckets: Int = 64): DataFrame =
+    paretoFrontierOn(orders(spark, dir)
+      .select(col("o_totalprice").as("price"),
+        col("o_orderdate").cast("date").as("odate")), nBuckets)
+
+  /** Core of q149 over an explicit (price, odate) frame — unit-testable
+    * with hand point sets (duplicates allowed; the skyline is over the
+    * distinct points). */
+  def paretoFrontierOn(raw: DataFrame, nBuckets: Int): DataFrame = {
+    val pts = raw.select(col("price"), col("odate")).distinct()
+      .withColumn("dy", datediff(col("odate"), lit("1995-01-01").cast("date")).cast("long"))
+    val bounds = pts.agg(min(col("dy")).as("dlo"), max(col("dy")).as("dhi"))
+    val bucketed = pts.crossJoin(broadcast(bounds))
+      .select(col("price"), col("odate"),
+        expr(s"(dy - dlo) div ((dhi - dlo) div $nBuckets + 1)").as("bk"))
+    val sufmin = bucketed.groupBy(col("bk")).agg(min(col("price")).as("bmin"))
+      .select(col("bk"),
+        min(col("bmin")).over(
+          Window.orderBy(col("bk").desc).rowsBetween(Window.unboundedPreceding, -1))
+          .as("later_min"))
+    val survivors = bucketed.join(broadcast(sufmin), Seq("bk"))
+      .filter(col("later_min").isNull || col("price") < col("later_min"))
+    val w = Window.partitionBy(col("bk"))
+      .orderBy(col("odate").desc, col("price").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("mp", min(col("price")).over(w))
+      .filter(col("mp").isNull || col("mp") > col("price"))
+      .select(col("price"), col("odate"))
   }
 }

@@ -499,6 +499,39 @@ object Similarity {
         round(cosine(col("mv"), col("gv")), 4).as("cos_to_global"))
   }
 
+  /** q148: IVF-cell-blocked embedding near-dup — the third blocking scheme
+    * for semantic dedup, completing the matrix {sign-LSH (q30), exact
+    * (brute), IVF cells}: vectors are assigned to their nearest coarse
+    * centroid (the q51/q144 codegen'd narrow map) and only same-cell pairs
+    * are scored. Versus sign-LSH the recall trade is different in kind:
+    * LSH recall is probabilistic per pair (union over tables), IVF recall
+    * is geometric — a pair is found iff both members argmax to the same
+    * cell, so near-dups split across a cell boundary are missed while
+    * everything deep inside a cell is found exactly. Cosine is
+    * scale-invariant and ties resolve identically, so an exact scaled
+    * copy ALWAYS shares its original's cell — which is what lets the
+    * planted gate (q148) state the full output in SQL.
+    *
+    * Scale: candidates are Σ_cells n_c²/2 = n·(cell size)/2 when balanced —
+    * K (numCentroids) is the scale knob and must GROW with the corpus to
+    * hold cell size (and thus per-doc candidate work) constant; a fixed K
+    * degrades quadratically, and unbalanced cells degrade faster — the
+    * q144 balance diagnostic is the watchdog for both. Assignment never
+    * shuffles the corpus; the pair join shuffles once on cell id. */
+  private[graft] def ivfNearDupOn(vecs: DataFrame, numCentroids: Int,
+      tau: Double): DataFrame = {
+    val init = vecs.orderBy(col("vec_id")).limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cells = assignCellsOn(vecs, init)
+    val a = cells.select(col("vec_id").as("vec_a"), col("v").as("va"), col("cid"))
+    val b = cells.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("cid"))
+    a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cos_sim"))
+  }
+
   /** [[embeddingNearDup]] over an explicit (vec_id, v) frame — shared with
     * the planted-pair gate (q30). */
   private[graft] def embeddingNearDupOn(vecs: DataFrame, tau: Double): DataFrame = {

@@ -92,4 +92,35 @@ class CustomerAnalyticsSpec extends SparkSpec {
     assert(merged == direct, "incremental maintenance must match full recompute exactly")
     merged.values.foreach { case (n, _) => assert(n > 0L, "zero-count keys must drop") }
   }
+
+  test("q149 pareto frontier: hand cases and brute-force dominance cross-check") {
+    import spark.implicits._
+    import java.sql.Date
+    def sky(pts: (Double, String)*): Set[(Double, String)] =
+      Relational.paretoFrontierOn(
+        pts.map { case (p, d) => (p, Date.valueOf(d)) }.toDF("price", "odate"), 4)
+        .collect().map(r => (r.getDouble(0), r.getDate(1).toString)).toSet
+    // cheaper-and-later dominates; the latest point always survives
+    assert(sky((10.0, "1995-01-10"), (5.0, "1995-06-01"), (20.0, "1996-01-01")) ==
+      Set((5.0, "1995-06-01"), (20.0, "1996-01-01")))
+    // same price, later date dominates; duplicates collapse to one point
+    assert(sky((5.0, "1995-02-01"), (5.0, "1995-03-01"), (5.0, "1995-03-01")) ==
+      Set((5.0, "1995-03-01")))
+    // same date, cheaper dominates
+    assert(sky((5.0, "1995-02-01"), (7.0, "1995-02-01")) == Set((5.0, "1995-02-01")))
+    // brute-force cross-check on a deterministic 200-point cloud
+    val cloud = (1 to 200).map { i =>
+      val p = (i * 37 % 101 + 1).toDouble
+      val day = i * 53 % 365 + 1
+      (p, f"1995-01-01".substring(0, 4) + "-" +
+        f"${(day - 1) / 31 + 1}%02d-" + f"${(day - 1) % 28 + 1}%02d")
+    }
+    val pts = cloud.distinct
+    val brute = pts.filter { case (p, d) =>
+      !pts.exists { case (p2, d2) =>
+        p2 <= p && d2 >= d && (p2 < p || d2 > d)
+      }
+    }.toSet
+    assert(sky(cloud: _*) == brute)
+  }
 }

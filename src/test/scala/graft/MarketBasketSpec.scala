@@ -264,6 +264,26 @@ class MarketBasketSpec extends SparkSpec {
     assert(qNum <= 4L * m * m)
   }
 
+  test("q150 item-knn: neighbor lists bounded, ranks dense, cosine bounded and symmetric-consistent") {
+    val d = sf("sf0.001")
+    val knn = graft.analytics.Relational.itemKnn(spark, d).cache()
+    try {
+      assert(knn.count() > 0)
+      assert(knn.filter(col("cos_sim") <= 0 || col("cos_sim") > 1.0).count() == 0,
+        "cosine of count vectors lives in (0, 1]")
+      // ≤ k neighbors per item, ranks dense from 1
+      val byItem = knn.groupBy(col("part_a"))
+        .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"), min(col("rnk")).as("mn"))
+      assert(byItem.filter(col("n") > 3 || col("mx") =!= col("n") || col("mn") =!= 1).count() == 0)
+      // the underlying measure is symmetric: where BOTH directions survive
+      // into some neighbor list, the similarity value must agree
+      val mismatched = knn.as("x").join(knn.as("y"),
+          col("x.part_a") === col("y.part_b") && col("x.part_b") === col("y.part_a"))
+        .filter(col("x.cos_sim") =!= col("y.cos_sim")).count()
+      assert(mismatched == 0)
+    } finally knn.unpersist()
+  }
+
   test("q147 closeness: hand path graph distances and harmonic micro-units exact") {
     import spark.implicits._
     // path 1-2-3-4-5-6, pivots = {1, 2}, horizon 3

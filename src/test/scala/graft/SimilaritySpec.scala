@@ -234,6 +234,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r.forall(_.getDouble(2) < 0.5), r.mkString(","))
   }
 
+  test("q148 ivf near-dup: deep-in-cell pairs found, boundary pairs missed by contract") {
+    import spark.implicits._
+    // centroids = two smallest ids (axes); c/d hug the x-axis (same cell,
+    // cos ≈ 0.9998); e/f straddle the diagonal (split cells, cos ≈ 0.999)
+    val vecs = Seq(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0),
+      2L -> Seq(0.95, 0.10), 3L -> Seq(0.93, 0.12),
+      4L -> Seq(0.72, 0.69), 5L -> Seq(0.69, 0.72))
+      .toDF("vec_id", "v")
+    val found = graft.analytics.Similarity
+      .ivfNearDupOn(vecs, numCentroids = 2, tau = 0.95)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((2L, 3L)), "same-cell near-dup must be found")
+    assert(!found.contains((4L, 5L)),
+      "cross-cell pair is missed — the documented geometric-recall trade")
+    // planted gate on the real corpus: exactly the 100 scaled plants
+    val d = sf("sf0.001")
+    val gate = graft.analytics.Accuracy.ivfNearDupGate(spark, d).collect()
+    assert(gate.length == 100)
+    assert(gate.forall(r => r.getLong(1) == r.getLong(0) + 1000000L &&
+      r.getDouble(2) == 1.0))
+  }
+
   test("PQ kernels reject malformed codebooks with clear errors") {
     def fails(df: => org.apache.spark.sql.DataFrame, frag: String): Unit = {
       val e = intercept[Exception](df.collect())

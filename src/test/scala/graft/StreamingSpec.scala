@@ -81,6 +81,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: overflow docs alert against retained priors but are not retained") {
+    import graft.streaming.DedupStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DedupStream.DocArrival]
+    val q = DedupStream.nearDupAlerts(in.toDS(), capPerBucket = 2,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("dup_cap").outputMode("append").start()
+    try {
+      val text = "one identical crawl page body repeated across many arrivals today ok"
+      (1L to 4L).foreach { i =>
+        in.addData(DedupStream.DocArrival(i, text))
+        q.processAllAvailable()
+      }
+      val pairs = spark.table("dup_cap")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // docs 3 and 4 overflow the cap: they alert against the two retained
+      // priors only, and doc 4 never alerts against un-retained doc 3 —
+      // per-bucket state is genuinely bounded at capPerBucket ids
+      assert(pairs == Set((2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L)), pairs.toString)
+    } finally q.stop()
+  }
+
   test("late cross-batch events are dropped, never extend a session backwards") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
