@@ -314,4 +314,37 @@ class PlanShapeSpec extends SparkSpec {
     // data filter did NOT fall back to a post-scan Filter on o_year
     assert(!p.contains("Filter (o_year"), "o_year filter must prune, not post-filter\n" + p)
   }
+
+  test("q145: eval grams and eval totals broadcast; corpus side never shuffles before the pair count") {
+    val p = plan("q145_containment")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "gram join AND n_eval join must broadcast\n" + p)
+    assert(!p.contains("SortMergeJoin"), "no shuffle join anywhere\n" + p)
+  }
+
+  test("q149: skyline windows are the 64-row bucket table + bucket-partitioned survivors — never a global data sort") {
+    val p = plan("q149_pareto_frontier")
+    // exactly two windows: the suffix-min over the bucket AGGREGATE (tiny,
+    // single-partition by construction) and the survivor window keyed by bk
+    assert("Window".r.findAllIn(p).size == 2, p)
+    assert(p.contains("windowspecdefinition(bk"),
+      "survivor window must be partitioned by bucket\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "sufmin joins back via broadcast\n" + p)
+  }
+
+  test("q150: neighbor top-k lowers to WindowGroupLimit heaps") {
+    val p = plan("q150_item_knn")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q148: pair join keys on cid; assignment is a narrow codegen'd map") {
+    val p = plan("q148_ivf_neardup")
+    assert(p.contains("nearest_centroid"), "codegen'd assignment kernel\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the blocking property: the pair join is an equi-join KEYED ON cid
+    // (broadcast at this SF, shuffled at scale — either is hash-on-cid),
+    // never an unkeyed loop over vector pairs
+    assert(p.contains("Join [cid"), "pair join must key on cid\n" + p)
+  }
 }
