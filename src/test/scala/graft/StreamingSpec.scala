@@ -103,6 +103,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift: per-label centroid state accumulates exactly across batches") {
+    import graft.streaming.DriftStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DriftStream.VecArrival]
+    val q = DriftStream.centroidDrift(in.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("drift").outputMode("update").start()
+    try {
+      def latest(): Map[String, (Long, Double)] = spark.table("drift")
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (l, rows) => l -> rows.map(_._2).maxBy(_._1) }
+      in.addData(
+        DriftStream.VecArrival("a", Seq(0.6, 0.8)),
+        DriftStream.VecArrival("b", Seq(1.0, 0.0)))
+      q.processAllAvailable()
+      assert(latest() == Map("a" -> ((1L, 1.0)), "b" -> ((1L, 1.0))))
+      // same direction keeps the norm; opposite vectors cancel to 0 —
+      // state carries EXACT micro-unit sums across the batch boundary
+      in.addData(
+        DriftStream.VecArrival("a", Seq(0.6, 0.8)),
+        DriftStream.VecArrival("b", Seq(-1.0, 0.0)))
+      q.processAllAvailable()
+      assert(latest() == Map("a" -> ((2L, 1.0)), "b" -> ((2L, 0.0))))
+    } finally q.stop()
+  }
+
   test("late cross-batch events are dropped, never extend a session backwards") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
