@@ -232,7 +232,8 @@ object SparkEntry {
     "q147_closeness_pivots"        -> ((s: SparkSession, d: String) => Graph.closenessPivots(s, d)),
     "q148_ivf_neardup"             -> Accuracy.ivfNearDupGate _,
     "q149_pareto_frontier"         -> ((s: SparkSession, d: String) => Relational.paretoFrontier(s, d)),
-    "q150_item_knn"                -> ((s: SparkSession, d: String) => Relational.itemKnn(s, d)))
+    "q150_item_knn"                -> ((s: SparkSession, d: String) => Relational.itemKnn(s, d)),
+    "q151_sketch_rollup"           -> Relational.sketchRollup _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1145,6 +1146,14 @@ object SparkEntry {
     "q148_ivf_neardup" ->
       """SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b, 1.0::DOUBLE AS cos_sim
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    // the estimates themselves are engine-specific (DataSketches HLL), so
+    // the gate states the exact count plus the two CLAIMS about the
+    // sketches — mergeability and bounded error — as oracle booleans
+    "q151_sketch_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+        |  true AS mergeable_ok, true AS bounded_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     // rank on the ROUNDED cosine with id tie-break so the top-k cut is
     // engine-exact even among 4-dp ties

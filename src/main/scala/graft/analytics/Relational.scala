@@ -1145,6 +1145,40 @@ object Relational {
           (col("n_a") * col("n_b")), 4).as("lift"))
   }
 
+  /** q151: mergeable-sketch rollup — the pre-aggregated sketch-table
+    * pattern that serves distinct counts at warehouse scale: per-day HLL
+    * sketches of the user set are built ONCE (the sketch table a nightly
+    * job would persist), and any coarser rollup — here per event type
+    * across all days — is answered by UNIONING sketches, never re-scanning
+    * the fact table. This is the entire point of mergeable sketches: the
+    * 100 TB scan happens once, every subsequent distinct-count query runs
+    * on KB-scale sketch rows.
+    *
+    * The gate pins the two properties that make the pattern sound:
+    * `mergeable_ok` — the estimate from the unioned daily sketches equals
+    * the estimate from a direct one-pass sketch (HLL registers are maxes,
+    * so union-of-sketches ≡ sketch-of-union, and the estimate is a pure
+    * function of registers — deterministic, order-insensitive);
+    * `bounded_ok` — both estimates sit within 5% of the exact distinct
+    * count (lgConfigK=12 → ~1.6% rse). The exact count rides along as the
+    * shared ground truth the DuckDB oracle recomputes. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val rolled = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_rollup"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        count_distinct(col("user_id")).as("n_exact"))
+    direct.join(rolled, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("est_rollup") === col("est_direct")).as("mergeable_ok"),
+        (abs(col("est_direct") - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05).as("bounded_ok"))
+  }
+
   /** q150: item-kNN neighbor lists — the top-k most-cosine-similar items
     * per item over the co-purchase matrix: cos(a,b) = n_both/√(n_a·n_b)
     * on binary order-membership vectors. This is the classic item-based

@@ -271,4 +271,23 @@ class EventAnalyticsSpec extends SparkSpec {
       "Laplace smoothing keeps every term finite, even for a lang absent from val")
     r.unpersist()
   }
+
+  test("q151 sketch rollup: mergeable and bounded on real data; estimate invariant to rollup granularity") {
+    val d = sf("sf0.001")
+    val r = Relational.sketchRollup(spark, d).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => row.getBoolean(2) && row.getBoolean(3)),
+      "union-of-sketches must equal sketch-of-union, both within 5% of exact")
+    // granularity invariance: weekly pre-aggregation unions to the same
+    // registers (and thus the same estimate) as daily pre-aggregation
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    def rollup(bucket: org.apache.spark.sql.Column): Map[String, Long] =
+      ev.groupBy(col("event_type"), bucket.as("b"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(rollup(col("day")) == rollup(weekofyear(col("day"))))
+  }
 }
