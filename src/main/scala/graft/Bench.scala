@@ -160,11 +160,23 @@ object Bench {
     val probeMax = if (probeTimes.nonEmpty) probeTimes.last else 0.0
     val spreadMax = if (results.nonEmpty) results.map(_._5).max else 1.0
 
+    // Errors in the compact line: short query names + messages truncated to
+    // 60 chars. Round 6 crashed here — 11 errors x 200-char messages blew
+    // the 2000-char tail no matter how many fast queries the size guard
+    // dropped (full messages always live in bench_full.json / early stdout).
+    // (capped at 8 entries — "failed" carries the true count, so a mass
+    // failure can't overflow the tail either)
+    val compactErrJson = results
+      .collect { case (k, _, Some(e), _, _) =>
+        s"\"" + shortNames(k) + "\":\"" + jsonEscape(e.take(60)) + "\"" }
+      .take(8)
+      .mkString("{", ",", "}")
+
     def compactLine(kept: Seq[(String, Double)], omitted: Int, omittedSec: Double): String = {
       val m = kept.map { case (k, v) => s"\"" + shortNames(k) + "\":" + r2(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted,"omitted_sec":${r2(omittedSec)}""" else ""
-      val er = if (nFailed > 0) s""","errors":$errJson""" else ""
+      val er = if (nFailed > 0) s""","errors":$compactErrJson""" else ""
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$m,"sf":"$sfDir","runs":$runs,"n_queries":${results.length},"failed":$nFailed$er,"probe_med":${r4(probeMed)},"probe_max":${r4(probeMax)},"spread_max":${r4(spreadMax)},"detail":"bench_full.json"$om}"""
     }
 

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central accessors for the driver-provided test tables
   * (`/root/testdata/sf*` — see TESTDATA.md). One parquet file per table.
@@ -23,16 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision in parquet, which Spark's vectorized
-    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * so it arrives as a long; we truncate ns → µs here (exactly what DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP conversion does) so every consumer sees a
-    * plain TimestampType column. */
+  /** `events.ts` has shipped in two physical parquet encodings across
+    * testdata generations; both are normalized here so every consumer sees a
+    * plain `TimestampType` column:
+    *
+    *  - nanosecond INT64: Spark's vectorized reader rejects parquet NANOS, so
+    *    sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and the
+    *    column arrives as a long; truncate ns → µs (exactly what DuckDB's
+    *    TIMESTAMP_NS → TIMESTAMP conversion does).
+    *  - MICROS with `isAdjustedToUTC=0`: Spark 4.x reads this as
+    *    `TIMESTAMP_NTZ`, which rejects numeric casts (`cast(ts as double)`,
+    *    `unix_micros`) at analysis time. Cast to `TimestampType` — under the
+    *    UTC session timezone the build pins, the instant is value-identical. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => df
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -231,7 +231,7 @@ object Similarity {
     val coded = normC.crossJoin(broadcast(cbs))
       .select(col("vec_id"), Sketches.pqEncode(col("v"), col("cbs")).as("codes"))
     // approx scan: corpus codes × broadcast (queries ⨯ codebook)
-    val qcb = normQ.crossJoin(cbs)
+    val qcb = normQ.crossJoin(broadcast(cbs))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
     val cand = coded.crossJoin(broadcast(qcb))
