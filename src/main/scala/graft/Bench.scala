@@ -72,7 +72,10 @@ object Bench {
     // reflect steady state instead of first-query startup cost. Does not
     // touch the benchmarked queries or tables beyond a trivial footer read.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // a bad SF dir must surface as per-query errors in the compact line,
+    // not kill the bench before it prints anything
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
 
     def jsonEscape(s: String): String =
       s.flatMap {

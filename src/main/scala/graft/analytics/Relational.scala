@@ -159,7 +159,7 @@ object Relational {
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s").asc, col("event_id").asc)
     events(spark, dir)
-      .withColumn("ts_s", floor(col("ts").cast("double")).cast("long"))
+      .withColumn("ts_s", unix_seconds(col("ts")))
       .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
       .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(
@@ -177,12 +177,12 @@ object Relational {
     * Timestamps floored to seconds at the edge for precision stability. */
   def sessionWindow(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("tss", timestamp_seconds(floor(col("ts").cast("double")).cast("long")))
+      .withColumn("tss", date_trunc("second", col("ts")))
       .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
       .select(col("user_id"),
-        col("sw.start").cast("double").cast("long").as("sess_start"),
+        unix_seconds(col("sw.start")).as("sess_start"),
         col("n_events"), col("sum_value"))
 
   /** q13: approximate distinct via HLL++ (rsd = 0.01) — the scale path for
@@ -962,7 +962,7 @@ object Relational {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s").asc, col("event_id").asc)
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
     events
-      .withColumn("ts_s", floor(col("ts").cast("double")).cast("long"))
+      .withColumn("ts_s", unix_seconds(col("ts")))
       .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
       .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(
@@ -1006,7 +1006,7 @@ object Relational {
     val bySess = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts_s").asc, col("event_id").asc)
     events(spark, dir)
-      .withColumn("ts_s", floor(col("ts").cast("double")).cast("long"))
+      .withColumn("ts_s", unix_seconds(col("ts")))
       .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
       .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(
@@ -1045,7 +1045,7 @@ object Relational {
     * scan feeds ONE partial+final HashAggregate keyed by stream. */
   def sourceFreshness(spark: SparkSession, dir: String, staleAfterS: Long = 3600): DataFrame = {
     val e = events(spark, dir)
-      .select(col("event_type"), floor(col("ts").cast("double")).cast("long").as("ts_s"))
+      .select(col("event_type"), unix_seconds(col("ts")).as("ts_s"))
     val wm = e.agg(max(col("ts_s")).as("watermark"))
     e.crossJoin(broadcast(wm))
       .groupBy(col("event_type"), col("watermark"))
@@ -1326,7 +1326,7 @@ object Relational {
       .orderBy(col("ts_s").asc, col("event_id").asc)
     events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        floor(col("ts").cast("double")).cast("long").as("ts_s"))
+        unix_seconds(col("ts")).as("ts_s"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       .withColumn("valid_from", col("ts_s"))
@@ -1356,7 +1356,7 @@ object Relational {
         floor(col("sess_start") / 86400L).cast("long"),
         floor(col("sess_end") / 86400L).cast("long"))))
     val bounds = events(spark, dir)
-      .select(floor(col("ts").cast("double")).cast("long").as("ts_s"))
+      .select(unix_seconds(col("ts")).as("ts_s"))
       .agg(floor(min(col("ts_s")) / 86400L).cast("long").as("dmin"),
         floor(max(col("ts_s")) / 86400L).cast("long").as("dmax"))
     val wins = bounds
@@ -1388,7 +1388,7 @@ object Relational {
     val bySession = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts_s").asc, col("event_id").asc)
     events(spark, dir)
-      .withColumn("ts_s", floor(col("ts").cast("double")).cast("long"))
+      .withColumn("ts_s", unix_seconds(col("ts")))
       .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
       .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_sess")).over(
