@@ -345,7 +345,7 @@ object Similarity {
       .orderBy(col("approx_sim").desc, col("neighbor_id").asc)
     val shortlist = cand
       .join(coded, "neighbor_id")
-      .join(broadcast(normQ.crossJoin(cbs)), "query_id")
+      .join(broadcast(normQ.crossJoin(broadcast(cbs))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         Sketches.pqAdcSim(col("qv"), col("codes"), col("cbs")).as("approx_sim"))
       .withColumn("rn", row_number().over(wA))

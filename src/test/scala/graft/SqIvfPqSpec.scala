@@ -87,6 +87,11 @@ class SqIvfPqSpec extends SparkSpec {
     // single-row codebook/centroid broadcasts are legitimate nested-loop
     // sides; the corpus-cell candidate join itself must be hash/sort-merge
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    // every codebook/query attach must be an explicit broadcast NLJ — an
+    // unpinned crossJoin would surface as CartesianProduct and shuffle
+    // the corpus side
+    assert(!p.contains("CartesianProduct"),
+      "codebook crossJoins must broadcast their small side:\n" + p)
   }
 
   test("q97/q98: IVF-SQ composition retrieves planted copies; equi-join candidates") {
