@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time individual queries. Usage:
   *   runMain graft.BenchOne <sfDir> <queryName> [queryName...]
-  * Prints one `name=seconds` line per query (count() action, like Bench).
+  * Materializes through the noop sink exactly like Bench — count() lets
+  * Catalyst prune every unused aggregate/projection, which made map- and
+  * sketch-heavy queries look 10x faster here than in the honest bench.
+  * Repeat a name to see steady-state (first run carries JIT/codegen warmup).
   * SPARK_GRAFT_CONF="k=v,k=v" sets extra session confs — e.g. A/B runs of
   * the engine toggles (spark.graft.pairgraph.cache, spark.graft.ivf.kmeans.iters).
   */
@@ -30,8 +33,11 @@ object BenchOne {
       })
     names.foreach { name =>
       val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"$name FAILED: $e"); -1L }
+      val n = try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        0L
+      } catch { case e: Throwable => System.err.println(s"$name FAILED: $e"); -1L }
       println(f"BENCHONE $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.stop()

@@ -233,7 +233,13 @@ object SparkEntry {
     "q148_ivf_neardup"             -> Accuracy.ivfNearDupGate _,
     "q149_pareto_frontier"         -> ((s: SparkSession, d: String) => Relational.paretoFrontier(s, d)),
     "q150_item_knn"                -> ((s: SparkSession, d: String) => Relational.itemKnn(s, d)),
-    "q151_sketch_rollup"           -> Relational.sketchRollup _)
+    "q151_sketch_rollup"           -> Relational.sketchRollup _,
+    "q152_kmv_overlap"             -> Accuracy.kmvOverlap _,
+    "q153_kmv_rollup"              -> Accuracy.kmvRollup _,
+    "q154_semantic_dedup"          -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
+    "q155_domain_cap"              -> ((s: SparkSession, d: String) => Sampling.domainCap(s, d)),
+    "q156_collocation_pmi"         -> ((s: SparkSession, d: String) => TextStats.collocationPmi(s, d)),
+    "q157_compressibility"         -> TextStats.compressibility _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1154,6 +1160,74 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
         |  true AS mergeable_ok, true AS bounded_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q152_kmv_overlap" ->
+      """WITH ra AS (
+        |  SELECT l_partkey, l_returnflag FROM lineitem WHERE l_returnflag IN ('R','A')),
+        |seg AS (
+        |  SELECT l_partkey, count(DISTINCT l_returnflag) AS nf FROM ra GROUP BY 1)
+        |SELECT
+        |  (SELECT count(DISTINCT l_partkey) FROM ra WHERE l_returnflag = 'R')::BIGINT AS n_r,
+        |  (SELECT count(DISTINCT l_partkey) FROM ra WHERE l_returnflag = 'A')::BIGINT AS n_a,
+        |  (SELECT count(*) FROM seg WHERE nf = 2)::BIGINT AS n_both,
+        |  (SELECT count(*) FROM seg)::BIGINT AS n_union,
+        |  true AS est_r_ok, true AS est_a_ok, true AS union_ok,
+        |  true AS inter_ok, true AS jaccard_ok""".stripMargin,
+
+    "q153_kmv_rollup" ->
+      """SELECT count(DISTINCT c_nationkey)::BIGINT AS n_nations,
+        |  count(DISTINCT c_custkey)::BIGINT AS n_exact,
+        |  true AS merge_bitwise_ok, true AS est_ok
+        |FROM customer""".stripMargin,
+
+    // planted construction (q30/q148 harness): scaled copies of vec_id<100
+    // are each other's only semantic duplicate, so the cluster map is
+    // exactly {original kept, plant dropped} per planted pair
+    "q154_semantic_dedup" ->
+      """SELECT vec_id, vec_id AS canonical_id, true AS keep
+        |FROM embeddings WHERE vec_id < 100
+        |UNION ALL
+        |SELECT vec_id + 1000000, vec_id, false
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "q155_domain_cap" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id)::INT AS rk
+        |  FROM documents)
+        |WHERE rk <= 15""".stripMargin,
+
+    // the ratios are engine-side (DuckDB has no deflate); the gate states
+    // the exact identity columns plus the two per-row claims as booleans
+    "q157_compressibility" ->
+      """SELECT doc_id, n_chars, true AS ratio_ok, true AS double_ok
+        |FROM documents""".stripMargin,
+
+    "q156_collocation_pmi" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS t FROM toks),
+        |dt AS (SELECT regexp_extract_all(text, '\S+') AS ts FROM documents),
+        |bigs AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |  FROM dt),
+        |btot AS (SELECT count(*)::DOUBLE AS b FROM bigs),
+        |bc AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+        |    count(*) AS c_ab
+        |  FROM bigs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT bc.w1, bc.w2, bc.c_ab,
+        |    round(ln((bc.c_ab / btot.b) / ((ua.c / tot.t) * (ub.c / tot.t))), 4) AS pmi
+        |  FROM bc
+        |  JOIN uni ua ON bc.w1 = ua.w
+        |  JOIN uni ub ON bc.w2 = ub.w
+        |  CROSS JOIN tot CROSS JOIN btot)
+        |SELECT w1, w2, c_ab, pmi, rk FROM (
+        |  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2)::INT AS rk FROM scored)
+        |WHERE rk <= 20""".stripMargin,
 
     // rank on the ROUNDED cosine with id tie-break so the top-k cut is
     // engine-exact even among 4-dp ties

@@ -191,9 +191,15 @@ object Accuracy {
     * distinct count, per group, asserted within ±5% (5 standard errors).
     * The exact counts ARE the oracle columns; the boolean pins the sketch. */
   def hllErrorBound(spark: SparkSession, dir: String): DataFrame =
+    // exact count and HLL both over the deduplicated (flag, part) frame:
+    // HLL is duplicate-insensitive (identical registers, identical
+    // estimate), and separating the sketch from countDistinct keeps the
+    // 21 KB HLL buffer out of the per-(flag,part) dedup hash map the
+    // distinct-rewrite would otherwise build (see approxDistinct)
     lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+      .agg(count(lit(1)).as("n_parts"),
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
       .select(col("l_returnflag"), col("n_parts"),
         (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05).as("hll_ok"))
@@ -329,5 +335,82 @@ object Accuracy {
       .select((col("vec_id") + 1000000L).as("vec_id"),
         expr("transform(v, x -> x * 2.0d)").as("v"))
     Similarity.ivfNearDupOn(e.unionByName(planted), numCentroids = 16, tau = 0.95)
+  }
+
+  /** q152: KMV theta-sketch set algebra vs exact — the capability HLL lacks.
+    * Distinct parts shipped under returnflag 'R' vs 'A', their union,
+    * intersection and Jaccard, computed exactly (countDistinct + a
+    * two-segment groupBy) and estimated from two 8 KB KMV sketches
+    * ([[graft.functions.KmvSketch]]). The exact columns are the oracle; the
+    * booleans pin each estimate inside ±16% (5+ standard errors at k=1024,
+    * rse ≈ 3.1%) — deterministic for fixed data because the kept hash set
+    * is a pure function of the value set.
+    *
+    * Scale story: at 100 TB the exact twin columns are the gate scaffolding
+    * (COVERAGE.md); production ships only the sketch legs — two scans that
+    * shuffle 8 KB each, vs an exact distinct join's full-key shuffle. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch._
+    val li = lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_returnflag").as("flag"), col("l_partkey"),
+        xxhash64(col("l_partkey")).as("h"))
+    // sketch and exact twin in SEPARATE aggregates: a countDistinct in the
+    // same agg would make the distinct-rewrite attach the 8 KB KMV buffer
+    // to every dedup group (see approxDistinct). Each leg is one 1-row
+    // frame; the recombination joins are broadcast no-ops.
+    def side(f: String, skName: String, nName: String) = {
+      val s = li.filter(col("flag") === f)
+      s.agg(kmvSketch(col("h"), 1024).as(skName))
+        .crossJoin(broadcast(s.agg(countDistinct(col("l_partkey")).as(nName))))
+    }
+    val r = side("R", "sk_r", "n_r")
+    val a = side("A", "sk_a", "n_a")
+    val exact = li.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("flag")).as("nf"))
+      .agg(count(lit(1)).as("n_union"),
+        sum(when(col("nf") === 2, 1L).otherwise(0L)).as("n_both"))
+    r.crossJoin(broadcast(a)).crossJoin(broadcast(exact))
+      .select(col("n_r"), col("n_a"), col("n_both"), col("n_union"),
+        (abs(kmvEstimate(col("sk_r")) - col("n_r")) <= col("n_r") * 0.16 + lit(4.0))
+          .as("est_r_ok"),
+        (abs(kmvEstimate(col("sk_a")) - col("n_a")) <= col("n_a") * 0.16 + lit(4.0))
+          .as("est_a_ok"),
+        (abs(kmvEstimate(kmvUnion(col("sk_r"), col("sk_a"))) - col("n_union")) <=
+          col("n_union") * 0.16 + lit(4.0)).as("union_ok"),
+        (abs(kmvIntersectEstimate(col("sk_r"), col("sk_a")) - col("n_both")) <=
+          col("n_both") * 0.20 + lit(4.0)).as("inter_ok"),
+        (abs(kmvJaccard(col("sk_r"), col("sk_a")) -
+          col("n_both").cast("double") / col("n_union")) <= lit(0.08)).as("jaccard_ok"))
+  }
+
+  /** q153: KMV merge invariance — the rollup contract, gated BITWISE. The
+    * serialized sketch rolled up from per-nation partial sketches
+    * (`kmv_merge` over stored binaries) must equal the sketch built in one
+    * pass over the raw keys: the kept set is "k smallest distinct hashes",
+    * a pure function of the value set, so partitioning must not leak into
+    * the bytes. This is the storage pattern at scale: per-partition
+    * sketches persisted at ingest, table-level answers from sketch-only
+    * rollups that never rescan raw data. */
+  def kmvRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketch._
+    val c = graft.Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_custkey"),
+        xxhash64(col("c_custkey")).as("h"))
+    // per-nation sketches and per-nation exact counts in separate
+    // aggregates (same distinct-rewrite buffer hazard as q152), rejoined
+    // on the tiny nation key
+    val perNation = c.groupBy(col("c_nationkey"))
+      .agg(kmvSketch(col("h"), 1024).as("sk"))
+      .join(c.groupBy(col("c_nationkey"))
+        .agg(countDistinct(col("c_custkey")).as("n")), "c_nationkey")
+    val rolled = perNation.agg(kmvMerge(col("sk")).as("sk_rollup"),
+      sum(col("n")).as("n_exact"), count(lit(1)).as("n_nations"))
+    val direct = c.agg(kmvSketch(col("h"), 1024).as("sk_direct"))
+    rolled.crossJoin(broadcast(direct))
+      .select(col("n_nations"), col("n_exact"),
+        (col("sk_rollup") === col("sk_direct")).as("merge_bitwise_ok"),
+        (abs(kmvEstimate(col("sk_rollup")) - col("n_exact")) <=
+          col("n_exact") * 0.16 + lit(4.0)).as("est_ok"))
   }
 }

@@ -546,6 +546,41 @@ object Dedup {
         (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
   }
 
+  /** q154: semantic deduplication (SemDeDup-style: cluster the embedding
+    * space, drop all-but-one of each group of semantically-identical
+    * documents — Abbas et al., "SemDeDup", arXiv:2303.09540). Composition
+    * of scale-safe pieces: IVF-cell blocking bounds candidate pairs to
+    * same-cell members (never all-pairs), cosine ≥ τ keeps only true
+    * semantic duplicates, connected components canonicalizes transitive
+    * groups, and the keep rule (minimum vec_id) is deterministic.
+    *
+    * Gated with the q30/q148 planted harness: scaled copies of vec_id<100
+    * land in their original's cell at cos 1.0 and MUST come back clustered
+    * with (and dropped in favor of) their original; the isotropic corpus
+    * contributes no organic pair ≥ τ, so the output is exactly the planted
+    * cluster map. */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v"))
+    semanticDedupOn(e.unionByName(planted), numCentroids = 16, tau = tau)
+  }
+
+  /** [[semanticDedup]] over an explicit (vec_id, v) frame. Output: one row
+    * per vector that belongs to a semantic cluster — its canonical
+    * (minimum) vec_id and whether it is the kept representative. Vectors
+    * with no near-duplicate are absent (they are trivially kept). */
+  private[graft] def semanticDedupOn(vecs: DataFrame, numCentroids: Int,
+      tau: Double): DataFrame = {
+    val edges = Similarity.ivfNearDupOn(vecs, numCentroids, tau)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    connectedComponents(edges)
+      .select(col("node").as("vec_id"), col("label").as("canonical_id"),
+        (col("node") === col("label")).as("keep"))
+  }
+
   /** Exact all-pairs cosine edge set over (vec_id, v) — the verification
     * twin of the LSH leg, unit-testable with hand vectors. Rounded at the
     * edge like every similarity gate. */

@@ -192,18 +192,28 @@ object Relational {
     * standard errors (±5%) of exact — the q50 pattern, extended to both key
     * columns. The sketch value itself can't be hash-compared (HLL internals
     * are engine-specific), but the bound claim can. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        count(lit(1)).as("n_rows"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("asup"))
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // Each key's exact distinct AND its HLL are computed over the
+    // pre-deduplicated (flag, key) frame — HLL state is duplicate-
+    // insensitive, so the estimate is bit-identical to one over raw rows.
+    // NEVER put countDistinct and a sketch in the same agg: Spark's
+    // distinct-rewrite (Expand + dedup aggregate) would then carry the
+    // multi-KB HLL buffer in EVERY (group, key) dedup bucket of the first
+    // aggregate — hundreds of MB of hash-map buffers and a measured ~10x
+    // slowdown at sf0.1, growing with key cardinality.
+    val li = lineitem(spark, dir)
+    def leg(key: String, n: String, est: String) =
+      li.select(col("l_returnflag"), col(key)).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as(n), approx_count_distinct(col(key), 0.01).as(est))
+    val rows = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+    leg("l_partkey", "n_parts", "ap")
+      .join(leg("l_suppkey", "n_supps", "asup"), "l_returnflag")
+      .join(rows, "l_returnflag")
       .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"),
         (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05).as("parts_ok"),
         (abs(col("asup") - col("n_supps")) <= col("n_supps") * 0.05).as("supps_ok"))
+  }
 
   /** q33: as-of join — each purchase event attributed to the user's most
     * recent prior-or-equal click (point-in-time lookup). Spark has no asof

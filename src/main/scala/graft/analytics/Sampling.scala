@@ -47,6 +47,25 @@ object Sampling {
   def deterministicSample(df: DataFrame, textCol: String, pct: Int): DataFrame =
     df.filter(contentBucket(col(textCol)) < pct)
 
+  /** q155: per-domain document cap — the standard pretraining-mix guard
+    * against any single domain dominating the corpus (CommonCrawl-style
+    * pipelines cap documents per registered domain before mixing). Rank
+    * within each `source` by content hash (uniform, deterministic, no
+    * popularity bias) with doc_id tie-break, keep the first `cap`. Same
+    * WindowGroupLimit shape as q61: the planner pushes the rank bound
+    * below the sort, so each map task ships at most `cap` rows per domain
+    * into the shuffle — a domain with a billion documents costs the same
+    * shuffle as one with a hundred. */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("pr"), col("doc_id"))
+    documents(spark, dir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("pr"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("doc_id"), col("rk"))
+  }
+
   /** q61: stratified per-language sample of EXACT size k — rank documents
     * within each language by content hash (uniform pseudo-random but fully
     * deterministic) and keep the first k. The rebalancing step of corpus

@@ -193,6 +193,62 @@ object TextStats {
         round(avg(log(col("c2").cast("double") / col("c1"))), 4).as("avg_bigram_logprob"))
   }
 
+  /** q156: collocation mining — corpus-level pointwise mutual information
+    * over word bigrams: pmi(a,b) = ln( P(ab) / (P(a)·P(b)) ), the classic
+    * measure of tokens that co-occur far above chance (named entities,
+    * multiword terms, boilerplate phrases worth merging into one token).
+    * Bigrams below `minCount` are noise-filtered before scoring (PMI's
+    * known low-count bias); ranked on the ROUNDED score with (w1, w2)
+    * tie-break so the top-k cut is engine-exact.
+    *
+    * Scale shape: two token scans (unigram + bigram counts, both partial
+    * aggregated map-side), the two one-row totals broadcast, the unigram
+    * table joined twice by key — no shuffle carries raw text, only count
+    * tables, and the final top-k is a single bounded sort. */
+  def collocationPmi(spark: SparkSession, dir: String,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val toks = documents(spark, dir).select(explode(tokens(col("text"))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tTot = toks.agg(count(lit(1)).cast("double").as("t"))
+    val bigs = documents(spark, dir)
+      .select(explode(graft.functions.Sketches.wordNgramsAll(col("text"), 2)).as("bg"))
+    val bTot = bigs.agg(count(lit(1)).cast("double").as("b"))
+    val bc = bigs.groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c_ab"))
+    val ua = uni.select(col("w").as("w1"), col("c").as("c_a"))
+    val ub = uni.select(col("w").as("w2"), col("c").as("c_b"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    bc.join(ua, "w1").join(ub, "w2")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab") / col("b")) /
+          ((col("c_a") / col("t")) * (col("c_b") / col("t")))), 4).as("pmi"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+  }
+
+  /** q157: compressibility quality signal — per-document DEFLATE ratio
+    * ([[graft.functions.Compress]]), the "too repetitive / too random"
+    * pretraining filter, gated per row with two deterministic claims the
+    * oracle can state: the ratio is in the sane (0, 1.2] band, and
+    * doubling a document compresses strictly better than linearly (the
+    * second copy back-references the first), which a broken kernel —
+    * returning constants, hashing instead of compressing — cannot fake.
+    * Zero-shuffle: both ratios fuse into the parquet scan. */
+  def compressibility(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Compress.deflateRatio
+    documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        deflateRatio(col("text")).as("r"),
+        deflateRatio(concat(col("text"), col("text"))).as("r2"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("r") > 0.0 && col("r") <= 1.2).as("ratio_ok"),
+        (col("r2") <= col("r") * 0.9 + 0.05).as("double_ok"))
+  }
+
   /** q65: intra-document repetition ratio — the C4/Gopher-style repetition
     * signal: 1 − (distinct word bigrams / total word bigrams). High values
     * mean the document loops on itself (boilerplate, template spam, decode

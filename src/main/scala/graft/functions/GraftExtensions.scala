@@ -52,6 +52,21 @@ object GraftExtensions {
     "sq_encode"         -> one(SqEncode(_)),
     "sq_adc_sim"        -> three(SqAdcSim(_, _, _)),
     "nfc_normalize"     -> one(UnicodeNorm.NfcNormalize(_)),
+    "deflate_ratio"     -> one(Compress.DeflateRatio(_)),
+    "kmv_estimate"      -> one(KmvSketch.KmvEstimate(_)),
+    "kmv_union"         -> two(KmvSketch.KmvUnion(_, _)),
+    "kmv_intersect_estimate" -> two(KmvSketch.KmvIntersectEstimate(_, _)),
+    "kmv_jaccard"       -> two(KmvSketch.KmvJaccard(_, _)),
+    // kmv aggregates: k must be a foldable int literal
+    "kmv_sketch" -> (exprs => {
+      require(exprs.length <= 2, "kmv_sketch(hash_long[, k])")
+      val k = if (exprs.length == 2) {
+        require(exprs(1).foldable, "k must be a literal")
+        exprs(1).eval().asInstanceOf[Number].intValue()
+      } else 1024
+      KmvSketch.KmvSketchAgg(exprs.head, k)
+    }),
+    "kmv_merge" -> one(KmvSketch.KmvMergeAgg(_)),
     // custom aggregate: the registry builder returns the AggregateFunction
     // itself; the analyzer wraps it. Percentiles must be a foldable literal
     // (scalar or array) — evaluated once at plan time.

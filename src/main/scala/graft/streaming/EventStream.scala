@@ -39,6 +39,24 @@ object EventStream {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
 
+  /** Windowed distinct-user KMV sketches: each closed window emits a
+    * mergeable 2 KB sketch plus its estimate. The aggregate's buffer lives
+    * in the state store between micro-batches, so incremental arrival
+    * produces the same bottom-k set (bitwise) as one batch pass — and the
+    * per-window sketch binaries can be persisted and later `kmv_merge`d
+    * across windows/days without touching raw events (q153's rollup
+    * contract, streaming edition). */
+  def windowedUserSketch(events: DataFrame, k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch.{kmvEstimate, kmvSketch}
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(kmvSketch(xxhash64(col("user_id")), k).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("sk"),
+        kmvEstimate(col("sk")).as("approx_users"), col("n_events"))
+  }
+
   /** Stream-stream join with event-time bounds: purchases joined to the
     * same user's clicks from the preceding hour. Both sides carry
     * watermarks, and the range condition bounds the join state — Spark
