@@ -28,6 +28,14 @@ import graft.functions.BitOps.hammingDistance
   */
 object Dedup {
 
+  /** Decouple kernel parallelism from source file layout: a heavy per-row
+    * kernel (64-perm MinHash, SimHash, shingle sort) must not run at the
+    * width of the parquet split (a single-row-group file scans as ONE task
+    * on any cluster). The text shuffle this costs is orders of magnitude
+    * below the kernel work it parallelizes. */
+  private def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** q20: exact duplicate grouping by content digest. At 100 TB this is one
     * shuffle keyed on a 128-bit digest — no text comparison, no skew (digests
     * are uniform). Canonical id = min doc_id, the usual keep-first rule. */
@@ -72,7 +80,7 @@ object Dedup {
   }
 
   private def sortedShingleDocs(spark: SparkSession, dir: String): DataFrame =
-    Materialize(documents(spark, dir)
+    Materialize(par(documents(spark, dir))
       .select(col("doc_id"), Sketches.sortByHash(wordShingles(col("text"))).as("sh")))
 
   /** The PPJoin candidate stage of [[jaccardNearDup]], shared with the scale
@@ -323,8 +331,10 @@ object Dedup {
     * buckets (band, band_key); one shuffle dedups pairs; signature joins to
     * estimate similarity. Keyed equi-joins only — no cross join anywhere. */
   def minhashLsh(spark: SparkSession, dir: String, estThreshold: Double = 0.5): DataFrame = {
-    val sigs = documents(spark, dir)
-      .select(col("doc_id"), minhashSignature(wordShingles(col("text"))).as("mhs"))
+    // parallel kernel pass, materialized ONCE for its three consumers
+    // (candidate bands + both signature-verify sides)
+    val sigs = Materialize(par(documents(spark, dir))
+      .select(col("doc_id"), minhashSignature(wordShingles(col("text"))).as("mhs")))
     val cand = minhashCandidatesOn(sigs)
 
     val sa = sigs.select(col("doc_id").as("doc_a"), col("mhs").as("mhs_a"))
@@ -395,8 +405,9 @@ object Dedup {
   /** [[simhashCandidates]] over an explicit (doc_id, text) frame — shared
     * with the planted-pair gate (q27). */
   private[graft] def simhash64CandidatesOn(docsWithText: DataFrame): DataFrame = {
-    val docs = docsWithText
-      .select(col("doc_id"), simhash64(wordShingles(col("text"))).as("sim"))
+    // parallel kernel pass, materialized once for both self-join sides
+    val docs = Materialize(par(docsWithText)
+      .select(col("doc_id"), simhash64(wordShingles(col("text"))).as("sim")))
 
     val chunks = docs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(i =>
@@ -428,8 +439,9 @@ object Dedup {
     * text) frame — shared with the planted-recall gate (q64) and the scale
     * instrumentation. */
   private[graft] def simhash128CandidatesOn(docsWithText: DataFrame): DataFrame = {
-    val docs = docsWithText
-      .select(col("doc_id"), Sketches.simhash128(wordShingles(col("text"))).as("sim"))
+    // parallel kernel pass, materialized once for both self-join sides
+    val docs = Materialize(par(docsWithText)
+      .select(col("doc_id"), Sketches.simhash128(wordShingles(col("text"))).as("sim")))
 
     // 4 × 32-bit chunks over the two words: chunk i = bits [32i, 32i+32)
     val chunks = docs.select(col("doc_id"), col("sim"),

@@ -17,6 +17,63 @@ import graft.functions.Materialize
   * graphs at warehouse scale. */
 object Graph {
 
+  /** Round-boundary materialization policy for MULTI-CONSUMER iteration
+    * state (k-core's edge frame feeds three plan branches per round):
+    * checkpoint every second round and always the last — between cuts at
+    * most two rounds nest, so recompute fan-out stays 3^2-bounded and
+    * plan size O(1), at half the eager checkpoint jobs. */
+  private def materializeEvery2(i: Int, rounds: Int, df: DataFrame): DataFrame =
+    if (i % 2 == 0 || i == rounds) Materialize(df) else df
+
+  /** Materialization policy for LINEAR iteration chains (PageRank ranks,
+    * LPA labels: each round's frame is consumed exactly ONCE by the next
+    * round, so an unmaterialized chain recomputes NOTHING — it just unrolls
+    * into one multi-join plan that executes as a single job against the
+    * checkpointed edge inputs). Skipping per-round cuts removes the
+    * per-round job-launch latency that dominates small-state iteration
+    * (measured: 5 materialized PageRank rounds ≈ 2.1 s of mostly job
+    * overhead at sf0.1; unrolled, one job). A stride-8 cut keeps plan
+    * depth O(1) for large round counts; on a cluster the same cut is the
+    * fault-tolerance boundary (see Materialize / SCALING.md). */
+  private def materializeStride8(i: Int, df: DataFrame): DataFrame =
+    if (i % 8 == 0) Materialize(df) else df
+
+  /** One row per order: the sorted distinct part set ("basket"). The
+    * single wide shuffle behind the whole co-purchase family. */
+  private[analytics] def orderBaskets(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+
+  /** Undirected co-purchase edge list: (pa < pb, n = orders containing
+    * both). Pairs are expanded IN-ROW from each order's sorted basket
+    * (flatten/transform over the array) instead of a distinct + self-join —
+    * that shape costs three shuffles of the fact projection (the distinct,
+    * then both join sides repartitioned by order key); this one costs ONE
+    * wide shuffle (the basket groupBy) plus the pair-key aggregate that
+    * both shapes share. Fan-out per order is C(basket, 2) either way —
+    * bounded by order size (≤ 7 lineitems in TPC-H; retail baskets are
+    * similarly capped). For domains with unbounded baskets, cap or
+    * pre-split the basket array before expansion — the join formulation
+    * has the identical quadratic blowup, just spread across rows. */
+  private[analytics] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    orderBaskets(spark, dir)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+
+  /** [[coPurchaseEdges]] with the support filter applied and only the pair
+    * columns kept — the form every unweighted graph query consumes. */
+  private[analytics] def supportedEdges(spark: SparkSession, dir: String,
+      minSupport: Long): DataFrame =
+    coPurchaseEdges(spark, dir)
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb"))
+
   /** q130: triangle count + global clustering coefficient of the
     * co-purchase graph (parts linked when ≥ minSupport orders contain
     * both — q124's edge rule). Output is one row: node/edge/wedge/triangle
@@ -28,19 +85,8 @@ object Graph {
     * edge a→c, so two equi-joins count each triangle once. All counts are
     * exact integers; the only division is the final coefficient, rounded
     * at the edge. */
-  def triangleCount(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val edges = a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport)
-      .select(col("pa"), col("pb"))
-    triangleStatsOn(edges)
-  }
+  def triangleCount(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame =
+    triangleStatsOn(supportedEdges(spark, dir, minSupport))
 
   /** Core of q130 over an explicit undirected edge frame (pa < pb, no
     * duplicates) — unit-testable with hand-built graphs. The edge list is
@@ -111,16 +157,7 @@ object Graph {
     * groupBy(dst) of the previous round — the classic Pregel join shape. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 5,
       minSupport: Long = 2): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val und = a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport)
-      .select(col("pa"), col("pb"))
+    val und = supportedEdges(spark, dir, minSupport)
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
     pageRankOn(edges, iters)
@@ -136,11 +173,11 @@ object Graph {
     val outEdges = Materialize(edges.join(deg, "src"))
     val nodes = Materialize(deg.select(col("src").as("node")))
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = outEdges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = Materialize(nodes
+      ranks = materializeStride8(i, nodes
         .join(contrib, col("node") === col("dst"), "left")
         .selectExpr("node", "150000 + (850 * coalesce(s, 0)) div 1000 AS r"))
     }
@@ -155,15 +192,9 @@ object Graph {
     * support count — the product tops out around 10¹⁰ at bench scale. */
   def pageRankWeighted(spark: SparkSession, dir: String, iters: Int = 5,
       minSupport: Long = 2): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val und = a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minSupport)
+    val und = coPurchaseEdges(spark, dir)
+      .filter(col("n") >= minSupport)
+      .select(col("pa"), col("pb"), col("n").as("w"))
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .unionByName(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
     pageRankWeightedOn(edges, iters)
@@ -179,11 +210,11 @@ object Graph {
     val outEdges = Materialize(edges.join(wsum, "src"))
     val nodes = Materialize(wsum.select(col("src").as("node")))
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = outEdges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("(r * w) div wsum").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = Materialize(nodes
+      ranks = materializeStride8(i, nodes
         .join(contrib, col("node") === col("dst"), "left")
         .selectExpr("node", "150000 + (850 * coalesce(s, 0)) div 1000 AS r"))
     }
@@ -200,16 +231,7 @@ object Graph {
     * left join onto the node list, computed once outside the loop. */
   def pageRankPersonalized(spark: SparkSession, dir: String,
       brand: String = "Brand#1", iters: Int = 5, minSupport: Long = 2): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val und = a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport)
-      .select(col("pa"), col("pb"))
+    val und = supportedEdges(spark, dir, minSupport)
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
     val seeds = graft.Tables.part(spark, dir)
@@ -236,11 +258,11 @@ object Graph {
         "CASE WHEN is_seed THEN (150000 * nn) div ns ELSE 0 END AS base_r",
         "CASE WHEN is_seed THEN (1000000 * nn) div ns ELSE 0 END AS r"))
     var ranks = based.select(col("node"), col("r"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = outEdges.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = Materialize(based
+      ranks = materializeStride8(i, based
         .join(contrib, col("node") === col("dst"), "left")
         .selectExpr("node", "base_r + (850 * coalesce(s, 0)) div 1000 AS r"))
     }
@@ -264,19 +286,8 @@ object Graph {
     * [[Materialize]] caps lineage at O(1) per round. Output: surviving
     * (node, core_deg), core_deg ≥ k at the fixpoint. */
   def kCore(spark: SparkSession, dir: String, k: Int = 3, rounds: Int = 12,
-      minSupport: Long = 2): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val edges = a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport)
-      .select(col("pa"), col("pb"))
-    kCoreOn(edges, k, rounds)
-  }
+      minSupport: Long = 2): DataFrame =
+    kCoreOn(supportedEdges(spark, dir, minSupport), k, rounds)
 
   /** q139: label-propagation communities — every node starts as its own
     * label; each SYNCHRONOUS round it adopts the most frequent label among
@@ -295,16 +306,7 @@ object Graph {
     * Materialize caps lineage. */
   def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 4,
       minSupport: Long = 2): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val und = a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport)
-      .select(col("pa"), col("pb"))
+    val und = supportedEdges(spark, dir, minSupport)
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
     labelPropagationOn(edges, rounds)
@@ -322,16 +324,7 @@ object Graph {
     * edge list — no new shuffle shape. */
   def modularity(spark: SparkSession, dir: String, rounds: Int = 4,
       minSupport: Long = 2): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val und = Materialize(a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport)
-      .select(col("pa"), col("pb")))
+    val und = Materialize(supportedEdges(spark, dir, minSupport))
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
     val labels = labelPropagationOn(edges, rounds)
@@ -367,16 +360,7 @@ object Graph {
     * overlapping 1-hop/2-hop paths, and a partial+final count finishes.
     * Deeper horizons unroll the same way (k−1 self-joins). */
   def reach2(spark: SparkSession, dir: String, minSupport: Long = 2): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val und = a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport)
-      .select(col("pa"), col("pb"))
+    val und = supportedEdges(spark, dir, minSupport)
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
     val hop2 = edges.as("x").join(edges.as("y"), col("x.dst") === col("y.src"))
@@ -408,19 +392,8 @@ object Graph {
     * size is bounded by nPivots · V, and every join keys on node id, so
     * parallelism scales with the graph, not the pivot count. */
   def closenessPivots(spark: SparkSession, dir: String, nPivots: Int = 8,
-      depth: Int = 3, minSupport: Long = 2): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val und = a.join(b, Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport)
-      .select(col("pa"), col("pb"))
-    closenessPivotsOn(und, nPivots, depth)
-  }
+      depth: Int = 3, minSupport: Long = 2): DataFrame =
+    closenessPivotsOn(supportedEdges(spark, dir, minSupport), nPivots, depth)
 
   /** Core of q147 over an explicit undirected edge frame (pa < pb, no
     * duplicates) — unit-testable with hand graphs. */
@@ -439,7 +412,9 @@ object Graph {
         .select(col("pivot"), col("dst").as("node")).distinct()
         .join(reached, Seq("pivot", "node"), "left_anti")
         .withColumn("dist", lit(d)))
-      reached = Materialize(reached.unionByName(frontier))
+      // lazy union: every input is already a checkpoint, so the anti-join
+      // rescans materialized blocks — no extra eager job per round
+      reached = reached.unionByName(frontier)
     }
     reached.filter(col("dist") > 0)
       .groupBy(col("node"))
@@ -454,8 +429,8 @@ object Graph {
     val edges = Materialize(edgesRaw.select(col("src"), col("dst")))
     val nodes = Materialize(edges.select(col("dst").as("node")).distinct())
     var labels = nodes.select(col("node"), col("node").as("lbl"))
-    (1 to rounds).foreach { _ =>
-      labels = Materialize(edges
+    (1 to rounds).foreach { i =>
+      labels = materializeStride8(i, edges
         .join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst"))
@@ -469,13 +444,13 @@ object Graph {
     * duplicates) — unit-testable with hand graphs. */
   def kCoreOn(edgesRaw: DataFrame, k: Int, rounds: Int): DataFrame = {
     var edges = Materialize(edgesRaw.select(col("pa"), col("pb")))
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { i =>
       val keep = edges.select(col("pa").as("node"))
         .unionByName(edges.select(col("pb").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("node"))
-      edges = Materialize(edges
+      edges = materializeEvery2(i, rounds, edges
         .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
         .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
         .select(col("pa"), col("pb")))

@@ -1110,18 +1110,12 @@ object Relational {
     * TPC-H) — per-order quadratic, globally linear in orders. The count is
     * partial+final on the pair key; the top-20 plans as
     * TakeOrderedAndProject (per-partition heaps, no global sort). */
-  def copurchasePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+  def copurchasePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Graph.coPurchaseEdges(spark, dir)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n").as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(k)
-  }
 
   /** q125: association rules over the co-purchase graph — for every
     * DIRECTED pair (a → b) co-occurring in ≥ minSupport orders: support
@@ -1133,18 +1127,25 @@ object Relational {
     * as a one-row broadcast; both enrichment joins are on the tiny
     * aggregate tables, never on the fact scan. */
   def associationRules(spark: SparkSession, dir: String, minSupport: Long = 3): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // the basket table feeds three branches (pair counts, per-part counts,
+    // the order universe) — materialize it once (Spark does not share
+    // identical subtrees), then derive everything from the tiny frame
+    val baskets = graft.functions.Materialize(Graph.orderBaskets(spark, dir))
     // order universe as a one-row broadcast (never a driver-side action)
-    val nOrders = op.agg(count_distinct(col("l_orderkey")).as("n_orders"))
-    val freq = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") =!= col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val freq = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val und = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"""
+          .stripMargin)).as("e"))
+      .groupBy(col("e.pa").as("part_a"), col("e.pb").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
+    // directed rules: each undirected pair in both directions, same count
+    val pairs = und.unionByName(und.select(col("part_b").as("part_a"),
+      col("part_a").as("part_b"), col("n_both")))
     pairs
       .join(freq.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
       .join(freq.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")
@@ -1207,16 +1208,21 @@ object Relational {
     * scales with the item universe. */
   def itemKnn(spark: SparkSession, dir: String, minSupport: Long = 3,
       k: Int = 3): DataFrame = {
-    val op = lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val freq = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") =!= col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
+    // basket table materialized once; per-part counts and directed pairs
+    // derive from it (q125's shape — see associationRules)
+    val baskets = graft.functions.Materialize(Graph.orderBaskets(spark, dir))
+    val freq = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val und = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"""
+          .stripMargin)).as("e"))
+      .groupBy(col("e.pa").as("part_a"), col("e.pb").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
+    val pairs = und.unionByName(und.select(col("part_b").as("part_a"),
+      col("part_a").as("part_b"), col("n_both")))
     pairs
       .join(freq.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")), "part_a")
       .join(freq.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")), "part_b")

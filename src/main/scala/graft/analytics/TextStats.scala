@@ -109,14 +109,23 @@ object TextStats {
   /** q24: document fingerprinting — full-text digest plus a min-shingle
     * fingerprint (the 1-permutation MinHash: min over md5(5-gram)), portable
     * across engines because md5 is standardized. */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(col("text"))
-    documents(spark, dir).select(
-      col("doc_id"),
-      md5(col("text").cast("binary")).as("fp_md5"),
-      array_min(transform(sh, s => md5(s.cast("binary")))).as("fp_min_shingle"),
-      size(sh).cast("long").as("n_shingles"))
-  }
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    // min-shingle + distinct count fused into one codegen'd pass (see
+    // Sketches.minShingleMd5Kernel) — value-identical to
+    // array_min(transform(shingles, md5)) + size(shingles), ~4x cheaper.
+    // Pre-kernel repartition: ~1k md5 digests per ROW dwarf the cost of
+    // shuffling the text once, so compute parallelism must not be capped
+    // by the source file layout (a single-row-group parquet file scans as
+    // ONE task no matter the cluster size — true for any poorly-compacted
+    // input, not just the local fixtures).
+    documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_md5"),
+        graft.functions.Sketches.minShingleMd5(col("text"), 5).as("msf"))
+      .select(col("doc_id"), col("fp_md5"),
+        col("msf.fp_min_shingle").as("fp_min_shingle"),
+        col("msf.n_shingles").as("n_shingles"))
 
   /** q58: per-language length-outlier detection and winsorization — docs
     * beyond their language's exact p99 length are flagged and clipped, the

@@ -284,6 +284,78 @@ object Sketches {
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  /** Fused fingerprint kernel for q24: (min md5 hex over the DISTINCT
+    * character n-gram shingles, distinct-shingle count) in ONE pass —
+    * semantically identical to
+    * `array_min(transform(array_distinct(shingles), md5))` +
+    * `size(array_distinct(shingles))`, but without materializing the three
+    * intermediate arrays (substring array, distinct array, 32-char hex
+    * string per shingle) and with ONE reused MessageDigest instead of the
+    * per-call `MessageDigest.getInstance` inside Spark's `md5` (the
+    * dominant cost at ~1k shingles/doc). Digests are compared as unsigned
+    * bytes — lowercase hex is monotonic in unsigned byte order, so the
+    * min digest IS the min hex string. Shingling uses UTF8String's
+    * code-point substring, matching `substr` exactly on multibyte text;
+    * texts shorter than n fall back to the whole text (the `shingles`
+    * convention). */
+  def minShingleMd5Kernel(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val md = md5Local.get()
+    val seen = new java.util.HashSet[UTF8String]()
+    var minDig: Array[Byte] = null
+    def offer(sub: UTF8String): Unit =
+      if (seen.add(sub)) {
+        md.reset()
+        val d = md.digest(sub.getBytes)
+        if (minDig == null || {
+          var c = 0; var i = 0
+          while (c == 0 && i < 16) {
+            c = (d(i) & 0xFF) - (minDig(i) & 0xFF); i += 1
+          }
+          c < 0
+        }) minDig = d
+      }
+    val nc = s.numChars()
+    if (nc < n) offer(s)
+    else {
+      var i = 0
+      while (i <= nc - n) { offer(s.substring(i, i + n)); i += 1 }
+    }
+    val hex = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      val b = minDig(i) & 0xFF
+      hex.append(Character.forDigit(b >>> 4, 16))
+      hex.append(Character.forDigit(b & 0xF, 16))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(hex.toString), seen.size.toLong))
+  }
+
+  case class MinShingleMd5(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("fp_min_shingle", StringType, nullable = false),
+      StructField("n_shingles", LongType, nullable = false)))
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"min_shingle_md5 expects string, got $t")
+      }
+    override protected def nullSafeEval(v: Any): Any =
+      minShingleMd5Kernel(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.Sketches$$.MODULE$$.minShingleMd5Kernel($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "min_shingle_md5"
+  }
+
+  def minShingleMd5(c: Column, n: Int = 5): Column =
+    toColumn(MinShingleMd5(toExpression(c), n))
+
   /** Content-defined chunk kernel for exact span-level dedup. A token is a
     * CUT POINT when the high nibble of md5(token) is 0 (p = 1/16 → expected
     * chunk ≈ 16 tokens); chunks are the token runs between consecutive cut
