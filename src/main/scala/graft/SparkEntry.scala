@@ -239,7 +239,9 @@ object SparkEntry {
     "q154_semantic_dedup"          -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "q155_domain_cap"              -> ((s: SparkSession, d: String) => Sampling.domainCap(s, d)),
     "q156_collocation_pmi"         -> ((s: SparkSession, d: String) => TextStats.collocationPmi(s, d)),
-    "q157_compressibility"         -> TextStats.compressibility _)
+    "q157_compressibility"         -> TextStats.compressibility _,
+    "q158_curriculum_order"        -> Sampling.curriculumOrder _,
+    "q159_curriculum_sketch"       -> Sampling.curriculumSketchGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1196,6 +1198,40 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id)::INT AS rk
         |  FROM documents)
         |WHERE rk <= 15""".stripMargin,
+
+    // q22's quality formula verbatim, then NTILE deciles on the rounded
+    // score (doc_id tie-break) and a content-hash shuffle within deciles
+    "q158_curriculum_order" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS L,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    round(least(1.0, greatest(0.0,
+        |      0.5 * (n_alpha::DOUBLE / nullif(L, 0)::DOUBLE)
+        |      + 0.3 * least(1.0, (n_stop::DOUBLE / nullif(n_tokens, 0)::DOUBLE) * 4)
+        |      + 0.2 * least(1.0, n_tokens::DOUBLE / 64.0)
+        |      - (n_digit::DOUBLE / nullif(L, 0)::DOUBLE))), 4) AS quality
+        |  FROM f),
+        |d AS (
+        |  SELECT doc_id, quality, h,
+        |    ntile(10) OVER (ORDER BY quality DESC, doc_id)::INT AS decile
+        |  FROM r)
+        |SELECT doc_id, quality, decile,
+        |  row_number() OVER (PARTITION BY decile ORDER BY h, doc_id)::INT AS pos_in_decile
+        |FROM d""".stripMargin,
+
+    // the sketch-bucketed curriculum: DuckDB can't run the MRL sketch, so
+    // (q102/q157-style) the gate states the per-decile claims as booleans;
+    // the 10-row shape itself pins that every decile is populated
+    "q159_curriculum_sketch" ->
+      """SELECT d::INT AS decile, true AS share_ok, true AS monotone_ok
+        |FROM generate_series(1, 10) AS t(d)""".stripMargin,
 
     // the ratios are engine-side (DuckDB has no deflate); the gate states
     // the exact identity columns plus the two per-row claims as booleans

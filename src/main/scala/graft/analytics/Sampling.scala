@@ -66,6 +66,84 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("rk"))
   }
 
+  /** q158: curriculum ordering — the corpus arranged for quality-first
+    * training: documents fall into quality DECILES (1 = best), and within
+    * each decile the presentation order is a deterministic content-hash
+    * shuffle (uniform, replayable, no popularity bias). Output: doc_id,
+    * quality, decile, and the within-decile position.
+    *
+    * The decile here is NTILE over the exact global quality order (with
+    * doc_id tie-break so the cut is engine-exact) — chosen because the
+    * oracle can state it verbatim. At warehouse scale the same query
+    * replaces NTILE with decile BOUNDARIES from the mergeable quantile
+    * sketch (q102's `graft_quantile_sketch`) broadcast onto a narrow
+    * per-row bucket map — no global sort; the within-decile window then
+    * hash-partitions by decile, which is the shape this query already
+    * uses. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("decile")).orderBy(col("h"), col("doc_id"))
+    TextStats.qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+      .join(documents(spark, dir).select(col("doc_id"), md5(col("text")).as("h")),
+        "doc_id")
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pos_in_decile", row_number().over(wd))
+      .select(col("doc_id"), col("quality"), col("decile"), col("pos_in_decile"))
+  }
+
+  /** q158's 100 TB shape made real code: decile BOUNDARIES come from the
+    * mergeable quantile sketch (q102's `graft_quantile_sketch` — one
+    * partial+final aggregate, kilobyte buffers through the shuffle),
+    * broadcast back onto the scan as a narrow per-row bucket map — no
+    * global sort anywhere in the plan. The within-decile presentation
+    * order is the same content-hash window, which hash-partitions by
+    * decile. Decile 1 = best quality; agrees with q158's exact NTILE up
+    * to sketch rank error at the 9 cut points (spec pins within-one
+    * agreement; q159 gates the share/monotonicity claims). */
+  def curriculumOrderScalable(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextStats.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(documents(spark, dir).select(col("doc_id"), md5(col("text")).as("h")),
+        "doc_id")
+    val bounds = scored.agg(graft.functions.QuantileSketch
+      .quantileSketch(col("quality"), (1 to 9).map(_ / 10.0)).as("bs"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("decile")).orderBy(col("h"), col("doc_id"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (lit(1) + size(filter(col("bs"), b => b > col("quality")))).cast("int"))
+      .drop("bs")
+      .withColumn("pos_in_decile", row_number().over(wd))
+      .select(col("doc_id"), col("quality"), col("decile"), col("pos_in_decile"))
+  }
+
+  /** q159: the oracle gate for the sketch-bucketed curriculum (DuckDB
+    * cannot run the sketch, so — q102/q157-style — the output states the
+    * per-decile CLAIMS as booleans the oracle asserts verbatim): all 10
+    * deciles exist (row-count match), each holds its ~10% share within
+    * the sketch rank bound (0.04·n + 8, generous vs the ≈0.15% theory
+    * bound at k=1024 plus worst-case tie mass at a boundary), and decile
+    * quality ranges are strictly layered (min of decile d ≥ max of
+    * decile d+1 — exact by construction of threshold bucketing, pinning
+    * the bucket direction). The 10-row final window is driver-trivial. */
+  def curriculumSketchGate(spark: SparkSession, dir: String): DataFrame = {
+    val per = curriculumOrderScalable(spark, dir)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("qmin"), max(col("quality")).as("qmax"))
+    val tot = per.agg(sum(col("n_docs")).as("n"))
+    val wnext = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("next_qmax", lead(col("qmax"), 1).over(wnext))
+      .select(col("decile"),
+        (abs(col("n_docs") - col("n") / 10.0) <=
+          lit(0.04) * col("n") + lit(8.0)).as("share_ok"),
+        (col("next_qmax").isNull || col("qmin") >= col("next_qmax"))
+          .as("monotone_ok"))
+  }
+
   /** q61: stratified per-language sample of EXACT size k — rank documents
     * within each language by content hash (uniform pseudo-random but fully
     * deterministic) and keep the first k. The rebalancing step of corpus

@@ -102,6 +102,54 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q158: deciles are balanced, quality-monotone, positions dense and replayable") {
+    val out = Sampling.curriculumOrder(spark, sf("sf0.01"))
+    val rows = out.collect()
+    val byDecile = rows.groupBy(_.getAs[Int]("decile"))
+    assert(byDecile.keySet == (1 to 10).toSet)
+    val sizes = byDecile.view.mapValues(_.length).values.toSet
+    assert(sizes.max - sizes.min <= 1, s"NTILE must balance: $sizes")
+    // quality never increases across decile boundaries
+    val worstPerDecile = (1 to 10).map(d =>
+      d -> byDecile(d).map(_.getAs[Double]("quality")).min).toMap
+    val bestPerDecile = (1 to 10).map(d =>
+      d -> byDecile(d).map(_.getAs[Double]("quality")).max).toMap
+    (1 to 9).foreach(d => assert(worstPerDecile(d) >= bestPerDecile(d + 1),
+      s"decile $d worst ${worstPerDecile(d)} < decile ${d + 1} best ${bestPerDecile(d + 1)}"))
+    byDecile.foreach { case (d, rs) =>
+      val ps = rs.map(_.getAs[Int]("pos_in_decile")).sorted
+      assert(ps.toSeq == (1 to rs.length).toSeq, s"decile $d positions not dense")
+    }
+    val again = Sampling.curriculumOrder(spark, sf("sf0.01"))
+    assert(out.exceptAll(again).isEmpty, "ordering must be replayable")
+  }
+
+  test("q159: sketch deciles track exact NTILE; plan has no global sort") {
+    val exact = Sampling.curriculumOrder(spark, sf("sf0.01"))
+      .select(col("doc_id"), col("decile").as("d_exact"))
+    val approx = Sampling.curriculumOrderScalable(spark, sf("sf0.01"))
+    val joined = approx.select(col("doc_id"), col("decile").as("d_sketch"))
+      .join(exact, "doc_id").collect()
+    assert(joined.length == 500)
+    val off = joined.map(r =>
+      math.abs(r.getAs[Int]("d_sketch") - r.getAs[Int]("d_exact")))
+    assert(off.max <= 1, s"sketch decile must be within 1 of exact, worst ${off.max}")
+    assert(off.count(_ == 0) >= (joined.length * 0.9).toInt,
+      s"expected >=90% exact agreement, got ${off.count(_ == 0)}/${joined.length}")
+    // the scale contract: no NTILE (global total-order window) anywhere;
+    // the only windows partition by decile; codebook/bounds side broadcast
+    val plan = approx.queryExecution.executedPlan.toString
+    // "ntile(10)" is the window function token; a bare "ntile" substring
+    // would false-positive on graft_quaNTILE_sketch itself
+    assert(!plan.toLowerCase.contains("ntile(10)"), "scalable variant must not ntile")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "bounds row must broadcast")
+    val gate = Sampling.curriculumSketchGate(spark, sf("sf0.01")).collect()
+    assert(gate.map(_.getAs[Int]("decile")).sorted.toSeq == (1 to 10))
+    assert(gate.forall(_.getAs[Boolean]("share_ok")), "decile shares out of bound")
+    assert(gate.forall(_.getAs[Boolean]("monotone_ok")), "decile layering broken")
+  }
+
   test("q156: oracle-shape determinism — rounded PMI with (w1,w2) tie-break") {
     val out = TextStats.collocationPmi(spark, sf("sf0.01")).collect()
     val rks = out.map(_.getAs[Int]("rk")).sorted
