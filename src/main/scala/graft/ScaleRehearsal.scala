@@ -183,6 +183,25 @@ object ScaleRehearsal {
       val ivfNdFixedCand  = cellCand(16)
       val ivfNdScaledCand = cellCand(math.max(16, (nVecs / 64).toInt))
 
+      // round-7 operators. q154 semantic dedup runs with K scaled to hold
+      // cell size ≈64 (the q148 knob) — its candidate space IS the
+      // ivf_neardup_cand.scaled series above, so sec must track that, not
+      // n². q155 ships ≤cap rows per (domain, map task) through the
+      // shuffle (WindowGroupLimit), q157 is a single-scan codegen kernel,
+      // q152's KMV is a fixed-k mergeable agg, and q159's curriculum has
+      // no global sort — all four should grow ~linearly in wall-clock.
+      val (tSem, _) = time(Dedup.semanticDedupOn(e,
+        numCentroids = math.max(16, (nVecs / 64).toInt), tau = 0.95).count())
+      val (tCap, _) = time(Sampling.domainCap(spark, dir).count())
+      val (tComp, _) = time(TextStats.compressibility(spark, dir).count())
+      val (tKmv, _) = time(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .agg(graft.functions.KmvSketch.kmvEstimate(
+            graft.functions.KmvSketch.kmvSketch(xxhash64(col("text"))))
+            .cast("long").as("est"))
+          .collect()(0).getLong(0))
+      val (tCur, _) = time(Sampling.curriculumOrderScalable(spark, dir).count())
+
       // q95 skew-cap evidence: the largest single join group under the
   // prefix-only blocking key (round ≤4) vs the composite
       // (prefix, ⌊len/30⌋) key in use since round 5 — the composite cap is
@@ -211,7 +230,9 @@ object ScaleRehearsal {
         s""""q68_boilerplate":$tBoiler,"q69_decontamination":$tDecon,""" +
         s""""q79_span_dedup":$tSpan,"q83_heavy_hitters":$tCms,"q95_fuzzy":$tFuzzy,""" +
         s""""q104_inverted_index":$tIdx,""" +
-        s""""q122_ensemble":$tEns,"q130_triangles":$tTri},""" +
+        s""""q122_ensemble":$tEns,"q130_triangles":$tTri,""" +
+        s""""q152_kmv":$tKmv,"q154_semantic":$tSem,"q155_domain_cap":$tCap,""" +
+        s""""q157_compressibility":$tComp,"q159_curriculum":$tCur},""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
         s""""fuzzy_max_block":{"prefix":$maxPrefixBlock,"composite":$maxCompositeBlock},""" +

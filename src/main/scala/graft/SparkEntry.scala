@@ -241,7 +241,8 @@ object SparkEntry {
     "q156_collocation_pmi"         -> ((s: SparkSession, d: String) => TextStats.collocationPmi(s, d)),
     "q157_compressibility"         -> TextStats.compressibility _,
     "q158_curriculum_order"        -> Sampling.curriculumOrder _,
-    "q159_curriculum_sketch"       -> Sampling.curriculumSketchGate _)
+    "q159_curriculum_sketch"       -> Sampling.curriculumSketchGate _,
+    "q160_incremental_dedup"       -> DedupIndex.incrementalGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1225,6 +1226,16 @@ object SparkEntry {
         |SELECT doc_id, quality, decile,
         |  row_number() OVER (PARTITION BY decile ORDER BY h, doc_id)::INT AS pos_in_decile
         |FROM d""".stripMargin,
+
+    // persisted-index incremental dedup, planted-recall form: every verbatim
+    // copy planted into the probe batch (content bucket [10,30), ids +10^7)
+    // must come back paired with its original at estimate exactly 1.0 —
+    // half the plants hit the build() leg, half the extend() leg
+    "q160_incremental_dedup" ->
+      """SELECT doc_id + 10000000 AS new_id, doc_id AS orig_id, true AS found
+        |FROM documents
+        |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 >= 10
+        |  AND (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 30""".stripMargin,
 
     // the sketch-bucketed curriculum: DuckDB can't run the MRL sketch, so
     // (q102/q157-style) the gate states the per-decile claims as booleans;

@@ -323,6 +323,12 @@ object Dedup {
   def minhashSignature(sh: Column): Column =
     Sketches.minhashSignature(sh, MinhashPerms)
 
+  /** Estimated Jaccard of two signatures: agreement fraction over the
+    * permutations (the verify rule shared by [[minhashLsh]] and the
+    * persisted-index path [[DedupIndex.nearDupsAgainst]]). */
+  private[analytics] def estJaccard(a: Column, b: Column): Column =
+    Sketches.signatureAgreement(a, b).cast("double") / MinhashPerms
+
   /** q26: MinHash + LSH banding near-duplicate candidates (probabilistic —
     * signature hashes are engine-specific, so rows-only check). Output:
     * candidate pairs with signature-estimated Jaccard ≥ 0.5.

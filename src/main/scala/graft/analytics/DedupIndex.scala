@@ -1,0 +1,118 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.analytics.TextStats.wordShingles
+import graft.functions.Materialize
+import graft.sink.Bucketed
+
+/** Persisted MinHash near-dup INDEX + incremental new-batch dedup — the
+  * production shape of corpus dedup at 100 TB: the corpus's signatures and
+  * LSH band keys are written ONCE as bucketed tables, and each new ingest
+  * batch (a day of crawl) is deduplicated against the whole corpus by
+  * joining only its own band keys — no corpus re-signature, no corpus
+  * self-join, no shuffle of the index side.
+  *
+  * Layout:
+  *  - `<name>_sigs`  (doc_id, mhs)              bucketed by doc_id
+  *  - `<name>_bands` (doc_id, band, band_key)   bucketed by band_key
+  *
+  * Query plan: every join in [[nearDupsAgainst]] broadcasts the BATCH side
+  * (a daily batch is MBs against a corpus of TBs), so both index tables are
+  * each read by exactly one exchange-free scan; the only shuffle in the
+  * whole job is the candidate-pair distinct, whose input is band-collision
+  * pairs (bounded by true near-dups + LSH false positives), not corpus
+  * rows. [[extend]] appends a processed batch into the same bucket layout,
+  * so the index grows with ingest instead of being rebuilt — together the
+  * two calls are the standing dedup loop: dedup today's batch against the
+  * index, keep the survivors, extend the index with them.
+  */
+object DedupIndex {
+
+  private def sigsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      Dedup.minhashSignature(wordShingles(col("text"))).as("mhs"))
+
+  /** Build (or rebuild) the index over a corpus of (doc_id, text). */
+  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val sigs = Materialize(sigsOf(docs))
+    Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)
+    Bucketed.writeBucketed(Dedup.bandsOf(sigs), s"${name}_bands", "band_key", buckets)
+  }
+
+  /** Append a new batch into the existing index — same bucket spec, so the
+    * appended files land in the established layout and every later
+    * [[nearDupsAgainst]] sees old + new corpus through the same
+    * exchange-free scans. `buckets` must match [[build]]'s (Spark validates
+    * the spec against the catalog). */
+  def extend(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val sigs = Materialize(sigsOf(docs))
+    sigs.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${name}_sigs")
+    Dedup.bandsOf(sigs).write.mode("append").bucketBy(buckets, "band_key")
+      .sortBy("band_key").format("parquet").saveAsTable(s"${name}_bands")
+  }
+
+  /** Candidate (corpus_id, new_id) pairs: the batch's band keys probed into
+    * the persisted band table. Batch side broadcast; index side pure scan. */
+  private[graft] def candidatesAgainst(spark: SparkSession, name: String,
+      newSigs: DataFrame): DataFrame = {
+    val newBands = Dedup.bandsOf(newSigs)
+      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
+    spark.table(s"${name}_bands")
+      .join(broadcast(newBands), Seq("band", "band_key"))
+      .select(col("doc_id").as("corpus_id"), col("new_id"))
+      .distinct()
+  }
+
+  /** Verified near-dups of a new (doc_id, text) batch against the indexed
+    * corpus: band-collision candidates, then signature-agreement estimate
+    * ≥ `estThreshold` — same verify rule as the batch [[Dedup.minhashLsh]],
+    * so incremental ≡ recompute restricted to (corpus × batch) pairs
+    * (DedupIndexSpec pins the equivalence). */
+  def nearDupsAgainst(spark: SparkSession, name: String, newDocs: DataFrame,
+      estThreshold: Double = 0.5): DataFrame = {
+    val newSigs = Materialize(sigsOf(newDocs))
+    val cand = candidatesAgainst(spark, name, newSigs)
+    spark.table(s"${name}_sigs")
+      .select(col("doc_id").as("corpus_id"), col("mhs").as("mhs_c"))
+      .join(broadcast(cand), "corpus_id")
+      .join(broadcast(newSigs.select(col("doc_id").as("new_id"),
+        col("mhs").as("mhs_n"))), "new_id")
+      .withColumn("est_jaccard", Dedup.estJaccard(col("mhs_c"), col("mhs_n")))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("corpus_id"), col("new_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** q160: the oracle gate, planted-recall form (q48/q49 pattern) gating
+    * BOTH index legs in one query. Corpus = documents with content bucket
+    * ≥ 20; the index is [[build]]t on it, then [[extend]]ed with the
+    * bucket-[10,20) slice. The probe batch is the organic bucket-<10 slice
+    * plus a PLANTED verbatim copy (doc_id + 10⁷) of every doc in bucket
+    * [10,30) — half hitting the built leg, half the extended leg. A
+    * verbatim copy has an identical signature, so every band collides and
+    * the estimate is exactly 1.0: each planted row MUST come back paired
+    * with its original. Output is the planted join-back (ids + found
+    * boolean), which DuckDB states verbatim from the bucket formula. */
+  def incrementalGate(spark: SparkSession, dir: String): DataFrame = {
+    val Stride = 10000000L
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+    build(docs.filter(col("cb") >= 20).select(col("doc_id"), col("text")),
+      "graft_dedup_idx", buckets = 8)
+    extend(docs.filter(col("cb") >= 10 && col("cb") < 20)
+      .select(col("doc_id"), col("text")), "graft_dedup_idx", buckets = 8)
+    val planted = docs.filter(col("cb") >= 10 && col("cb") < 30)
+      .select((col("doc_id") + lit(Stride)).as("doc_id"), col("text"))
+    val batch = docs.filter(col("cb") < 10).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val found = nearDupsAgainst(spark, "graft_dedup_idx", batch, 0.9)
+    planted.select(col("doc_id").as("new_id"))
+      .join(found.filter(col("corpus_id") === col("new_id") - Stride),
+        Seq("new_id"), "left")
+      .select(col("new_id"), (col("new_id") - Stride).as("orig_id"),
+        coalesce(col("est_jaccard") === 1.0, lit(false)).as("found"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.analytics.{Dedup, DedupIndex, Sampling}
+
+/** Persisted MinHash index + incremental batch dedup (q160). */
+class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def docs = Tables.documents(spark, sf("sf0.01"))
+    .select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+
+  test("incremental ≡ recompute: index query equals batch LSH on cross pairs") {
+    val corpus = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    val batch  = docs.filter(col("cb") < 10).select("doc_id", "text")
+    DedupIndex.build(corpus, "spec_idx_eq", buckets = 4)
+    val inc = DedupIndex.nearDupsAgainst(spark, "spec_idx_eq", batch, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // ground truth: full-corpus minhashLsh restricted to (corpus × batch)
+    val ids = docs.select(col("doc_id"), (col("cb") < 10).as("is_batch"))
+    val full = Dedup.minhashLsh(spark, sf("sf0.01"), 0.5)
+      .join(ids.select(col("doc_id").as("doc_a"), col("is_batch").as("ba")), "doc_a")
+      .join(ids.select(col("doc_id").as("doc_b"), col("is_batch").as("bb")), "doc_b")
+      .filter(col("ba") =!= col("bb"))
+      .select(when(col("ba"), col("doc_b")).otherwise(col("doc_a")).as("corpus_id"),
+        when(col("ba"), col("doc_a")).otherwise(col("doc_b")).as("new_id"),
+        col("est_jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full, s"incremental ${inc.size} pairs vs recompute ${full.size}")
+  }
+
+  test("extend appends into the same layout; build(A)+extend(B) ≡ build(A∪B)") {
+    val a = docs.filter(col("cb") >= 50).select("doc_id", "text")
+    val b = docs.filter(col("cb") >= 10 && col("cb") < 50).select("doc_id", "text")
+    val batch = docs.filter(col("cb") < 10).select("doc_id", "text")
+    DedupIndex.build(a, "spec_idx_ext", buckets = 4)
+    DedupIndex.extend(b, "spec_idx_ext", buckets = 4)
+    DedupIndex.build(a.unionByName(b), "spec_idx_all", buckets = 4)
+    val viaExtend = DedupIndex.nearDupsAgainst(spark, "spec_idx_ext", batch)
+      .collect().map(_.toSeq).toSet
+    val viaRebuild = DedupIndex.nearDupsAgainst(spark, "spec_idx_all", batch)
+      .collect().map(_.toSeq).toSet
+    assert(viaExtend == viaRebuild)
+    // the appended files really landed in the bucketed layout (one table,
+    // not a side path): the catalog spec still says 4 buckets
+    val cat = spark.sql("DESCRIBE EXTENDED spec_idx_ext_sigs")
+      .filter(col("col_name") === "Num Buckets").collect()
+    assert(cat.length == 1 && cat(0).getString(1).trim == "4")
+  }
+
+  test("plan: index tables are never shuffled — batch side broadcasts") {
+    val corpus = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    val batch  = docs.filter(col("cb") < 10).select("doc_id", "text")
+    DedupIndex.build(corpus, "spec_idx_plan", buckets = 4)
+    val q = DedupIndex.nearDupsAgainst(spark, "spec_idx_plan", batch)
+    q.count() // run so AQE finalizes
+    val plan = q.queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    // every shuffle must carry candidate PAIRS (map-side partial distinct
+    // directly beneath it), never raw index rows — so shuffled bytes are
+    // bounded by band collisions, not by the 100 TB corpus
+    shuffles.foreach { e =>
+      assert(e.child.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec],
+        s"shuffle input is not the pair-distinct partial aggregate:\n$e")
+    }
+    assert(shuffles.nonEmpty, "expected the candidate distinct shuffle")
+    // and the index scans stream through broadcast joins — no sort-merge
+    assert(!plan.toString.contains("SortMergeJoin"),
+      "index join must broadcast the batch side")
+  }
+
+  test("q160 gate: every planted copy found on both build and extend legs") {
+    val out = DedupIndex.incrementalGate(spark, sf("sf0.01")).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("found")), {
+      val missing = out.filterNot(_.getAs[Boolean]("found")).map(_.getLong(0))
+      s"planted copies not found: ${missing.mkString(",")}"
+    })
+    assert(out.forall(r => r.getLong(0) - r.getLong(1) == 10000000L))
+  }
+}
