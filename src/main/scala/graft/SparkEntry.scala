@@ -242,7 +242,8 @@ object SparkEntry {
     "q157_compressibility"         -> TextStats.compressibility _,
     "q158_curriculum_order"        -> Sampling.curriculumOrder _,
     "q159_curriculum_sketch"       -> Sampling.curriculumSketchGate _,
-    "q160_incremental_dedup"       -> DedupIndex.incrementalGate _)
+    "q160_incremental_dedup"       -> DedupIndex.incrementalGate _,
+    "q161_ann_index_recall"        -> AnnIndex.plantedRecallGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1226,6 +1227,13 @@ object SparkEntry {
         |SELECT doc_id, quality, decile,
         |  row_number() OVER (PARTITION BY decile ORDER BY h, doc_id)::INT AS pos_in_decile
         |FROM d""".stripMargin,
+
+    // persisted IVF index, planted-recall form: the scaled copy of every
+    // query vector — appended through extend() and served through the
+    // dynamically-pruned cells scan — must come back as the top-1 at 1.0
+    "q161_ann_index_recall" ->
+      """SELECT vec_id AS query_id, true AS found
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // persisted-index incremental dedup, planted-recall form: every verbatim
     // copy planted into the probe batch (content bucket [10,30), ids +10^7)

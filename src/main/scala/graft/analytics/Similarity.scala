@@ -130,8 +130,13 @@ object Similarity {
         graft.functions.Sketches.nearestCentroid(col("v"), col("cvs"), col("cids")).as("cid"))
   }
 
-  private[graft] def ivfCandidatesOn(corpus: DataFrame, queries: DataFrame,
-      numCentroids: Int, nprobe: Int): DataFrame = {
+  /** Centroid training for the IVF family — deterministic init (first
+    * `numCentroids` vectors by id) plus the optional exact-decimal Lloyd
+    * refinement described below. Factored out so the persisted index
+    * ([[AnnIndex.build]]) trains the same quantizer the in-memory path
+    * uses (their results then agree vector-for-vector, AnnIndexSpec). */
+  private[graft] def trainCentroidsOn(corpus: DataFrame,
+      numCentroids: Int): DataFrame = {
     def assignCells(centroids: DataFrame): DataFrame = assignCellsOn(corpus, centroids)
 
     val init = corpus.orderBy(col("vec_id")).limit(numCentroids)
@@ -153,21 +158,24 @@ object Similarity {
     // stay identical (q52 pins recall with the flag on, SimilaritySpec).
     val iters = corpus.sparkSession.conf
       .getOption("spark.graft.ivf.kmeans.iters").map(_.toInt).getOrElse(0)
-    val centroids =
-      if (iters == 0) init
-      else graft.functions.Materialize(
-        (0 until iters).foldLeft(init) { (c, _) =>
-          assignCells(c)
-            .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-            .groupBy(col("cid"), col("dim"))
-            .agg((sum(col("x").cast("decimal(38,20)")) / count(lit(1)))
-              .cast("double").as("x"))
-            .groupBy(col("cid"))
-            .agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("a"))
-            .select(col("cid"), expr("transform(a, p -> p.x)").as("cv"))
-        })
+    if (iters == 0) init
+    else graft.functions.Materialize(
+      (0 until iters).foldLeft(init) { (c, _) =>
+        assignCells(c)
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg((sum(col("x").cast("decimal(38,20)")) / count(lit(1)))
+            .cast("double").as("x"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("a"))
+          .select(col("cid"), expr("transform(a, p -> p.x)").as("cv"))
+      })
+  }
 
-    val assigned = assignCells(centroids)
+  private[graft] def ivfCandidatesOn(corpus: DataFrame, queries: DataFrame,
+      numCentroids: Int, nprobe: Int): DataFrame = {
+    val centroids = trainCentroidsOn(corpus, numCentroids)
+    val assigned = assignCellsOn(corpus, centroids)
 
     // nprobe nearest cells per query (query set is small; window is cheap)
     val wq = Window.partitionBy(col("query_id"))
