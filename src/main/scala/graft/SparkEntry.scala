@@ -243,7 +243,8 @@ object SparkEntry {
     "q158_curriculum_order"        -> Sampling.curriculumOrder _,
     "q159_curriculum_sketch"       -> Sampling.curriculumSketchGate _,
     "q160_incremental_dedup"       -> DedupIndex.incrementalGate _,
-    "q161_ann_index_recall"        -> AnnIndex.plantedRecallGate _)
+    "q161_ann_index_recall"        -> AnnIndex.plantedRecallGate _,
+    "q162_cluster_sample"          -> ((s: SparkSession, d: String) => Similarity.clusterBalancedSample(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1227,6 +1228,27 @@ object SparkEntry {
         |SELECT doc_id, quality, decile,
         |  row_number() OVER (PARTITION BY decile ORDER BY h, doc_id)::INT AS pos_in_decile
         |FROM d""".stripMargin,
+
+    // cluster-balanced diversity sample: the oracle recomputes the q144
+    // cell assignment vector-by-vector, then the same per-cell hash-ranked
+    // keep-k — fully engine-exact
+    "q162_cluster_sample" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+        |  ORDER BY vec_id LIMIT 16),
+        |s AS (
+        |  SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS sim
+        |  FROM embeddings e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        |  FROM s),
+        |a AS (SELECT vec_id, cid FROM r WHERE rn = 1)
+        |SELECT cid, vec_id, rk FROM (
+        |  SELECT cid, vec_id,
+        |    row_number() OVER (PARTITION BY cid ORDER BY md5(vec_id::VARCHAR), vec_id)::INT AS rk
+        |  FROM a) t
+        |WHERE rk <= 5""".stripMargin,
 
     // persisted IVF index, planted-recall form: the scaled copy of every
     // query vector — appended through extend() and served through the

@@ -41,16 +41,21 @@ object DedupIndex {
     Bucketed.writeBucketed(Dedup.bandsOf(sigs), s"${name}_bands", "band_key", buckets)
   }
 
-  /** Append a new batch into the existing index — same bucket spec, so the
-    * appended files land in the established layout and every later
-    * [[nearDupsAgainst]] sees old + new corpus through the same
-    * exchange-free scans. `buckets` must match [[build]]'s (Spark validates
-    * the spec against the catalog). */
-  def extend(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
+  /** Append a new batch into the existing index — the bucket spec is read
+    * from the catalog (whatever [[build]] chose), so the appended files
+    * land in the established layout and every later [[nearDupsAgainst]]
+    * sees old + new corpus through the same exchange-free scans. */
+  def extend(docs: DataFrame, name: String): Unit = {
+    val spark = docs.sparkSession
+    def bucketsOf(t: String): Int = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
+      .numBuckets
     val sigs = Materialize(sigsOf(docs))
-    sigs.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .format("parquet").saveAsTable(s"${name}_sigs")
-    Dedup.bandsOf(sigs).write.mode("append").bucketBy(buckets, "band_key")
+    sigs.write.mode("append").bucketBy(bucketsOf(s"${name}_sigs"), "doc_id")
+      .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_sigs")
+    Dedup.bandsOf(sigs).write.mode("append")
+      .bucketBy(bucketsOf(s"${name}_bands"), "band_key")
       .sortBy("band_key").format("parquet").saveAsTable(s"${name}_bands")
   }
 
@@ -84,6 +89,10 @@ object DedupIndex {
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("corpus_id"), col("new_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
+      // distinct on the (small) verified pair set: an index row duplicated
+      // by an at-least-once extend replay (DedupIndexStream's documented
+      // trade) then cannot duplicate output pairs
+      .distinct()
   }
 
   /** q160: the oracle gate, planted-recall form (q48/q49 pattern) gating
@@ -103,7 +112,7 @@ object DedupIndex {
     build(docs.filter(col("cb") >= 20).select(col("doc_id"), col("text")),
       "graft_dedup_idx", buckets = 8)
     extend(docs.filter(col("cb") >= 10 && col("cb") < 20)
-      .select(col("doc_id"), col("text")), "graft_dedup_idx", buckets = 8)
+      .select(col("doc_id"), col("text")), "graft_dedup_idx")
     val planted = docs.filter(col("cb") >= 10 && col("cb") < 30)
       .select((col("doc_id") + lit(Stride)).as("doc_id"), col("text"))
     val batch = docs.filter(col("cb") < 10).select(col("doc_id"), col("text"))

@@ -464,6 +464,32 @@ object Similarity {
       .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** q162: cluster-balanced diversity sample — the "cover every topic"
+    * subset selection of corpus curation: assign every vector to its IVF
+    * cell (q144's quantizer, oracle-recomputable), then keep the first `k`
+    * per cell under a deterministic content-independent hash order
+    * (md5(vec_id) — uniform within the cell, replayable, no insertion-order
+    * bias). Counteracts majority-topic dominance the way q155 caps
+    * domains: a cell with a million vectors contributes exactly k, same as
+    * a cell with a hundred. Same WindowGroupLimit shape as q61/q155 — the
+    * rank bound is pushed below the sort, so each map task ships at most
+    * k rows per cell into the shuffle. */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+      numCentroids: Int = 16, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val init = e.orderBy(col("vec_id")).limit(numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("pr"), col("vec_id"))
+    assignCellsOn(e, init)
+      .select(col("cid"), col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("pr"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("cid"), col("vec_id"), col("rk"))
+  }
+
   /** q143: embedding drift / segment-skew monitor — per-label centroid
     * geometry: how far each label's mean embedding sits from the origin
     * (centroid_norm — isotropic noise collapses toward 0 at 1/√n; a

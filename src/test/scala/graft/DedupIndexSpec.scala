@@ -37,7 +37,7 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val b = docs.filter(col("cb") >= 10 && col("cb") < 50).select("doc_id", "text")
     val batch = docs.filter(col("cb") < 10).select("doc_id", "text")
     DedupIndex.build(a, "spec_idx_ext", buckets = 4)
-    DedupIndex.extend(b, "spec_idx_ext", buckets = 4)
+    DedupIndex.extend(b, "spec_idx_ext")
     DedupIndex.build(a.unionByName(b), "spec_idx_all", buckets = 4)
     val viaExtend = DedupIndex.nearDupsAgainst(spark, "spec_idx_ext", batch)
       .collect().map(_.toSeq).toSet
@@ -80,5 +80,55 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"planted copies not found: ${missing.mkString(",")}"
     })
     assert(out.forall(r => r.getLong(0) - r.getLong(1) == 10000000L))
+  }
+
+  test("standing loop: survivors committed, index grows, replay is a no-op") {
+    import spark.implicits._
+    import graft.streaming.DedupIndexStream
+    val tmp = java.nio.file.Files.createTempDirectory("didx_stream").toString
+    val base = docs.filter(col("cb") >= 50).select("doc_id", "text")
+    DedupIndex.build(base, "spec_idx_loop", buckets = 4)
+
+    // batch 0: fresh docs + an exact copy of an indexed doc + an intra-batch pair
+    val indexedDoc = base.orderBy(col("doc_id")).limit(1).collect()(0)
+    val fresh = docs.filter(col("cb") >= 20 && col("cb") < 50)
+      .select("doc_id", "text").limit(20).collect()
+    val b0 = spark.createDataFrame(
+      fresh.map(r => (r.getLong(0), r.getString(1))).toSeq :+
+        (9000001L, indexedDoc.getString(1)) :+          // dup of indexed
+        (9000002L, fresh(0).getString(1))               // intra-batch dup
+    ).toDF("doc_id", "text")
+    DedupIndexStream.processBatch(spark, "spec_idx_loop", b0, 0L, tmp)
+    val s0 = spark.read.parquet(s"$tmp/b=0")
+    val s0ids = s0.select("doc_id").as[Long].collect().toSet
+    assert(!s0ids.contains(9000001L), "copy of indexed doc must not survive")
+    assert(!s0ids.contains(9000002L), "intra-batch duplicate must not survive")
+    assert(s0ids.contains(fresh(0).getLong(0)), "first copy in batch survives")
+    assert(s0.count() == 20)
+
+    // batch 1: a copy of a batch-0 SURVIVOR must now be caught (index grew)
+    val b1 = Seq((9100001L, fresh(5).getString(1)),
+      (9100002L, "completely novel text that matches nothing at all xyzzy"))
+      .toDF("doc_id", "text")
+    DedupIndexStream.processBatch(spark, "spec_idx_loop", b1, 1L, tmp)
+    val s1ids = spark.read.parquet(s"$tmp/b=1").select("doc_id").as[Long].collect().toSet
+    assert(s1ids == Set(9100002L), s"expected only the novel doc, got $s1ids")
+
+    // replaying a committed batch is a no-op: index row count unchanged
+    val before = spark.table("spec_idx_loop_sigs").count()
+    DedupIndexStream.processBatch(spark, "spec_idx_loop", b0, 0L, tmp)
+    assert(spark.table("spec_idx_loop_sigs").count() == before)
+
+    // and the wrapper drives the same path through a real streaming query
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DedupIndexStream.DocArrival]
+    val tmp2 = java.nio.file.Files.createTempDirectory("didx_stream2").toString
+    in.addData(DedupIndexStream.DocArrival(9200001L, fresh(7).getString(1)),
+      DedupIndexStream.DocArrival(9200002L, "another entirely novel string qwerty"))
+    val q = DedupIndexStream.run(in.toDS(), "spec_idx_loop", tmp2)
+      .option("checkpointLocation", s"$tmp2/_cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val sids = spark.read.parquet(s"$tmp2/b=0").select("doc_id").as[Long].collect().toSet
+    assert(sids == Set(9200002L), s"survivor set through the stream: $sids")
   }
 }

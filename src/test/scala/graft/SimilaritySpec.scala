@@ -281,4 +281,24 @@ class SimilaritySpec extends SparkSpec {
     fails(one.select(Sketches.pqAdcSim(v6, typedLit(Seq(0)),
       typedLit(Seq(Seq(1.0, 2.0))))), "query dim 6 != 1 codes x codeword dim 2")
   }
+
+  test("q162: cluster-balanced sample — k per cell, dense ranks, WindowGroupLimit") {
+    val out = Similarity.clusterBalancedSample(spark, sf("sf0.01"), numCentroids = 16, k = 5)
+    val rows = out.collect()
+    val byCell = rows.groupBy(_.getAs[Long]("cid"))
+    // the q144 cell-stats view gives the true per-cell sizes
+    val sizes = Similarity.ivfCellStats(spark, sf("sf0.01"), 16).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n_vectors")).toMap
+    byCell.foreach { case (cid, rs) =>
+      assert(rs.length == math.min(5L, sizes(cid)),
+        s"cell $cid: ${rs.length} sampled of ${sizes(cid)}")
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
+    }
+    // replayable and layout-independent: hash order, not insertion order
+    val again = Similarity.clusterBalancedSample(spark, sf("sf0.01"), 16, 5)
+    assert(out.exceptAll(again).isEmpty)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "per-cell cap must prune below the sort:\n" + p)
+  }
 }
