@@ -244,7 +244,8 @@ object SparkEntry {
     "q159_curriculum_sketch"       -> Sampling.curriculumSketchGate _,
     "q160_incremental_dedup"       -> DedupIndex.incrementalGate _,
     "q161_ann_index_recall"        -> AnnIndex.plantedRecallGate _,
-    "q162_cluster_sample"          -> ((s: SparkSession, d: String) => Similarity.clusterBalancedSample(s, d)))
+    "q162_cluster_sample"          -> ((s: SparkSession, d: String) => Similarity.clusterBalancedSample(s, d)),
+    "q163_quality_probe"           -> ((s: SparkSession, d: String) => QualityProbe.trainedScores(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1228,6 +1229,10 @@ object SparkEntry {
         |SELECT doc_id, quality, decile,
         |  row_number() OVER (PARTITION BY decile ORDER BY h, doc_id)::INT AS pos_in_decile
         |FROM d""".stripMargin,
+
+    // the trained quality probe: the oracle is the ENTIRE training run
+    // unrolled — 8 integer-GD steps in SQL — then every score; hash-exact
+    "q163_quality_probe" -> graft.analytics.QualityProbe.oracleSql(),
 
     // cluster-balanced diversity sample: the oracle recomputes the q144
     // cell assignment vector-by-vector, then the same per-cell hash-ranked

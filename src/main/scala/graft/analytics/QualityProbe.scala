@@ -1,0 +1,135 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.functions.Materialize
+
+/** Model-based quality filtering — the curation step the big pretraining
+  * pipelines run after rule filters: distill an expensive labeling rule
+  * into a cheap learned scorer and apply THAT to the corpus. The engine
+  * trains the model itself, as a Spark job, with the exact-integer
+  * fixed-point discipline of the PageRank family (Graph.pageRankOn)
+  * applied to LEARNING:
+  *
+  *  - features and labels are integer micro-units (10⁶ = 1.0) from the
+  *    q22 character-class/stopword/length statistics;
+  *  - training is full-batch gradient descent on least squares, `iters`
+  *    fixed iterations at learning rate 1/8 — every step is integer
+  *    multiply / truncating `div` (Spark `div` and DuckDB `//` agree on
+  *    negatives: both truncate toward zero), so the trained weights and
+  *    every score are BITWISE identical across partitionings AND engines,
+  *    and the q163 gate hash-matches an unrolled DuckDB twin of the whole
+  *    training run — the oracle re-trains the model and agrees weight for
+  *    weight, score for score;
+  *  - per iteration the plan is: broadcast the 5-weight row onto the
+  *    feature scan, one partial+final aggregate for the 5 gradient sums —
+  *    kilobytes of state through the shuffle, no collect, no driver math.
+  *    At 100 TB each iteration is one pass; the feature frame is
+  *    `Materialize`d once and reused by all iterations.
+  *
+  * Label: a Gopher-style hard rule (alpha ratio ≥ 0.55 ∧ ≥ 5 tokens ∧ ≥ 1
+  * stopword) — a THRESHOLD rule the linear probe can only approximate,
+  * which is the realistic distillation setting. Overflow headroom: the
+  * gradient sum |Σ e·f| ≤ n·2·10¹², safe in Long to ~4.6M rows; at
+  * warehouse scale the two sums move to DECIMAL(38) (exact and
+  * associative, so bit-exactness survives; Long here keeps oracle parity
+  * with DuckDB's BIGINT inputs).
+  */
+object QualityProbe {
+
+  private val M = 1000000L
+
+  /** (doc_id, y, f0..f4) — all integer micro-units; f0 is the bias. */
+  private[graft] def features(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(col("doc_id"),
+        length(t).cast("long").as("L"),
+        (length(t) - length(regexp_replace(t, "[A-Za-z]", ""))).cast("long").as("n_alpha"),
+        (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long").as("n_digit"),
+        size(regexp_extract_all(t, lit("\\S+"), lit(0))).cast("long").as("n_tokens"),
+        size(regexp_extract_all(lower(t),
+          lit("\\b(the|a|of|and|in|to)\\b"), lit(0))).cast("long").as("n_stop"))
+      .selectExpr("doc_id",
+        s"""CASE WHEN (n_alpha * ${M}L) div greatest(L, 1L) >= 550000
+           | AND n_tokens >= 5 AND n_stop > 0
+           | THEN ${M}L ELSE 0L END AS y""".stripMargin,
+        s"${M}L AS f0",
+        s"(n_alpha * ${M}L) div greatest(L, 1L) AS f1",
+        s"least(${M}L, (n_stop * 4L * ${M}L) div greatest(n_tokens, 1L)) AS f2",
+        s"least(${M}L, (n_tokens * ${M}L) div 64L) AS f3",
+        s"(n_digit * ${M}L) div greatest(L, 1L) AS f4")
+  }
+
+  private val Dot = "w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4"
+
+  /** Trained weights after `iters` GD steps, as a 1-row (w0..w4) frame. */
+  private[graft] def trainOn(f: DataFrame, iters: Int): DataFrame = {
+    val spark = f.sparkSession
+    var w: DataFrame = spark.range(1)
+      .select((0 to 4).map(j => lit(0L).as(s"w$j")): _*)
+    for (_ <- 1 to iters) {
+      val e = f.crossJoin(broadcast(w))
+        .withColumn("e", expr(s"($Dot) div ${M}L - y"))
+      w = Materialize(e.agg(
+        expr(s"max(w0) - sum(e * f0) div (8 * count(*) * ${M}L)").as("w0"),
+        expr(s"max(w1) - sum(e * f1) div (8 * count(*) * ${M}L)").as("w1"),
+        expr(s"max(w2) - sum(e * f2) div (8 * count(*) * ${M}L)").as("w2"),
+        expr(s"max(w3) - sum(e * f3) div (8 * count(*) * ${M}L)").as("w3"),
+        expr(s"max(w4) - sum(e * f4) div (8 * count(*) * ${M}L)").as("w4")))
+    }
+    w
+  }
+
+  /** q163: train on the corpus, score every document — (doc_id, label,
+    * score_micro), each value bitwise-reproduced by the oracle's unrolled
+    * twin. */
+  def trainedScores(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val f = Materialize(features(documents(spark, dir)))
+    f.crossJoin(broadcast(trainOn(f, iters)))
+      .select(col("doc_id"), col("y").as("label"),
+        expr(s"($Dot) div ${M}L").as("score_micro"))
+  }
+
+  /** The q163 oracle: the ENTIRE training run unrolled in DuckDB SQL —
+    * same features, same label rule, same `iters` integer GD steps. */
+  def oracleSql(iters: Int = 8): String = {
+    val steps = (1 to iters).map { i =>
+      s"""e$i AS (SELECT f.*, w0, w1, w2, w3, w4,
+         |  ((w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4) // 1000000) - y AS e
+         |  FROM f CROSS JOIN w${i - 1}c),
+         |w${i}c AS (SELECT
+         |  max(w0) - ((sum(e*f0) // (8 * count(*) * 1000000))::BIGINT) AS w0,
+         |  max(w1) - ((sum(e*f1) // (8 * count(*) * 1000000))::BIGINT) AS w1,
+         |  max(w2) - ((sum(e*f2) // (8 * count(*) * 1000000))::BIGINT) AS w2,
+         |  max(w3) - ((sum(e*f3) // (8 * count(*) * 1000000))::BIGINT) AS w3,
+         |  max(w4) - ((sum(e*f4) // (8 * count(*) * 1000000))::BIGINT) AS w4
+         |  FROM e$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    length(text)::BIGINT AS L,
+       |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS n_alpha,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+       |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+       |    len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to)\\b'))::BIGINT AS n_stop
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (n_alpha * 1000000 // greatest(L, 1)) >= 550000
+       |          AND n_tokens >= 5 AND n_stop > 0
+       |         THEN 1000000::BIGINT ELSE 0::BIGINT END AS y,
+       |    1000000::BIGINT AS f0,
+       |    (n_alpha * 1000000 // greatest(L, 1))::BIGINT AS f1,
+       |    least(1000000, n_stop * 4 * 1000000 // greatest(n_tokens, 1))::BIGINT AS f2,
+       |    least(1000000, n_tokens * 1000000 // 64)::BIGINT AS f3,
+       |    (n_digit * 1000000 // greatest(L, 1))::BIGINT AS f4
+       |  FROM raw),
+       |w0c AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2,
+       |  0::BIGINT AS w3, 0::BIGINT AS w4),
+       |$steps
+       |SELECT doc_id, y AS label,
+       |  ((w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4) // 1000000)::BIGINT AS score_micro
+       |FROM f CROSS JOIN w${iters}c""".stripMargin
+  }
+}
