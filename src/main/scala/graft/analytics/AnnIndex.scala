@@ -77,6 +77,12 @@ object AnnIndex {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("sim"))
+      // dedup on the candidate set (per-query cells content, not the
+      // corpus): an index row duplicated by an at-least-once streaming
+      // extend replay (AnnIndexStream's documented trade) must not occupy
+      // two top-k slots; duplicate rows are value-identical, so the drop
+      // is deterministic
+      .dropDuplicates(Seq("query_id", "neighbor_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
