@@ -245,7 +245,8 @@ object SparkEntry {
     "q160_incremental_dedup"       -> DedupIndex.incrementalGate _,
     "q161_ann_index_recall"        -> AnnIndex.plantedRecallGate _,
     "q162_cluster_sample"          -> ((s: SparkSession, d: String) => Similarity.clusterBalancedSample(s, d)),
-    "q163_quality_probe"           -> ((s: SparkSession, d: String) => QualityProbe.trainedScores(s, d)))
+    "q163_quality_probe"           -> ((s: SparkSession, d: String) => QualityProbe.trainedScores(s, d)),
+    "q164_bpe_merges"              -> ((s: SparkSession, d: String) => BpeInduction.merges(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1229,6 +1230,10 @@ object SparkEntry {
         |SELECT doc_id, quality, decile,
         |  row_number() OVER (PARTITION BY decile ORDER BY h, doc_id)::INT AS pos_in_decile
         |FROM d""".stripMargin,
+
+    // BPE merge induction: the oracle re-runs the whole induction — word
+    // table, per-round pair counts, argmax, merge application — unrolled
+    "q164_bpe_merges" -> graft.analytics.BpeInduction.oracleSql(),
 
     // the trained quality probe: the oracle is the ENTIRE training run
     // unrolled — 8 integer-GD steps in SQL — then every score; hash-exact

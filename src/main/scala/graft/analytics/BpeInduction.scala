@@ -1,0 +1,112 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.functions.Materialize
+
+/** Corpus-level BPE merge induction — the first rounds of training a
+  * byte-pair-encoding tokenizer vocabulary, run as Spark jobs over the
+  * word-frequency table (the q62/q21 token layer grows from counting
+  * tokens to LEARNING them).
+  *
+  * Classic BPE on the weighted word table: words split into character
+  * symbols (plus the `_` end-of-word sentinel), each round counts
+  * adjacent symbol pairs weighted by word frequency, merges the most
+  * frequent pair everywhere, and repeats. Determinism: ties break on
+  * (count DESC, pair lexicographic ASC); merge application is plain
+  * left-to-right non-overlapping string `replace` — Spark's UTF8String
+  * replace and DuckDB's replace() share those semantics exactly, and the
+  * words are filtered to ^[a-z]+$ so the pair text never needs escaping.
+  * The q164 oracle re-runs the whole induction (all rounds unrolled in
+  * SQL) and matches merge-for-merge, count-for-count.
+  *
+  * Plan per round: pair explode of the (tiny, `Materialize`d) word table
+  * → one partial+final aggregate → a 1-row argmax broadcast back onto
+  * the words. At corpus scale the word-frequency table is the ONLY thing
+  * the rounds touch — built once with one shuffle over the corpus, then
+  * every round is O(vocabulary), not O(corpus); that is what makes BPE
+  * training tractable at 100 TB (the corpus is never re-read). The
+  * `topWords` cap bounds the vocabulary deterministically (freq DESC,
+  * word ASC) the way real tokenizer trainers cap their word tables.
+  */
+object BpeInduction {
+
+  /** (word, freq, seq) — seq is the space-joined symbol sequence. */
+  private[graft] def wordTable(docs: DataFrame, topWords: Int): DataFrame =
+    Materialize(docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(topWords)
+      .withColumn("seq", concat(
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
+        lit(" _"))))
+
+  /** Adjacent-pair counts of a (freq, seq) frame, weighted by freq. */
+  private[graft] def pairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("syms", split(col("seq"), " "))
+      .withColumn("p", explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1))))
+      .select(col("p.0").as("pa"), col("p.1").as("pb"), col("freq"))
+      .groupBy(col("pa"), col("pb")).agg(sum(col("freq")).as("cnt"))
+
+  /** q164: run `rounds` BPE merges, return the learned merge table
+    * (round, pa, pb, merged, cnt) — one row per round, hash-exact vs the
+    * oracle's unrolled twin. */
+  def merges(spark: SparkSession, dir: String, rounds: Int = 8,
+      topWords: Int = 100): DataFrame = {
+    var words = wordTable(documents(spark, dir), topWords)
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val best = Materialize(pairCounts(words)
+        .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc).limit(1)
+        .select(lit(r).as("round"), col("pa"), col("pb"),
+          concat(col("pa"), col("pb")).as("merged"), col("cnt")))
+      words = Materialize(words.crossJoin(broadcast(best))
+        .withColumn("seq", expr(
+          """trim(replace(concat(' ', seq, ' '),
+            | concat(' ', pa, ' ', pb, ' '),
+            | concat(' ', merged, ' ')))""".stripMargin))
+        .select(col("word"), col("freq"), col("seq")))
+      out = Some(out.map(_.unionByName(best)).getOrElse(best))
+    }
+    out.get
+  }
+
+  /** The q164 oracle: the whole induction unrolled in DuckDB SQL. */
+  def oracleSql(rounds: Int = 8, topWords: Int = 100): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT t[1] AS pa, t[2] AS pb, sum(freq)::BIGINT AS cnt
+         |  FROM w${r - 1},
+         |    LATERAL (SELECT unnest(list_zip(
+         |      str_split(seq, ' ')[1:len(str_split(seq, ' ')) - 1],
+         |      str_split(seq, ' ')[2:len(str_split(seq, ' '))]))) AS u(t)
+         |  GROUP BY 1, 2),
+         |b$r AS (
+         |  SELECT $r::INT AS round, pa, pb, pa || pb AS merged, cnt
+         |  FROM p$r ORDER BY cnt DESC, pa ASC, pb ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT word, freq,
+         |    trim(replace(' ' || seq || ' ',
+         |      ' ' || b.pa || ' ' || b.pb || ' ',
+         |      ' ' || b.merged || ' ')) AS seq
+         |  FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(r =>
+      s"SELECT round, pa, pb, merged, cnt FROM b$r").mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(str_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT word, count(*)::BIGINT AS freq,
+       |    array_to_string(regexp_extract_all(word, '.'), ' ') || ' _' AS seq
+       |  FROM toks WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY word ORDER BY freq DESC, word ASC LIMIT $topWords),
+       |$steps
+       |$sel""".stripMargin
+  }
+}

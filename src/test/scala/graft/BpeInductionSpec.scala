@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.BpeInduction
+
+/** BPE merge induction (q164). */
+class BpeInductionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand corpus: learns the engineered merges in order") {
+    // "aaab" x10, "aab" x5: pair (a,a) dominates (10·2 + 5·1 = 25), then
+    // after merging, (aa, ab) vs ... — verify against hand computation:
+    // round 1: pairs of 'a a a b _'(10): (a,a)x2,(a,b),(b,_) ; 'a a b _'(5):
+    // (a,a),(a,b),(b,_) → (a,a)=25, (a,b)=15, (b,_)=15 → merge aa
+    // round 2: 'aa a b _'(10): (aa,a),(a,b),(b,_); 'aa b _'(5): (aa,b),(b,_)
+    // → (b,_)=15, (a,b)=10, (aa,a)=10, (aa,b)=5 → merge b_
+    val docs = ((1 to 10).map(i => (i.toLong, "aaab")) ++
+      (11 to 15).map(i => (i.toLong, "aab"))).toDF("doc_id", "text")
+    val words = BpeInduction.wordTable(docs, 100)
+    val m = {
+      // merges() reads Tables.documents; drive the core loop directly
+      var w = words
+      (1 to 2).map { r =>
+        val best = graft.analytics.BpeInduction.pairCounts(w)
+          .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc).limit(1)
+          .select(lit(r).as("round"), col("pa"), col("pb"),
+            concat(col("pa"), col("pb")).as("merged"), col("cnt")).collect()(0)
+        w = w.crossJoin(broadcast(
+            Seq((best.getString(1), best.getString(2), best.getString(3)))
+              .toDF("pa", "pb", "merged")))
+          .withColumn("seq", expr(
+            "trim(replace(concat(' ', seq, ' '), concat(' ', pa, ' ', pb, ' '), concat(' ', merged, ' ')))"))
+          .select(col("word"), col("freq"), col("seq"))
+        (best.getString(3), best.getLong(4))
+      }
+    }
+    assert(m(0) == ("aa", 25L), s"round 1: ${m(0)}")
+    assert(m(1) == ("b_", 15L), s"round 2: ${m(1)}")
+  }
+
+  test("corpus run: counts non-increasing-ish sanity, merges distinct, replayable") {
+    val out = BpeInduction.merges(spark, sf("sf0.01"), rounds = 8).collect()
+      .sortBy(_.getAs[Int]("round"))
+    assert(out.length == 8)
+    assert(out.map(_.getAs[String]("merged")).distinct.length == 8,
+      "a pair must never be re-learned: after merging it no longer exists")
+    assert(out.forall(r => r.getAs[String]("merged") ==
+      r.getAs[String]("pa") + r.getAs[String]("pb")))
+    val again = BpeInduction.merges(spark, sf("sf0.01"), rounds = 8).collect()
+      .sortBy(_.getAs[Int]("round"))
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("greedy left-to-right merge application (overlap semantics)") {
+    // ' b b b ' with merge (b,b) → ' bb b ', never ' b bb '
+    val one = Seq(("w", 1L, "b b b _")).toDF("word", "freq", "seq")
+    val applied = one.withColumn("seq",
+      expr("trim(replace(concat(' ', seq, ' '), ' b b ', ' bb '))"))
+      .collect()(0).getAs[String]("seq")
+    assert(applied == "bb b _", applied)
+  }
+}
