@@ -246,7 +246,8 @@ object SparkEntry {
     "q161_ann_index_recall"        -> AnnIndex.plantedRecallGate _,
     "q162_cluster_sample"          -> ((s: SparkSession, d: String) => Similarity.clusterBalancedSample(s, d)),
     "q163_quality_probe"           -> ((s: SparkSession, d: String) => QualityProbe.trainedScores(s, d)),
-    "q164_bpe_merges"              -> ((s: SparkSession, d: String) => BpeInduction.merges(s, d)))
+    "q164_bpe_merges"              -> ((s: SparkSession, d: String) => BpeInduction.merges(s, d)),
+    "q165_bpe_tokenize"            -> ((s: SparkSession, d: String) => BpeInduction.tokenCounts(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1230,6 +1231,10 @@ object SparkEntry {
         |SELECT doc_id, quality, decile,
         |  row_number() OVER (PARTITION BY decile ORDER BY h, doc_id)::INT AS pos_in_decile
         |FROM d""".stripMargin,
+
+    // tokenize with the learned BPE vocabulary: the oracle re-learns the
+    // merges AND re-applies them to every distinct word, then sums per doc
+    "q165_bpe_tokenize" -> graft.analytics.BpeInduction.tokenizeOracleSql(),
 
     // BPE merge induction: the oracle re-runs the whole induction — word
     // table, per-round pair counts, argmax, merge application — unrolled

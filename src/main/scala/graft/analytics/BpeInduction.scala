@@ -76,8 +76,69 @@ object BpeInduction {
     out.get
   }
 
-  /** The q164 oracle: the whole induction unrolled in DuckDB SQL. */
-  def oracleSql(rounds: Int = 8, topWords: Int = 100): String = {
+  /** q165: TOKENIZE with the learned vocabulary — apply the `rounds`
+    * learned merges, in order, to EVERY distinct word in the corpus (not
+    * just the capped training vocabulary: a merge like (t,h) applies to
+    * any word containing the pair), then count each document's BPE
+    * tokens as the sum of its words' symbol counts. Output
+    * (doc_id, n_bpe_tokens) — hash-exact vs the oracle, which applies
+    * the same learned merge CTEs to the same full word table. Plan: the
+    * distinct-word table is one shuffle over the corpus; each merge
+    * application is a broadcast of one learned pair onto that table; the
+    * final count is a word-table join back to the doc-word list. */
+  def tokenCounts(spark: SparkSession, dir: String, rounds: Int = 8,
+      topWords: Int = 100): DataFrame = {
+    val m = merges(spark, dir, rounds, topWords)
+    val docWords = documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    var all = Materialize(docWords.select(col("word")).distinct()
+      .withColumn("seq", concat(
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
+        lit(" _"))))
+    for (r <- 1 to rounds) {
+      all = Materialize(all
+        .crossJoin(broadcast(m.filter(col("round") === r)
+          .select(col("pa"), col("pb"), col("merged"))))
+        .withColumn("seq", expr(
+          """trim(replace(concat(' ', seq, ' '),
+            | concat(' ', pa, ' ', pb, ' '),
+            | concat(' ', merged, ' ')))""".stripMargin))
+        .select(col("word"), col("seq")))
+    }
+    docWords.join(all, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(size(split(col("seq"), " "))).as("n_bpe_tokens"))
+  }
+
+  /** The q165 oracle: learned merges (same CTE chain as q164) applied to
+    * the full distinct-word table, summed per document. */
+  def tokenizeOracleSql(rounds: Int = 8, topWords: Int = 100): String = {
+    val applies = (1 to rounds).map { r =>
+      s"""a$r AS (
+         |  SELECT word, trim(replace(' ' || seq || ' ',
+         |    ' ' || b.pa || ' ' || b.pb || ' ',
+         |    ' ' || b.merged || ' ')) AS seq
+         |  FROM a${r - 1} CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""${inductionCtes(rounds, topWords)},
+       |dw AS (
+       |  SELECT doc_id, unnest(str_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |dwf AS (SELECT doc_id, word FROM dw WHERE regexp_matches(word, '^[a-z]+$$')),
+       |a0 AS (
+       |  SELECT DISTINCT word,
+       |    array_to_string(regexp_extract_all(word, '.'), ' ') || ' _' AS seq
+       |  FROM dwf),
+       |$applies
+       |SELECT d.doc_id, sum(len(str_split(a.seq, ' ')))::BIGINT AS n_bpe_tokens
+       |FROM dwf d JOIN a$rounds a USING (word)
+       |GROUP BY d.doc_id""".stripMargin
+  }
+
+  /** The shared WITH-chain: word table + `rounds` (pairs, best, apply)
+    * CTE triples — everything up to (and including) w$rounds. */
+  private def inductionCtes(rounds: Int, topWords: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT t[1] AS pa, t[2] AS pb, sum(freq)::BIGINT AS cnt
@@ -96,8 +157,6 @@ object BpeInduction {
          |      ' ' || b.merged || ' ')) AS seq
          |  FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to rounds).map(r =>
-      s"SELECT round, pa, pb, merged, cnt FROM b$r").mkString("\nUNION ALL\n")
     s"""WITH toks AS (
        |  SELECT unnest(str_split_regex(lower(text), '\\s+')) AS word
        |  FROM documents),
@@ -106,7 +165,14 @@ object BpeInduction {
        |    array_to_string(regexp_extract_all(word, '.'), ' ') || ' _' AS seq
        |  FROM toks WHERE regexp_matches(word, '^[a-z]+$$')
        |  GROUP BY word ORDER BY freq DESC, word ASC LIMIT $topWords),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  /** The q164 oracle: the whole induction unrolled in DuckDB SQL. */
+  def oracleSql(rounds: Int = 8, topWords: Int = 100): String = {
+    val sel = (1 to rounds).map(r =>
+      s"SELECT round, pa, pb, merged, cnt FROM b$r").mkString("\nUNION ALL\n")
+    s"""${inductionCtes(rounds, topWords)}
        |$sel""".stripMargin
   }
 }

@@ -59,4 +59,27 @@ class BpeInductionSpec extends SparkSpec {
       .collect()(0).getAs[String]("seq")
     assert(applied == "bb b _", applied)
   }
+
+  test("q165: tokenize conserves bounds and merges strictly compress") {
+    val out = BpeInduction.tokenCounts(spark, sf("sf0.01"), rounds = 8)
+    val joined = out.join(
+      Tables.documents(spark, sf("sf0.01")).select(col("doc_id"), col("text")), "doc_id")
+      .selectExpr("doc_id", "n_bpe_tokens",
+        // unmerged count: per [a-z]+ word, chars + sentinel
+        "aggregate(filter(split(lower(text), '\\\\s+'), w -> w rlike '^[a-z]+$'), " +
+          "0L, (acc, w) -> acc + length(w) + 1) AS unmerged",
+        "size(filter(split(lower(text), '\\\\s+'), w -> w rlike '^[a-z]+$')) AS n_words")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (bpe, un, nw) = (r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("unmerged"), r.getAs[Int]("n_words"))
+      assert(bpe <= un, s"doc ${r.getLong(0)}: merged $bpe > unmerged $un")
+      assert(bpe >= nw, s"doc ${r.getLong(0)}: fewer tokens than words")
+    }
+    // 8 merges must compress the corpus total strictly
+    val total = joined.map(_.getAs[Long]("n_bpe_tokens")).sum
+    val unTotal = joined.map(_.getAs[Long]("unmerged")).sum
+    assert(total < unTotal, s"no compression: $total vs $unTotal")
+  }
 }
