@@ -201,6 +201,9 @@ object ScaleRehearsal {
             .cast("long").as("est"))
           .collect()(0).getLong(0))
       val (tCur, _) = time(Sampling.curriculumOrderScalable(spark, dir).count())
+      // BPE tokenize cost must track the VOCABULARY (distinct words grow
+      // linearly with the token-prefixed copies), never the corpus re-read
+      val (tBpe, _) = time(analytics.BpeInduction.tokenCounts(spark, dir).count())
 
       // q95 skew-cap evidence: the largest single join group under the
   // prefix-only blocking key (round ≤4) vs the composite
@@ -232,7 +235,8 @@ object ScaleRehearsal {
         s""""q104_inverted_index":$tIdx,""" +
         s""""q122_ensemble":$tEns,"q130_triangles":$tTri,""" +
         s""""q152_kmv":$tKmv,"q154_semantic":$tSem,"q155_domain_cap":$tCap,""" +
-        s""""q157_compressibility":$tComp,"q159_curriculum":$tCur},""" +
+        s""""q157_compressibility":$tComp,"q159_curriculum":$tCur,""" +
+        s""""q165_bpe_tokenize":$tBpe},""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
         s""""fuzzy_max_block":{"prefix":$maxPrefixBlock,"composite":$maxCompositeBlock},""" +
