@@ -82,4 +82,56 @@ class BpeInductionSpec extends SparkSpec {
     val unTotal = joined.map(_.getAs[Long]("unmerged")).sum
     assert(total < unTotal, s"no compression: $total vs $unTotal")
   }
+
+  test("property: engine merges equal an in-memory reference BPE on random corpora") {
+    // reference implementation: greedy BPE over a word->freq map, same
+    // tie-break (count desc, pair lex asc), pure Scala collections
+    def refBpe(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+      var seqs: Map[List[String], Long] =
+        words.groupMapReduce { case (w, _) => w.map(_.toString).toList :+ "_" }(_._2)(_ + _)
+      (1 to rounds).flatMap { _ =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- seqs; Seq(a, b) <- syms.sliding(2))
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+        if (counts.isEmpty) Nil
+        else {
+          val ((pa, pb), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          def apply(s: List[String]): List[String] = s match {
+            case x :: y :: rest if x == pa && y == pb => (pa + pb) :: apply(rest)
+            case x :: rest => x :: apply(rest)
+            case Nil => Nil
+          }
+          seqs = seqs.groupMapReduce { case (s, _) => apply(s) }(_._2)(_ + _)
+          Seq((pa, pb, cnt))
+        }
+      }
+    }
+    val rng = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val vocabLetters = "abcdef"
+      val corpusWords = (1 to 30).map { _ =>
+        (1 to (2 + rng.nextInt(5))).map(_ => vocabLetters(rng.nextInt(vocabLetters.length))).mkString
+      }
+      val docs = corpusWords.zipWithIndex
+        .map { case (w, i) => (i.toLong, (w + " ") * (1 + rng.nextInt(3))) }
+        .toDF("doc_id", "text")
+      val freqs = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = refBpe(freqs, 4)
+      val words = BpeInduction.wordTable(docs, 1000)
+      var w = words
+      val got = (1 to 4).map { r =>
+        val best = graft.analytics.BpeInduction.pairCounts(w)
+          .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc).limit(1).collect()(0)
+        w = w.crossJoin(broadcast(Seq((best.getString(0), best.getString(1)))
+            .toDF("pa", "pb")))
+          .withColumn("seq", expr(
+            "trim(replace(concat(' ', seq, ' '), concat(' ', pa, ' ', pb, ' '), concat(' ', pa, pb, ' ')))"))
+          .select(col("word"), col("freq"), col("seq"))
+        (best.getString(0), best.getString(1), best.getLong(2))
+      }
+      assert(got == expected, s"trial $trial: engine $got vs reference $expected")
+    }
+  }
 }
