@@ -92,20 +92,29 @@ object BpeInduction {
     val docWords = documents(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
-    var all = Materialize(docWords.select(col("word")).distinct()
+    // the 8 learned merges pivot to ONE broadcast row, and all 8
+    // applications nest into ONE projection over the distinct-word table —
+    // value-identical to sequential rounds (each replace processes the
+    // full output of the previous), but one job instead of `rounds`
+    val mp = m.groupBy().agg(
+      (1 to rounds).flatMap(r => Seq(
+        max(when(col("round") === r, col("pa"))).as(s"pa$r"),
+        max(when(col("round") === r, col("pb"))).as(s"pb$r"),
+        max(when(col("round") === r, col("merged"))).as(s"mg$r"))).head,
+      (1 to rounds).flatMap(r => Seq(
+        max(when(col("round") === r, col("pa"))).as(s"pa$r"),
+        max(when(col("round") === r, col("pb"))).as(s"pb$r"),
+        max(when(col("round") === r, col("merged"))).as(s"mg$r"))).tail: _*)
+    val applied = (1 to rounds).foldLeft("concat(' ', seq, ' ')") { (acc, r) =>
+      s"replace($acc, concat(' ', pa$r, ' ', pb$r, ' '), concat(' ', mg$r, ' '))"
+    }
+    val all = docWords.select(col("word")).distinct()
       .withColumn("seq", concat(
         array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
-        lit(" _"))))
-    for (r <- 1 to rounds) {
-      all = Materialize(all
-        .crossJoin(broadcast(m.filter(col("round") === r)
-          .select(col("pa"), col("pb"), col("merged"))))
-        .withColumn("seq", expr(
-          """trim(replace(concat(' ', seq, ' '),
-            | concat(' ', pa, ' ', pb, ' '),
-            | concat(' ', merged, ' ')))""".stripMargin))
-        .select(col("word"), col("seq")))
-    }
+        lit(" _")))
+      .crossJoin(broadcast(mp))
+      .withColumn("seq", expr(s"trim($applied)"))
+      .select(col("word"), col("seq"))
     docWords.join(all, "word")
       .groupBy(col("doc_id"))
       .agg(sum(size(split(col("seq"), " "))).as("n_bpe_tokens"))
