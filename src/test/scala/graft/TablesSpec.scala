@@ -66,4 +66,32 @@ class TablesSpec extends SparkSpec {
       floor(col("ts").cast("double")).cast("long")).limit(5).count()
     assert(n > 0)
   }
+
+  test("drift canary: live testdata schemas carry the dtypes the engine relies on") {
+    // the round-6 lesson generalized: if the driver regenerates ANY table
+    // with drifted physical types, fail HERE with the table and column
+    // named, not in dozens of downstream gate queries
+    for (sfd <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = Tables.documents(spark, sf(sfd)).schema
+      assert(docs("doc_id").dataType.typeName == "long", s"$sfd documents.doc_id: ${docs("doc_id").dataType}")
+      assert(docs("text").dataType.typeName == "string", s"$sfd documents.text")
+      val emb = Tables.embeddings(spark, sf(sfd)).schema
+      assert(emb("vec_id").dataType.typeName == "long", s"$sfd embeddings.vec_id: ${emb("vec_id").dataType}")
+      assert(emb("embedding").dataType.typeName == "array",
+        s"$sfd embeddings.embedding: ${emb("embedding").dataType}")
+      // numeric element type — any of float/double works through the
+      // cast("array<double>") every consumer applies; binary/string would not
+      val elem = emb("embedding").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType.typeName
+      assert(Set("float", "double").contains(elem), s"$sfd embedding element: $elem")
+      val ord = Tables.orders(spark, sf(sfd)).schema
+      assert(ord("o_orderkey").dataType.typeName == "long", s"$sfd orders.o_orderkey")
+      assert(Set("double", "decimal").exists(ord("o_totalprice").dataType.typeName.startsWith),
+        s"$sfd orders.o_totalprice: ${ord("o_totalprice").dataType}")
+      val li = Tables.lineitem(spark, sf(sfd)).schema
+      assert(li("l_orderkey").dataType.typeName == "long", s"$sfd lineitem.l_orderkey")
+      val ev = Tables.events(spark, sf(sfd)).schema
+      assert(ev("ts").dataType.typeName == "timestamp", s"$sfd events.ts: ${ev("ts").dataType}")
+    }
+  }
 }
