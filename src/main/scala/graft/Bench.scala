@@ -99,10 +99,36 @@ object Bench {
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
     def r2(v: Double): Double = math.rint(v * 1e2) / 1e2
 
+    // The dedup family rides session-memoized shared intermediates (pair
+    // graph, fuzzy edges, cluster map, ensemble CC labels — the production
+    // "pair graph as a materialized table" shape, default-ON since round 8).
+    // Build them ONCE here, timed and reported as their own entry, so the
+    // shared cost stays VISIBLE in the total: inside the per-query loop the
+    // build would land in attempt 1 and the median-of-3 would silently
+    // drop it, which would be gaming, not amortization.
+    val sharedBuild: Seq[(String, Double, Option[String], Double, Double)] = {
+      val probeSec = probe()
+      val t0 = System.nanoTime()
+      val err =
+        try {
+          // SessionMemo materializes eagerly — constructing the frames
+          // builds the shared tables for every later consumer
+          graft.analytics.Dedup.nearDupPairs(spark, sfDir)
+          graft.analytics.Relational.fuzzyNearDup(spark, sfDir)
+          graft.analytics.Dedup.dedupCorpus(spark, sfDir)
+          graft.analytics.Dedup.ensembleDedup(spark, sfDir)
+          None
+        } catch {
+          case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      Seq(("q00_shared_dedup_build", (System.nanoTime() - t0) / 1e9, err, probeSec, 1.0))
+    }
+
     // Sorted order: deterministic run-to-run comparisons (Map iteration
     // order is arbitrary, which silently reshuffles who pays residual
     // warmup costs between rounds).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = sharedBuild ++ SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val probeSec = probe()
       val attempts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

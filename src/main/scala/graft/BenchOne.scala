@@ -33,12 +33,13 @@ object BenchOne {
       })
     names.foreach { name =>
       val t0 = System.nanoTime()
-      val n = try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        0L
-      } catch { case e: Throwable => System.err.println(s"$name FAILED: $e"); -1L }
-      println(f"BENCHONE $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      val ok = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable => System.err.println(s"$name FAILED: $e"); false }
+      val status = if (ok) "ok" else "FAILED"
+      println(f"BENCHONE $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $status")
     }
     spark.stop()
   }

@@ -81,6 +81,10 @@ object ScaleRehearsal {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // growth measurements must be COLD: the default-ON SessionMemo would
+      // hand every repeat (and every dependent operator) the materialized
+      // result, turning the 1x-20x curves into cache-scan noise
+      .config("spark.graft.pairgraph.cache", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JIT/codegen warmup

@@ -247,7 +247,9 @@ object SparkEntry {
     "q162_cluster_sample"          -> ((s: SparkSession, d: String) => Similarity.clusterBalancedSample(s, d)),
     "q163_quality_probe"           -> ((s: SparkSession, d: String) => QualityProbe.trainedScores(s, d)),
     "q164_bpe_merges"              -> ((s: SparkSession, d: String) => BpeInduction.merges(s, d)),
-    "q165_bpe_tokenize"            -> ((s: SparkSession, d: String) => BpeInduction.tokenCounts(s, d)))
+    "q165_bpe_tokenize"            -> ((s: SparkSession, d: String) => BpeInduction.tokenCounts(s, d)),
+    "q166_quantizer_refresh"       -> AnnIndex.refreshGate _,
+    "q167_ann_compaction"          -> AnnIndex.compactedRecallGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1235,6 +1237,48 @@ object SparkEntry {
     // tokenize with the learned BPE vocabulary: the oracle re-learns the
     // merges AND re-applies them to every distinct word, then sums per doc
     "q165_bpe_tokenize" -> graft.analytics.BpeInduction.tokenizeOracleSql(),
+
+    // quantizer-refresh decision: the oracle restates the index's STORED
+    // reference stats from the raw parquet (the stored means are bitwise
+    // reproducible — 6-dp quantized decimal sums, double division, dim
+    // order), rebuilds the planted current corpus, and applies the same
+    // rounded-cosine threshold — every evidence column and verdict matches
+    "q166_quantizer_refresh" ->
+      """WITH u AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    round(unnest(embedding)::DOUBLE, 6) AS xq
+        |  FROM embeddings),
+        |rpd AS (
+        |  SELECT label, dim, sum(xq::DECIMAL(28,12))::DOUBLE / count(*) AS m, count(*) AS n
+        |  FROM u GROUP BY 1, 2),
+        |rlv AS (
+        |  SELECT label, max(n)::BIGINT AS n_ref, list(m ORDER BY dim) AS mv_ref
+        |  FROM rpd GROUP BY label),
+        |cur AS (
+        |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT label, list_transform(embedding::DOUBLE[], x -> x + 0.5) AS v
+        |  FROM embeddings WHERE label < 3),
+        |cu AS (
+        |  SELECT label, generate_subscripts(v, 1) AS dim, round(unnest(v), 6) AS xq
+        |  FROM cur),
+        |cpd AS (
+        |  SELECT label, dim, sum(xq::DECIMAL(28,12))::DOUBLE / count(*) AS m, count(*) AS n
+        |  FROM cu GROUP BY 1, 2),
+        |clv AS (
+        |  SELECT label, max(n)::BIGINT AS n_cur, list(m ORDER BY dim) AS mv_cur
+        |  FROM cpd GROUP BY label)
+        |SELECT r.label, n_ref, n_cur,
+        |  round(list_cosine_similarity(mv_ref, mv_cur), 4) AS drift_cos,
+        |  round(list_cosine_similarity(mv_ref, mv_cur), 4) < 0.98 AS rebuild
+        |FROM rlv r JOIN clv c ON r.label = c.label""".stripMargin,
+
+    // compacted-index planted recall (q47-pattern no-answer-change gate):
+    // the oracle states the planted outcome — compaction must not change
+    // any answer; the file-count collapse is pinned by AnnIndexSpec
+    "q167_ann_compaction" ->
+      """SELECT vec_id AS query_id, true AS found
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // BPE merge induction: the oracle re-runs the whole induction — word
     // table, per-round pair counts, argmax, merge application — unrolled

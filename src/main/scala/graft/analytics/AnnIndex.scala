@@ -31,11 +31,16 @@ import graft.functions.VectorOps.cosine
   */
 object AnnIndex {
 
-  /** Build (or rebuild) the index over (vec_id, v) vectors. */
+  /** Build (or rebuild) the index over (vec_id, v) vectors. When the input
+    * carries a `label` column, the per-label mean vectors of the BUILD
+    * corpus are stored alongside as `<name>_label_stats` — the reference
+    * distribution the drift-triggered [[refreshDecision]] compares against
+    * (build → extend → monitor → refresh, the full index lifecycle). */
   def build(vecs: DataFrame, name: String, numCentroids: Int = 32): Unit = {
     val spark = vecs.sparkSession
-    val centroids = Similarity.trainCentroidsOn(vecs, numCentroids)
-    for (t <- Seq(s"${name}_centroids", s"${name}_cells")) {
+    val centroids = Similarity.trainCentroidsOn(
+      vecs.select(col("vec_id"), col("v")), numCentroids)
+    for (t <- Seq(s"${name}_centroids", s"${name}_cells", s"${name}_label_stats")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
@@ -43,10 +48,135 @@ object AnnIndex {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     centroids.write.format("parquet").saveAsTable(s"${name}_centroids")
-    Similarity.assignCellsOn(vecs, centroids)
+    Similarity.assignCellsOn(vecs.select(col("vec_id"), col("v")), centroids)
       .select(col("vec_id"), col("v"), col("cid"))
       .write.format("parquet").partitionBy("cid")
       .saveAsTable(s"${name}_cells")
+    if (vecs.columns.contains("label"))
+      labelMeansOn(vecs.select(col("label"), col("v")))
+        .write.format("parquet").saveAsTable(s"${name}_label_stats")
+  }
+
+  /** Per-label exact-decimal mean vectors of (label, v) — the q143 drift
+    * monitor's kernel (Similarity.embeddingDrift) reused for the index's
+    * stored reference stats: components 6-dp-quantized, summed in exact
+    * DECIMAL (associative → layout-independent), divided in double, the
+    * mean vector rebuilt in dim order. Bitwise reproducible by any engine
+    * applying the same formula — which is exactly what lets the q166
+    * oracle restate the stored stats from the raw parquet. */
+  private[graft] def labelMeansOn(vecs: DataFrame): DataFrame = {
+    val comps = vecs
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), round(col("x"), 6).as("xq"))
+    comps.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xq").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / col("n")).as("m"), col("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        array_sort(collect_list(struct(col("dim"), col("m")))).as("a"))
+      .select(col("label"), col("n_vecs"), expr("transform(a, p -> p.m)").as("mv"))
+  }
+
+  /** q166: the drift-triggered quantizer-refresh DECISION — the piece a
+    * standing retrieval service runs nightly: per label, compare the live
+    * corpus's mean vector against the build-time reference stored in
+    * `<name>_label_stats`; a label whose centroid direction moved past the
+    * threshold (cos < `tau`) votes rebuild. Emits one row per label with
+    * the evidence (n_ref, n_cur, drift_cos) and the verdict, so the
+    * operator — or the scheduler acting on it — sees WHY. A label present
+    * on only one side (vanished, or brand-new since build) is maximal
+    * drift: rebuild. Plan: one corpus scan into a (label, dim) partial+
+    * final aggregate (64·|labels| groups), the kilobyte stats table
+    * broadcast onto the label-count-sized result — nothing corpus-sized
+    * shuffles, same posture as the q143 monitor it extends. */
+  def refreshDecision(spark: SparkSession, name: String, current: DataFrame,
+      tau: Double = 0.98): DataFrame = {
+    val cur = labelMeansOn(current.select(col("label"), col("v")))
+      .select(col("label"), col("n_vecs").as("n_cur"), col("mv").as("mv_cur"))
+    spark.table(s"${name}_label_stats")
+      .select(col("label"), col("n_vecs").as("n_ref"), col("mv").as("mv_ref"))
+      .join(cur, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        round(cosine(col("mv_ref"), col("mv_cur")), 4).as("drift_cos"))
+      .withColumn("rebuild", coalesce(col("drift_cos") < tau, lit(true)))
+  }
+
+  /** The q166 gate: build the index (storing reference stats) on the
+    * organic corpus, then present a CURRENT corpus with planted drift —
+    * a (+0.5)-shifted copy of every label<3 vector (ids +10⁶, labels
+    * kept) — and emit the per-label refresh decision. Labels ≥ 3 see the
+    * exact same vector set on both sides, so their mean vectors are
+    * IDENTICAL doubles and drift_cos is exactly 1.0 → keep; the shifted
+    * labels' means move far past the threshold → rebuild. The oracle
+    * recomputes both sides from the raw parquet (the stored stats are
+    * bitwise restatable — [[labelMeansOn]]) and states every row. */
+  def refreshGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    build(e, "graft_ann_refresh", numCentroids = 16)
+    val planted = e.filter(col("label") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x + 0.5d)").as("v"), col("label"))
+    refreshDecision(spark, "graft_ann_refresh", e.unionByName(planted), 0.98)
+      .orderBy(col("label"))
+  }
+
+  /** In-layout compaction of the cells table — the maintenance pass every
+    * streaming-extended index needs: [[extend]] (and its foreachBatch twin
+    * AnnIndexStream) appends a few small files into each touched `cid=…`
+    * partition per micro-batch, and after N extends every probe pays N
+    * file-opens per cell (the classic streaming-index small-file
+    * pathology). This rewrites each cell's rows into ONE file, in place,
+    * answers unchanged: rows are snapshotted THROUGH [[graft.functions.
+    * Materialize]] (the read must not race its own overwrite), shuffled
+    * once on cid so each cell lands in a single task, and written back
+    * with DYNAMIC partition overwrite — only the partitions being
+    * compacted are replaced; `cids` scopes the pass to chosen cells (the
+    * production form: compact the cells today's ingest touched, leave the
+    * other 99% of a 100 TB index untouched). */
+  def compact(spark: SparkSession, name: String, cids: Option[Seq[Int]] = None): Unit = {
+    val cells = spark.table(s"${name}_cells")
+    val slice = cids.map(cs => cells.filter(col("cid").isin(cs: _*))).getOrElse(cells)
+    val snap = graft.functions.Materialize(
+      slice.select(col("vec_id"), col("v"), col("cid")).repartition(col("cid")))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try snap.write.mode("overwrite").insertInto(s"${name}_cells")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** q167: the q47-pattern no-answer-change gate over a COMPACTED index —
+    * build on a quarter of the corpus, grow it with three separate
+    * [[extend]] batches plus the planted ×2-scaled copies of the query
+    * vectors (five small-file writes into the same partitions), compact
+    * in place, then run the q161 planted-recall probe through the
+    * compacted layout: every query's top-1 must still be its planted copy
+    * at cosine exactly 1.0. The oracle states the planted outcome; the
+    * file-count collapse itself is pinned by AnnIndexSpec. */
+  def compactedRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    build(e.filter(col("vec_id") % 4 === 0), "graft_ann_cmp", numCentroids = 16)
+    for (r <- 1 to 3)
+      extend(e.filter(col("vec_id") % 4 === r), "graft_ann_cmp")
+    val q = e.filter(col("vec_id") < 10)
+    extend(q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v")), "graft_ann_cmp")
+    compact(spark, "graft_ann_cmp")
+    val top = topKAgainst(spark, "graft_ann_cmp",
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
+    q.select(col("vec_id").as("query_id"))
+      .join(top.filter(col("rn") === 1), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("neighbor_id") === col("query_id") + 1000000L &&
+          col("cos_sim") === 1.0, lit(false)).as("found"))
   }
 
   /** Append new vectors, assigned with the stored quantizer. */

@@ -14,12 +14,24 @@ import graft.functions.Materialize
   * symbols (plus the `_` end-of-word sentinel), each round counts
   * adjacent symbol pairs weighted by word frequency, merges the most
   * frequent pair everywhere, and repeats. Determinism: ties break on
-  * (count DESC, pair lexicographic ASC); merge application is plain
-  * left-to-right non-overlapping string `replace` — Spark's UTF8String
-  * replace and DuckDB's replace() share those semantics exactly, and the
-  * words are filtered to ^[a-z]+$ so the pair text never needs escaping.
+  * (count DESC, pair lexicographic ASC); merge application is greedy
+  * left-to-right non-overlapping — Spark's UTF8String replace and
+  * DuckDB's replace() share those semantics exactly, and the words are
+  * filtered to ^[a-z]+$ so the pair text never needs escaping.
   * The q164 oracle re-runs the whole induction (all rounds unrolled in
   * SQL) and matches merge-for-merge, count-for-count.
+  *
+  * Symbol sequences are DOUBLE-space delimited ("a  b  _") with a single
+  * pad space at each end during replace. A single-space encoding
+  * under-merges adjacent repeats of the merged pair: in " a b a b _ "
+  * the first " a b " match consumes the delimiter the second occurrence
+  * needs, yielding "ab a b _" where greedy BPE yields "ab ab _". With
+  * two-space delimiters each match consumes only ONE of the two spaces
+  * on each side (" pa  pb " → " merged "), so the invariant — symbols
+  * separated by exactly two spaces — survives every replacement and
+  * back-to-back occurrences all merge, matching the textbook greedy
+  * left-to-right scan (BpeInductionSpec pins this against an in-memory
+  * symbol-list reference, adjacent-repeat corpora included).
   *
   * Plan per round: pair explode of the (tiny, `Materialize`d) word table
   * → one partial+final aggregate → a 1-row argmax broadcast back onto
@@ -40,13 +52,13 @@ object BpeInduction {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc).limit(topWords)
       .withColumn("seq", concat(
-        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
-        lit(" _"))))
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
+        lit("  _"))))
 
   /** Adjacent-pair counts of a (freq, seq) frame, weighted by freq. */
   private[graft] def pairCounts(words: DataFrame): DataFrame =
     words
-      .withColumn("syms", split(col("seq"), " "))
+      .withColumn("syms", split(col("seq"), "  "))
       .withColumn("p", explode(arrays_zip(
         slice(col("syms"), lit(1), size(col("syms")) - 1),
         slice(col("syms"), lit(2), size(col("syms")) - 1))))
@@ -68,7 +80,7 @@ object BpeInduction {
       words = Materialize(words.crossJoin(broadcast(best))
         .withColumn("seq", expr(
           """trim(replace(concat(' ', seq, ' '),
-            | concat(' ', pa, ' ', pb, ' '),
+            | concat(' ', pa, '  ', pb, ' '),
             | concat(' ', merged, ' ')))""".stripMargin))
         .select(col("word"), col("freq"), col("seq")))
       out = Some(out.map(_.unionByName(best)).getOrElse(best))
@@ -106,18 +118,18 @@ object BpeInduction {
         max(when(col("round") === r, col("pb"))).as(s"pb$r"),
         max(when(col("round") === r, col("merged"))).as(s"mg$r"))).tail: _*)
     val applied = (1 to rounds).foldLeft("concat(' ', seq, ' ')") { (acc, r) =>
-      s"replace($acc, concat(' ', pa$r, ' ', pb$r, ' '), concat(' ', mg$r, ' '))"
+      s"replace($acc, concat(' ', pa$r, '  ', pb$r, ' '), concat(' ', mg$r, ' '))"
     }
     val all = docWords.select(col("word")).distinct()
       .withColumn("seq", concat(
-        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " "),
-        lit(" _")))
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
+        lit("  _")))
       .crossJoin(broadcast(mp))
       .withColumn("seq", expr(s"trim($applied)"))
       .select(col("word"), col("seq"))
     docWords.join(all, "word")
       .groupBy(col("doc_id"))
-      .agg(sum(size(split(col("seq"), " "))).as("n_bpe_tokens"))
+      .agg(sum(size(split(col("seq"), "  "))).as("n_bpe_tokens"))
   }
 
   /** The q165 oracle: learned merges (same CTE chain as q164) applied to
@@ -126,7 +138,7 @@ object BpeInduction {
     val applies = (1 to rounds).map { r =>
       s"""a$r AS (
          |  SELECT word, trim(replace(' ' || seq || ' ',
-         |    ' ' || b.pa || ' ' || b.pb || ' ',
+         |    ' ' || b.pa || '  ' || b.pb || ' ',
          |    ' ' || b.merged || ' ')) AS seq
          |  FROM a${r - 1} CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
@@ -137,10 +149,10 @@ object BpeInduction {
        |dwf AS (SELECT doc_id, word FROM dw WHERE regexp_matches(word, '^[a-z]+$$')),
        |a0 AS (
        |  SELECT DISTINCT word,
-       |    array_to_string(regexp_extract_all(word, '.'), ' ') || ' _' AS seq
+       |    array_to_string(regexp_extract_all(word, '.'), '  ') || '  _' AS seq
        |  FROM dwf),
        |$applies
-       |SELECT d.doc_id, sum(len(str_split(a.seq, ' ')))::BIGINT AS n_bpe_tokens
+       |SELECT d.doc_id, sum(len(str_split(a.seq, '  ')))::BIGINT AS n_bpe_tokens
        |FROM dwf d JOIN a$rounds a USING (word)
        |GROUP BY d.doc_id""".stripMargin
   }
@@ -153,8 +165,8 @@ object BpeInduction {
          |  SELECT t[1] AS pa, t[2] AS pb, sum(freq)::BIGINT AS cnt
          |  FROM w${r - 1},
          |    LATERAL (SELECT unnest(list_zip(
-         |      str_split(seq, ' ')[1:len(str_split(seq, ' ')) - 1],
-         |      str_split(seq, ' ')[2:len(str_split(seq, ' '))]))) AS u(t)
+         |      str_split(seq, '  ')[1:len(str_split(seq, '  ')) - 1],
+         |      str_split(seq, '  ')[2:len(str_split(seq, '  '))]))) AS u(t)
          |  GROUP BY 1, 2),
          |b$r AS (
          |  SELECT $r::INT AS round, pa, pb, pa || pb AS merged, cnt
@@ -162,7 +174,7 @@ object BpeInduction {
          |w$r AS (
          |  SELECT word, freq,
          |    trim(replace(' ' || seq || ' ',
-         |      ' ' || b.pa || ' ' || b.pb || ' ',
+         |      ' ' || b.pa || '  ' || b.pb || ' ',
          |      ' ' || b.merged || ' ')) AS seq
          |  FROM w${r - 1} CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
@@ -171,7 +183,7 @@ object BpeInduction {
        |  FROM documents),
        |w0 AS (
        |  SELECT word, count(*)::BIGINT AS freq,
-       |    array_to_string(regexp_extract_all(word, '.'), ' ') || ' _' AS seq
+       |    array_to_string(regexp_extract_all(word, '.'), '  ') || '  _' AS seq
        |  FROM toks WHERE regexp_matches(word, '^[a-z]+$$')
        |  GROUP BY word ORDER BY freq DESC, word ASC LIMIT $topWords),
        |$steps""".stripMargin

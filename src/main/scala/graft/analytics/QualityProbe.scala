@@ -32,9 +32,10 @@ import graft.functions.Materialize
   * stopword) — a THRESHOLD rule the linear probe can only approximate,
   * which is the realistic distillation setting. Overflow headroom: the
   * gradient sum |Σ e·f| ≤ n·2·10¹², safe in Long to ~4.6M rows; at
-  * warehouse scale the two sums move to DECIMAL(38) (exact and
-  * associative, so bit-exactness survives; Long here keeps oracle parity
-  * with DuckDB's BIGINT inputs).
+  * warehouse scale set `spark.graft.quality.decimalGrads=true` and the
+  * sums move to DECIMAL(38,0) (exact and associative, so bit-exactness
+  * survives — see [[trainOn]]; Long default keeps oracle parity with
+  * DuckDB's BIGINT inputs at gate scale).
   */
 object QualityProbe {
 
@@ -63,20 +64,33 @@ object QualityProbe {
 
   private val Dot = "w0*f0 + w1*f1 + w2*f2 + w3*f3 + w4*f4"
 
-  /** Trained weights after `iters` GD steps, as a 1-row (w0..w4) frame. */
+  /** Trained weights after `iters` GD steps, as a 1-row (w0..w4) frame.
+    *
+    * Overflow headroom knob: `spark.graft.quality.decimalGrads=true` sums
+    * the gradients in DECIMAL(38,0) instead of Long. The per-row product
+    * |e·f| ≤ 2·10¹² always fits a Long; only the corpus-wide SUM crosses
+    * the Long cliff (documented: >4.6M rows). Decimal addition is exact
+    * and associative, and both `div` paths truncate toward zero
+    * (IntegralDivide on Long and on Decimal), so below the cliff the two
+    * modes are BITWISE identical — QualityProbeSpec pins score-for-score
+    * equality — and above it only the decimal mode stays correct. Default
+    * off: Long keeps the hot path in primitive codegen and matches the
+    * oracle's BIGINT inputs at gate scale. */
   private[graft] def trainOn(f: DataFrame, iters: Int): DataFrame = {
     val spark = f.sparkSession
+    val decimalGrads = spark.conf
+      .getOption("spark.graft.quality.decimalGrads").contains("true")
+    def grad(j: Int): org.apache.spark.sql.Column =
+      if (decimalGrads)
+        expr(s"max(w$j) - (sum(cast(e * f$j as decimal(38,0))) div (8 * count(*) * ${M}L))").as(s"w$j")
+      else
+        expr(s"max(w$j) - sum(e * f$j) div (8 * count(*) * ${M}L)").as(s"w$j")
     var w: DataFrame = spark.range(1)
       .select((0 to 4).map(j => lit(0L).as(s"w$j")): _*)
     for (_ <- 1 to iters) {
       val e = f.crossJoin(broadcast(w))
         .withColumn("e", expr(s"($Dot) div ${M}L - y"))
-      w = Materialize(e.agg(
-        expr(s"max(w0) - sum(e * f0) div (8 * count(*) * ${M}L)").as("w0"),
-        expr(s"max(w1) - sum(e * f1) div (8 * count(*) * ${M}L)").as("w1"),
-        expr(s"max(w2) - sum(e * f2) div (8 * count(*) * ${M}L)").as("w2"),
-        expr(s"max(w3) - sum(e * f3) div (8 * count(*) * ${M}L)").as("w3"),
-        expr(s"max(w4) - sum(e * f4) div (8 * count(*) * ${M}L)").as("w4")))
+      w = Materialize(e.agg(grad(0), grad(1), grad(2), grad(3), grad(4)))
     }
     w
   }

@@ -894,14 +894,17 @@ object Relational {
     * length band, then the expensive distance only on blocked candidates.
     * Blocking keys are content-derived, so the join is a plain hash join
     * that AQE can skew-split; candidate volume tracks true near-pair
-    * density. Similarity = 1 − lev/max(len), threshold 0.7. */
+    * density. Similarity = 1 − lev/max(len), threshold 0.7. Memoized per
+    * (session, dir, threshold) — q95 and the ensemble family (q122/q134)
+    * all consume this edge set; see [[graft.functions.SessionMemo]]. */
   def fuzzyNearDup(spark: SparkSession, dir: String, simThreshold: Double = 0.7): DataFrame =
-    fuzzyCandidates(spark, dir)
-      .withColumn("lev", levenshtein(col("ta"), col("tb")))
-      .withColumn("edit_sim",
-        round(lit(1.0) - col("lev").cast("double") / greatest(col("la"), col("lb")), 4))
-      .filter(col("edit_sim") >= simThreshold)
-      .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"), col("edit_sim"))
+    graft.functions.SessionMemo(spark, s"fuzzyedges:$dir:$simThreshold")(
+      fuzzyCandidates(spark, dir)
+        .withColumn("lev", levenshtein(col("ta"), col("tb")))
+        .withColumn("edit_sim",
+          round(lit(1.0) - col("lev").cast("double") / greatest(col("la"), col("lb")), 4))
+        .filter(col("edit_sim") >= simThreshold)
+        .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"), col("edit_sim")))
 
   /** The blocked candidate stage of [[fuzzyNearDup]] (equi-join on a
     * COMPOSITE key: 16-char prefix block × width-30 length bucket, BEFORE

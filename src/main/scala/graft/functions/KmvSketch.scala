@@ -188,6 +188,15 @@ object KmvSketch {
       inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Kmv] with UnaryLike[Expression] {
 
+    // Upper bound guards the Kmv buffer allocation: `new Array[Long](2*k)`
+    // overflows for k > 2^30 (2*k negative → 16-slot fallback) and would
+    // crash with ArrayIndexOutOfBounds after 16 distinct inserts. The
+    // KmvMergeAgg empty-buffer sentinel (k = Int.MaxValue) is exempt by
+    // construction — it never receives inserts — so the bound lives here,
+    // at the user-facing aggregate, not in the Kmv constructor.
+    require(k >= 2 && k <= (1 << 30),
+      s"kmv_sketch k must be in [2, 2^30], got $k")
+
     override def createAggregationBuffer(): Kmv = new Kmv(k)
 
     override def update(b: Kmv, input: InternalRow): Kmv = {

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memoization of expensive shared subresults — the engine's
+  * analogue of "materialize the pair graph as a table once per warehouse
+  * pass". Several gated query families recompute the same expensive
+  * intermediate (the exact Jaccard pair graph feeds q25/q26/q37/q48/q53/
+  * q122/q134; the fuzzy edit-distance edges feed q95/q122/q134; the
+  * ensemble CC labels feed q122/q134): under the default-ON cache each is
+  * computed once per (session, key) and the [[Materialize]]d result shared
+  * by every later consumer in the session. `spark.graft.pairgraph.cache=
+  * false` restores per-query isolation (every caller pays its own cost —
+  * the A/B measurement mode).
+  *
+  * Keyed on the SparkSession OBJECT (reference equality — SparkSession does
+  * not override equals) plus a caller-chosen string key that must encode
+  * every input that affects the result (dir, thresholds). Entries whose
+  * session's SparkContext has stopped are evicted on every access. CONTRACT:
+  * the cache assumes the data under the key's `dir` is immutable for the
+  * life of the session — rewriting it mid-session requires [[clear]] (the
+  * same freshness contract as any materialized table over mutable inputs).
+  *
+  * Implementation note: get / build-outside / putIfAbsent rather than
+  * `computeIfAbsent` — memoized builders call other memoized builders
+  * (cluster map → pair graph), and ConcurrentHashMap forbids recursive
+  * updates inside computeIfAbsent. A rare race builds twice and keeps the
+  * first; both are correct.
+  */
+object SessionMemo {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def enabled(spark: SparkSession): Boolean =
+    !spark.conf.getOption("spark.graft.pairgraph.cache").contains("false")
+
+  def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    if (!enabled(spark)) build
+    else {
+      cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      val k = (spark, key)
+      val hit = cache.get(k)
+      if (hit != null) hit
+      else {
+        val built = Materialize(build)
+        val prev = cache.putIfAbsent(k, built)
+        if (prev != null) prev else built
+      }
+    }
+
+  def clear(): Unit = cache.clear()
+}

@@ -22,7 +22,15 @@ import graft.functions.Materialize
   *    replay. A crash between append and marker can duplicate index rows
   *    (at-least-once extend) — harmless by construction: candidates are
   *    distinct pairs and [[DedupIndex.nearDupsAgainst]] distincts its
-  *    verified output, so duplicated rows never duplicate matches;
+  *    verified output, so duplicated rows never duplicate matches. The
+  *    dangerous twin of that window — the batch's OWN survivors already
+  *    sitting in the index when the batch replays, so every survivor
+  *    matches itself at est 1.0 and the anti-join erases the previously
+  *    committed survivor set — is closed structurally: matches whose
+  *    corpus id is one of the replaying batch's own doc ids are discarded,
+  *    which restores exactly the first run's semantics (dedup against the
+  *    pre-batch index only; intra-batch near-dups are by contract not
+  *    deduped here, only exact intra-batch copies collapse);
   *  - intra-batch exact copies collapse first (min doc_id per content
   *    digest), so two copies arriving in ONE batch can't both survive.
   *
@@ -48,7 +56,15 @@ object DedupIndexStream {
     val uniq = batch.select(col("doc_id"), col("text"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("doc_id"), col("text"))
+    // Replay safety: a crash between extend and the marker leaves this
+    // batch's survivors in the index; on replay they would match THEMSELVES
+    // (est 1.0) and the anti-join below would erase the committed survivor
+    // files. Dropping matches whose corpus side is a doc id of this very
+    // batch makes the replay reproduce the first run bit-for-bit — the
+    // batch is always deduplicated against the pre-batch index only.
+    val batchIds = uniq.select(col("doc_id").as("corpus_id"))
     val matched = DedupIndex.nearDupsAgainst(spark, name, uniq, estThreshold)
+      .join(broadcast(batchIds), Seq("corpus_id"), "left_anti")
       .select(col("new_id").as("doc_id")).distinct()
     val survivors = Materialize(uniq.join(matched, Seq("doc_id"), "left_anti"))
     survivors.write.mode("overwrite").parquet(s"$survivorsDir/b=$batchId")

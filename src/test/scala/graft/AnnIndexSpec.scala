@@ -82,4 +82,80 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Seq((2000003L, qv3.map(_ * 2.0))).toDF("vec_id", "v"), 0L, tmp)
     assert(spark.table("spec_ann_stream_cells").count() == before)
   }
+
+  test("q166 lifecycle: drift flips rebuild; retrain+rebuild restores keep and recall") {
+    import spark.implicits._
+    val lab = Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+    AnnIndex.build(lab, "spec_ann_ref", numCentroids = 16)
+    // the corpus drifts: label 0 gains a (+0.5)-shifted copy of every vector
+    val drifted = lab.filter(col("label") === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x + 0.5d)").as("v"), col("label"))
+    val current = lab.unionByName(drifted)
+    AnnIndex.extend(drifted.select(col("vec_id"), col("v")), "spec_ann_ref")
+    val d1 = AnnIndex.refreshDecision(spark, "spec_ann_ref", current)
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Boolean]("rebuild")).toMap
+    assert(d1(0), s"drifted label must vote rebuild: $d1")
+    assert((1 to 9).forall(l => !d1(l)), s"clean labels must keep: $d1")
+
+    // act on the decision: retrain (genuine Lloyd refinement, so the
+    // quantizer actually adapts to the drifted mass) and rebuild on the
+    // current corpus — stats refresh with it
+    spark.conf.set("spark.graft.ivf.kmeans.iters", "2")
+    try AnnIndex.build(current, "spec_ann_ref", numCentroids = 16)
+    finally spark.conf.unset("spark.graft.ivf.kmeans.iters")
+    val d2 = AnnIndex.refreshDecision(spark, "spec_ann_ref", current)
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Boolean]("rebuild")).toMap
+    assert(d2.values.forall(_ == false),
+      s"post-rebuild decision must be keep everywhere: $d2")
+
+    // planted recall over the DRIFTED region through the rebuilt index: a
+    // x2 copy of a drifted vector shares its direction, hence its cell
+    // under the retrained quantizer — top-1 at cosine exactly 1.0
+    val dq = drifted.orderBy(col("vec_id")).limit(1).collect()(0)
+    AnnIndex.extend(Seq((9000001L, dq.getSeq[Double](1).map(_ * 2.0)))
+      .toDF("vec_id", "v"), "spec_ann_ref")
+    val top = AnnIndex.topKAgainst(spark, "spec_ann_ref",
+      Seq((dq.getLong(0), dq.getSeq[Double](1))).toDF("query_id", "qv"), k = 1)
+      .collect()
+    assert(top.length == 1 && top(0).getAs[Long]("neighbor_id") == 9000001L &&
+      top(0).getAs[Double]("cos_sim") == 1.0,
+      s"drifted-region recall through the rebuilt index: ${top.mkString}")
+  }
+
+  test("compaction: one file per cell, targeted pass scoped, answers unchanged") {
+    AnnIndex.build(vecs.filter(col("vec_id") % 2 === 0), "spec_ann_cmp", numCentroids = 8)
+    for (r <- Seq(1, 3, 5))
+      AnnIndex.extend(vecs.filter(col("vec_id") % 6 === r), "spec_ann_cmp")
+    def fileCounts(): Map[String, Int] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("spec_ann_cmp_cells")).location
+      new java.io.File(loc).listFiles().filter(_.getName.startsWith("cid="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = fileCounts()
+    assert(before.values.exists(_ > 1),
+      s"extends produced no small files — compaction test is vacuous: $before")
+    val baseline = AnnIndex.topKAgainst(spark, "spec_ann_cmp", queries, k = 5)
+      .collect().map(_.toSeq).toSet
+
+    // targeted pass: only the chosen cell collapses, the rest are untouched
+    val (targetDir, _) = before.maxBy(_._2)
+    val targetCid = targetDir.stripPrefix("cid=").toInt
+    AnnIndex.compact(spark, "spec_ann_cmp", Some(Seq(targetCid)))
+    val mid = fileCounts()
+    assert(mid(targetDir) == 1, s"targeted cell not compacted: $mid")
+    assert((before - targetDir).forall { case (k, v) => mid(k) == v },
+      s"untargeted cells were rewritten: before=$before mid=$mid")
+
+    // full pass: every cell one file; every answer identical
+    AnnIndex.compact(spark, "spec_ann_cmp")
+    val after = fileCounts()
+    assert(after.values.forall(_ == 1), s"cells not compacted: $after")
+    val compacted = AnnIndex.topKAgainst(spark, "spec_ann_cmp", queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(compacted == baseline, "compaction changed an answer")
+  }
 }

@@ -29,7 +29,7 @@ class BpeInductionSpec extends SparkSpec {
             Seq((best.getString(1), best.getString(2), best.getString(3)))
               .toDF("pa", "pb", "merged")))
           .withColumn("seq", expr(
-            "trim(replace(concat(' ', seq, ' '), concat(' ', pa, ' ', pb, ' '), concat(' ', merged, ' ')))"))
+            "trim(replace(concat(' ', seq, ' '), concat(' ', pa, '  ', pb, ' '), concat(' ', merged, ' ')))"))
           .select(col("word"), col("freq"), col("seq"))
         (best.getString(3), best.getLong(4))
       }
@@ -52,12 +52,23 @@ class BpeInductionSpec extends SparkSpec {
   }
 
   test("greedy left-to-right merge application (overlap semantics)") {
-    // ' b b b ' with merge (b,b) → ' bb b ', never ' b bb '
-    val one = Seq(("w", 1L, "b b b _")).toDF("word", "freq", "seq")
+    // 'b b b' with merge (b,b) → 'bb b', never 'b bb' (double-space encoding)
+    val one = Seq(("w", 1L, "b  b  b  _")).toDF("word", "freq", "seq")
     val applied = one.withColumn("seq",
-      expr("trim(replace(concat(' ', seq, ' '), ' b b ', ' bb '))"))
+      expr("trim(replace(concat(' ', seq, ' '), ' b  b ', ' bb '))"))
       .collect()(0).getAs[String]("seq")
-    assert(applied == "bb b _", applied)
+    assert(applied == "bb  b  _", applied)
+  }
+
+  test("adjacent repeats of the merged pair all merge (the round-7 under-merge)") {
+    // 'a b a b' with merge (a,b) must become 'ab ab', not 'ab a b' — the
+    // single-space encoding consumed the shared delimiter and under-merged;
+    // the double-space encoding leaves one delimiter space per side intact
+    val one = Seq(("w", 1L, "a  b  a  b  _")).toDF("word", "freq", "seq")
+    val applied = one.withColumn("seq",
+      expr("trim(replace(concat(' ', seq, ' '), ' a  b ', ' ab '))"))
+      .collect()(0).getAs[String]("seq")
+    assert(applied == "ab  ab  _", applied)
   }
 
   test("q165: tokenize conserves bounds and merges strictly compress") {
@@ -109,9 +120,11 @@ class BpeInductionSpec extends SparkSpec {
     val rng = new scala.util.Random(42)
     (1 to 3).foreach { trial =>
       val vocabLetters = "abcdef"
+      // adversarial tail: adjacent repeats of high-frequency pairs — the
+      // exact shapes the single-space encoding under-merged (round-7 bug)
       val corpusWords = (1 to 30).map { _ =>
         (1 to (2 + rng.nextInt(5))).map(_ => vocabLetters(rng.nextInt(vocabLetters.length))).mkString
-      }
+      } ++ Seq("abab", "ababab", "aaaa", "aaab")
       val docs = corpusWords.zipWithIndex
         .map { case (w, i) => (i.toLong, (w + " ") * (1 + rng.nextInt(3))) }
         .toDF("doc_id", "text")
@@ -127,7 +140,7 @@ class BpeInductionSpec extends SparkSpec {
         w = w.crossJoin(broadcast(Seq((best.getString(0), best.getString(1)))
             .toDF("pa", "pb")))
           .withColumn("seq", expr(
-            "trim(replace(concat(' ', seq, ' '), concat(' ', pa, ' ', pb, ' '), concat(' ', pa, pb, ' ')))"))
+            "trim(replace(concat(' ', seq, ' '), concat(' ', pa, '  ', pb, ' '), concat(' ', pa, pb, ' ')))"))
           .select(col("word"), col("freq"), col("seq"))
         (best.getString(0), best.getString(1), best.getLong(2))
       }

@@ -82,6 +82,34 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.forall(r => r.getLong(0) - r.getLong(1) == 10000000L))
   }
 
+  test("crash window: replay after extend-but-no-marker keeps the survivors") {
+    // round-7 advice (high): a crash BETWEEN DedupIndex.extend and the
+    // marker write leaves this batch's survivors in the index; on replay
+    // each survivor matched ITSELF at est 1.0, the anti-join dropped them
+    // all, and the overwrite replaced the committed files with an empty
+    // dataset. The fix discards matches whose corpus id is in the batch.
+    import spark.implicits._
+    import graft.streaming.DedupIndexStream
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files.createTempDirectory("didx_crash").toString
+    val base = docs.filter(col("cb") >= 50).select("doc_id", "text")
+    DedupIndex.build(base, "spec_idx_crash", buckets = 4)
+    val fresh = docs.filter(col("cb") >= 20 && col("cb") < 50)
+      .select("doc_id", "text").limit(10).collect()
+    val b0 = fresh.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text")
+    DedupIndexStream.processBatch(spark, "spec_idx_crash", b0, 0L, tmp)
+    val committed = spark.read.parquet(s"$tmp/b=0").select("doc_id").as[Long].collect().toSet
+    assert(committed.nonEmpty, "batch produced no survivors — test is vacuous")
+    // simulate the crash: extend already ran (processBatch above), the
+    // marker is lost before it lands
+    val marker = new Path(s"$tmp/_committed/b=0")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(marker, false)
+    DedupIndexStream.processBatch(spark, "spec_idx_crash", b0, 0L, tmp)
+    val replayed = spark.read.parquet(s"$tmp/b=0").select("doc_id").as[Long].collect().toSet
+    assert(replayed == committed,
+      s"replay after the crash window changed the survivor set: $replayed vs $committed")
+  }
+
   test("standing loop: survivors committed, index grows, replay is a no-op") {
     import spark.implicits._
     import graft.streaming.DedupIndexStream

@@ -248,6 +248,30 @@ class DedupSpec extends SparkSpec {
       s"cosine leg must chain 5-6 and nothing else: $got")
   }
 
+  test("q134 cosine leg: sign-LSH candidates reproduce the brute-force edge set") {
+    // round-7 verdict item 2: the gated query now uses the sign-LSH
+    // candidate generator; the exact all-pairs twin (cosineEdgesOn) is the
+    // spec-level verify. On the gate corpus (organic isotropic noise, no
+    // pair ≥ τ) PLUS planted scaled copies — which share their original's
+    // sign pattern in every table, so LSH must surface them — the two edge
+    // sets must be identical. LSH ⊆ brute always (same exact verify);
+    // planted recall pins ⊇ on everything that matters.
+    val d = sf("sf0.001")
+    val organic = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val planted = organic.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v"))
+    val emb = organic.unionByName(planted)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = edgeSet(Dedup.cosineEdgesOn(emb, 0.95).select("a", "b"))
+    val lsh = edgeSet(graft.analytics.Similarity.embeddingNearDupOn(emb, 0.95 - 1e-4)
+      .filter(col("cos_sim") >= 0.95).select("vec_a", "vec_b"))
+    assert(brute.nonEmpty, "planted copies must appear in the brute edge set")
+    assert(lsh == brute, s"LSH edge set ${lsh.size} != brute ${brute.size}")
+  }
+
   test("pair-graph cache flag: one shared materialized graph, identical rows") {
     val d = sf("sf0.001")
     val base = Dedup.jaccardNearDup(spark, d)

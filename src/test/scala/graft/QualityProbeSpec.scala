@@ -46,4 +46,21 @@ class QualityProbeSpec extends SparkSpec {
     val w2 = QualityProbe.trainOn(f.repartition(13, col("doc_id")), 8).collect()(0).toSeq
     assert(w1 == w2, s"$w1 vs $w2")
   }
+
+  test("decimalGrads mode is bitwise-identical below the Long cliff") {
+    // spark.graft.quality.decimalGrads=true moves the gradient sums to
+    // DECIMAL(38,0) — the >4.6M-row overflow headroom. Below the cliff the
+    // exact decimal sum equals the Long sum and both div paths truncate
+    // toward zero, so every weight AND every score must match bit for bit.
+    val d = sf("sf0.01")
+    val longScores = QualityProbe.trainedScores(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.quality.decimalGrads", "true")
+    try {
+      val decScores = QualityProbe.trainedScores(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(decScores == longScores,
+        s"decimal-grad scores diverge: ${decScores.size} vs ${longScores.size}")
+    } finally spark.conf.unset("spark.graft.quality.decimalGrads")
+  }
 }
