@@ -249,7 +249,8 @@ object SparkEntry {
     "q164_bpe_merges"              -> ((s: SparkSession, d: String) => BpeInduction.merges(s, d)),
     "q165_bpe_tokenize"            -> ((s: SparkSession, d: String) => BpeInduction.tokenCounts(s, d)),
     "q166_quantizer_refresh"       -> AnnIndex.refreshGate _,
-    "q167_ann_compaction"          -> AnnIndex.compactedRecallGate _)
+    "q167_ann_compaction"          -> AnnIndex.compactedRecallGate _,
+    "q168_betweenness_pivots"      -> ((s: SparkSession, d: String) => Graph.betweennessPivots(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1279,6 +1280,63 @@ object SparkEntry {
     "q167_ann_compaction" ->
       """SELECT vec_id AS query_id, true AS found
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // pivot-sampled Brandes betweenness: both sweeps unrolled — forward
+    // shortest-path counts per BFS level (q147's level CTEs with a SUM),
+    // then the backward dependency accumulation in exact integer
+    // micro-units ((sigma_v * (1e6 + delta_w)) // sigma_w, summed as
+    // integers) — every score restated exactly
+    "q168_betweenness_pivots" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0 UNION ALL SELECT pb, pa FROM e0),
+        |pv AS MATERIALIZED (SELECT DISTINCT src AS piv FROM e ORDER BY 1 LIMIT 8),
+        |s0 AS MATERIALIZED (SELECT piv, piv AS node, 1::BIGINT AS sigma FROM pv),
+        |s1 AS MATERIALIZED (
+        |  SELECT p.piv, e.dst AS node, sum(p.sigma)::BIGINT AS sigma
+        |  FROM s0 p JOIN e ON p.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM s0 x WHERE x.piv = p.piv AND x.node = e.dst)
+        |  GROUP BY 1, 2),
+        |s2 AS MATERIALIZED (
+        |  SELECT p.piv, e.dst AS node, sum(p.sigma)::BIGINT AS sigma
+        |  FROM s1 p JOIN e ON p.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM s0 x WHERE x.piv = p.piv AND x.node = e.dst)
+        |    AND NOT EXISTS (SELECT 1 FROM s1 x WHERE x.piv = p.piv AND x.node = e.dst)
+        |  GROUP BY 1, 2),
+        |s3 AS MATERIALIZED (
+        |  SELECT p.piv, e.dst AS node, sum(p.sigma)::BIGINT AS sigma
+        |  FROM s2 p JOIN e ON p.node = e.src
+        |  WHERE NOT EXISTS (SELECT 1 FROM s0 x WHERE x.piv = p.piv AND x.node = e.dst)
+        |    AND NOT EXISTS (SELECT 1 FROM s1 x WHERE x.piv = p.piv AND x.node = e.dst)
+        |    AND NOT EXISTS (SELECT 1 FROM s2 x WHERE x.piv = p.piv AND x.node = e.dst)
+        |  GROUP BY 1, 2),
+        |b2 AS MATERIALIZED (
+        |  SELECT v.piv, v.node,
+        |    sum((v.sigma * (1000000 + 0)) // w.sigma)::BIGINT AS delta
+        |  FROM s2 v JOIN e ON v.node = e.src
+        |    JOIN s3 w ON w.piv = v.piv AND w.node = e.dst
+        |  GROUP BY 1, 2),
+        |b1 AS MATERIALIZED (
+        |  SELECT v.piv, v.node,
+        |    sum((v.sigma * (1000000 + coalesce(b.delta, 0))) // w.sigma)::BIGINT AS delta
+        |  FROM s1 v JOIN e ON v.node = e.src
+        |    JOIN s2 w ON w.piv = v.piv AND w.node = e.dst
+        |    LEFT JOIN b2 b ON b.piv = w.piv AND b.node = w.node
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT v.piv, v.node, coalesce(b.delta, 0) AS delta
+        |  FROM s1 v LEFT JOIN b1 b ON b.piv = v.piv AND b.node = v.node
+        |  UNION ALL
+        |  SELECT v.piv, v.node, coalesce(b.delta, 0)
+        |  FROM s2 v LEFT JOIN b2 b ON b.piv = v.piv AND b.node = v.node
+        |  UNION ALL
+        |  SELECT piv, node, 0 FROM s3)
+        |SELECT node, count(*)::BIGINT AS n_pivots_reached,
+        |  sum(delta)::BIGINT AS betweenness_micro
+        |FROM u GROUP BY 1""".stripMargin,
 
     // BPE merge induction: the oracle re-runs the whole induction — word
     // table, per-round pair counts, argmax, merge application — unrolled

@@ -440,6 +440,91 @@ object Graph {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** q168: pivot-sampled BETWEENNESS centrality — Brandes' algorithm
+    * (Brandes 2001, "A faster algorithm for betweenness centrality")
+    * restricted to a deterministic pivot set and a bounded horizon, the
+    * same fixed-up-front approximation contract as q147's closeness:
+    * exact betweenness is O(V·E) all-sources; the standard estimator runs
+    * Brandes from `nPivots` sources, and pinning the pivot CHOICE (the
+    * smallest node ids) and horizon depth makes the estimate a pure
+    * function of the graph that an independent engine restates exactly.
+    *
+    * Per pivot, two sweeps over the BFS level structure:
+    *  - forward: level d's shortest-path counts σ(v) = Σ σ(u) over
+    *    neighbors u at level d−1 — the q147 frontier join with a SUM
+    *    aggregate instead of a distinct;
+    *  - backward (the dependency accumulation): for d = depth−1 … 1,
+    *    δ(v) = Σ_{w ∈ succ(v)} σ(v)·(1 + δ(w))/σ(w), with nodes on the
+    *    horizon shell contributing δ = 0 (paths longer than the horizon
+    *    are ignored — that is the approximation, not a numeric hazard).
+    *
+    * δ is kept in exact integer micro-units: each term is
+    * (σ_v · (10⁶ + δ_w_micro)) div σ_w — integer multiply and truncating
+    * div (Spark `div` ≡ DuckDB `//` on non-negatives), summed as integers
+    * (associative, layout-independent) — so every score is bitwise
+    * reproducible and the q168 oracle unrolls both sweeps in SQL and
+    * hash-matches. Output (node, n_pivots_reached, betweenness_micro),
+    * pivots' own dist-0 rows excluded.
+    *
+    * Plan: forward rounds are the Pregel shape shared with the rest of the
+    * family (frontier ⋈ doubled edges, per-(pivot, node) partial+final
+    * sum, anti-join vs the reached set, Materialize capping lineage);
+    * backward rounds are level-d ⋈ edges ⋈ level-(d+1) equi-joins whose
+    * size is bounded by the forward frontier volume. Everything keys on
+    * node ids, so parallelism scales with the graph, not the pivot count. */
+  def betweennessPivots(spark: SparkSession, dir: String, nPivots: Int = 8,
+      depth: Int = 3, minSupport: Long = 2): DataFrame =
+    betweennessPivotsOn(supportedEdges(spark, dir, minSupport), nPivots, depth)
+
+  /** Core of q168 over an explicit undirected edge frame (pa < pb, no
+    * duplicates) — unit-testable with hand graphs. */
+  def betweennessPivotsOn(und: DataFrame, nPivots: Int, depth: Int): DataFrame = {
+    val edges = Materialize(und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst"))))
+    val pivots = edges.select(col("src")).distinct()
+      .orderBy(col("src")).limit(nPivots)
+      .select(col("src").as("pivot"))
+    // forward sweep: levels(d) = (pivot, node, sigma) at BFS distance d
+    var levels = Vector(Materialize(pivots
+      .select(col("pivot"), col("pivot").as("node"), lit(1L).as("sigma"))))
+    var reached = levels(0).select(col("pivot"), col("node"))
+    for (_ <- 1 to depth) {
+      val next = Materialize(levels.last
+        .join(edges, levels.last("node") === edges("src"))
+        .select(col("pivot"), col("dst").as("nxt"), col("sigma"))
+        .groupBy(col("pivot"), col("nxt")).agg(sum(col("sigma")).as("sigma"))
+        .withColumnRenamed("nxt", "node")
+        .join(reached, Seq("pivot", "node"), "left_anti"))
+      levels = levels :+ next
+      reached = reached.unionByName(next.select(col("pivot"), col("node")))
+    }
+    // backward sweep: horizon shell seeds delta = 0
+    var delta = Materialize(levels(depth)
+      .select(col("pivot"), col("node"), lit(0L).as("delta")))
+    var out = delta
+    for (d <- (depth - 1) to 1 by -1) {
+      val w = levels(d + 1)
+        .select(col("pivot").as("wpivot"), col("node").as("wnode"),
+          col("sigma").as("wsigma"))
+        .join(delta.select(col("pivot").as("wpivot"), col("node").as("wnode"),
+          col("delta").as("wdelta")), Seq("wpivot", "wnode"))
+      val contrib = levels(d)
+        .join(edges, levels(d)("node") === edges("src"))
+        .join(w, col("pivot") === col("wpivot") && col("dst") === col("wnode"))
+        .select(col("pivot"), col("node"),
+          expr("(sigma * (1000000 + wdelta)) div wsigma").as("c"))
+        .groupBy(col("pivot"), col("node")).agg(sum(col("c")).as("delta"))
+      delta = Materialize(levels(d).select(col("pivot"), col("node"))
+        .join(contrib, Seq("pivot", "node"), "left")
+        .select(col("pivot"), col("node"),
+          coalesce(col("delta"), lit(0L)).as("delta")))
+      out = out.unionByName(delta)
+    }
+    out.groupBy(col("node"))
+      .agg(count(lit(1)).as("n_pivots_reached"),
+        sum(col("delta")).as("betweenness_micro"))
+  }
+
   /** Core of q133 over an explicit undirected edge frame (pa < pb, no
     * duplicates) — unit-testable with hand graphs. */
   def kCoreOn(edgesRaw: DataFrame, k: Int, rounds: Int): DataFrame = {

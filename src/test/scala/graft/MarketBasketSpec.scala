@@ -301,4 +301,34 @@ class MarketBasketSpec extends SparkSpec {
     // pivots score each other, dist-0 self rows excluded: d(1,2)=1 both ways
     assert(r(1L) == ((1L, 1000000L)) && r(2L) == ((1L, 1000000L)))
   }
+
+  test("q168 betweenness: path and star hand values match Brandes exactly") {
+    import spark.implicits._
+    // path 1-2-3, all three nodes as pivots: node 2 carries the 1↔3 pair
+    // in both directions → δ-sum 2·10⁶; endpoints carry nothing
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    val rp = graft.analytics.Graph.betweennessPivotsOn(path, nPivots = 3, depth = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(rp(2L) == ((2L, 2000000L)), s"center: ${rp(2L)}")
+    assert(rp(1L) == ((2L, 0L)) && rp(3L) == ((2L, 0L)), s"endpoints: $rp")
+
+    // star: center 1, leaves 2..4 — center carries all 3·2 ordered leaf
+    // pairs → 6·10⁶; each leaf is reached by all 3 other pivots, carries 0
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("pa", "pb")
+    val rs = graft.analytics.Graph.betweennessPivotsOn(star, nPivots = 4, depth = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(rs(1L) == ((3L, 6000000L)), s"hub: ${rs(1L)}")
+    Seq(2L, 3L, 4L).foreach(l => assert(rs(l) == ((3L, 0L)), s"leaf $l: ${rs(l)}"))
+
+    // diamond 1-2-4, 1-3-4: two equal-length paths split the dependency —
+    // σ(4)=2 from pivot 1, so each middle node carries (1·(10⁶+0)) div 2
+    // = 500000 from pivot 1 (and symmetrically from pivot 4); pivots 2,3
+    // contribute nothing to the other middle node (direct edges)
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("pa", "pb")
+    val rd = graft.analytics.Graph.betweennessPivotsOn(diamond, nPivots = 4, depth = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(rd(2L) == ((3L, 1000000L)), s"middle 2: ${rd(2L)}")
+    assert(rd(3L) == ((3L, 1000000L)), s"middle 3: ${rd(3L)}")
+    assert(rd(1L)._2 == rd(4L)._2, s"ends symmetric: $rd")
+  }
 }
