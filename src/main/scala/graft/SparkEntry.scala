@@ -250,7 +250,10 @@ object SparkEntry {
     "q165_bpe_tokenize"            -> ((s: SparkSession, d: String) => BpeInduction.tokenCounts(s, d)),
     "q166_quantizer_refresh"       -> AnnIndex.refreshGate _,
     "q167_ann_compaction"          -> AnnIndex.compactedRecallGate _,
-    "q168_betweenness_pivots"      -> ((s: SparkSession, d: String) => Graph.betweennessPivots(s, d)))
+    "q168_betweenness_pivots"      -> ((s: SparkSession, d: String) => Graph.betweennessPivots(s, d)),
+    "q169_surprisal_score"         -> ((s: SparkSession, d: String) => TextStats.surprisalScore(s, d)),
+    "q170_dedup_weights"           -> ((s: SparkSession, d: String) => Dedup.dedupWeights(s, d)),
+    "q171_dedup_index_compaction"  -> DedupIndex.compactedGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -871,6 +874,33 @@ object SparkEntry {
         |  ((SELECT count(*) FROM documents) - (SELECT count(*) FROM sz))::BIGINT AS n_removed,
         |  (SELECT max(sz) FROM sz)::BIGINT AS max_cluster_size""".stripMargin),
 
+    // unigram surprisal: floor-log2 via binary-string length — pure
+    // integer/string ops, so the per-token bits and the per-doc integer
+    // mean are engine-identical (no FP log anywhere)
+    "q169_surprisal_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY w),
+        |n AS (SELECT sum(c)::BIGINT AS n_total FROM f)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  (sum((length(bin(n_total // c)) - 1) * 1000000) // count(*))::BIGINT AS surprisal_micro
+        |FROM t JOIN f USING (w) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
+
+    // dedup soft weights: q37's transitive closure + cluster sizes; the
+    // integer micro weight divides identically on both engines
+    "q170_dedup_weights" ->
+      (DedupCcCte +
+      """,
+        |cm AS (
+        |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |sz AS (SELECT canonical_id, count(*)::BIGINT AS cluster_size FROM cm GROUP BY 1)
+        |SELECT cm.doc_id, cm.canonical_id, sz.cluster_size,
+        |  (1000000 // sz.cluster_size)::BIGINT AS weight_micro
+        |FROM cm JOIN sz USING (canonical_id)""".stripMargin),
+
     "q38_train_split" ->
       """SELECT doc_id,
         | (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 AS bucket,
@@ -1379,6 +1409,14 @@ object SparkEntry {
     // must come back paired with its original at estimate exactly 1.0 —
     // half the plants hit the build() leg, half the extend() leg
     "q160_incremental_dedup" ->
+      """SELECT doc_id + 10000000 AS new_id, doc_id AS orig_id, true AS found
+        |FROM documents
+        |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 >= 10
+        |  AND (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 30""".stripMargin,
+
+    // the q160 gate re-run through compacted index tables — compaction
+    // must not change a single answer (q47/q167 pattern)
+    "q171_dedup_index_compaction" ->
       """SELECT doc_id + 10000000 AS new_id, doc_id AS orig_id, true AS found
         |FROM documents
         |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 >= 10

@@ -241,6 +241,25 @@ object Dedup {
         (col("rk") === 1).as("keep"))
   }
 
+  /** q170: dedup SOFT-WEIGHTING — the "keep everything, reweight by
+    * duplication" alternative to dropping: modern mixes often train on
+    * every copy but scale each document's sampling weight by 1/cluster
+    * size, so a page duplicated a thousand times contributes one
+    * document's worth of gradient instead of a thousand (and instead of
+    * zero, which hard dedup gives all-but-one copy). Weight is exact
+    * integer micro-units (10⁶ div size — truncating `div`, engine-equal),
+    * so the gate hash-matches. Rides the memoized cluster map (q37) plus
+    * one O(clusters) aggregate and a size join-back; singletons weigh
+    * exactly 10⁶. */
+  def dedupWeights(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val clusters = dedupCorpus(spark, dir, threshold)
+    val sizes = clusters.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_micro"))
+  }
+
   /** q72: duplication profile — the corpus-health view every dedup pass
     * reports: how many clusters exist at each size, and how many documents
     * deduplication removes (size − 1 per cluster). Two tiny partial+final

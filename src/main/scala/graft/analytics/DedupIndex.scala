@@ -47,16 +47,60 @@ object DedupIndex {
     * sees old + new corpus through the same exchange-free scans. */
   def extend(docs: DataFrame, name: String): Unit = {
     val spark = docs.sparkSession
-    def bucketsOf(t: String): Int = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
-      .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
-      .numBuckets
+    def bucketsOf(t: String): Int = DedupIndex.bucketsOf(spark, t)
     val sigs = Materialize(sigsOf(docs))
     sigs.write.mode("append").bucketBy(bucketsOf(s"${name}_sigs"), "doc_id")
       .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_sigs")
     Dedup.bandsOf(sigs).write.mode("append")
       .bucketBy(bucketsOf(s"${name}_bands"), "band_key")
       .sortBy("band_key").format("parquet").saveAsTable(s"${name}_bands")
+  }
+
+  private def bucketsOf(spark: SparkSession, t: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
+      .numBuckets
+
+  /** Compaction for the bucketed index tables — the dedup twin of
+    * [[AnnIndex.compact]]: every [[extend]] (and every DedupIndexStream
+    * micro-batch) appends one file per touched bucket, so after N extends
+    * each index scan opens N files per bucket. This rewrites each table to
+    * exactly ONE file per bucket: the rows are snapshotted through
+    * [[Materialize]] (the read must not race its own overwrite), shuffled
+    * once on the bucket key — `repartition(n, key)` and the bucketed
+    * writer share Murmur3 hash partitioning, so each task holds exactly
+    * one bucket — and written back under the SAME bucket spec, preserving
+    * the exchange-free probe plan. Bucketed tables have no partitions to
+    * overwrite selectively, so unlike the ANN cells pass this is a full
+    * rewrite; at warehouse scale the swap runs as write-new-table +
+    * catalog rename (the overwrite here is the gate-scale form of the
+    * same operation, and DedupIndexSpec pins answers-unchanged +
+    * file-count collapse + preserved bucket spec). */
+  def compact(spark: SparkSession, name: String): Unit = {
+    for ((t, key) <- Seq((s"${name}_sigs", "doc_id"), (s"${name}_bands", "band_key"))) {
+      val n = bucketsOf(spark, t)
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+      // snapshot FIRST, repartition AFTER: the table relation advertises
+      // HashPartitioning(key, n) from its bucket spec, so a repartition
+      // over the raw table scan is optimized away as redundant — while
+      // the physical scan runs UNbucketed (file splits; "disabled by
+      // query planner"), leaving partitions misaligned with bucket ids
+      // and the writer emitting one file per (task, bucket) instead of
+      // one per bucket. The checkpoint severs the bucketing claim, so
+      // the repartition survives and task i holds exactly bucket i
+      // (repartition and the bucketed writer share Murmur3 hashing).
+      val snap = Materialize(spark.table(t)).repartition(n, col(key))
+      // drop + delete the location explicitly: overwrite-in-place leaves
+      // the previous generation's files in the managed dir (the same
+      // filesystem quirk build() works around), which would both defeat
+      // the compaction and feed stale rows back into the scan
+      spark.sql(s"DROP TABLE $t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      snap.write.bucketBy(n, key).sortBy(key).format("parquet").saveAsTable(t)
+    }
   }
 
   /** Candidate (corpus_id, new_id) pairs: the batch's band keys probed into
@@ -105,19 +149,33 @@ object DedupIndex {
     * the estimate is exactly 1.0: each planted row MUST come back paired
     * with its original. Output is the planted join-back (ids + found
     * boolean), which DuckDB states verbatim from the bucket formula. */
-  def incrementalGate(spark: SparkSession, dir: String): DataFrame = {
+  def incrementalGate(spark: SparkSession, dir: String): DataFrame =
+    incrementalGateImpl(spark, dir, "graft_dedup_idx", compactFirst = false)
+
+  /** q171: the q160 gate re-run through a COMPACTED index — build, extend
+    * (leaving one small file per touched bucket per write), then
+    * [[compact]] both index tables to one file per bucket before probing.
+    * Same oracle statement as q160: compaction must not change a single
+    * answer (the q47/q167 no-answer-change pattern); the file-count
+    * collapse itself is pinned by DedupIndexSpec. */
+  def compactedGate(spark: SparkSession, dir: String): DataFrame =
+    incrementalGateImpl(spark, dir, "graft_dedup_cidx", compactFirst = true)
+
+  private def incrementalGateImpl(spark: SparkSession, dir: String,
+      name: String, compactFirst: Boolean): DataFrame = {
     val Stride = 10000000L
     val docs = documents(spark, dir).select(col("doc_id"), col("text"),
       Sampling.contentBucket(col("text")).as("cb"))
     build(docs.filter(col("cb") >= 20).select(col("doc_id"), col("text")),
-      "graft_dedup_idx", buckets = 8)
+      name, buckets = 8)
     extend(docs.filter(col("cb") >= 10 && col("cb") < 20)
-      .select(col("doc_id"), col("text")), "graft_dedup_idx")
+      .select(col("doc_id"), col("text")), name)
+    if (compactFirst) compact(spark, name)
     val planted = docs.filter(col("cb") >= 10 && col("cb") < 30)
       .select((col("doc_id") + lit(Stride)).as("doc_id"), col("text"))
     val batch = docs.filter(col("cb") < 10).select(col("doc_id"), col("text"))
       .unionByName(planted)
-    val found = nearDupsAgainst(spark, "graft_dedup_idx", batch, 0.9)
+    val found = nearDupsAgainst(spark, name, batch, 0.9)
     planted.select(col("doc_id").as("new_id"))
       .join(found.filter(col("corpus_id") === col("new_id") - Stride),
         Seq("new_id"), "left")

@@ -545,4 +545,36 @@ object TextStats {
       .agg(count(lit(1)).as("df"),
         graft.functions.BoundedMinK.minK(col("doc_id"), cap).as("postings"))
       .filter(col("df") >= minDf)
+
+  /** q169: unigram-surprisal quality score — the LM-perplexity-style
+    * corpus filter (CCNet/Gopher score documents by a language model's
+    * perplexity; the cheapest self-contained member of that family is the
+    * corpus's own unigram model) made EXACT-INTEGER so an independent
+    * engine restates every score: a token's surprisal is
+    * floor(log₂(1/p(w))) = floor(log₂(N div c(w))) bits, computed as
+    * `length(bin(N div c)) − 1` — pure integer/string ops, no FP log whose
+    * last-ulp behavior could differ between engines — and a document's
+    * score is the integer-micro mean over its tokens. High mean surprisal
+    * = rare-token-heavy text (gibberish, codes, boilerplate IDs); low =
+    * stopword soup. The real-pipeline use is the same band-pass cut as
+    * perplexity filtering.
+    *
+    * Plan: one corpus-token shuffle builds the O(vocabulary) frequency
+    * table; the one-row total broadcasts; the join back to the token list
+    * keys on the word (high-cardinality equi-join, AQE-skew-splittable —
+    * the q58 TF-IDF shape); one partial+final per-doc aggregate. Nothing
+    * pairwise, nothing corpus-sized on the driver. */
+  def surprisalScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("w"))
+    val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n_total"))
+    toks.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("s_bits", (length(bin(expr("n_total div c"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(s_bits * 1000000L) div count(*)").as("surprisal_micro"))
+  }
 }

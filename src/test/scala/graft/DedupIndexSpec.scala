@@ -82,6 +82,39 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.forall(r => r.getLong(0) - r.getLong(1) == 10000000L))
   }
 
+  test("compaction: one file per bucket, bucket spec preserved, answers unchanged") {
+    val a = docs.filter(col("cb") >= 50).select("doc_id", "text")
+    val b = docs.filter(col("cb") >= 30 && col("cb") < 50).select("doc_id", "text")
+    val c = docs.filter(col("cb") >= 10 && col("cb") < 30).select("doc_id", "text")
+    val batch = docs.filter(col("cb") < 10).select("doc_id", "text")
+    DedupIndex.build(a, "spec_idx_cmp", buckets = 4)
+    DedupIndex.extend(b, "spec_idx_cmp")
+    DedupIndex.extend(c, "spec_idx_cmp")
+    def files(t: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      new java.io.File(loc).listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = (files("spec_idx_cmp_sigs"), files("spec_idx_cmp_bands"))
+    info(s"files before compaction: $before")
+    assert(before._1 > 4 && before._2 > 4,
+      s"extends produced no small files — test is vacuous: $before")
+    val baseline = DedupIndex.nearDupsAgainst(spark, "spec_idx_cmp", batch)
+      .collect().map(_.toSeq).toSet
+
+    DedupIndex.compact(spark, "spec_idx_cmp")
+    assert(files("spec_idx_cmp_sigs") == 4 && files("spec_idx_cmp_bands") == 4,
+      s"expected exactly one file per bucket after compaction: " +
+        s"${(files("spec_idx_cmp_sigs"), files("spec_idx_cmp_bands"))}")
+    // the bucket spec survives, so the probe plan stays exchange-free
+    val cat = spark.sql("DESCRIBE EXTENDED spec_idx_cmp_sigs")
+      .filter(col("col_name") === "Num Buckets").collect()
+    assert(cat.length == 1 && cat(0).getString(1).trim == "4")
+    val after = DedupIndex.nearDupsAgainst(spark, "spec_idx_cmp", batch)
+      .collect().map(_.toSeq).toSet
+    assert(after == baseline, "compaction changed an answer")
+  }
+
   test("crash window: replay after extend-but-no-marker keeps the survivors") {
     // round-7 advice (high): a crash BETWEEN DedupIndex.extend and the
     // marker write leaves this batch's survivors in the index; on replay

@@ -146,6 +146,23 @@ class DedupSpec extends SparkSpec {
     assert(removedAt1 == 0)
   }
 
+  test("q170 soft weights: weights are 1e6 div cluster size; corpus mass conserved-ish") {
+    val d = sf("sf0.01")
+    val r = Dedup.dedupWeights(spark, d).collect()
+    val docs = Tables.documents(spark, d).count()
+    assert(r.length == docs, "every document gets a weight")
+    // per-cluster: every member carries the same weight, = 1e6 div size
+    r.groupBy(_.getAs[Long]("canonical_id")).foreach { case (cid, members) =>
+      val size = members.head.getAs[Long]("cluster_size")
+      assert(members.length == size, s"cluster $cid size mismatch")
+      assert(members.forall(_.getAs[Long]("weight_micro") == 1000000L / size))
+    }
+    // singletons weigh exactly 1.0; no weight exceeds it
+    assert(r.filter(_.getAs[Long]("cluster_size") == 1L)
+      .forall(_.getAs[Long]("weight_micro") == 1000000L))
+    assert(r.forall(_.getAs[Long]("weight_micro") <= 1000000L))
+  }
+
   test("q79 span dedup: copied span flagged at ANY offset (content-defined boundaries)") {
     import spark.implicits._
     // build a span guaranteed to contain ≥ 3 cut tokens (md5 high nibble 0),

@@ -55,6 +55,27 @@ class TokenizationSpec extends SparkSpec {
     assert(ng(4L).isEmpty && ng(5L).isEmpty && ng(6L).isEmpty && ng(7L).isEmpty)
   }
 
+  test("q169 surprisal: hand corpus bit-math exact; rare tokens raise the mean") {
+    import spark.implicits._
+    import graft.analytics.TextStats
+    // corpus: "a" x12, "b" x3, "z" x1 → N = 16
+    //   s(a) = len(bin(16 div 12)) - 1 = len("1") - 1 = 0 bits
+    //   s(b) = len(bin(16 div 3))  - 1 = len("101") - 1 = 2 bits
+    //   s(z) = len(bin(16 div 1))  - 1 = len("10000") - 1 = 4 bits
+    val docs = Seq(
+      (1L, "a a a a a a a a a a"),   // 10 a → mean 0
+      (2L, "a a b b b"),             // 2·0 + 3·2 = 6 → 6e6 div 5 = 1200000
+      (3L, "z")                      // 4 bits → 4000000
+    ).toDF("doc_id", "text")
+    val dir = "target/surprisal_docs"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextStats.surprisalScore(spark, dir)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((10L, 0L)), s"doc 1: ${r(1L)}")
+    assert(r(2L) == ((5L, 1200000L)), s"doc 2: ${r(2L)}")
+    assert(r(3L) == ((1L, 4000000L)), s"doc 3: ${r(3L)}")
+  }
+
   test("corpus filters are whitespace-layout-invariant (q65/q66 stats)") {
     // the same 60 tokens under clean and hostile whitespace layouts
     val body = ("the quick brown fox jumps over a lazy dog and " * 6).trim
