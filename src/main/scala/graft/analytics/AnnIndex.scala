@@ -138,7 +138,7 @@ object AnnIndex {
     * compacted are replaced; `cids` scopes the pass to chosen cells (the
     * production form: compact the cells today's ingest touched, leave the
     * other 99% of a 100 TB index untouched). */
-  def compact(spark: SparkSession, name: String, cids: Option[Seq[Int]] = None): Unit = {
+  def compact(spark: SparkSession, name: String, cids: Option[Seq[Long]] = None): Unit = {
     val cells = spark.table(s"${name}_cells")
     val slice = cids.map(cs => cells.filter(col("cid").isin(cs: _*))).getOrElse(cells)
     val snap = graft.functions.Materialize(

@@ -25,20 +25,40 @@ object AnnIndexStream {
 
   case class VecArrival(vec_id: Long, v: Seq[Double])
 
-  /** One micro-batch: assign with the stored quantizer, append, mark. */
+  /** One micro-batch: assign with the stored quantizer, append, mark.
+    *
+    * `compactEvery` > 0 folds the maintenance loop's OTHER half in: every
+    * Nth batch, after its extend commits, the cells THIS batch touched are
+    * [[AnnIndex.compact]]ed back to one file each (dynamic partition
+    * overwrite — untouched cells never rewritten), so a standing stream
+    * cannot accrete the N-files-per-probe small-file pathology
+    * indefinitely. The touched-cid list is a driver-side collect of a
+    * batch-sized DISTINCT — a handful of ints by construction, the same
+    * order of driver state as the batchId itself. Compaction carries no
+    * marker of its own: it is answer-preserving and idempotent, so a
+    * crash-replay that re-compacts is harmless (the extend marker still
+    * guards the state-changing append). */
   def processBatch(spark: SparkSession, name: String, batch: DataFrame,
-      batchId: Long, markerDir: String): Unit = {
+      batchId: Long, markerDir: String, compactEvery: Int = 0): Unit = {
     val markerPath = new Path(s"$markerDir/b=$batchId")
     val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(markerPath)) return
-    AnnIndex.extend(batch.select(col("vec_id"), col("v")), name)
+    val vecs = batch.select(col("vec_id"), col("v"))
+    AnnIndex.extend(vecs, name)
     fs.create(markerPath, true).close()
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      val touched = graft.analytics.Similarity
+        .assignCellsOn(vecs, spark.table(s"${name}_centroids"))
+        .select(col("cid")).distinct().collect().map(_.getLong(0))
+      if (touched.nonEmpty) AnnIndex.compact(spark, name, Some(touched.toSeq))
+    }
   }
 
   /** The standing query: wire to `.option("checkpointLocation", …).start()`. */
-  def run(vecs: Dataset[VecArrival], name: String,
-      markerDir: String): DataStreamWriter[VecArrival] =
+  def run(vecs: Dataset[VecArrival], name: String, markerDir: String,
+      compactEvery: Int = 0): DataStreamWriter[VecArrival] =
     vecs.writeStream.foreachBatch { (batch: Dataset[VecArrival], batchId: Long) =>
-      processBatch(batch.sparkSession, name, batch.toDF(), batchId, markerDir)
+      processBatch(batch.sparkSession, name, batch.toDF(), batchId, markerDir,
+        compactEvery)
     }
 }

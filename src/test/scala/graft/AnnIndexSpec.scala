@@ -83,6 +83,40 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.table("spec_ann_stream_cells").count() == before)
   }
 
+  test("streaming auto-compaction: every Nth batch collapses its touched cells") {
+    import spark.implicits._
+    import graft.streaming.AnnIndexStream
+    AnnIndex.build(vecs.filter(col("vec_id") % 2 === 0), "spec_ann_auto", numCentroids = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("ann_auto").toString
+    val odd = vecs.filter(col("vec_id") % 2 === 1).limit(40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // two batches, compactEvery = 2: batch 0 appends only; batch 1 appends
+    // then compacts the cells IT touched
+    AnnIndexStream.processBatch(spark, "spec_ann_auto",
+      odd.take(20).toSeq.toDF("vec_id", "v"), 0L, tmp, compactEvery = 2)
+    AnnIndexStream.processBatch(spark, "spec_ann_auto",
+      odd.drop(20).toSeq.toDF("vec_id", "v"), 1L, tmp, compactEvery = 2)
+    val touched = graft.analytics.Similarity
+      .assignCellsOn(odd.drop(20).toSeq.toDF("vec_id", "v"),
+        spark.table("spec_ann_auto_centroids"))
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSet
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("spec_ann_auto_cells")).location
+    val counts = new java.io.File(loc).listFiles().filter(_.getName.startsWith("cid="))
+      .map(d => d.getName.stripPrefix("cid=").toLong ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    touched.foreach { cid =>
+      assert(counts(cid) == 1, s"touched cell $cid not compacted: $counts")
+    }
+    // and every appended vector is still retrievable (answers preserved);
+    // fresh query_id so the self-exclusion filter doesn't hide the match
+    val (qid, qv) = odd.last
+    val top = AnnIndex.topKAgainst(spark, "spec_ann_auto",
+      Seq((qid + 5000000L, qv)).toDF("query_id", "qv"), k = 1).collect()
+    assert(top.length == 1 && top(0).getAs[Double]("cos_sim") == 1.0,
+      s"self-duplicate lookup through the auto-compacted index: ${top.mkString}")
+  }
+
   test("q166 lifecycle: drift flips rebuild; retrain+rebuild restores keep and recall") {
     import spark.implicits._
     val lab = Tables.embeddings(spark, sf("sf0.01"))
@@ -143,7 +177,7 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
     // targeted pass: only the chosen cell collapses, the rest are untouched
     val (targetDir, _) = before.maxBy(_._2)
-    val targetCid = targetDir.stripPrefix("cid=").toInt
+    val targetCid = targetDir.stripPrefix("cid=").toLong
     AnnIndex.compact(spark, "spec_ann_cmp", Some(Seq(targetCid)))
     val mid = fileCounts()
     assert(mid(targetDir) == 1, s"targeted cell not compacted: $mid")
