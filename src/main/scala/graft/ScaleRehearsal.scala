@@ -208,6 +208,14 @@ object ScaleRehearsal {
       // BPE tokenize cost must track the VOCABULARY (distinct words grow
       // linearly with the token-prefixed copies), never the corpus re-read
       val (tBpe, _) = time(analytics.BpeInduction.tokenCounts(spark, dir).count())
+      // round-8: q169 surprisal is a frequency-table build + join-back
+      // (the q58 TF-IDF shape) — cost must track corpus token volume, and
+      // its per-doc output row count must track n_docs exactly
+      val (tSurp, _) = time(TextStats.surprisalScore(spark, dir).count())
+      // q170 soft weights ride the CC cluster map (cold here — the memo is
+      // off in this session) plus one O(clusters) aggregate: growth must
+      // track the q37_cc series, not the pair space
+      val (tWts, _) = time(Dedup.dedupWeights(spark, dir).count())
 
       // q95 skew-cap evidence: the largest single join group under the
   // prefix-only blocking key (round ≤4) vs the composite
@@ -240,7 +248,7 @@ object ScaleRehearsal {
         s""""q122_ensemble":$tEns,"q130_triangles":$tTri,""" +
         s""""q152_kmv":$tKmv,"q154_semantic":$tSem,"q155_domain_cap":$tCap,""" +
         s""""q157_compressibility":$tComp,"q159_curriculum":$tCur,""" +
-        s""""q165_bpe_tokenize":$tBpe},""" +
+        s""""q165_bpe_tokenize":$tBpe,"q169_surprisal":$tSurp,"q170_dedup_weights":$tWts},""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
         s""""fuzzy_max_block":{"prefix":$maxPrefixBlock,"composite":$maxCompositeBlock},""" +
