@@ -331,4 +331,59 @@ class MarketBasketSpec extends SparkSpec {
     assert(rd(3L) == ((3L, 1000000L)), s"middle 3: ${rd(3L)}")
     assert(rd(1L)._2 == rd(4L)._2, s"ends symmetric: $rd")
   }
+
+  test("property: q168 equals an in-memory bounded-horizon Brandes on random graphs") {
+    import spark.implicits._
+    // reference: per pivot, BFS sigma levels then backward dependency in
+    // the same integer micro-unit arithmetic (truncating / on positives)
+    def ref(edges: Seq[(Long, Long)], nPivots: Int, depth: Int): Map[Long, (Long, Long)] = {
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val pivots = adj.keys.toSeq.sorted.take(nPivots)
+      val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      for (p <- pivots) {
+        var levels = Vector(Map(p -> 1L))
+        var visited = Set(p)
+        for (_ <- 1 to depth) {
+          val next = scala.collection.mutable.Map.empty[Long, Long]
+          for ((u, s) <- levels.last; v <- adj(u) if !visited(v))
+            next(v) = next.getOrElse(v, 0L) + s
+          levels :+= next.toMap
+          visited ++= next.keySet
+        }
+        val perNode = scala.collection.mutable.Map.empty[Long, Long]
+        var delta: Map[Long, Long] = levels(depth).keys.map(_ -> 0L).toMap
+        levels(depth).keys.foreach(n => perNode(n) = 0L)
+        for (d <- (depth - 1) to 1 by -1) {
+          val nxt = levels(d + 1)
+          val nd = levels(d).map { case (v, sv) =>
+            v -> adj(v).filter(nxt.contains).toSeq
+              .map(w => (sv * (1000000L + delta(w))) / nxt(w)).sum
+          }
+          nd.foreach { case (v, dv) => perNode(v) = dv }
+          delta = nd
+        }
+        for (d <- 1 to depth; v <- levels(d).keys) {
+          val (c, s) = acc.getOrElse(v, (0L, 0L))
+          acc(v) = (c + 1, s + perNode.getOrElse(v, 0L))
+        }
+      }
+      acc.toMap
+    }
+    val rng = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 8 + rng.nextInt(5)
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rng.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = graft.analytics.Graph
+          .betweennessPivotsOn(edges.toDF("pa", "pb"), nPivots = 5, depth = 3)
+          .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+        val want = ref(edges, nPivots = 5, depth = 3)
+        assert(got == want, s"trial $trial (n=$n, e=${edges.size}): $got vs $want")
+      }
+    }
+  }
 }

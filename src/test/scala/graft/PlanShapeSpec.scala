@@ -301,6 +301,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "q134 cosine leg nested-loops\n" + p)
   }
 
+  test("q169: surprisal is freq-table + equi-join-back — no window, one-row total broadcast only") {
+    val p = plan("q169_surprisal_score")
+    assert(!p.contains("Window"), "surprisal must not window the token stream\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the one-row corpus-total broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "frequency and per-doc aggregates must map-side combine\n" + p)
+  }
+
   test("q126: ratio-to-report broadcasts denominators back — no window over detail") {
     val p = plan("q126_revenue_share")
     assert(!p.contains("Window"), "percent-of-total must not window on 5 region keys\n" + p)
