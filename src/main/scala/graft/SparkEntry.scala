@@ -253,7 +253,8 @@ object SparkEntry {
     "q168_betweenness_pivots"      -> ((s: SparkSession, d: String) => Graph.betweennessPivots(s, d)),
     "q169_surprisal_score"         -> ((s: SparkSession, d: String) => TextStats.surprisalScore(s, d)),
     "q170_dedup_weights"           -> ((s: SparkSession, d: String) => Dedup.dedupWeights(s, d)),
-    "q171_dedup_index_compaction"  -> DedupIndex.compactedGate _)
+    "q171_dedup_index_compaction"  -> DedupIndex.compactedGate _,
+    "q172_bigram_surprisal"        -> ((s: SparkSession, d: String) => TextStats.bigramSurprisal(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -886,6 +887,24 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  (sum((length(bin(n_total // c)) - 1) * 1000000) // count(*))::BIGINT AS surprisal_micro
         |FROM t JOIN f USING (w) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
+
+    // bigram conditional surprisal: same integer floor-log2 as q169 over
+    // the ML conditional c(w1w2)/c1plus(w1) — bigram starts as the
+    // denominator keep the ratio >= 1 on both engines
+    "q172_bigram_surprisal" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+        |  FROM documents WHERE len(regexp_extract_all(lower(text), '\S+')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, t[1] AS w1, t[2] AS w2
+        |  FROM d, LATERAL (SELECT unnest(list_zip(
+        |    ws[1:len(ws) - 1], ws[2:len(ws)]))) AS u(t)),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  (sum((length(bin(c1 // c12)) - 1) * 1000000) // count(*))::BIGINT AS bigram_surprisal_micro
+        |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin,
 
     // dedup soft weights: q37's transitive closure + cluster sizes; the

@@ -577,4 +577,38 @@ object TextStats {
       .agg(count(lit(1)).as("n_tokens"),
         expr("sum(s_bits * 1000000L) div count(*)").as("surprisal_micro"))
   }
+
+  /** q172: BIGRAM conditional surprisal — the next LM order up from q169:
+    * a token's cost is floor(log₂(1/p(w₂|w₁))) where the conditional is
+    * the corpus maximum-likelihood estimate c(w₁w₂)/c₁⁺(w₁), with c₁⁺ the
+    * count of w₁ occurrences that HAVE a successor (bigram starts) — so
+    * the ratio is always ≥ 1 and the same `length(bin(·)) − 1` integer
+    * floor-log₂ applies. Low mean = predictable word-to-word transitions
+    * (natural prose); high mean = shuffled or synthetic token salad that
+    * unigram frequency (q169) scores as perfectly normal — the pair cuts
+    * the two failure modes apart.
+    *
+    * Plan: bigrams expand IN-ROW from each doc's token array
+    * (`arrays_zip` of the two slices — the BPE pairCounts shape, no
+    * self-join, no positional shuffle); the bigram and start-count tables
+    * are O(distinct bigrams) partial+final aggregates; the two join-backs
+    * key on the bigram/start word. Docs with < 2 tokens have no bigrams
+    * and are absent, matching the oracle. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val bi = documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("p", explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1  = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("s_bits", (length(bin(expr("c1 div c12"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(s_bits * 1000000L) div count(*)").as("bigram_surprisal_micro"))
+  }
 }

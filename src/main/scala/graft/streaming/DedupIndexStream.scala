@@ -44,9 +44,18 @@ object DedupIndexStream {
 
   case class DocArrival(doc_id: Long, text: String)
 
-  /** One micro-batch of the loop — exposed for direct testing. */
+  /** One micro-batch of the loop — exposed for direct testing.
+    *
+    * `compactEvery` > 0 runs [[DedupIndex.compact]] after every Nth
+    * batch's commit: each extend appends one file per touched bucket, so
+    * a standing loop otherwise accretes files without bound. The dedup
+    * index's tables are bucketed (not partitioned), so compaction is a
+    * full rewrite — N sizes the amortization (rewrite cost / N batches);
+    * like the ANN twin it is answer-preserving and idempotent, so it
+    * carries no marker and a crash-replay that re-compacts is harmless. */
   def processBatch(spark: SparkSession, name: String, batch: DataFrame,
-      batchId: Long, survivorsDir: String, estThreshold: Double = 0.9): Unit = {
+      batchId: Long, survivorsDir: String, estThreshold: Double = 0.9,
+      compactEvery: Int = 0): Unit = {
     val markerPath = new Path(s"$survivorsDir/_committed/b=$batchId")
     val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(markerPath)) return // fully committed — replay is a no-op
@@ -70,15 +79,17 @@ object DedupIndexStream {
     survivors.write.mode("overwrite").parquet(s"$survivorsDir/b=$batchId")
     DedupIndex.extend(survivors, name)
     fs.create(markerPath, true).close()
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      DedupIndex.compact(spark, name)
   }
 
   /** The standing query: wire to `.option("checkpointLocation", …).start()`.
     * The index at `name` must exist ([[DedupIndex.build]], possibly on an
     * empty corpus) before the stream starts. */
-  def run(docs: Dataset[DocArrival], name: String,
-      survivorsDir: String, estThreshold: Double = 0.9): DataStreamWriter[DocArrival] =
+  def run(docs: Dataset[DocArrival], name: String, survivorsDir: String,
+      estThreshold: Double = 0.9, compactEvery: Int = 0): DataStreamWriter[DocArrival] =
     docs.writeStream.foreachBatch { (batch: Dataset[DocArrival], batchId: Long) =>
       processBatch(batch.sparkSession, name, batch.toDF(), batchId,
-        survivorsDir, estThreshold)
+        survivorsDir, estThreshold, compactEvery)
     }
 }

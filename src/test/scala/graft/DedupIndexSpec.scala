@@ -115,6 +115,34 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(after == baseline, "compaction changed an answer")
   }
 
+  test("streaming auto-compaction: every Nth batch rewrites to one file per bucket") {
+    import spark.implicits._
+    import graft.streaming.DedupIndexStream
+    val tmp = java.nio.file.Files.createTempDirectory("didx_auto").toString
+    DedupIndex.build(docs.filter(col("cb") >= 50).select("doc_id", "text"),
+      "spec_idx_auto", buckets = 4)
+    val fresh = docs.filter(col("cb") >= 20 && col("cb") < 50)
+      .select("doc_id", "text").limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    DedupIndexStream.processBatch(spark, "spec_idx_auto",
+      fresh.take(10).toSeq.toDF("doc_id", "text"), 0L, tmp, compactEvery = 2)
+    DedupIndexStream.processBatch(spark, "spec_idx_auto",
+      fresh.drop(10).toSeq.toDF("doc_id", "text"), 1L, tmp, compactEvery = 2)
+    def files(t: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      new java.io.File(loc).listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(files("spec_idx_auto_sigs") == 4 && files("spec_idx_auto_bands") == 4,
+      s"batch 1 (compactEvery=2) must leave one file per bucket: " +
+        s"${(files("spec_idx_auto_sigs"), files("spec_idx_auto_bands"))}")
+    // the compacted index still catches a copy of a streamed survivor
+    val b2 = Seq((9300001L, fresh(3)._2)).toDF("doc_id", "text")
+    DedupIndexStream.processBatch(spark, "spec_idx_auto", b2, 2L, tmp, compactEvery = 2)
+    val s2 = spark.read.parquet(s"$tmp/b=2").count()
+    assert(s2 == 0L, "copy of a pre-compaction survivor must not survive")
+  }
+
   test("crash window: replay after extend-but-no-marker keeps the survivors") {
     // round-7 advice (high): a crash BETWEEN DedupIndex.extend and the
     // marker write leaves this batch's survivors in the index; on replay

@@ -76,6 +76,26 @@ class TokenizationSpec extends SparkSpec {
     assert(r(3L) == ((1L, 4000000L)), s"doc 3: ${r(3L)}")
   }
 
+  test("q172 bigram surprisal: hand corpus conditional bit-math exact") {
+    import spark.implicits._
+    import graft.analytics.TextStats
+    // bigram starts: a→· occurs 4× (3× a b, 1× a c), b→· occurs 2×
+    //   s(a,b) = len(bin(4 div 3)) − 1 = 0   s(b,a) = len(bin(2 div 2)) − 1 = 0
+    //   s(a,c) = len(bin(4 div 1)) − 1 = 2
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams (a,b)×3 (b,a)×2 → mean 0
+      (2L, "a c"),         // one rare transition → 2 bits
+      (3L, "x")            // no bigram → absent
+    ).toDF("doc_id", "text")
+    val dir = "target/bigram_docs"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextStats.bigramSurprisal(spark, dir)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((5L, 0L)), s"doc 1: ${r(1L)}")
+    assert(r(2L) == ((1L, 2000000L)), s"doc 2: ${r(2L)}")
+    assert(!r.contains(3L), "single-token doc must have no bigram score")
+  }
+
   test("corpus filters are whitespace-layout-invariant (q65/q66 stats)") {
     // the same 60 tokens under clean and hostile whitespace layouts
     val body = ("the quick brown fox jumps over a lazy dog and " * 6).trim
