@@ -254,7 +254,8 @@ object SparkEntry {
     "q169_surprisal_score"         -> ((s: SparkSession, d: String) => TextStats.surprisalScore(s, d)),
     "q170_dedup_weights"           -> ((s: SparkSession, d: String) => Dedup.dedupWeights(s, d)),
     "q171_dedup_index_compaction"  -> DedupIndex.compactedGate _,
-    "q172_bigram_surprisal"        -> ((s: SparkSession, d: String) => TextStats.bigramSurprisal(s, d)))
+    "q172_bigram_surprisal"        -> ((s: SparkSession, d: String) => TextStats.bigramSurprisal(s, d)),
+    "q173_dsir_score"              -> ((s: SparkSession, d: String) => TextStats.dsirScore(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -905,6 +906,33 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  (sum((length(bin(c1 // c12)) - 1) * 1000000) // count(*))::BIGINT AS bigram_surprisal_micro
         |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin,
+
+    // DSIR importance score: raw and Laplace-smoothed target unigram
+    // surprisals, their per-token difference, integer-micro doc mean —
+    // the target rule is q163's label rule stated identically
+    "q173_dsir_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS ws
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT doc_id, ws,
+        |    ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1000000
+        |       // greatest(length(text), 1)) >= 550000
+        |    AND len(ws) >= 5
+        |    AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) >= 1 AS tgt
+        |  FROM base),
+        |t AS (SELECT doc_id, tgt, unnest(ws) AS w FROM b2),
+        |f AS (
+        |  SELECT w, count(*)::BIGINT AS cr,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct
+        |  FROM t GROUP BY w),
+        |n AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt,
+        |  count(*)::BIGINT AS v FROM f)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  (sum(((length(bin(nr // cr)) - 1) - (length(bin((nt + v) // (ct + 1))) - 1)) * 1000000)
+        |    // count(*))::BIGINT AS dsir_micro
+        |FROM t JOIN f USING (w) CROSS JOIN n
         |GROUP BY doc_id""".stripMargin,
 
     // dedup soft weights: q37's transitive closure + cluster sizes; the

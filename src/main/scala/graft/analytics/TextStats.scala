@@ -594,6 +594,47 @@ object TextStats {
     * are O(distinct bigrams) partial+final aggregates; the two join-backs
     * key on the bigram/start word. Docs with < 2 tokens have no bigrams
     * and are absent, matching the oracle. */
+  /** q173: DSIR-style importance score — data selection with importance
+    * resampling (Xie et al. 2023, arXiv:2302.03169): score each raw
+    * document by how much more likely its tokens are under a TARGET
+    * distribution than under the raw-corpus distribution, here with the
+    * engine's own unigram models and the usual integer floor-log₂
+    * discipline. The target corpus is the subset passing the Gopher-style
+    * hard rule (alpha ratio ≥ 0.55 ∧ ≥ 5 tokens ∧ ≥ 1 stopword — the
+    * q163 label rule, stated identically by the oracle), its unigram
+    * model Laplace-smoothed so out-of-target tokens are scoreable:
+    *
+    *   s_raw(w)    = floor(log₂(N_raw div c_raw(w)))          (c_raw ≥ 1)
+    *   s_target(w) = floor(log₂((N_t + V) div (c_t(w) + 1)))
+    *   dsir_bits(w) = s_raw − s_target    (positive ⇒ target-like)
+    *
+    * and a document's score is the integer-micro mean over its tokens —
+    * high scorers are what importance resampling keeps. Plan: two
+    * O(vocabulary) count tables (raw + target) built in one token-shuffle
+    * pass each, a 1-row totals broadcast, the q169-shape join-back, one
+    * per-doc aggregate. */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(col("doc_id"), col("text"),
+      regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("ws"))
+    val isTarget =
+      expr("""((length(text) - length(regexp_replace(text, '[A-Za-z]', ''))) * 1000000L)
+             | div greatest(cast(length(text) as bigint), 1L) >= 550000L""".stripMargin) &&
+        size(col("ws")) >= 5 &&
+        size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|of|and|in|to)\\b"), lit(0))) >= 1
+    val toks = base.select(col("doc_id"), isTarget.as("tgt"), explode(col("ws")).as("w"))
+    val fr = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = fr.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    toks.join(fr, "w").crossJoin(broadcast(totals))
+      .withColumn("s_raw", (length(bin(expr("nr div cr"))) - 1).cast("long"))
+      .withColumn("s_tgt", (length(bin(expr("(nt + v) div (ct + 1)"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum((s_raw - s_tgt) * 1000000L) div count(*)").as("dsir_micro"))
+  }
+
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val bi = documents(spark, dir)
       .select(col("doc_id"),

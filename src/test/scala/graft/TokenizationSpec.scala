@@ -96,6 +96,24 @@ class TokenizationSpec extends SparkSpec {
     assert(!r.contains(3L), "single-token doc must have no bigram score")
   }
 
+  test("q173 DSIR: target-rule docs score higher than the rest; zero-sum-ish sanity") {
+    import graft.analytics.{QualityProbe, TextStats}
+    val d = sf("sf0.01")
+    // q173's target rule is exactly the q163 label rule (\S+ counts are
+    // case-insensitive, so the lowered token list changes nothing)
+    val labels = QualityProbe.features(Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), (col("y") === 1000000L).as("tgt"))
+    val joined = TextStats.dsirScore(spark, d).join(labels, "doc_id").collect()
+    assert(joined.nonEmpty)
+    val (t, nt) = joined.partition(_.getAs[Boolean]("tgt"))
+    assert(t.nonEmpty && nt.nonEmpty, "gate corpus must contain both classes")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("dsir_micro").toDouble).sum / rs.length
+    assert(mean(t) > mean(nt),
+      s"importance weighting must prefer target-like docs: ${mean(t)} vs ${mean(nt)}")
+  }
+
   test("corpus filters are whitespace-layout-invariant (q65/q66 stats)") {
     // the same 60 tokens under clean and hostile whitespace layouts
     val body = ("the quick brown fox jumps over a lazy dog and " * 6).trim
