@@ -255,7 +255,8 @@ object SparkEntry {
     "q170_dedup_weights"           -> ((s: SparkSession, d: String) => Dedup.dedupWeights(s, d)),
     "q171_dedup_index_compaction"  -> DedupIndex.compactedGate _,
     "q172_bigram_surprisal"        -> ((s: SparkSession, d: String) => TextStats.bigramSurprisal(s, d)),
-    "q173_dsir_score"              -> ((s: SparkSession, d: String) => TextStats.dsirScore(s, d)))
+    "q173_dsir_score"              -> ((s: SparkSession, d: String) => TextStats.dsirScore(s, d)),
+    "q174_semantic_contamination"  -> ((s: SparkSession, d: String) => Sampling.semanticContamination(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -907,6 +908,14 @@ object SparkEntry {
         |  (sum((length(bin(c1 // c12)) - 1) * 1000000) // count(*))::BIGINT AS bigram_surprisal_micro
         |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin,
+
+    // semantic contamination: the planted x2-scaled leak of every eval
+    // vector is the ONLY pair >= tau on the isotropic corpus (q30/q148
+    // harness), so the audit output is exactly the planted set
+    "q174_semantic_contamination" ->
+      """SELECT vec_id AS eval_id, vec_id + 1000000 AS train_id,
+        |  1.0::DOUBLE AS cos_sim
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
 
     // DSIR importance score: raw and Laplace-smoothed target unigram
     // surprisals, their per-token difference, integer-micro doc mean —

@@ -257,6 +257,41 @@ object Sampling {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** q174: SEMANTIC contamination audit — the embedding-level member of
+    * the contamination matrix (q69 exact n-gram, q78 Bloom, q145
+    * containment, q53 near-dup): a training document whose EMBEDDING is
+    * near-parallel to an eval document leaks the benchmark even when no
+    * n-gram survives (paraphrase, translation, format-shuffle — exactly
+    * what modern decontamination sweeps additionally check). vec_id ≡
+    * doc_id is the generator's table-alignment convention.
+    *
+    * Candidates come from the multi-table sign-LSH buckets (the q30
+    * machinery — O(n) bucket rows, never eval × train), verified exactly
+    * at the rounded threshold. Gated with the planted-leak harness: eval
+    * = vec_id < 50; train = the rest PLUS a ×2-scaled copy (ids +10⁶) of
+    * every eval vector — a planted paraphrase-grade leak at cosine
+    * exactly 1.0 that shares its original's sign pattern in every table,
+    * so the audit MUST surface each one; the isotropic corpus contributes
+    * no organic pair ≥ τ, so the output is exactly the planted leak set
+    * (precision gated too — a false positive adds a row the oracle never
+    * states). */
+  def semanticContamination(spark: SparkSession, dir: String,
+      tau: Double = 0.95): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val eval = e.filter(col("vec_id") < 50)
+    val planted = eval.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    val all = e.unionByName(planted)
+    Similarity.embeddingNearDupOn(all, tau - 1e-4)
+      .filter(col("cos_sim") >= tau)
+      // keep only split-CROSSING pairs: eval side < 50, train side is
+      // everything else (organic ≥ 50 or planted ≥ 10⁶)
+      .filter(col("vec_a") < 50 && col("vec_b") >= 50)
+      .select(col("vec_a").as("eval_id"), col("vec_b").as("train_id"),
+        col("cos_sim"))
+  }
+
   /** q145: n-gram CONTAINMENT scores — the directional contamination metric
     * that q69's raw collision counts feed: containment(train, eval) =
     * |grams(train) ∩ grams(eval)| / |grams(eval)|, i.e. what fraction of the

@@ -158,4 +158,14 @@ class CurationSpec extends SparkSpec {
     val byRk = out.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("pmi"))
     assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b }, byRk.toSeq.toString)
   }
+
+  test("q174: semantic contamination surfaces exactly the planted cross-split leaks") {
+    val out = Sampling.semanticContamination(spark, sf("sf0.01")).collect()
+    assert(out.length == 50, s"expected one leak per eval vector, got ${out.length}")
+    out.foreach { r =>
+      val (e, t, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(e < 50 && t == e + 1000000L && c == 1.0,
+        s"unexpected audit row ($e, $t, $c): only planted leaks exist on this corpus")
+    }
+  }
 }
