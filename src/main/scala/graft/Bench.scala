@@ -100,8 +100,9 @@ object Bench {
     def r2(v: Double): Double = math.rint(v * 1e2) / 1e2
 
     // The dedup family rides session-memoized shared intermediates (pair
-    // graph, fuzzy edges, cluster map, ensemble CC labels — the production
-    // "pair graph as a materialized table" shape, default-ON since round 8).
+    // graph, fuzzy edges, cluster map, ensemble CC labels) and the graph
+    // family rides the memoized co-purchase edge table — the production
+    // "materialized shared table" shape, default-ON since round 8.
     // Build them ONCE here, timed and reported as their own entry, so the
     // shared cost stays VISIBLE in the total: inside the per-query loop the
     // build would land in attempt 1 and the median-of-3 would silently
@@ -117,12 +118,13 @@ object Bench {
           graft.analytics.Relational.fuzzyNearDup(spark, sfDir)
           graft.analytics.Dedup.dedupCorpus(spark, sfDir)
           graft.analytics.Dedup.ensembleDedup(spark, sfDir)
+          graft.analytics.Graph.warmSharedEdges(spark, sfDir)
           None
         } catch {
           case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
-      Seq(("q00_shared_dedup_build", (System.nanoTime() - t0) / 1e9, err, probeSec, 1.0))
+      Seq(("q00_shared_build", (System.nanoTime() - t0) / 1e9, err, probeSec, 1.0))
     }
 
     // Sorted order: deterministic run-to-run comparisons (Map iteration

