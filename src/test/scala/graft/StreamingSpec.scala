@@ -550,4 +550,40 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
     assert(replayed == v, "replaying a batch must be idempotent")
   }
+
+  test("transformWithState profiles: typed state accumulates across batches (RocksDB store)") {
+    import graft.streaming.ProfileStream
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state-store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[ProfileStream.Event]
+    val q = ProfileStream.profiles(in.toDS())
+      .writeStream.format("memory").queryName("profiles").outputMode("update").start()
+    try {
+      in.addData(
+        ProfileStream.Event(1L, "view", 0.0, 100L),
+        ProfileStream.Event(1L, "purchase", 10.5, 110L),
+        ProfileStream.Event(2L, "view", 0.0, 105L))
+      q.processAllAvailable()
+      in.addData(
+        ProfileStream.Event(1L, "purchase", 2.25, 200L),
+        ProfileStream.Event(2L, "purchase", 1.0, 210L))
+      q.processAllAvailable()
+      // last emitted profile per user reflects ALL batches — the typed
+      // ValueState survived the micro-batch boundary
+      val last = spark.table("profiles").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      assert(last(1L) == ((3L, 2L, 12750000L, 200L)), s"u1: ${last(1L)}")
+      assert(last(2L) == ((2L, 1L, 1000000L, 210L)), s"u2: ${last(2L)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
