@@ -256,7 +256,8 @@ object SparkEntry {
     "q171_dedup_index_compaction"  -> DedupIndex.compactedGate _,
     "q172_bigram_surprisal"        -> ((s: SparkSession, d: String) => TextStats.bigramSurprisal(s, d)),
     "q173_dsir_score"              -> ((s: SparkSession, d: String) => TextStats.dsirScore(s, d)),
-    "q174_semantic_contamination"  -> ((s: SparkSession, d: String) => Sampling.semanticContamination(s, d)))
+    "q174_semantic_contamination"  -> ((s: SparkSession, d: String) => Sampling.semanticContamination(s, d)),
+    "q175_curation_decision"       -> ((s: SparkSession, d: String) => Sampling.curationDecision(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -354,6 +355,92 @@ object SparkEntry {
       |         THEN list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))
       |         ELSE [text] END) AS s
       |  FROM documents)""".stripMargin
+
+  /** The q73/q175 shared WITH chain: near-dup components, quality
+    * keep-best, Gopher pass, split buckets, eval-gram contamination. */
+  private val CleanCorpusCtes: String =
+    """WITH RECURSIVE
+        |wt AS (
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt),
+        |e AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+        |  FROM reach GROUP BY src),
+        |m AS (
+        |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |fq AS (
+        |  SELECT doc_id,
+        |    length(text) AS L,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, round(least(1.0, greatest(0.0,
+        |    0.5 * (n_alpha::DOUBLE / nullif(L, 0)::DOUBLE) +
+        |    0.3 * least(1.0, (n_stop::DOUBLE / nullif(n_tokens, 0)::DOUBLE) * 4) +
+        |    0.2 * least(1.0, n_tokens::DOUBLE / 64.0) -
+        |    (n_digit::DOUBLE / nullif(L, 0)::DOUBLE))), 4) AS quality
+        |  FROM fq),
+        |kb AS (
+        |  SELECT m.doc_id,
+        |    row_number() OVER (PARTITION BY m.canonical_id
+        |                       ORDER BY q.quality DESC, m.doc_id ASC) = 1 AS keep
+        |  FROM m JOIN q ON m.doc_id = q.doc_id),
+        |gfr AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t,
+        |    len(regexp_extract_all(text, '\S+')) AS n_words,
+        |    round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+        |          nullif(len(regexp_extract_all(text, '\S+')), 0), 4) AS mean_word_len,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stopwords
+        |  FROM documents),
+        |gf AS (
+        |  SELECT doc_id,
+        |    n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND n_stopwords >= 2
+        |    AND round(1.0 - len(CASE WHEN len(t) >= 2
+        |      THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1]))
+        |      ELSE [tt] END)::DOUBLE / nullif(len(t) - 1, 0), 4) <= 0.1 AS pass
+        |  FROM gfr),
+        |sdoc AS (
+        |  SELECT doc_id, lang, source,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 +
+        |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, b, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+        |    ELSE [tt] END) AS g
+        |  FROM sdoc),
+        |flagged AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM grams tr JOIN grams ev ON tr.g = ev.g
+        |  WHERE tr.b < 90 AND ev.b >= 95)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1927,93 +2014,30 @@ object SparkEntry {
         |FROM cs GROUP BY cluster_size""".stripMargin,
 
     "q73_clean_corpus" ->
-      """WITH RECURSIVE
-        |wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt),
-        |e AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
-        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-        |comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
-        |  FROM reach GROUP BY src),
-        |m AS (
-        |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
-        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-        |fq AS (
-        |  SELECT doc_id,
-        |    length(text) AS L,
-        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
-        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
-        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stop
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id, round(least(1.0, greatest(0.0,
-        |    0.5 * (n_alpha::DOUBLE / nullif(L, 0)::DOUBLE) +
-        |    0.3 * least(1.0, (n_stop::DOUBLE / nullif(n_tokens, 0)::DOUBLE) * 4) +
-        |    0.2 * least(1.0, n_tokens::DOUBLE / 64.0) -
-        |    (n_digit::DOUBLE / nullif(L, 0)::DOUBLE))), 4) AS quality
-        |  FROM fq),
-        |kb AS (
-        |  SELECT m.doc_id,
-        |    row_number() OVER (PARTITION BY m.canonical_id
-        |                       ORDER BY q.quality DESC, m.doc_id ASC) = 1 AS keep
-        |  FROM m JOIN q ON m.doc_id = q.doc_id),
-        |gfr AS (
-        |  SELECT doc_id,
-        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
-        |    regexp_extract_all(text, '\S+') AS t,
-        |    len(regexp_extract_all(text, '\S+')) AS n_words,
-        |    round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
-        |          nullif(len(regexp_extract_all(text, '\S+')), 0), 4) AS mean_word_len,
-        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stopwords
-        |  FROM documents),
-        |gf AS (
-        |  SELECT doc_id,
-        |    n_words BETWEEN 50 AND 100000
-        |    AND mean_word_len BETWEEN 3.0 AND 10.0
-        |    AND n_stopwords >= 2
-        |    AND round(1.0 - len(CASE WHEN len(t) >= 2
-        |      THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1]))
-        |      ELSE [tt] END)::DOUBLE / nullif(len(t) - 1, 0), 4) <= 0.1 AS pass
-        |  FROM gfr),
-        |sdoc AS (
-        |  SELECT doc_id, lang, source,
-        |    (ascii(substring(md5(text), 1, 1)) * 256 +
-        |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
-        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
-        |    regexp_extract_all(text, '\S+') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, b, unnest(CASE WHEN len(t) >= 5
-        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
-        |    ELSE [tt] END) AS g
-        |  FROM sdoc),
-        |flagged AS (
-        |  SELECT DISTINCT tr.doc_id
-        |  FROM grams tr JOIN grams ev ON tr.g = ev.g
-        |  WHERE tr.b < 90 AND ev.b >= 95)
+      (CleanCorpusCtes +
+      """
         |SELECT doc_id, lang, source FROM sdoc
         |WHERE b < 90
         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
         |  AND doc_id IN (SELECT doc_id FROM kb WHERE keep)
-        |  AND doc_id IN (SELECT doc_id FROM gf WHERE pass)""".stripMargin,
+        |  AND doc_id IN (SELECT doc_id FROM gf WHERE pass)""".stripMargin),
+
+    // the decision-table view of the same pipeline: every gate's verdict
+    // per document plus the final conjunction (q73's WITH chain, boolean
+    // tail instead of the inner-join filter)
+    "q175_curation_decision" ->
+      (CleanCorpusCtes +
+      """
+        |SELECT s.doc_id,
+        |  (s.b < 90) AS in_train,
+        |  gf.pass AS gopher_ok,
+        |  kb.keep AS dedup_keep,
+        |  s.doc_id NOT IN (SELECT doc_id FROM flagged) AS decontaminated,
+        |  ((s.b < 90) AND gf.pass AND kb.keep
+        |    AND s.doc_id NOT IN (SELECT doc_id FROM flagged)) AS keep_final
+        |FROM sdoc s
+        |JOIN gf ON gf.doc_id = s.doc_id
+        |JOIN kb ON kb.doc_id = s.doc_id""".stripMargin),
 
     "q77_pii_scrub" ->
       """WITH s AS (

@@ -408,6 +408,36 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** q175: the curation DECISION TABLE — q73's clean-corpus pipeline
+    * re-emitted as an audit view: instead of silently producing the
+    * surviving subset, every document gets one row with every gate's
+    * verdict (train-split membership, Gopher hard rule, dedup keep-best,
+    * eval-n-gram decontamination) and the final conjunction. This is the
+    * "why was my document dropped" view a production curation pass ships
+    * next to its output — the drop REASON distribution is one groupBy on
+    * this table. Composes only gated operators (q38/q66/q71/q69), all
+    * riding the session memo where they share work (the cluster map, the
+    * pair graph), plus one broadcast-able anti-flag join on the flagged
+    * train ids. Oracle: the q73 WITH chain with a per-gate boolean tail
+    * instead of the inner-join filter. */
+  def curationDecision(spark: SparkSession, dir: String): DataFrame = {
+    val splits = documents(spark, dir)
+      .select(col("doc_id"), (splitOf(col("text")) === "train").as("in_train"))
+    val gopher = TextStats.gopherFilter(spark, dir)
+      .select(col("doc_id"), col("pass").as("gopher_ok"))
+    val keep = Dedup.dedupKeepBest(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_keep"))
+    val flagged = decontamination(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    splits.join(gopher, "doc_id").join(keep, "doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("in_train"), col("gopher_ok"), col("dedup_keep"),
+        coalesce(!col("contaminated"), lit(true)).as("decontaminated"))
+      .withColumn("keep_final",
+        col("in_train") && col("gopher_ok") && col("dedup_keep") && col("decontaminated"))
+  }
+
   /** q53: train/test contamination audit — near-duplicate pairs (the exact
     * Jaccard graph, q25) that STRADDLE split boundaries. A test document
     * with a train-side near-duplicate is leakage: eval scores measure

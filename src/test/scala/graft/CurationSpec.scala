@@ -159,6 +159,24 @@ class CurationSpec extends SparkSpec {
     assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b }, byRk.toSeq.toString)
   }
 
+  test("q175 decision table: full coverage, and keep_final reproduces q73 exactly") {
+    val d = sf("sf0.01")
+    val dec = Sampling.curationDecision(spark, d).collect()
+    assert(dec.length == Tables.documents(spark, d).count(),
+      "every document gets a decision row")
+    dec.foreach { r =>
+      val conj = r.getAs[Boolean]("in_train") && r.getAs[Boolean]("gopher_ok") &&
+        r.getAs[Boolean]("dedup_keep") && r.getAs[Boolean]("decontaminated")
+      assert(r.getAs[Boolean]("keep_final") == conj,
+        s"verdict must be the conjunction of its reasons: $r")
+    }
+    val kept = dec.filter(_.getAs[Boolean]("keep_final")).map(_.getLong(0)).toSet
+    val clean = Sampling.cleanCorpus(spark, d)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == clean,
+      s"decision view and pipeline output diverge: ${kept.size} vs ${clean.size}")
+  }
+
   test("q174: semantic contamination surfaces exactly the planted cross-split leaks") {
     val out = Sampling.semanticContamination(spark, sf("sf0.01")).collect()
     assert(out.length == 50, s"expected one leak per eval vector, got ${out.length}")
