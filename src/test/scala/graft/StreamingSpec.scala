@@ -551,6 +551,45 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == v, "replaying a batch must be idempotent")
   }
 
+  test("streaming semantic near-dup: planted cross-batch duplicate alerts, no false alerts") {
+    import graft.streaming.SemanticDedupStream
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // near-orthogonal fillers vs a planted scaled copy: the copy shares its
+    // original's sign pattern in EVERY table (scale-invariant), the fillers
+    // verify at cosine far below tau
+    def basis(i: Int, scale: Double): Seq[Double] =
+      Seq.tabulate(64)(j => if (j == i) scale else 0.01 * ((j % 7) - 3))
+    val in = MemoryStream[SemanticDedupStream.VecArrival]
+    val q = SemanticDedupStream.alerts(in.toDS(), capPerBucket = 8, tau = 0.95)
+      .writeStream.format("memory").queryName("sem_alerts").outputMode("append").start()
+    try {
+      in.addData(
+        SemanticDedupStream.VecArrival(1L, basis(0, 1.0)),
+        SemanticDedupStream.VecArrival(2L, basis(20, 1.0)))
+      q.processAllAvailable()
+      // batch 2: a x2-scaled copy of vector 1 (true scalar multiple →
+      // cosine exactly 1.0, identical sign pattern) + a filler
+      in.addData(
+        SemanticDedupStream.VecArrival(3L, basis(0, 1.0).map(_ * 2.0)),
+        SemanticDedupStream.VecArrival(4L, basis(40, 1.0)))
+      q.processAllAvailable()
+      val alerts = spark.table("sem_alerts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(alerts.nonEmpty, "planted duplicate raised no alert")
+      assert(alerts.forall { case (a, b, c) => a == 3L && b == 1L && c == 1.0 },
+        s"only the planted (3, 1) pair may alert: $alerts")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState profiles: typed state accumulates across batches (RocksDB store)") {
     import graft.streaming.ProfileStream
     implicit val sqlCtx = spark.sqlContext
