@@ -551,6 +551,43 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == v, "replaying a batch must be idempotent")
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    import graft.streaming.SessionCloseStream
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[SessionCloseStream.Event]
+    val q = SessionCloseStream.closedSessions(in.toDS())
+      .writeStream.format("memory").queryName("closed").outputMode("append").start()
+    try {
+      // u1's session: 10:00-10:05; its timer arms at 10:35 (30 min gap)
+      in.addData(
+        SessionCloseStream.Event(1L, ts("2024-01-01 10:00:00")),
+        SessionCloseStream.Event(1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("closed").isEmpty, "nothing closes before the watermark moves")
+      // u2 at 11:30 pushes the watermark to 11:20 (10 min delay) > 10:35...
+      in.addData(SessionCloseStream.Event(2L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      // ...and the NEXT batch runs with that watermark, firing u1's timer;
+      // u2's own timer (12:00) stays armed
+      in.addData(SessionCloseStream.Event(2L, ts("2024-01-01 11:31:00")))
+      q.processAllAvailable()
+      val closed = spark.table("closed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(closed == Set((1L,
+        ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:05:00").getTime, 2L)),
+        s"expected exactly u1's closed session: $closed")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming semantic near-dup: planted cross-batch duplicate alerts, no false alerts") {
     import graft.streaming.SemanticDedupStream
     implicit val sqlCtx = spark.sqlContext
