@@ -257,7 +257,9 @@ object SparkEntry {
     "q172_bigram_surprisal"        -> ((s: SparkSession, d: String) => TextStats.bigramSurprisal(s, d)),
     "q173_dsir_score"              -> ((s: SparkSession, d: String) => TextStats.dsirScore(s, d)),
     "q174_semantic_contamination"  -> ((s: SparkSession, d: String) => Sampling.semanticContamination(s, d)),
-    "q175_curation_decision"       -> ((s: SparkSession, d: String) => Sampling.curationDecision(s, d)))
+    "q175_curation_decision"       -> ((s: SparkSession, d: String) => Sampling.curationDecision(s, d)),
+    "q176_bm25_topk"               -> ((s: SparkSession, d: String) => TextStats.bm25TopK(s, d)),
+    "q177_hybrid_rrf"              -> ((s: SparkSession, d: String) => TextStats.hybridRrf(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2038,6 +2040,97 @@ object SparkEntry {
         |FROM sdoc s
         |JOIN gf ON gf.doc_id = s.doc_id
         |JOIN kb ON kb.doc_id = s.doc_id""".stripMargin),
+
+    // BM25 constants appear as decimal literals cast ::DOUBLE so both
+    // engines parse the identical double (DuckDB otherwise types 2.2 as
+    // DECIMAL and runs exact-decimal arithmetic the Spark side can't match)
+    "q176_bm25_topk" ->
+      """WITH queries(query_id, term) AS (VALUES
+        |  (0,'stream'),(0,'table'),(0,'hash'),
+        |  (1,'customer'),(1,'order'),(1,'join'),
+        |  (2,'window'),(2,'batch'),(2,'spark')),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT DISTINCT term FROM queries)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id, count(*) AS n_hit_terms,
+        |    round(sum(
+        |      ln((s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |        * (t.tf * 2.2::DOUBLE)
+        |        / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))), 4)
+        |      AS score
+        |  FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s JOIN queries q USING (term)
+        |  GROUP BY q.query_id, t.doc_id)
+        |SELECT query_id, doc_id, n_hit_terms, score,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rn
+        |FROM scored
+        |QUALIFY rn <= 10""".stripMargin,
+
+    // RRF fuses q176's BM25 ranking (top-100) with an exact-cosine
+    // query-by-example ranking (vec_id<3 as examples, self excluded);
+    // ranks are integers and 1/(60+r) a single exact IEEE division, so the
+    // fused score is bit-identical across engines without rounding tricks
+    "q177_hybrid_rrf" ->
+      """WITH queries(query_id, term) AS (VALUES
+        |  (0,'stream'),(0,'table'),(0,'hash'),
+        |  (1,'customer'),(1,'order'),(1,'join'),
+        |  (2,'window'),(2,'batch'),(2,'spark')),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT DISTINCT term FROM queries)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    round(sum(
+        |      ln((s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |        * (t.tf * 2.2::DOUBLE)
+        |        / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))), 4)
+        |      AS score
+        |  FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s JOIN queries q USING (term)
+        |  GROUP BY q.query_id, t.doc_id),
+        |lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rn
+        |  FROM scored QUALIFY lex_rn <= 100),
+        |qv AS (
+        |  SELECT vec_id::INT AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |sem AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS sem_rn
+        |  FROM (
+        |    SELECT q.query_id, c.vec_id AS doc_id,
+        |      list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS sim
+        |    FROM qv q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+        |  QUALIFY sem_rn <= 100),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |    coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rn, s.sem_rn,
+        |    coalesce(1.0::DOUBLE / (60 + l.lex_rn), 0.0::DOUBLE)
+        |      + coalesce(1.0::DOUBLE / (60 + s.sem_rn), 0.0::DOUBLE) AS rrf
+        |  FROM lex l FULL OUTER JOIN sem s
+        |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+        |SELECT query_id, doc_id,
+        |  coalesce(lex_rn, 0)::INT AS lex_rn, coalesce(sem_rn, 0)::INT AS sem_rn,
+        |  round(rrf, 6) AS rrf,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id)::INT AS rn
+        |FROM fused
+        |QUALIFY rn <= 10""".stripMargin,
 
     "q77_pii_scrub" ->
       """WITH s AS (

@@ -662,4 +662,126 @@ object TextStats {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(s_bits * 1000000L) div count(*)").as("bigram_surprisal_micro"))
   }
+
+  /** The fixed keyword workload for the ranked-retrieval gates (q176/q177):
+    * three multi-term queries over the corpus vocabulary. A real service
+    * takes these as input; a gated query needs them pinned. */
+  val RetrievalQueries: Seq[(Int, String)] = Seq(
+    (0, "stream table hash"),
+    (1, "customer order join"),
+    (2, "window batch spark"))
+
+  /** q176: BM25 ranked keyword retrieval — the full-text-search scorer the
+    * inverted-index (q104) and phrase-search (q120) primitives exist to
+    * serve, and the lexical half of modern hybrid (keyword + vector) RAG
+    * retrieval. Okapi BM25 with Lucene's non-negative idf:
+    * score(q,d) = Σ_{t∈q∩d} ln(1 + (N−df+0.5)/(df+0.5)) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), k1=1.2, b=0.75.
+    *
+    * Plan: the query-term list is a broadcast literal, so per-term tf is
+    * computed ONLY for postings that match a query term — the corpus-wide
+    * work is one token scan for tf and one O(docs) length aggregate; df
+    * aggregates over the already-restricted postings (O(matched docs), and
+    * equals the full-corpus df because tf kept every posting of those
+    * terms). The per-query top-k is a window keyed on query_id with the
+    * WindowGroupLimit pushdown bounding state at k. At 100 TB the doc-length
+    * table is the one corpus-sized join input, and it joins on doc_id —
+    * co-partitioned with tf's grouping, no extra shuffle family.
+    *
+    * Determinism: BM25 constants appear as the SAME decimal literals on
+    * both engines (2.2 is NOT written k1+1: 1.2+1 in double arithmetic
+    * lands a half-ulp from the parsed literal 2.2 — round-trip through
+    * decimal text is the only safe channel); the score rounds to 4 dp
+    * BEFORE ranking with doc_id breaking residual ties. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qterms = RetrievalQueries
+      .flatMap { case (qid, s) => s.split(" ").map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    bm25On(documents(spark, dir), qterms, k)
+  }
+
+  /** Core BM25 over explicit frames (unit-testable with planted corpora).
+    * docs: (doc_id, text); qterms: (query_id, term). */
+  def bm25On(docs: DataFrame, qterms: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), round(sum(col("contrib")), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"),
+        col("score"), col("rn").cast("int").as("rn"))
+  }
+
+  /** q177: hybrid retrieval by reciprocal-rank fusion — the modern RAG
+    * retrieval shape: a lexical leg (q176's BM25 over the keyword queries)
+    * and a semantic leg (exact cosine against a query-by-example vector,
+    * q28's shape: query i's example is embedding vec_id=i, self excluded)
+    * each produce a top-n ranking, fused by RRF(d) = Σ_leg 1/(c + rank_leg)
+    * with c=60 (Cormack et al.'s constant) and a missing leg contributing 0.
+    * RRF needs only RANKS — no score calibration between BM25's unbounded
+    * scale and cosine's [−1,1] — which is why it's the default fusion in
+    * production hybrid search.
+    *
+    * Scale: each leg bounds itself to n rows per query BEFORE fusion, so
+    * the full-outer fusion join and the final re-rank window run on
+    * O(|queries|·n) rows regardless of corpus size — the corpus-scale work
+    * is entirely inside the two legs, each already scale-shaped (BM25:
+    * postings-restricted; cosine: broadcast-query scan, or the IVF index at
+    * true scale). Determinism: ranks are integers, 1/(c+r) is a single
+    * exactly-rounded IEEE division on both engines, and the fused score of
+    * a doc is one fixed two-term expression — no aggregation order anywhere;
+    * ties (a lex-only and a sem-only doc at the same rank) break on doc_id.
+    * Absent-leg ranks surface as 0, not NULL (pandas nullable-int dtype
+    * mismatch in the driver compare). */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 10,
+      n: Int = 100, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.cosine
+    val lex = bm25TopK(spark, dir, n)
+      .select(col("query_id"), col("doc_id"), col("rn").as("lex_rn"))
+    val e = graft.Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < RetrievalQueries.length)
+      .select(col("vec_id").cast("int").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val corpus = e.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("nv"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val sem = corpus.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("sem_rn", row_number().over(ws))
+      .filter(col("sem_rn") <= n)
+      .select(col("query_id"), col("doc_id"), col("sem_rn"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("lex_rn")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("sem_rn")), lit(0.0)))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rn"), lit(0)).cast("int").as("lex_rn"),
+        coalesce(col("sem_rn"), lit(0)).cast("int").as("sem_rn"),
+        round(col("rrf"), 6).as("rrf"), col("rn").cast("int").as("rn"))
+  }
 }

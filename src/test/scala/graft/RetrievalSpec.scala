@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.TextStats
+
+/** Ranked retrieval (q176 BM25, q177 hybrid RRF): scoring semantics pinned
+  * on hand-built corpora, fusion arithmetic re-derived from the output. */
+class RetrievalSpec extends SparkSpec {
+
+  test("q176 BM25: coverage, idf rarity, and length normalization order the ranking") {
+    import spark.implicits._
+    // 'cat' appears in 3 docs (common), 'dog' in 1 (rare); doc 4 is doc 2's
+    // text padded with filler, so it matches the same terms at greater length
+    val docs = Seq(
+      (1L, "cat dog x y"),
+      (2L, "cat x y z"),
+      (3L, "cat a b c"),
+      (4L, "cat x y z f f f f f f f f"),
+      (5L, "a b c d")).toDF("doc_id", "text")
+    val q = Seq((0, "cat"), (0, "dog")).toDF("query_id", "term")
+    val out = TextStats.bm25On(docs, q, 10).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(!out.contains(5L), "a doc with no query term never scores")
+    assert(out(1L)._1 == 2 && out(2L)._1 == 1, "n_hit_terms counts matched terms")
+    assert(out(1L)._3 == 1, "both-term doc outranks every single-term doc")
+    // same tf, same term: shorter doc wins on length normalization
+    assert(out(2L)._2 > out(4L)._2, "b>0 must penalize the padded doc")
+    // the rare term's idf exceeds the common term's: dog's contribution
+    // alone dwarfs cat's, so doc 1 scores well past doc 2 doubled
+    assert(out(1L)._2 > 2 * out(2L)._2)
+  }
+
+  test("q176 BM25 over the corpus: dense per-query ranks, scores non-increasing") {
+    val r = TextStats.bm25TopK(spark, sf("sf0.001")).collect()
+    val byQ = r.groupBy(_.getInt(0))
+    assert(byQ.keySet == Set(0, 1, 2))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to rows.length), "ranks dense from 1")
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "scores non-increasing in rank")
+    }
+  }
+
+  test("q177 RRF: fused score re-derives from the emitted leg ranks") {
+    val r = TextStats.hybridRrf(spark, sf("sf0.001")).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (lex, sem, rrf) = (row.getInt(2), row.getInt(3), row.getDouble(4))
+      val want = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+      assert(math.abs(rrf - want) < 1e-6, s"rrf $rrf != 1/(60+$lex)+1/(60+$sem)")
+      assert(lex > 0 || sem > 0, "a fused doc must come from at least one leg")
+    }
+    val byQ = r.groupBy(_.getInt(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(5)).sorted.toSeq == (1 to rows.length))
+      val sorted = rows.sortBy(_.getInt(5))
+      val f = sorted.map(_.getDouble(4))
+      assert(f.zip(f.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
