@@ -259,7 +259,8 @@ object SparkEntry {
     "q174_semantic_contamination"  -> ((s: SparkSession, d: String) => Sampling.semanticContamination(s, d)),
     "q175_curation_decision"       -> ((s: SparkSession, d: String) => Sampling.curationDecision(s, d)),
     "q176_bm25_topk"               -> ((s: SparkSession, d: String) => TextStats.bm25TopK(s, d)),
-    "q177_hybrid_rrf"              -> ((s: SparkSession, d: String) => TextStats.hybridRrf(s, d)))
+    "q177_hybrid_rrf"              -> ((s: SparkSession, d: String) => TextStats.hybridRrf(s, d)),
+    "q178_mmr_rerank"              -> ((s: SparkSession, d: String) => TextStats.mmrRerank(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -357,6 +358,53 @@ object SparkEntry {
       |         THEN list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))
       |         ELSE [text] END) AS s
       |  FROM documents)""".stripMargin
+
+  /** q178's oracle: the greedy MMR selection unrolled round-by-round (the
+    * engine unrolls the identical recurrence into its plan — see
+    * TextStats.mmrRerank). Built mechanically so every round's SQL is
+    * literally the same text with the round index substituted. */
+  private def mmrOracle(k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      val prevUnion = (1 until i).map(j => s"SELECT query_id, doc_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""ms$i AS (
+         |  SELECT p.query_id, p.a_doc AS doc_id, max(p.s) AS ms
+         |  FROM pair p JOIN ($prevUnion) s
+         |    ON p.query_id = s.query_id AND p.b_doc = s.doc_id
+         |  GROUP BY 1, 2),
+         |mm$i AS (
+         |  SELECT c.query_id, c.doc_id, c.rel,
+         |    0.7::DOUBLE * c.rel - 0.3::DOUBLE * m.ms AS mmr
+         |  FROM cand c JOIN ms$i m USING (query_id, doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($prevUnion) s
+         |    WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)),
+         |sel$i AS (
+         |  SELECT query_id, doc_id, rel, mmr, $i AS pick FROM mm$i
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id) = 1)""".stripMargin
+    }.mkString(",\n")
+    val allSel = (1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH qv AS (
+       |  SELECT vec_id::INT AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < 3),
+       |cand AS (
+       |  SELECT query_id, doc_id, rel, nv FROM (
+       |    SELECT q.query_id, c.vec_id AS doc_id,
+       |      list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS rel,
+       |      c.embedding::DOUBLE[] AS nv
+       |    FROM qv q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) <= 30),
+       |pair AS (
+       |  SELECT a.query_id, a.doc_id AS a_doc, b.doc_id AS b_doc,
+       |    list_cosine_similarity(a.nv, b.nv) AS s
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+       |sel1 AS (
+       |  SELECT query_id, doc_id, rel, 0.7::DOUBLE * rel AS mmr, 1 AS pick
+       |  FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) = 1),
+       |$rounds
+       |SELECT query_id, doc_id, pick, round(rel, 4) AS rel, round(mmr, 4) AS mmr
+       |FROM ($allSel)""".stripMargin
+  }
 
   /** The q73/q175 shared WITH chain: near-dup components, quality
     * keep-best, Gopher pass, split buckets, eval-gram contamination. */
@@ -2131,6 +2179,8 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id)::INT AS rn
         |FROM fused
         |QUALIFY rn <= 10""".stripMargin,
+
+    "q178_mmr_rerank" -> mmrOracle(5),
 
     "q77_pii_scrub" ->
       """WITH s AS (

@@ -784,4 +784,72 @@ object TextStats {
         coalesce(col("sem_rn"), lit(0)).cast("int").as("sem_rn"),
         round(col("rrf"), 6).as("rrf"), col("rn").cast("int").as("rn"))
   }
+
+  /** q178: MMR diversity re-rank — maximal marginal relevance (Carbonell &
+    * Goldstein) over each query's top-n cosine candidates: pick k docs
+    * greedily, each round maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
+    * (λ=0.7), so the result set trades raw relevance for coverage — the
+    * standard answer to "my top-10 are ten near-copies of one document",
+    * which dedup upstream can't fix when the duplicates are merely topical.
+    *
+    * The greedy argmax is inherently sequential in k, so the k rounds are
+    * UNROLLED into the plan (the q163 integer-GD / q164 BPE pattern): each
+    * round is a max-aggregate of pairwise sims against the selected set, a
+    * left-anti join to drop already-picked docs, and a per-query argmax
+    * window — with [[graft.functions.Materialize]] cutting lineage between
+    * rounds. Scale: everything downstream of the candidate cut is
+    * O(|queries|·n²) — the corpus appears only in the one broadcast-query
+    * scan that builds candidates (swap in the IVF index probe at true
+    * scale). Determinism: selection compares raw cosine doubles (bit-equal
+    * across engines, q28's established parity); ties break on doc_id;
+    * rounding happens only at the output edge. */
+  def mmrRerank(spark: SparkSession, dir: String, k: Int = 5, n: Int = 30): DataFrame =
+    mmrRerankOn(graft.Tables.embeddings(spark, dir), RetrievalQueries.length, k, n)
+
+  /** Core MMR over an explicit (vec_id, embedding) frame — vec_id <
+    * nQueries are the queries, everything is a candidate (self excluded). */
+  def mmrRerankOn(e: DataFrame, nQueries: Int, k: Int, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.cosine
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").cast("int").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val corpus = e.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("nv"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("doc_id").asc)
+    val cand = graft.functions.Materialize(
+      corpus.crossJoin(broadcast(q))
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("rel", cosine(col("qv"), col("nv")))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= n)
+        .select(col("query_id"), col("doc_id"), col("rel"), col("nv")))
+    val pair = graft.functions.Materialize(
+      cand.select(col("query_id"), col("doc_id").as("a_doc"), col("nv").as("av"))
+        .join(cand.select(col("query_id"), col("doc_id").as("b_doc"), col("nv").as("bv")),
+          "query_id")
+        .filter(col("a_doc") =!= col("b_doc"))
+        .select(col("query_id"), col("a_doc"), col("b_doc"),
+          cosine(col("av"), col("bv")).as("s")))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("mmr").desc, col("doc_id").asc)
+    var sel = cand
+      .withColumn("mmr", lit(0.7) * col("rel"))
+      .withColumn("pk", row_number().over(wp)).filter(col("pk") === 1)
+      .select(col("query_id"), col("doc_id"), col("rel"), col("mmr"), lit(1).as("pick"))
+    for (i <- 2 to k) {
+      val ms = pair
+        .join(sel.select(col("query_id"), col("doc_id").as("b_doc")), Seq("query_id", "b_doc"))
+        .groupBy(col("query_id"), col("a_doc")).agg(max(col("s")).as("ms"))
+        .withColumnRenamed("a_doc", "doc_id")
+      val next = cand
+        .join(sel.select(col("query_id"), col("doc_id")), Seq("query_id", "doc_id"), "left_anti")
+        .join(ms, Seq("query_id", "doc_id"))
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("ms"))
+        .withColumn("pk", row_number().over(wp)).filter(col("pk") === 1)
+        .select(col("query_id"), col("doc_id"), col("rel"), col("mmr"), lit(i).as("pick"))
+      sel = graft.functions.Materialize(sel.unionByName(next))
+    }
+    sel.select(col("query_id"), col("doc_id"), col("pick"),
+      round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
+  }
 }

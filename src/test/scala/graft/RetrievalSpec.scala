@@ -43,6 +43,24 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("q178 MMR: an exact duplicate of the top pick loses round 2 to a diverse doc") {
+    import spark.implicits._
+    // query [1,0,0,0]; docs 10 and 11 are EXACT copies (rel ≈ .902); doc 12
+    // has the same relevance but overlaps the query in a different
+    // direction, so its max-sim to the selected set is ~.81 vs the copy's
+    // 1.0 — at λ=0.7 diversity flips the round-2 pick
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (10L, Seq(0.9f, 0.43f, 0f, 0f)),
+      (11L, Seq(0.9f, 0.43f, 0f, 0f)),
+      (12L, Seq(0.9f, 0f, 0.43f, 0f))).toDF("vec_id", "embedding")
+    val picks = TextStats.mmrRerankOn(e, 1, 3, 10).collect()
+      .sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+    assert(picks == Seq(10L, 12L, 11L),
+      s"expected copy demoted to pick 3, got $picks")
+    // pure relevance would have ordered 10, 11 (copy) first
+  }
+
   test("q177 RRF: fused score re-derives from the emitted leg ranks") {
     val r = TextStats.hybridRrf(spark, sf("sf0.001")).collect()
     assert(r.nonEmpty)
