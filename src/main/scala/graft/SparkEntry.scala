@@ -260,7 +260,8 @@ object SparkEntry {
     "q175_curation_decision"       -> ((s: SparkSession, d: String) => Sampling.curationDecision(s, d)),
     "q176_bm25_topk"               -> ((s: SparkSession, d: String) => TextStats.bm25TopK(s, d)),
     "q177_hybrid_rrf"              -> ((s: SparkSession, d: String) => TextStats.hybridRrf(s, d)),
-    "q178_mmr_rerank"              -> ((s: SparkSession, d: String) => TextStats.mmrRerank(s, d)))
+    "q178_mmr_rerank"              -> ((s: SparkSession, d: String) => TextStats.mmrRerank(s, d)),
+    "q179_lex_index"               -> LexIndex.indexGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -358,6 +359,39 @@ object SparkEntry {
       |         THEN list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))
       |         ELSE [text] END) AS s
       |  FROM documents)""".stripMargin
+
+  /** q176's from-scratch BM25 SQL — also q179's oracle: the persisted
+    * inverted index covers exactly the documents corpus, so index-served
+    * BM25 must reproduce the direct computation answer-for-answer. */
+  private val Bm25ScratchSql: String =
+    """WITH queries(query_id, term) AS (VALUES
+      |  (0,'stream'),(0,'table'),(0,'hash'),
+      |  (1,'customer'),(1,'order'),(1,'join'),
+      |  (2,'window'),(2,'batch'),(2,'spark')),
+      |toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN (SELECT DISTINCT term FROM queries)
+      |  GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT q.query_id, t.doc_id, count(*) AS n_hit_terms,
+      |    round(sum(
+      |      ln((s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |        * (t.tf * 2.2::DOUBLE)
+      |        / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))), 4)
+      |      AS score
+      |  FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+      |  CROSS JOIN stats s JOIN queries q USING (term)
+      |  GROUP BY q.query_id, t.doc_id)
+      |SELECT query_id, doc_id, n_hit_terms, score,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rn
+      |FROM scored
+      |QUALIFY rn <= 10""".stripMargin
 
   /** q178's oracle: the greedy MMR selection unrolled round-by-round (the
     * engine unrolls the identical recurrence into its plan — see
@@ -2092,35 +2126,12 @@ object SparkEntry {
     // BM25 constants appear as decimal literals cast ::DOUBLE so both
     // engines parse the identical double (DuckDB otherwise types 2.2 as
     // DECIMAL and runs exact-decimal arithmetic the Spark side can't match)
-    "q176_bm25_topk" ->
-      """WITH queries(query_id, term) AS (VALUES
-        |  (0,'stream'),(0,'table'),(0,'hash'),
-        |  (1,'customer'),(1,'order'),(1,'join'),
-        |  (2,'window'),(2,'batch'),(2,'spark')),
-        |toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
-        |  FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks
-        |  WHERE term IN (SELECT DISTINCT term FROM queries)
-        |  GROUP BY doc_id, term),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |scored AS (
-        |  SELECT q.query_id, t.doc_id, count(*) AS n_hit_terms,
-        |    round(sum(
-        |      ln((s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE) + 1.0::DOUBLE)
-        |        * (t.tf * 2.2::DOUBLE)
-        |        / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))), 4)
-        |      AS score
-        |  FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
-        |  CROSS JOIN stats s JOIN queries q USING (term)
-        |  GROUP BY q.query_id, t.doc_id)
-        |SELECT query_id, doc_id, n_hit_terms, score,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rn
-        |FROM scored
-        |QUALIFY rn <= 10""".stripMargin,
+    "q176_bm25_topk" -> Bm25ScratchSql,
+
+    // the persisted-inverted-index gate: the index is built+extended over
+    // exactly the documents corpus, so index-served BM25 must reproduce
+    // the from-scratch computation — same oracle text as q176
+    "q179_lex_index" -> Bm25ScratchSql,
 
     // RRF fuses q176's BM25 ranking (top-100) with an exact-cosine
     // query-by-example ranking (vec_id<3 as examples, self excluded);

@@ -1,0 +1,132 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.analytics.TextStats.tokens
+import graft.functions.Materialize
+import graft.sink.Bucketed
+
+/** Persisted INVERTED index + incremental BM25 — the lexical member of the
+  * persisted-index trio (MinHash [[DedupIndex]], IVF [[AnnIndex]]): the
+  * corpus's postings and document lengths are written ONCE as bucketed
+  * tables, each ingest batch appends in the same layout, and a BM25 query
+  * reads only the postings of its own terms through bucket pruning — at
+  * 100 TB a keyword query touches O(query df) index rows, never the corpus.
+  *
+  * Layout:
+  *  - `<name>_postings` (term, doc_id, tf)  bucketed by term — a query
+  *    term's postings live in ONE bucket (`SelectedBucketsCount` in the
+  *    probe plan, pinned by LexIndexSpec)
+  *  - `<name>_dl`       (doc_id, dl)        bucketed by doc_id
+  *  - `<name>_stats`    (n_docs, sum_dl)    delta log: one row per
+  *    build/extend, summed at query time (k rows, never rewritten — the
+  *    running-total trick that makes extend O(batch))
+  *
+  * Incremental discipline: batch doc_ids are new, so appended postings
+  * can't duplicate (term, doc_id) rows, per-term df = the posting count
+  * restricted to the term (no stored df to keep consistent), and avgdl
+  * re-derives from the stats deltas exactly — extend ≡ rebuild is
+  * spec-pinned, and the q179 gate's oracle is the FROM-SCRATCH q176 SQL:
+  * the index path must reproduce the direct corpus computation
+  * answer-for-answer. */
+object LexIndex {
+
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  private def dlOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+
+  /** Build (or rebuild) the index over a corpus of (doc_id, text). */
+  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val dl = Materialize(dlOf(docs))
+    Bucketed.writeBucketed(postingsOf(docs), s"${name}_postings", "term", buckets)
+    Bucketed.writeBucketed(dl, s"${name}_dl", "doc_id", buckets)
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_stats")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${name}_stats".toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
+  }
+
+  /** Append a batch of NEW documents into the existing layout. */
+  def extend(docs: DataFrame, name: String): Unit = {
+    val spark = docs.sparkSession
+    def bucketsOf(t: String): Int = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
+      .numBuckets
+    val dl = Materialize(dlOf(docs))
+    postingsOf(docs).write.mode("append")
+      .bucketBy(bucketsOf(s"${name}_postings"), "term")
+      .sortBy("term").format("parquet").saveAsTable(s"${name}_postings")
+    dl.write.mode("append").bucketBy(bucketsOf(s"${name}_dl"), "doc_id")
+      .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_dl")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
+  }
+
+  /** BM25 top-k served FROM the index: same formula, constants, rounding,
+    * and tie rule as [[TextStats.bm25On]], but every corpus-sized input is
+    * an index scan — postings bucket-pruned to the query terms (the isin
+    * filter, not a join, so the planner prunes buckets AND pushes the
+    * predicate to parquet), df aggregated from those pruned postings, and
+    * the doc-length join streams the dl table against the broadcast
+    * score-candidate side. avgdl = Σ(stats.sum_dl)/Σ(stats.n_docs): long
+    * sums are exact, the single division is IEEE-rounded, so it equals the
+    * scratch path's avg(dl) bit-for-bit. */
+  def bm25Against(spark: SparkSession, name: String,
+      queries: Seq[(Int, String)] = TextStats.RetrievalQueries,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, s) => s.split(" ").map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val terms = queries.flatMap(_._2.split(" ")).distinct
+    val stats = spark.table(s"${name}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = Materialize(spark.table(s"${name}_postings")
+      .filter(col("term").isin(terms: _*)))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val cand = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+    spark.table(s"${name}_dl")
+      .join(broadcast(cand), "doc_id")
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), round(sum(col("contrib")), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_hit_terms"),
+        col("score"), col("rn").cast("int").as("rn"))
+  }
+
+  /** q179: build on one corpus slice, extend with the rest (content-bucket
+    * split, q160's pattern), then serve BM25 from the index. The index then
+    * covers exactly the full documents table, so the oracle is q176's
+    * from-scratch SQL verbatim — index-served retrieval must be
+    * indistinguishable from direct computation. */
+  def indexGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+    build(docs.filter(col("cb") >= 10).select(col("doc_id"), col("text")),
+      "graft_lex_idx", buckets = 8)
+    extend(docs.filter(col("cb") < 10).select(col("doc_id"), col("text")),
+      "graft_lex_idx")
+    bm25Against(spark, "graft_lex_idx")
+  }
+}
