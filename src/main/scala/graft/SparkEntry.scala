@@ -261,7 +261,8 @@ object SparkEntry {
     "q176_bm25_topk"               -> ((s: SparkSession, d: String) => TextStats.bm25TopK(s, d)),
     "q177_hybrid_rrf"              -> ((s: SparkSession, d: String) => TextStats.hybridRrf(s, d)),
     "q178_mmr_rerank"              -> ((s: SparkSession, d: String) => TextStats.mmrRerank(s, d)),
-    "q179_lex_index"               -> LexIndex.indexGate _)
+    "q179_lex_index"               -> LexIndex.indexGate _,
+    "q180_lex_compaction"          -> LexIndex.compactedGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2132,6 +2133,10 @@ object SparkEntry {
     // exactly the documents corpus, so index-served BM25 must reproduce
     // the from-scratch computation — same oracle text as q176
     "q179_lex_index" -> Bm25ScratchSql,
+
+    // the q171/q167 no-answer-change pattern: compaction of all three
+    // lexical index tables must not change a single BM25 answer
+    "q180_lex_compaction" -> Bm25ScratchSql,
 
     // RRF fuses q176's BM25 ranking (top-100) with an exact-cosine
     // query-by-example ranking (vec_id<3 as examples, self excluded);

@@ -65,43 +65,14 @@ object DedupIndex {
   /** Compaction for the bucketed index tables — the dedup twin of
     * [[AnnIndex.compact]]: every [[extend]] (and every DedupIndexStream
     * micro-batch) appends one file per touched bucket, so after N extends
-    * each index scan opens N files per bucket. This rewrites each table to
-    * exactly ONE file per bucket: the rows are snapshotted through
-    * [[Materialize]] (the read must not race its own overwrite), shuffled
-    * once on the bucket key — `repartition(n, key)` and the bucketed
-    * writer share Murmur3 hash partitioning, so each task holds exactly
-    * one bucket — and written back under the SAME bucket spec, preserving
-    * the exchange-free probe plan. Bucketed tables have no partitions to
-    * overwrite selectively, so unlike the ANN cells pass this is a full
-    * rewrite; at warehouse scale the swap runs as write-new-table +
-    * catalog rename (the overwrite here is the gate-scale form of the
-    * same operation, and DedupIndexSpec pins answers-unchanged +
-    * file-count collapse + preserved bucket spec). */
-  def compact(spark: SparkSession, name: String): Unit = {
-    for ((t, key) <- Seq((s"${name}_sigs", "doc_id"), (s"${name}_bands", "band_key"))) {
-      val n = bucketsOf(spark, t)
-      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
-      // snapshot FIRST, repartition AFTER: the table relation advertises
-      // HashPartitioning(key, n) from its bucket spec, so a repartition
-      // over the raw table scan is optimized away as redundant — while
-      // the physical scan runs UNbucketed (file splits; "disabled by
-      // query planner"), leaving partitions misaligned with bucket ids
-      // and the writer emitting one file per (task, bucket) instead of
-      // one per bucket. The checkpoint severs the bucketing claim, so
-      // the repartition survives and task i holds exactly bucket i
-      // (repartition and the bucketed writer share Murmur3 hashing).
-      val snap = Materialize(spark.table(t)).repartition(n, col(key))
-      // drop + delete the location explicitly: overwrite-in-place leaves
-      // the previous generation's files in the managed dir (the same
-      // filesystem quirk build() works around), which would both defeat
-      // the compaction and feed stale rows back into the scan
-      spark.sql(s"DROP TABLE $t")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      snap.write.bucketBy(n, key).sortBy(key).format("parquet").saveAsTable(t)
-    }
-  }
+    * each index scan opens N files per bucket. Rewrites each table to ONE
+    * file per bucket under the same spec via
+    * [[Bucketed.compactBucketed]] (the snapshot-before-repartition trap
+    * and the warehouse-scale swap story live there); DedupIndexSpec pins
+    * answers-unchanged + file-count collapse + preserved bucket spec. */
+  def compact(spark: SparkSession, name: String): Unit =
+    for ((t, key) <- Seq((s"${name}_sigs", "doc_id"), (s"${name}_bands", "band_key")))
+      Bucketed.compactBucketed(spark, t, key)
 
   /** Candidate (corpus_id, new_id) pairs: the batch's band keys probed into
     * the persisted band table. Batch side broadcast; index side pure scan. */

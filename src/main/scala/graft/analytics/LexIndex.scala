@@ -32,11 +32,11 @@ import graft.sink.Bucketed
   * answer-for-answer. */
 object LexIndex {
 
-  private def postingsOf(docs: DataFrame): DataFrame =
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
 
-  private def dlOf(docs: DataFrame): DataFrame =
+  private[graft] def dlOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
 
@@ -55,21 +55,38 @@ object LexIndex {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
   }
 
-  /** Append a batch of NEW documents into the existing layout. */
-  def extend(docs: DataFrame, name: String): Unit = {
-    val spark = docs.sparkSession
-    def bucketsOf(t: String): Int = spark.sessionState.catalog
+  private[graft] def bucketsOf(spark: SparkSession, t: String): Int =
+    spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
       .numBuckets
-    val dl = Materialize(dlOf(docs))
+
+  /** The three table appends of one extend, individually callable so a
+    * streaming loop can guard EACH with its own commit marker: unlike the
+    * dedup index (where duplicate rows are harmless — pairs are
+    * distinct'd), duplicated postings here would inflate tf and df, so
+    * at-least-once appends are NOT acceptable and exactly-once must be
+    * assembled per table (see LexIndexStream). */
+  private[graft] def appendPostings(docs: DataFrame, name: String): Unit =
     postingsOf(docs).write.mode("append")
-      .bucketBy(bucketsOf(s"${name}_postings"), "term")
+      .bucketBy(bucketsOf(docs.sparkSession, s"${name}_postings"), "term")
       .sortBy("term").format("parquet").saveAsTable(s"${name}_postings")
-    dl.write.mode("append").bucketBy(bucketsOf(s"${name}_dl"), "doc_id")
+
+  private[graft] def appendDl(docs: DataFrame, name: String): Unit =
+    dlOf(docs).write.mode("append")
+      .bucketBy(bucketsOf(docs.sparkSession, s"${name}_dl"), "doc_id")
       .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_dl")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  private[graft] def appendStatsDelta(docs: DataFrame, name: String): Unit =
+    dlOf(docs).agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
+
+  /** Append a batch of NEW documents into the existing layout. */
+  def extend(docs: DataFrame, name: String): Unit = {
+    val d = Materialize(docs.select(col("doc_id"), col("text")))
+    appendPostings(d, name)
+    appendDl(d, name)
+    appendStatsDelta(d, name)
   }
 
   /** BM25 top-k served FROM the index: same formula, constants, rounding,
@@ -115,18 +132,48 @@ object LexIndex {
         col("score"), col("rn").cast("int").as("rn"))
   }
 
+  /** Small-file compaction — the lexical member of the family
+    * ([[DedupIndex.compact]], [[AnnIndex.compact]]): both bucketed tables
+    * rewrite to one file per bucket via [[Bucketed.compactBucketed]], and
+    * the stats delta log folds to a single running-total row (snapshotted
+    * through [[Materialize]] before its own overwrite). Answer-preserving
+    * and idempotent — no marker needed in a streaming loop. */
+  def compact(spark: SparkSession, name: String): Unit = {
+    Bucketed.compactBucketed(spark, s"${name}_postings", "term")
+    Bucketed.compactBucketed(spark, s"${name}_dl", "doc_id")
+    val t = s"${name}_stats"
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    val folded = Materialize(spark.table(t)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+    spark.sql(s"DROP TABLE $t")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    folded.write.format("parquet").saveAsTable(t)
+  }
+
   /** q179: build on one corpus slice, extend with the rest (content-bucket
     * split, q160's pattern), then serve BM25 from the index. The index then
     * covers exactly the full documents table, so the oracle is q176's
     * from-scratch SQL verbatim — index-served retrieval must be
     * indistinguishable from direct computation. */
-  def indexGate(spark: SparkSession, dir: String): DataFrame = {
+  def indexGate(spark: SparkSession, dir: String): DataFrame =
+    indexGateImpl(spark, dir, "graft_lex_idx", compactFirst = false)
+
+  /** q180: q179 re-run through a COMPACTED index (the q171/q167
+    * no-answer-change pattern) — build, extend, compact all three tables,
+    * then serve. Same oracle as q179/q176. */
+  def compactedGate(spark: SparkSession, dir: String): DataFrame =
+    indexGateImpl(spark, dir, "graft_lex_cidx", compactFirst = true)
+
+  private def indexGateImpl(spark: SparkSession, dir: String, name: String,
+      compactFirst: Boolean): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"), col("text"),
       Sampling.contentBucket(col("text")).as("cb"))
     build(docs.filter(col("cb") >= 10).select(col("doc_id"), col("text")),
-      "graft_lex_idx", buckets = 8)
-    extend(docs.filter(col("cb") < 10).select(col("doc_id"), col("text")),
-      "graft_lex_idx")
-    bm25Against(spark, "graft_lex_idx")
+      name, buckets = 8)
+    extend(docs.filter(col("cb") < 10).select(col("doc_id"), col("text")), name)
+    if (compactFirst) compact(spark, name)
+    bm25Against(spark, name)
   }
 }

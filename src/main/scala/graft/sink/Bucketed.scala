@@ -41,4 +41,39 @@ object Bucketed {
   def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Rewrite a bucketed table to exactly ONE file per bucket, preserving
+    * the bucket spec — the small-file compaction every append-mode index
+    * table eventually needs (each `extend`/micro-batch append leaves one
+    * file per touched bucket). Shared by [[graft.analytics.DedupIndex]]
+    * and [[graft.analytics.LexIndex]].
+    *
+    * Snapshot FIRST, repartition AFTER: the table relation advertises
+    * `HashPartitioning(key, n)` from its bucket spec, so a repartition over
+    * the raw table scan is optimized away as redundant — while the physical
+    * scan runs UNbucketed (file splits; "disabled by query planner"),
+    * leaving partitions misaligned with bucket ids and the writer emitting
+    * one file per (task, bucket) instead of one per bucket. The checkpoint
+    * severs the bucketing claim, so the repartition survives and task i
+    * holds exactly bucket i (repartition and the bucketed writer share
+    * Murmur3 hashing). Bucketed tables have no partitions to overwrite
+    * selectively, so this is a full rewrite; at warehouse scale the swap
+    * runs as write-new-table + catalog rename. */
+  def compactBucketed(spark: SparkSession, table: String, key: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val n = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.getOrElse(sys.error(s"$table is not a bucketed table"))
+      .numBuckets
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val snap = graft.functions.Materialize(spark.table(table)).repartition(n, col(key))
+    // drop + delete the location explicitly: overwrite-in-place leaves the
+    // previous generation's files in the managed dir, which would both
+    // defeat the compaction and feed stale rows back into the scan
+    spark.sql(s"DROP TABLE $table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    snap.write.bucketBy(n, key).sortBy(key).format("parquet").saveAsTable(table)
+  }
 }
