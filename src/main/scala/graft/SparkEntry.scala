@@ -262,7 +262,8 @@ object SparkEntry {
     "q177_hybrid_rrf"              -> ((s: SparkSession, d: String) => TextStats.hybridRrf(s, d)),
     "q178_mmr_rerank"              -> ((s: SparkSession, d: String) => TextStats.mmrRerank(s, d)),
     "q179_lex_index"               -> LexIndex.indexGate _,
-    "q180_lex_compaction"          -> LexIndex.compactedGate _)
+    "q180_lex_compaction"          -> LexIndex.compactedGate _,
+    "q181_temperature_mixture"     -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2137,6 +2138,27 @@ object SparkEntry {
     // the q171/q167 no-answer-change pattern: compaction of all three
     // lexical index tables must not change a single BM25 answer
     "q180_lex_compaction" -> Bm25ScratchSql,
+
+    // α=0.5 temperature mixture: ⌊√n⌋ weights make the α-power integer-
+    // exact; rates are pure integer basis points; keep hashes content
+    "q181_temperature_mixture" ->
+      """WITH dd AS (
+        |  SELECT doc_id, source, text, substring(source, 1, 4) AS domain
+        |  FROM documents),
+        |n AS (SELECT domain, count(*) AS n_domain FROM dd GROUP BY domain),
+        |w AS (SELECT domain, n_domain,
+        |  floor(sqrt(n_domain::DOUBLE))::BIGINT AS w FROM n),
+        |s AS (SELECT sum(w)::BIGINT AS sw, sum(n_domain)::BIGINT AS total FROM w),
+        |r AS (
+        |  SELECT domain, n_domain, w,
+        |    least(10000, ((total // 2) * w * 10000) // (sw * n_domain))::BIGINT AS r_bp
+        |  FROM w CROSS JOIN s)
+        |SELECT d.doc_id, d.source, d.domain, r.n_domain, r.w, r.r_bp,
+        |  ((((ascii(substring(md5(d.text), 1, 1)) * 256 +
+        |      ascii(substring(md5(d.text), 2, 1))) * 256 +
+        |      ascii(substring(md5(d.text), 3, 1))) * 256 +
+        |      ascii(substring(md5(d.text), 4, 1))) % 10000) < r.r_bp AS keep
+        |FROM dd d JOIN r USING (domain)""".stripMargin,
 
     // RRF fuses q176's BM25 ranking (top-100) with an exact-cosine
     // query-by-example ranking (vec_id<3 as examples, self excluded);

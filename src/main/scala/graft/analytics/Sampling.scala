@@ -233,6 +233,44 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("target_pct"))
   }
 
+  /** q181: temperature (α=0.5) mixture sampling — the standard multilingual
+    * /multi-source rebalance (mC4, XLM-R, ROOTS): sources are sampled with
+    * share ∝ p_s^α instead of their natural share p_s, up-weighting
+    * low-resource sources. With α=1/2 the α-power is an integer-exact
+    * computation: per-source weight w_s = ⌊√n_s⌋ (sqrt is IEEE
+    * exactly-rounded in both engines, and ⌊·⌋ of it is stable — exact for
+    * perfect squares, irrational otherwise, never on a rounding cliff), the
+    * weight total S = Σw_s is a LONG sum (no FP aggregation order), and the
+    * per-source keep rate for a half-corpus budget B = N div 2 is pure
+    * integer arithmetic: r_bp = min(10⁴, B·w_s·10⁴ div (S·n_s)) basis
+    * points. The keep decision hashes CONTENT (4 md5 hex chars mod 10⁴ —
+    * contentBucket's discipline at basis-point granularity), so it is
+    * layout-independent and stable under appends: re-running after ingest
+    * never flips an existing document's fate, only recomputes rates.
+    * Overflow bound: B·w·10⁴ < 2⁶³ holds to N ≈ 4·10¹¹ docs.
+    * Plan: per-source counts are an O(sources) aggregate, the rate table
+    * broadcasts, and the decision is a narrow map over the corpus scan. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    // strata: the 4-char source prefix folds src1,src10..src19 into one
+    // 11×-sized domain — a deterministic skewed taxonomy (the testdata's
+    // raw sources are uniform, which would degenerate every α to the same
+    // rate); in production this column is the user's source/language tag
+    val d = documents(spark, dir)
+      .withColumn("domain", substring(col("source"), 1, 4))
+    val n = d.groupBy(col("domain")).agg(count(lit(1)).as("n_domain"))
+    val w = n.withColumn("w", floor(sqrt(col("n_domain").cast("double"))).cast("long"))
+    val s = w.agg(sum(col("w")).as("sw"), sum(col("n_domain")).as("total"))
+    val r = w.crossJoin(broadcast(s))
+      .withColumn("r_bp",
+        least(lit(10000L), expr("((total div 2) * w * 10000) div (sw * n_domain)")))
+      .select(col("domain"), col("n_domain"), col("w"), col("r_bp"))
+    def hx(i: Int) = ascii(substring(md5(col("text").cast("binary")), i, 1))
+    val b = pmod(((hx(1) * 256 + hx(2)) * 256 + hx(3)) * 256 + hx(4), lit(10000))
+    d.join(broadcast(r), "domain")
+      .select(col("doc_id"), col("source"), col("domain"), col("n_domain"),
+        col("w"), col("r_bp"), (b < col("r_bp")).as("keep"))
+  }
+
   /** q69: eval-set decontamination audit — the OTHER standard contamination
     * check next to q53's near-dup audit: exact word n-gram collision between
     * the held-out (test) split and the training split, the method used to

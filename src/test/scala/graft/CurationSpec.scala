@@ -177,6 +177,33 @@ class CurationSpec extends SparkSpec {
       s"decision view and pipeline output diverge: ${kept.size} vs ${clean.size}")
   }
 
+  test("q181: α=0.5 rates up-weight small domains, realized keeps track the rate") {
+    val out = Sampling.temperatureMixture(spark, sf("sf0.01")).collect()
+    val byDomain = out.groupBy(_.getAs[String]("domain"))
+    val rates = byDomain.view.mapValues(_.head.getAs[Long]("r_bp")).toMap
+    val big = byDomain.maxBy(_._2.length)._1
+    assert(byDomain(big).length > 2 * byDomain.filterKeys(_ != big).values.map(_.length).max)
+    // every small domain's keep rate strictly exceeds the big domain's
+    rates.filterKeys(_ != big).values.foreach(r => assert(r > rates(big)))
+    // α=0.5 in integer form: r ∝ ⌊√n⌋/n, checked exactly per domain
+    val sw = byDomain.values.map(rows => math.sqrt(rows.length).toLong).sum
+    val total = out.length.toLong
+    byDomain.foreach { case (dom, rows) =>
+      val n = rows.length.toLong
+      val want = math.min(10000L, (total / 2) * math.sqrt(n.toDouble).toLong * 10000 / (sw * n))
+      assert(rates(dom) == want, s"$dom: rate ${rates(dom)} != $want")
+    }
+    // realized keeps track the rates where the law of large numbers has
+    // teeth: the big domain (n=275, σ≈2.6pp), not the 25-doc strata
+    val bigFrac = byDomain(big).count(_.getAs[Boolean]("keep")).toDouble /
+      byDomain(big).length
+    assert(math.abs(bigFrac - rates(big) / 10000.0) < 0.10,
+      s"$big realized $bigFrac vs target ${rates(big)}bp")
+    byDomain.foreach { case (dom, rows) =>
+      assert(rows.exists(_.getAs[Boolean]("keep")), s"$dom kept nothing")
+    }
+  }
+
   test("q174: semantic contamination surfaces exactly the planted cross-split leaks") {
     val out = Sampling.semanticContamination(spark, sf("sf0.01")).collect()
     assert(out.length == 50, s"expected one leak per eval vector, got ${out.length}")
