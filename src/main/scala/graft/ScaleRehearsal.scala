@@ -217,6 +217,24 @@ object ScaleRehearsal {
       // track the q37_cc series, not the pair space
       val (tWts, _) = time(Dedup.dedupWeights(spark, dir).count())
 
+      // round-8 retrieval family. q176 BM25's corpus-sized work is the
+      // token scan + O(docs) length aggregate, so sec tracks the corpus;
+      // its per-term work tracks MATCHED postings (reported below), which
+      // grow only through the 2% near-dup slices — copy tokens are
+      // prefixed out of the query vocabulary. q178 MMR is bounded past
+      // the top-n candidate cut (O(queries·n²) constant), so its wall
+      // must stay ~flat apart from the candidate-scan leg. q181 is one
+      // O(domains) aggregate + a narrow corpus map.
+      val (tBm25, _) = time(TextStats.bm25TopK(spark, dir).count())
+      val qvocab = TextStats.RetrievalQueries.flatMap(_._2.split(" ")).distinct
+      val (_, nMatchedPost) = time(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(explode(TextStats.tokens(col("text"))).as("term"))
+          .filter(col("term").isin(qvocab: _*)).count())
+      val (tRrf, _) = time(TextStats.hybridRrf(spark, dir).count())
+      val (tMmr, _) = time(TextStats.mmrRerank(spark, dir).count())
+      val (tTemp, _) = time(Sampling.temperatureMixture(spark, dir).count())
+
       // q95 skew-cap evidence: the largest single join group under the
   // prefix-only blocking key (round ≤4) vs the composite
       // (prefix, ⌊len/30⌋) key in use since round 5 — the composite cap is
@@ -248,7 +266,10 @@ object ScaleRehearsal {
         s""""q122_ensemble":$tEns,"q130_triangles":$tTri,""" +
         s""""q152_kmv":$tKmv,"q154_semantic":$tSem,"q155_domain_cap":$tCap,""" +
         s""""q157_compressibility":$tComp,"q159_curriculum":$tCur,""" +
-        s""""q165_bpe_tokenize":$tBpe,"q169_surprisal":$tSurp,"q170_dedup_weights":$tWts},""" +
+        s""""q165_bpe_tokenize":$tBpe,"q169_surprisal":$tSurp,"q170_dedup_weights":$tWts,""" +
+        s""""q176_bm25":$tBm25,"q177_rrf":$tRrf,"q178_mmr":$tMmr,""" +
+        s""""q181_temp_mixture":$tTemp},""" +
+        s""""bm25_matched_postings":$nMatchedPost,""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
         s""""fuzzy_max_block":{"prefix":$maxPrefixBlock,"composite":$maxCompositeBlock},""" +
