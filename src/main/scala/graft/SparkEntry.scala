@@ -263,7 +263,8 @@ object SparkEntry {
     "q178_mmr_rerank"              -> ((s: SparkSession, d: String) => TextStats.mmrRerank(s, d)),
     "q179_lex_index"               -> LexIndex.indexGate _,
     "q180_lex_compaction"          -> LexIndex.compactedGate _,
-    "q181_temperature_mixture"     -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)))
+    "q181_temperature_mixture"     -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)),
+    "q182_vocab_drift"             -> ((s: SparkSession, d: String) => TextStats.vocabDrift(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2219,6 +2220,55 @@ object SparkEntry {
         |QUALIFY rn <= 10""".stripMargin,
 
     "q178_mmr_rerank" -> mmrOracle(5),
+
+    // vocabulary drift: integer basis-point OOV mass + top-20 rate shift,
+    // two legs so both decision branches (keep / rebuild) are stated
+    "q182_vocab_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 +
+        |     ascii(substring(md5(text), 2, 1))) % 100 AS cb
+        |  FROM documents),
+        |ref AS (SELECT text FROM d WHERE cb >= 10),
+        |org AS (SELECT text FROM d WHERE cb < 10),
+        |shf AS (SELECT regexp_replace(text, '(\S+)', 'zz\1', 'g') AS text FROM org),
+        |tac AS (
+        |  SELECT term, count(*) AS na FROM (
+        |    SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM ref)
+        |  GROUP BY term),
+        |tota AS (SELECT sum(na)::BIGINT AS tota FROM tac),
+        |top AS (SELECT term, na FROM tac ORDER BY na DESC, term LIMIT 20),
+        |tbo AS (
+        |  SELECT term, count(*) AS nb FROM (
+        |    SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM org)
+        |  GROUP BY term),
+        |totbo AS (SELECT coalesce(sum(nb), 0)::BIGINT AS totb FROM tbo),
+        |oovo AS (SELECT coalesce(sum(nb), 0)::BIGINT AS oov FROM tbo
+        |  WHERE term NOT IN (SELECT term FROM tac)),
+        |shio AS (
+        |  SELECT sum(abs((na * 10000) // tota - (coalesce(nb, 0) * 10000) // totb))::BIGINT AS l1_bp,
+        |    max(abs((na * 10000) // tota - (coalesce(nb, 0) * 10000) // totb))::BIGINT AS max_delta_bp
+        |  FROM top LEFT JOIN tbo USING (term) CROSS JOIN tota CROSS JOIN totbo),
+        |tbs AS (
+        |  SELECT term, count(*) AS nb FROM (
+        |    SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM shf)
+        |  GROUP BY term),
+        |totbs AS (SELECT coalesce(sum(nb), 0)::BIGINT AS totb FROM tbs),
+        |oovs AS (SELECT coalesce(sum(nb), 0)::BIGINT AS oov FROM tbs
+        |  WHERE term NOT IN (SELECT term FROM tac)),
+        |shis AS (
+        |  SELECT sum(abs((na * 10000) // tota - (coalesce(nb, 0) * 10000) // totb))::BIGINT AS l1_bp,
+        |    max(abs((na * 10000) // tota - (coalesce(nb, 0) * 10000) // totb))::BIGINT AS max_delta_bp
+        |  FROM top LEFT JOIN tbs USING (term) CROSS JOIN tota CROSS JOIN totbs)
+        |SELECT 'organic' AS leg, tota AS n_ref_tokens, totb AS n_batch_tokens,
+        |  ((oov * 10000) // totb)::BIGINT AS oov_bp, l1_bp, max_delta_bp,
+        |  ((oov * 10000) // totb > 2000 OR l1_bp > 2000) AS rebuild
+        |FROM tota CROSS JOIN totbo CROSS JOIN oovo CROSS JOIN shio
+        |UNION ALL
+        |SELECT 'shifted' AS leg, tota, totb,
+        |  ((oov * 10000) // totb)::BIGINT, l1_bp, max_delta_bp,
+        |  ((oov * 10000) // totb > 2000 OR l1_bp > 2000)
+        |FROM tota CROSS JOIN totbs CROSS JOIN oovs CROSS JOIN shis""".stripMargin,
 
     "q77_pii_scrub" ->
       """WITH s AS (

@@ -852,4 +852,59 @@ object TextStats {
     sel.select(col("query_id"), col("doc_id"), col("pick"),
       round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
   }
+
+  /** q182: vocabulary-drift monitor — the LEXICAL member of the
+    * index-lifecycle family (q143 embedding drift → q166 IVF quantizer
+    * refresh): decides when the BPE vocabulary (q164) and the inverted
+    * index's term statistics ([[LexIndex]]) need re-induction because
+    * ingest has drifted away from the corpus they were trained on. Two
+    * integer-exact signals per batch, measured against a reference slice:
+    * OOV mass (basis points of batch tokens absent from the reference
+    * vocabulary — new tokens the BPE merges fragment and the index has no
+    * postings for) and the L1/max shift of the reference's top-20 term
+    * rates (distribution drift among KNOWN terms — what OOV alone misses).
+    * The gate runs two legs: the organic held-out slice (expected: keep)
+    * and a planted fully-shifted twin (every token prefixed — expected:
+    * 100% OOV, rebuild), so both decision branches are oracle-stated.
+    *
+    * Scale: reference stats are O(vocabulary) aggregates a standing
+    * pipeline keeps as a table (here recomputed — gate form); per batch
+    * the cost is one token scan of the BATCH plus vocabulary-sized joins;
+    * denominators are one-row broadcasts. All arithmetic is LONG
+    * (basis-point integer division), so the decision is bit-stable. */
+  def vocabDrift(spark: SparkSession, dir: String,
+      oovThresholdBp: Long = 2000L, l1ThresholdBp: Long = 2000L): DataFrame = {
+    import graft.functions.Materialize
+    val d = documents(spark, dir)
+      .withColumn("cb", Sampling.contentBucket(col("text")))
+    val ref = d.filter(col("cb") >= 10)
+    val organic = d.filter(col("cb") < 10).select(col("doc_id"), col("text"))
+    val shifted = organic.select(col("doc_id"),
+      regexp_replace(col("text"), "(\\S+)", "zz$1").as("text"))
+    val ta = Materialize(ref.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("na")))
+    val totA = ta.agg(sum(col("na")).as("tota"))
+    val top = ta.orderBy(col("na").desc, col("term").asc).limit(20)
+    def leg(name: String, batch: DataFrame): DataFrame = {
+      val tb = Materialize(batch.select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("nb")))
+      val totB = tb.agg(coalesce(sum(col("nb")), lit(0L)).as("totb"))
+      val oov = tb.join(ta, Seq("term"), "left_anti")
+        .agg(coalesce(sum(col("nb")), lit(0L)).as("oov"))
+      val shift = top.join(tb, Seq("term"), "left")
+        .crossJoin(broadcast(totA)).crossJoin(broadcast(totB))
+        .select(abs(expr("(na * 10000) div tota")
+          - expr("(coalesce(nb, 0L) * 10000) div totb")).as("delta"))
+        .agg(sum(col("delta")).as("l1_bp"), max(col("delta")).as("max_delta_bp"))
+      totA.crossJoin(broadcast(totB)).crossJoin(broadcast(oov))
+        .crossJoin(broadcast(shift))
+        .select(lit(name).as("leg"), col("tota").as("n_ref_tokens"),
+          col("totb").as("n_batch_tokens"),
+          expr("(oov * 10000) div totb").as("oov_bp"),
+          col("l1_bp"), col("max_delta_bp"))
+        .withColumn("rebuild",
+          col("oov_bp") > oovThresholdBp || col("l1_bp") > l1ThresholdBp)
+    }
+    leg("organic", organic).unionByName(leg("shifted", shifted))
+  }
 }

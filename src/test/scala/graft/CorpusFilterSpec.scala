@@ -36,6 +36,21 @@ class CorpusFilterSpec extends SparkSpec {
     assert(passed > 0 && passed < g.count())
   }
 
+  test("q182 vocab drift: organic slice keeps, fully-shifted twin rebuilds, thresholds honored") {
+    val out = TextStats.vocabDrift(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val org = out("organic")
+    assert(org.getAs[Long]("oov_bp") == 0, "held-out slice of the same corpus has no OOV mass")
+    assert(!org.getAs[Boolean]("rebuild"))
+    val shf = out("shifted")
+    assert(shf.getAs[Long]("oov_bp") == 10000, "every prefixed token is OOV")
+    assert(shf.getAs[Boolean]("rebuild"))
+    // the decision is the thresholds', not hardcoded: raise them past any
+    // possible signal (oov ≤ 10000, l1 ≤ 20 terms × 10000) and keep wins
+    val lax = TextStats.vocabDrift(spark, sf("sf0.001"), 10001L, 200001L).collect()
+    assert(lax.forall(!_.getAs[Boolean]("rebuild")))
+  }
+
   test("q67 mixture sample: even sources kept fully, odd sources ~25%") {
     val d = sf("sf0.001")
     val kept = Sampling.mixtureSample(spark, d)
