@@ -264,7 +264,8 @@ object SparkEntry {
     "q179_lex_index"               -> LexIndex.indexGate _,
     "q180_lex_compaction"          -> LexIndex.compactedGate _,
     "q181_temperature_mixture"     -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)),
-    "q182_vocab_drift"             -> ((s: SparkSession, d: String) => TextStats.vocabDrift(s, d)))
+    "q182_vocab_drift"             -> ((s: SparkSession, d: String) => TextStats.vocabDrift(s, d)),
+    "q183_repeated_spans"          -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2220,6 +2221,40 @@ object SparkEntry {
         |QUALIFY rn <= 10""".stripMargin,
 
     "q178_mmr_rerank" -> mmrOracle(5),
+
+    // repeated spans: dup 10-gram start positions merged to maximal spans
+    // by gaps-and-islands with gap tolerance n; all-integer outputs
+    "q183_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['g'] AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 8),
+        |      i -> {'pos': i, 'g': array_to_string(ts[i:i+9], ' ')})) AS u
+        |    FROM toks)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+        |         THEN 1 ELSE 0 END AS newisl
+        |  FROM grams JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM hits),
+        |spans AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos) + 9 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |    sum(e - s + 1)::BIGINT AS span_tokens
+        |  FROM spans GROUP BY doc_id),
+        |nt AS (SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT a.doc_id, a.n_spans, a.span_tokens, nt.n_tokens,
+        |  ((a.span_tokens * 10000) // nt.n_tokens)::BIGINT AS span_frac_bp
+        |FROM agg a JOIN nt USING (doc_id)""".stripMargin,
 
     // vocabulary drift: integer basis-point OOV mass + top-20 rate shift,
     // two legs so both decision branches (keep / rebuild) are stated

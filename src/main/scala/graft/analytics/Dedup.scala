@@ -634,4 +634,55 @@ object Dedup {
       .filter(round(Sketches.cosineSim(col("va"), col("vb")), 4) >= threshold)
       .select(col("a"), col("b"))
   }
+
+  /** q183: exact repeated-span detection — the substring-dedup signal of
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better": a memorization vector is any exact token run repeated in the
+    * corpus (within OR across documents), which document-level near-dup
+    * (q25/q26) and chunk-level CDC dedup (q79) both under-report when the
+    * repeat is embedded in otherwise-unique text. Method: every n-token
+    * gram occurrence (non-distinct, positional), grams occurring ≥ 2×
+    * corpus-wide mark their start positions, and per document the marked
+    * positions merge into MAXIMAL spans via gaps-and-islands with gap
+    * tolerance n (two dup grams ≤ n apart cover overlapping/contiguous
+    * token runs — one span). Output per affected document: span count,
+    * repeated-token mass, and its basis-point fraction — the columns a
+    * span-removal or doc-drop policy cuts on.
+    *
+    * Plan: one positional gram explode (codegen'd kernel), one
+    * O(gram-vocabulary) duplicate aggregate joined back (the q68 df
+    * shape), and per-doc windows keyed on doc_id (corpus-parallel). All
+    * arithmetic integer. At 100 TB the gram join key would be a 64-bit
+    * gram hash with a verify pass (strings here so the DuckDB oracle can
+    * restate the join exactly). */
+  def repeatedSpans(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    repeatedSpansOn(documents(spark, dir), n)
+
+  /** Core over an explicit (doc_id, text) frame — unit-testable with
+    * planted embedded repeats. */
+  def repeatedSpansOn(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(Sketches.wordNgramsAll(col("text"), n)).as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("g"))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(dup, "g")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("newisl",
+        when(col("pos") - lag(col("pos"), 1).over(wo) > n, 1).otherwise(0))
+      .withColumn("island", sum(col("newisl"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
+    val nt = docs.select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("span_tokens"))
+      .join(nt, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("span_tokens"), col("n_tokens"),
+        expr("(span_tokens * 10000) div n_tokens").as("span_frac_bp"))
+  }
 }

@@ -305,4 +305,28 @@ class DedupSpec extends SparkSpec {
       Dedup.clearPairGraphCache()
     }
   }
+
+  test("q183 repeated spans: embedded repeat found with exact mass, unique docs silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 12 shared tokens (s1..s12) embedded at different offsets inside
+    // otherwise-unique 30-token docs; doc 3 carries the SAME run twice with
+    // a wide unique gap; doc 4 is entirely unique
+    def uniq(tag: String, k: Int): String = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 9)} $run ${uniq("b", 9)}"),
+      (2L, s"${uniq("c", 4)} $run ${uniq("d", 14)}"),
+      (3L, s"$run ${uniq("e", 25)} $run"),
+      (4L, uniq("f", 30))).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpansOn(docs, 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(!out.contains(4L), "a fully-unique doc must not appear")
+    // a 12-token repeat yields 3 dup 10-gram starts -> one merged span of 12
+    assert(out(1L) == ((1L, 12L, (12L * 10000) / 30L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((1L, 12L, (12L * 10000) / 30L)), s"doc2: ${out(2L)}")
+    // doc 3: the run at both ends, 25 unique tokens between -> TWO spans
+    val (n3, mass3, _) = out(3L)
+    assert(n3 == 2 && mass3 == 24, s"doc3 expected two 12-token spans: ${out(3L)}")
+  }
 }
