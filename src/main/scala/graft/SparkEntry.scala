@@ -265,7 +265,8 @@ object SparkEntry {
     "q180_lex_compaction"          -> LexIndex.compactedGate _,
     "q181_temperature_mixture"     -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)),
     "q182_vocab_drift"             -> ((s: SparkSession, d: String) => TextStats.vocabDrift(s, d)),
-    "q183_repeated_spans"          -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)))
+    "q183_repeated_spans"          -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
+    "q184_pipeline_funnel"         -> ((s: SparkSession, d: String) => Sampling.pipelineFunnel(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2304,6 +2305,54 @@ object SparkEntry {
         |  ((oov * 10000) // totb)::BIGINT, l1_bp, max_delta_bp,
         |  ((oov * 10000) // totb > 2000 OR l1_bp > 2000)
         |FROM tota CROSS JOIN totbs CROSS JOIN oovs CROSS JOIN shis""".stripMargin,
+
+    // the funnel: cumulative-conjunction counts through every curation
+    // gate (q175's chain) with q181's mixture as the final stage
+    "q184_pipeline_funnel" ->
+      (CleanCorpusCtes +
+      """,
+        |tokc AS (SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |dd2 AS (SELECT doc_id, text, substring(source, 1, 4) AS domain FROM documents),
+        |nn AS (SELECT domain, count(*) AS n_domain FROM dd2 GROUP BY domain),
+        |ww AS (SELECT domain, n_domain, floor(sqrt(n_domain::DOUBLE))::BIGINT AS w FROM nn),
+        |ss AS (SELECT sum(w)::BIGINT AS sw, sum(n_domain)::BIGINT AS total FROM ww),
+        |rr AS (SELECT domain,
+        |    least(10000, ((total // 2) * w * 10000) // (sw * n_domain))::BIGINT AS r_bp
+        |  FROM ww CROSS JOIN ss),
+        |tmp AS (
+        |  SELECT d.doc_id,
+        |    ((((ascii(substring(md5(d.text), 1, 1)) * 256 +
+        |        ascii(substring(md5(d.text), 2, 1))) * 256 +
+        |        ascii(substring(md5(d.text), 3, 1))) * 256 +
+        |        ascii(substring(md5(d.text), 4, 1))) % 10000) < r.r_bp AS temp_keep
+        |  FROM dd2 d JOIN rr r USING (domain)),
+        |fl AS (
+        |  SELECT s.doc_id, t.n_tokens,
+        |    (s.b < 90) AS s1,
+        |    ((s.b < 90) AND gf.pass) AS s2,
+        |    ((s.b < 90) AND gf.pass AND kb.keep) AS s3,
+        |    ((s.b < 90) AND gf.pass AND kb.keep
+        |      AND s.doc_id NOT IN (SELECT doc_id FROM flagged)) AS s4,
+        |    ((s.b < 90) AND gf.pass AND kb.keep
+        |      AND s.doc_id NOT IN (SELECT doc_id FROM flagged) AND tm.temp_keep) AS s5
+        |  FROM sdoc s
+        |  JOIN gf ON gf.doc_id = s.doc_id
+        |  JOIN kb ON kb.doc_id = s.doc_id
+        |  JOIN tokc t ON t.doc_id = s.doc_id
+        |  JOIN tmp tm ON tm.doc_id = s.doc_id)
+        |SELECT count(*)::BIGINT AS docs_raw, sum(n_tokens)::BIGINT AS tokens_raw,
+        |  sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS docs_train,
+        |  sum(CASE WHEN s1 THEN n_tokens ELSE 0 END)::BIGINT AS tokens_train,
+        |  sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS docs_quality,
+        |  sum(CASE WHEN s2 THEN n_tokens ELSE 0 END)::BIGINT AS tokens_quality,
+        |  sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS docs_dedup,
+        |  sum(CASE WHEN s3 THEN n_tokens ELSE 0 END)::BIGINT AS tokens_dedup,
+        |  sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS docs_decontam,
+        |  sum(CASE WHEN s4 THEN n_tokens ELSE 0 END)::BIGINT AS tokens_decontam,
+        |  sum(CASE WHEN s5 THEN 1 ELSE 0 END)::BIGINT AS docs_final,
+        |  sum(CASE WHEN s5 THEN n_tokens ELSE 0 END)::BIGINT AS tokens_final
+        |FROM fl""".stripMargin),
 
     "q77_pii_scrub" ->
       """WITH s AS (

@@ -446,6 +446,41 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** q184: the pipeline FUNNEL — the one-row audit a production
+    * training-data build ships with its output: document and token counts
+    * surviving each successive gate (raw → train split → Gopher quality →
+    * dedup keep-best → decontamination → temperature mixture), i.e. the
+    * cumulative-conjunction form of q175's per-document decision table
+    * plus the q181 mixture as the final stage. This is the number
+    * everybody asks first ("how many tokens made it, and which stage ate
+    * them?") and the regression canary between pipeline versions.
+    * Composes only gated operators; one corpus-wide aggregate at the end.
+    * Mixture rates are the q181 full-corpus rates applied to survivors —
+    * composition of the gated ops verbatim, so the oracle restates each
+    * stage exactly. */
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val dec = curationDecision(spark, dir)
+    val temp = temperatureMixture(spark, dir)
+      .select(col("doc_id"), col("keep").as("temp_keep"))
+    val toks = documents(spark, dir).select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val j = dec.join(temp, "doc_id").join(toks, "doc_id")
+      .withColumn("s1", col("in_train"))
+      .withColumn("s2", col("s1") && col("gopher_ok"))
+      .withColumn("s3", col("s2") && col("dedup_keep"))
+      .withColumn("s4", col("s3") && col("decontaminated"))
+      .withColumn("s5", col("s4") && col("temp_keep"))
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    def tok(c: String) = sum(when(col(c), col("n_tokens")).otherwise(0L))
+    j.agg(
+      count(lit(1)).as("docs_raw"), sum(col("n_tokens")).as("tokens_raw"),
+      cnt("s1").as("docs_train"), tok("s1").as("tokens_train"),
+      cnt("s2").as("docs_quality"), tok("s2").as("tokens_quality"),
+      cnt("s3").as("docs_dedup"), tok("s3").as("tokens_dedup"),
+      cnt("s4").as("docs_decontam"), tok("s4").as("tokens_decontam"),
+      cnt("s5").as("docs_final"), tok("s5").as("tokens_final"))
+  }
+
   /** q175: the curation DECISION TABLE — q73's clean-corpus pipeline
     * re-emitted as an audit view: instead of silently producing the
     * surviving subset, every document gets one row with every gate's

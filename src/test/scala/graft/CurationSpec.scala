@@ -204,6 +204,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q184 funnel: stages monotone, stage 4 ≡ q73's clean corpus, final ≡ mixture keeps") {
+    val d = sf("sf0.01")
+    val r = Sampling.pipelineFunnel(spark, d).collect()(0)
+    val docs = Seq("docs_raw", "docs_train", "docs_quality", "docs_dedup",
+      "docs_decontam", "docs_final").map(r.getAs[Long])
+    val toks = Seq("tokens_raw", "tokens_train", "tokens_quality", "tokens_dedup",
+      "tokens_decontam", "tokens_final").map(r.getAs[Long])
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b }, s"docs not monotone: $docs")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b }, s"tokens not monotone: $toks")
+    assert(docs.head == Tables.documents(spark, d).count())
+    assert(r.getAs[Long]("docs_decontam") == Sampling.cleanCorpus(spark, d).count(),
+      "stage 4 of the funnel IS the q73 clean corpus")
+    val clean = Sampling.cleanCorpus(spark, d).select(col("doc_id"))
+    val mixKeeps = Sampling.temperatureMixture(spark, d)
+      .filter(col("keep")).select(col("doc_id"))
+    assert(r.getAs[Long]("docs_final") == clean.join(mixKeeps, "doc_id").count(),
+      "final stage IS clean ∩ mixture-keeps")
+  }
+
   test("q174: semantic contamination surfaces exactly the planted cross-split leaks") {
     val out = Sampling.semanticContamination(spark, sf("sf0.01")).collect()
     assert(out.length == 50, s"expected one leak per eval vector, got ${out.length}")
