@@ -266,7 +266,8 @@ object SparkEntry {
     "q181_temperature_mixture"     -> ((s: SparkSession, d: String) => Sampling.temperatureMixture(s, d)),
     "q182_vocab_drift"             -> ((s: SparkSession, d: String) => TextStats.vocabDrift(s, d)),
     "q183_repeated_spans"          -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
-    "q184_pipeline_funnel"         -> ((s: SparkSession, d: String) => Sampling.pipelineFunnel(s, d)))
+    "q184_pipeline_funnel"         -> ((s: SparkSession, d: String) => Sampling.pipelineFunnel(s, d)),
+    "q185_span_scrub"              -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2305,6 +2306,44 @@ object SparkEntry {
         |  ((oov * 10000) // totb)::BIGINT, l1_bp, max_delta_bp,
         |  ((oov * 10000) // totb > 2000 OR l1_bp > 2000)
         |FROM tota CROSS JOIN totbs CROSS JOIN oovs CROSS JOIN shis""".stripMargin,
+
+    // span scrub: every duplicated 10-gram keeps only its minimal-doc_id
+    // owner's occurrence; other docs lose the gram's n-token cover and
+    // reassemble (string_agg ORDER BY position = array_sort collect_list)
+    "q185_span_scrub" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['g'] AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 8),
+        |      i -> {'pos': i, 'g': array_to_string(ts[i:i+9], ' ')})) AS u
+        |    FROM toks0)),
+        |own AS (
+        |  SELECT g, min(doc_id) AS owner FROM grams GROUP BY g HAVING count(*) >= 2),
+        |marked AS (
+        |  SELECT DISTINCT gr.doc_id, cov.ti AS ti
+        |  FROM grams gr JOIN own USING (g),
+        |    unnest(range(gr.pos, gr.pos + 10)) AS cov(ti)
+        |  WHERE gr.doc_id > own.owner),
+        |toks AS (
+        |  SELECT doc_id, u['ti'] AS ti, u['tok'] AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |      i -> {'ti': i, 'tok': ts[i]})) AS u
+        |    FROM toks0)),
+        |kept AS (
+        |  SELECT t.doc_id, t.ti, t.tok FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM marked m
+        |    WHERE m.doc_id = t.doc_id AND m.ti = t.ti)),
+        |kagg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_after,
+        |    string_agg(tok, ' ' ORDER BY ti) AS text_clean
+        |  FROM kept GROUP BY doc_id),
+        |chg AS (SELECT DISTINCT doc_id FROM marked),
+        |bef AS (SELECT doc_id, len(ts)::BIGINT AS n_before FROM toks0)
+        |SELECT c.doc_id, b.n_before,
+        |  coalesce(k.n_after, 0)::BIGINT AS n_after,
+        |  coalesce(k.text_clean, '') AS text_clean
+        |FROM chg c JOIN bef b USING (doc_id) LEFT JOIN kagg k USING (doc_id)""".stripMargin,
 
     // the funnel: cumulative-conjunction counts through every curation
     // gate (q175's chain) with q181's mixture as the final stage

@@ -685,4 +685,53 @@ object Dedup {
       .select(col("doc_id"), col("n_spans"), col("span_tokens"), col("n_tokens"),
         expr("(span_tokens * 10000) div n_tokens").as("span_frac_bp"))
   }
+
+  /** q185: span SCRUB — the rewrite q183's detector feeds (Lee et al. keep
+    * ONE occurrence of every repeated substring, not zero): each
+    * duplicated n-gram's canonical owner is the minimal doc_id containing
+    * it; in every OTHER document the gram's n-token cover is removed, and
+    * the survivor tokens reassemble into the scrubbed text. Owner-keeps-
+    * all makes the policy deterministic without cross-span coordination:
+    * a doc's token is dropped iff some duplicated gram covering it is
+    * owned elsewhere. Output: every affected document with before/after
+    * token counts and the rebuilt text (empty when fully scrubbed — an
+    * exact duplicate of an earlier doc loses everything, which is exactly
+    * document dedup re-derived as the degenerate case).
+    *
+    * Plan: q183's positional gram explode + O(vocabulary) owner aggregate;
+    * cover positions expand only for marked grams (bounded by duplicated
+    * mass, not the corpus); reassembly is one per-doc aggregate whose
+    * collect_list order is fixed by array_sort on (position, token) —
+    * shuffle-order-proof, matching the oracle's ORDER BY string_agg. */
+  def spanScrub(spark: SparkSession, dir: String, n: Int = 10): DataFrame =
+    spanScrubOn(documents(spark, dir), n)
+
+  def spanScrubOn(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(Sketches.wordNgramsAll(col("text"), n)).as(Seq("pos", "g")))
+    val own = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("g"), col("owner"))
+    val marked = grams.join(own, "g")
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextStats.tokens(col("text"))).as(Seq("ti", "tok")))
+    val kept = toks.join(marked, Seq("doc_id", "ti"), "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(array_sort(collect_list(struct(col("ti"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    val before = docs.select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_before"))
+    marked.select(col("doc_id")).distinct()
+      .join(before, "doc_id")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

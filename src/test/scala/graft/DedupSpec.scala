@@ -306,6 +306,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q185 span scrub: owner keeps, exact copy empties, embedded copy loses only the span") {
+    import spark.implicits._
+    def uniq(tag: String, k: Int): String = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run ${uniq("a", 8)}"),              // owner (min doc_id with the run)
+      (2L, s"$run ${uniq("a", 8)}"),              // exact copy -> fully scrubbed
+      (3L, s"${uniq("b", 9)} $run ${uniq("c", 9)}"), // embedded copy -> loses the 12 tokens
+      (4L, uniq("d", 30))).toDF("doc_id", "text") // unique -> untouched, absent
+    val out = Dedup.spanScrubOn(docs, 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(!out.contains(1L), "the owner is never rewritten")
+    assert(!out.contains(4L), "unique docs are untouched")
+    assert(out(2L) == ((20L, 0L, "")), s"exact copy must empty: ${out(2L)}")
+    val (b3, a3, t3) = out(3L)
+    assert(b3 == 30 && a3 == 18, s"embedded copy loses exactly the run: ${out(3L)}")
+    assert(t3 == s"${uniq("b", 9)} ${uniq("c", 9)}", s"survivors reassemble in order: $t3")
+  }
+
   test("q183 repeated spans: embedded repeat found with exact mass, unique docs silent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
