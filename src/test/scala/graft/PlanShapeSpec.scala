@@ -387,4 +387,26 @@ class PlanShapeSpec extends SparkSpec {
     // never an unkeyed loop over vector pairs
     assert(p.contains("Join [cid"), "pair join must key on cid\n" + p)
   }
+
+  test("q176: query-term restriction broadcasts; per-query top-k lowers to WindowGroupLimit") {
+    val p = plan("q176_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), "term restriction must broadcast\n" + p)
+    assert(p.contains("WindowGroupLimit"), "top-k must be heap-bounded below the sort\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q177: RRF fusion has no cartesian; the semantic leg broadcasts its queries") {
+    val p = plan("q177_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the one nested-loop is the broadcast of the 3 query vectors (q28's
+    // documented shape); anything bigger is a regression
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q183: dup-gram join back is an equi-join on the gram; windows key on doc_id") {
+    val p = plan("q183_repeated_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("word_ngrams_all"), "codegen'd positional gram kernel\n" + p)
+  }
 }
