@@ -267,7 +267,11 @@ object SparkEntry {
     "q182_vocab_drift"             -> ((s: SparkSession, d: String) => TextStats.vocabDrift(s, d)),
     "q183_repeated_spans"          -> ((s: SparkSession, d: String) => Dedup.repeatedSpans(s, d)),
     "q184_pipeline_funnel"         -> ((s: SparkSession, d: String) => Sampling.pipelineFunnel(s, d)),
-    "q185_span_scrub"              -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)))
+    "q185_span_scrub"              -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
+    "q186_shard_manifest"          -> ((s: SparkSession, d: String) => Sampling.shardManifest(s, d)),
+    "q187_probe_calibration"       -> ((s: SparkSession, d: String) => QualityProbe.calibration(s, d)),
+    "q188_bpe_fertility"           -> ((s: SparkSession, d: String) => BpeInduction.fertilityByLang(s, d)),
+    "q189_shard_write"             -> ((s: SparkSession, d: String) => Sampling.shardedWriteGate(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1608,6 +1612,32 @@ object SparkEntry {
     // the trained quality probe: the oracle is the ENTIRE training run
     // unrolled — 8 integer-GD steps in SQL — then every score; hash-exact
     "q163_quality_probe" -> graft.analytics.QualityProbe.oracleSql(),
+
+    // reliability diagram over the re-trained probe's scores: integer
+    // equal-width bins, basis-point positive rates, truncating means
+    "q187_probe_calibration" -> graft.analytics.QualityProbe.calibrationOracleSql(),
+
+    // tokenizer fertility per language: the oracle re-learns the BPE
+    // vocabulary and re-tokenizes the corpus from scratch
+    "q188_bpe_fertility" -> graft.analytics.BpeInduction.fertilityOracleSql(),
+
+    // content-hash shard assignment + order-insensitive manifest (q110's
+    // exact-decimal checksum rule; HUGEINT sum on the DuckDB side)
+    "q186_shard_manifest" ->
+      """SELECT ('0x' || substring(md5(text), 1, 4))::BIGINT % 16 AS shard_id,
+        |  count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
+        |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // the writer round-trip gate: the manifest over the WRITTEN layout
+    // must equal the manifest over the source (no-answer-change)
+    "q189_shard_write" ->
+      """SELECT ('0x' || substring(md5(text), 1, 4))::BIGINT % 16 AS shard_id,
+        |  count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
+        |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // cluster-balanced diversity sample: the oracle recomputes the q144
     // cell assignment vector-by-vector, then the same per-cell hash-ranked

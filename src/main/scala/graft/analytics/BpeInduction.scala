@@ -100,10 +100,21 @@ object BpeInduction {
     * final count is a word-table join back to the doc-word list. */
   def tokenCounts(spark: SparkSession, dir: String, rounds: Int = 8,
       topWords: Int = 100): DataFrame = {
-    val m = merges(spark, dir, rounds, topWords)
     val docWords = documents(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
+    docWords.join(appliedWords(docWords, spark, dir, rounds, topWords), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(size(split(col("seq"), "  "))).as("n_bpe_tokens"))
+  }
+
+  /** The learned merges applied to every distinct word of `docWords` —
+    * (word, seq) with seq the double-space-delimited symbol sequence.
+    * Shared kernel of q165's per-doc counts and q188's per-language
+    * fertility. */
+  private def appliedWords(docWords: DataFrame, spark: SparkSession,
+      dir: String, rounds: Int, topWords: Int): DataFrame = {
+    val m = merges(spark, dir, rounds, topWords)
     // the 8 learned merges pivot to ONE broadcast row, and all 8
     // applications nest into ONE projection over the distinct-word table —
     // value-identical to sequential rounds (each replace processes the
@@ -120,16 +131,63 @@ object BpeInduction {
     val applied = (1 to rounds).foldLeft("concat(' ', seq, ' ')") { (acc, r) =>
       s"replace($acc, concat(' ', pa$r, '  ', pb$r, ' '), concat(' ', mg$r, ' '))"
     }
-    val all = docWords.select(col("word")).distinct()
+    docWords.select(col("word")).distinct()
       .withColumn("seq", concat(
         array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
         lit("  _")))
       .crossJoin(broadcast(mp))
       .withColumn("seq", expr(s"trim($applied)"))
       .select(col("word"), col("seq"))
-    docWords.join(all, "word")
-      .groupBy(col("doc_id"))
-      .agg(sum(size(split(col("seq"), "  "))).as("n_bpe_tokens"))
+  }
+
+  /** q188: tokenizer FERTILITY per language — BPE pieces per word, the
+    * metric that tells you which languages a learned vocabulary serves
+    * poorly (high fertility = more pieces per word = shorter effective
+    * context and higher compute per character for that language). The
+    * q165 tokenizer applied to the corpus, aggregated per `lang`:
+    * word occurrences, total pieces, and fertility in integer basis
+    * points (pieces·10⁴ div words — exact, so the gate hash-matches an
+    * oracle that re-learns the vocabulary and re-tokenizes from scratch).
+    * Plan: the q165 word-table shuffle + one lang-keyed aggregate; the
+    * merge table rides the same one-row broadcast. */
+  def fertilityByLang(spark: SparkSession, dir: String, rounds: Int = 8,
+      topWords: Int = 100): DataFrame = {
+    val docWords = documents(spark, dir)
+      .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    docWords.join(appliedWords(docWords, spark, dir, rounds, topWords), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("seq"), "  ")).cast("long")).as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        expr("(n_pieces * 10000L) div n_words").as("fertility_bp"))
+  }
+
+  /** The q188 oracle: the full induction + tokenization chain, aggregated
+    * per language. */
+  def fertilityOracleSql(rounds: Int = 8, topWords: Int = 100): String = {
+    val applies = (1 to rounds).map { r =>
+      s"""a$r AS (
+         |  SELECT word, trim(replace(' ' || seq || ' ',
+         |    ' ' || b.pa || '  ' || b.pb || ' ',
+         |    ' ' || b.merged || ' ')) AS seq
+         |  FROM a${r - 1} CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""${inductionCtes(rounds, topWords)},
+       |dw AS (
+       |  SELECT lang, unnest(str_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |dwf AS (SELECT lang, word FROM dw WHERE regexp_matches(word, '^[a-z]+$$')),
+       |a0 AS (
+       |  SELECT DISTINCT word,
+       |    array_to_string(regexp_extract_all(word, '.'), '  ') || '  _' AS seq
+       |  FROM dwf),
+       |$applies
+       |SELECT d.lang, count(*)::BIGINT AS n_words,
+       |  sum(len(str_split(a.seq, '  ')))::BIGINT AS n_pieces,
+       |  (sum(len(str_split(a.seq, '  '))) * 10000 // count(*))::BIGINT AS fertility_bp
+       |FROM dwf d JOIN a$rounds a USING (word)
+       |GROUP BY d.lang""".stripMargin
   }
 
   /** The q165 oracle: learned merges (same CTE chain as q164) applied to

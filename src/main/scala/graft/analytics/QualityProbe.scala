@@ -105,6 +105,49 @@ object QualityProbe {
         expr(s"($Dot) div ${M}L").as("score_micro"))
   }
 
+  /** q187: the probe's CALIBRATION TABLE (reliability diagram) — the
+    * audit that decides whether the trained scorer's threshold is usable:
+    * scores bucketed into `bins` equal-width bins over [0, 1.0) micro-units
+    * (clamped at the ends — a linear probe can overshoot the label range),
+    * per bin the document count, positive-label count, positive rate in
+    * integer basis points, and the truncating mean score. Every output is
+    * exact integer arithmetic on q163's bitwise-reproducible scores, so the
+    * whole diagram hash-matches an oracle that RE-TRAINS the model and
+    * re-derives each bin. Plan: the q163 train-and-score plan plus ONE
+    * `bins`-group aggregate — at 100 TB the marginal cost over scoring is
+    * a kilobyte of aggregate state. */
+  def calibration(spark: SparkSession, dir: String, iters: Int = 8,
+      bins: Int = 10): DataFrame = {
+    trainedScores(spark, dir, iters)
+      .select(
+        expr(s"least(${bins - 1}L, greatest(0L, (score_micro * $bins) div ${M}L))")
+          .as("bin"),
+        col("label"), col("score_micro"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label") === M, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("score_micro")).as("sum_score"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("(n_pos * 10000L) div n_docs").as("pos_rate_bp"),
+        expr("sum_score div n_docs").as("mean_score_micro"))
+  }
+
+  /** The q187 oracle: the full q163 training-run SQL as a derived table,
+    * then the same integer binning/aggregation. */
+  def calibrationOracleSql(iters: Int = 8, bins: Int = 10): String =
+    s"""WITH scores AS (
+       |${oracleSql(iters)}
+       |)
+       |SELECT bin, n_docs, n_pos,
+       |  (n_pos * 10000 // n_docs)::BIGINT AS pos_rate_bp,
+       |  (sum_score // n_docs)::BIGINT AS mean_score_micro
+       |FROM (
+       |  SELECT least(${bins - 1}, greatest(0, (score_micro * $bins) // 1000000))::BIGINT AS bin,
+       |    count(*) AS n_docs,
+       |    sum(CASE WHEN label = 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(score_micro)::BIGINT AS sum_score
+       |  FROM scores GROUP BY 1)""".stripMargin
+
   /** The q163 oracle: the ENTIRE training run unrolled in DuckDB SQL —
     * same features, same label rule, same `iters` integer GD steps. */
   def oracleSql(iters: Int = 8): String = {

@@ -562,4 +562,82 @@ object Sampling {
         round(col("p_val"), 4).as("p_val"),
         round(col("p_train") * log(col("p_train") / col("p_val")), 4).as("kl_term"))
   }
+
+  /** Per-document shard assignment: 16 content-hash bits mod `nShards`.
+    * Hash-mod (never row_number over a global sort) is the point — shard
+    * membership is a pure function of content, so there is NO global sort
+    * at any scale, appends never move existing documents between shards,
+    * and a rerun after ingest only touches the shards the new documents
+    * landed in. The hash is four hex digits PARSED as an integer (conv /
+    * '0x' cast — the q110 rule), not the q38 ascii trick: ascii-of-hex-char
+    * mod 16 collapses to the last nibble's 10 glyph values, leaving shards
+    * 10-15 empty. Parsed nibbles are uniform for any power-of-two count. */
+  def shardOf(c: Column, nShards: Int): Column =
+    pmod(conv(substring(md5(c.cast("binary")), 1, 4), 16, 10).cast("long"),
+      lit(nShards.toLong))
+
+  /** q186: the training-shard MANIFEST — the WebDataset-style contract a
+    * trainer validates before reading a shard: per shard, how many
+    * documents, how many tokens, and an order-insensitive content checksum
+    * (sum of 48-bit md5 prefixes, the q110 discipline — commutative, so
+    * partitioning-invariant and engine-portable). Shards are content-hash
+    * assigned ([[shardOf]]); the plan is one scan → one partial+final
+    * aggregate keyed by shard_id (nShards groups of state through the
+    * shuffle, whatever the corpus size). At 100 TB this exact query runs
+    * ahead of the shard writer, and re-running it after an append charges
+    * only a full scan — no shard reassignment, no sort. */
+  def shardManifest(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame =
+    manifestOn(documents(spark, dir), nShards)
+
+  /** The q186 aggregate with the checksum still DECIMAL(38,0) — the
+    * mergeable form ([[graft.streaming.ShardManifestStream]] sums it
+    * incrementally; decimal addition is exact and associative, so
+    * incremental ≡ recompute bit-for-bit). Computes shard_id from content
+    * unless the frame already carries one (the written-layout path of
+    * q189 reads it back as a partition column). */
+  private[graft] def manifestRaw(docs: DataFrame, nShards: Int): DataFrame = {
+    val withShard =
+      if (docs.columns.contains("shard_id")) docs
+      else docs.withColumn("shard_id", shardOf(col("text"), nShards))
+    withShard
+      .select(col("shard_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"),
+        // 48-bit hash prefixes summed in exact decimal (the q110 rule: a
+        // Long sum crosses 2^63 at ~30k rows/shard) and gated as a string
+        conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 12), 16, 10)
+          .cast("decimal(38,0)").as("h"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("h")).cast("decimal(38,0)").as("checksum"))
+  }
+
+  /** The gate edge: checksum as a string (a float64 oracle edge would
+    * silently round past 2^53). */
+  private def manifestOn(docs: DataFrame, nShards: Int): DataFrame =
+    manifestRaw(docs, nShards)
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        col("checksum").cast("string").as("checksum"))
+
+  /** q189: the shard WRITER round-trip — materialize the corpus as a
+    * shard_id-partitioned managed table (the physical layout a trainer's
+    * data loader reads: one directory per shard, shard choice content-pure
+    * per [[shardOf]]), then recompute the q186 manifest FROM THE WRITTEN
+    * LAYOUT, with shard_id read back as a partition column. The gate is
+    * the no-answer-change contract (the q47/q167 pattern): writing must
+    * lose, duplicate, and reorder nothing — rows, token sums, and the
+    * order-insensitive checksums all hash-match the oracle computed from
+    * the SOURCE table. Reading one shard back prunes to its directory
+    * (PartitionFilters — pinned in CurationSpec). At 100 TB the write is
+    * one shuffle-free pass (shard_id is a narrow projection; the dynamic
+    * writer splits files by partition value). */
+  def shardedWriteGate(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_shards")
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        shardOf(col("text"), nShards).as("shard_id"))
+      .write.mode("overwrite").format("parquet").partitionBy("shard_id")
+      .saveAsTable("graft_shards")
+    manifestOn(spark.table("graft_shards"), nShards)
+  }
 }

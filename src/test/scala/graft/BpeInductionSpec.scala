@@ -147,4 +147,22 @@ class BpeInductionSpec extends SparkSpec {
       assert(got == expected, s"trial $trial: engine $got vs reference $expected")
     }
   }
+
+  test("q188: per-lang fertility reconciles with q165's per-doc piece counts") {
+    val d = sf("sf0.01")
+    val fert = BpeInduction.fertilityByLang(spark, d).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (nw, np, bp) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("fertility_bp"))
+      assert(np >= nw, s"every word is at least one piece: $r")
+      assert(bp == np * 10000 / nw, s"fertility must be the exact ratio: $r")
+    }
+    // conservation: the same tokenizer counted two ways
+    val totalByLang = fert.map(_.getAs[Long]("n_pieces")).sum
+    val totalByDoc = BpeInduction.tokenCounts(spark, d).collect()
+      .map(_.getAs[Long]("n_bpe_tokens")).sum
+    assert(totalByLang == totalByDoc,
+      s"lang-sum $totalByLang must equal doc-sum $totalByDoc")
+  }
 }

@@ -232,4 +232,74 @@ class CurationSpec extends SparkSpec {
         s"unexpected audit row ($e, $t, $c): only planted leaks exist on this corpus")
     }
   }
+
+  test("q186 shard manifest: totals reconcile, assignment is content-pure, " +
+      "appends touch only the landing shard") {
+    val d = sf("sf0.01")
+    val docs = Tables.documents(spark, d)
+    val m = Sampling.shardManifest(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("checksum"))).toMap
+    assert(m.keySet.forall(s => s >= 0 && s < 16))
+    assert(m.values.map(_._1).sum == docs.count(), "manifest must cover every document")
+    // content-pure: recomputing over a reshuffled corpus is bit-identical
+    val reshuffled = docs.repartition(13, col("doc_id"))
+      .select(Sampling.shardOf(col("text"), 16).as("shard_id"),
+        org.apache.spark.sql.functions.size(TextStats.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .groupBy("shard_id").agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    reshuffled.foreach { case (s, (nd, nt)) =>
+      assert(m(s)._1 == nd && m(s)._2 == nt, s"shard $s drifted under repartition")
+    }
+    // append-stability: one new doc changes exactly one shard's row
+    val extra = Seq((9000001L, "one brand new appended document", "en", "webz", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mg = docs.unionByName(extra)
+      .select(Sampling.shardOf(col("text"), 16).as("shard_id"),
+        org.apache.spark.sql.functions.size(TextStats.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .groupBy("shard_id").agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    val changed = mg.filter { case (s, v) => m.get(s).map(x => (x._1, x._2)) != Some(v) }
+    assert(changed.size == 1, s"append must touch exactly one shard, touched ${changed.keys}")
+    assert(changed.head._2._1 == m(changed.head._1)._1 + 1)
+  }
+
+  test("q189 shard write: layout round-trips the manifest; single-shard reads prune") {
+    val d = sf("sf0.01")
+    val fromLayout = Sampling.shardedWriteGate(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("checksum"))).toMap
+    val fromSource = Sampling.shardManifest(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[String]("checksum"))).toMap
+    assert(fromLayout == fromSource, "the written layout must preserve every shard bit-for-bit")
+    // a single-shard read prunes to one partition directory
+    val one = spark.table("graft_shards").filter(col("shard_id") === 3L)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard_id"),
+      "shard filter must reach the scan as a partition filter:\n" + scan)
+    assert(one.count() == fromSource(3L)._1)
+  }
+
+  test("q187 calibration: bins partition the corpus; rates reproduce the raw scores") {
+    val d = sf("sf0.01")
+    val cal = graft.analytics.QualityProbe.calibration(spark, d).collect()
+    assert(cal.map(_.getAs[Long]("bin")).forall(b => b >= 0 && b <= 9))
+    assert(cal.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, d).count())
+    val scores = graft.analytics.QualityProbe.trainedScores(spark, d).collect()
+    val byBin = scores.groupBy { r =>
+      math.min(9L, math.max(0L, r.getAs[Long]("score_micro") * 10 / 1000000L))
+    }
+    cal.foreach { r =>
+      val g = byBin(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_docs") == g.length)
+      val pos = g.count(_.getAs[Long]("label") == 1000000L)
+      assert(r.getAs[Long]("n_pos") == pos)
+      assert(r.getAs[Long]("pos_rate_bp") == pos.toLong * 10000 / g.length)
+    }
+  }
 }

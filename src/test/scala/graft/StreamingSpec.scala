@@ -551,6 +551,51 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == v, "replaying a batch must be idempotent")
   }
 
+  test("streaming shard manifest: incremental merge equals recompute; replay idempotent") {
+    import graft.streaming.ShardManifestStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardman").toString
+    val manDir = s"$dir/manifest"
+    val ckpt = s"$dir/_checkpoint"
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+
+    def runOnce(): Unit = {
+      val q = ShardManifestStream.maintainManifest(docs, manDir, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def manifest(): Map[Long, (Long, Long, BigDecimal)] =
+      ShardManifestStream.latestManifest(spark, manDir, Long.MaxValue)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+
+    val b0 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "zeta"))
+    val b1 = Seq((4L, "eta theta iota kappa"), (5L, "lambda"))
+    in.addData(b0: _*); runOnce()
+    in.addData(b1: _*); runOnce()
+    // incremental ≡ recompute, bit for bit (counts AND decimal checksums)
+    val recomputed = graft.analytics.Sampling
+      .manifestRaw((b0 ++ b1).toDF("doc_id", "text"), 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+    val m = manifest()
+    assert(m == recomputed, s"incremental $m vs recompute $recomputed")
+    // empty restart: checkpoint prevents re-application
+    runOnce()
+    assert(manifest() == m, "an empty restart must not change the manifest")
+    // replay safety: re-merging batch 1 against the pre-batch-1 manifest
+    // reproduces v=1 exactly (crash-before-commit overwrite)
+    val replayed = ShardManifestStream.mergeBatch(
+      ShardManifestStream.latestManifest(spark, manDir, 1L),
+      b1.toDF("doc_id", "text"), 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+    assert(replayed == m, "replaying a batch must be idempotent")
+  }
+
   test("event-time timers close sessions when the watermark passes the gap") {
     import graft.streaming.SessionCloseStream
     implicit val sqlCtx = spark.sqlContext
