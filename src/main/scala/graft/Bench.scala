@@ -119,6 +119,10 @@ object Bench {
           graft.analytics.Dedup.dedupCorpus(spark, sfDir)
           graft.analytics.Dedup.ensembleDedup(spark, sfDir)
           graft.analytics.Graph.warmSharedEdges(spark, sfDir)
+          // probe training (q163/q187) and the BPE merge + word-piece
+          // tables (q164/q165/q188) — memo builds are eager
+          graft.analytics.QualityProbe.trainedScores(spark, sfDir)
+          graft.analytics.BpeInduction.tokenCounts(spark, sfDir)
           None
         } catch {
           case e: Throwable =>

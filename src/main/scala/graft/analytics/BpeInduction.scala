@@ -69,7 +69,13 @@ object BpeInduction {
     * (round, pa, pb, merged, cnt) — one row per round, hash-exact vs the
     * oracle's unrolled twin. */
   def merges(spark: SparkSession, dir: String, rounds: Int = 8,
-      topWords: Int = 100): DataFrame = {
+      topWords: Int = 100): DataFrame =
+    graft.functions.SessionMemo(spark, s"bpe_merges:$dir:$rounds:$topWords") {
+      mergesUncached(spark, dir, rounds, topWords)
+    }
+
+  private def mergesUncached(spark: SparkSession, dir: String, rounds: Int,
+      topWords: Int): DataFrame = {
     var words = wordTable(documents(spark, dir), topWords)
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
@@ -111,8 +117,17 @@ object BpeInduction {
   /** The learned merges applied to every distinct word of `docWords` —
     * (word, seq) with seq the double-space-delimited symbol sequence.
     * Shared kernel of q165's per-doc counts and q188's per-language
-    * fertility. */
+    * fertility, session-memoized: both callers derive `docWords` from the
+    * same documents(dir) scan with the same `^[a-z]+$` filter, so the
+    * distinct-word set — and therefore this table — is a pure function of
+    * the memo key (dir, rounds, topWords). */
   private def appliedWords(docWords: DataFrame, spark: SparkSession,
+      dir: String, rounds: Int, topWords: Int): DataFrame =
+    graft.functions.SessionMemo(spark, s"bpe_words:$dir:$rounds:$topWords") {
+      appliedWordsUncached(docWords, spark, dir, rounds, topWords)
+    }
+
+  private def appliedWordsUncached(docWords: DataFrame, spark: SparkSession,
       dir: String, rounds: Int, topWords: Int): DataFrame = {
     val m = merges(spark, dir, rounds, topWords)
     // the 8 learned merges pivot to ONE broadcast row, and all 8

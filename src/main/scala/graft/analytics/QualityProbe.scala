@@ -99,8 +99,18 @@ object QualityProbe {
     * score_micro), each value bitwise-reproduced by the oracle's unrolled
     * twin. */
   def trainedScores(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
-    val f = Materialize(features(documents(spark, dir)))
-    f.crossJoin(broadcast(trainOn(f, iters)))
+    // session-memoized: q163 and the q187 calibration both need the
+    // feature table and the trained weights — train once per session.
+    // decimalGrads is part of the weight key (bit-equal below the Long
+    // cliff, but the key must encode every result-affecting input).
+    val f = graft.functions.SessionMemo(spark, s"qp_features:$dir") {
+      features(documents(spark, dir))
+    }
+    val dg = spark.conf.getOption("spark.graft.quality.decimalGrads").contains("true")
+    val w = graft.functions.SessionMemo(spark, s"qp_weights:$dir:$iters:$dg") {
+      trainOn(f, iters)
+    }
+    f.crossJoin(broadcast(w))
       .select(col("doc_id"), col("y").as("label"),
         expr(s"($Dot) div ${M}L").as("score_micro"))
   }

@@ -7,7 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pass". Several gated query families recompute the same expensive
   * intermediate (the exact Jaccard pair graph feeds q25/q26/q37/q48/q53/
   * q122/q134; the fuzzy edit-distance edges feed q95/q122/q134; the
-  * ensemble CC labels feed q122/q134): under the default-ON cache each is
+  * ensemble CC labels feed q122/q134; the BPE merge and word-piece tables
+  * feed q164/q165/q188; the trained quality-probe features and weights
+  * feed q163/q187): under the default-ON cache each is
   * computed once per (session, key) and the [[Materialize]]d result shared
   * by every later consumer in the session. `spark.graft.pairgraph.cache=
   * false` restores per-query isolation (every caller pays its own cost —

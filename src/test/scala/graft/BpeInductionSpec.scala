@@ -46,8 +46,13 @@ class BpeInductionSpec extends SparkSpec {
       "a pair must never be re-learned: after merging it no longer exists")
     assert(out.forall(r => r.getAs[String]("merged") ==
       r.getAs[String]("pa") + r.getAs[String]("pb")))
-    val again = BpeInduction.merges(spark, sf("sf0.01"), rounds = 8).collect()
-      .sortBy(_.getAs[Int]("round"))
+    // replay check must bypass the session memo, else it compares a
+    // frame with itself
+    spark.conf.set("spark.graft.pairgraph.cache", "false")
+    val again =
+      try BpeInduction.merges(spark, sf("sf0.01"), rounds = 8).collect()
+        .sortBy(_.getAs[Int]("round"))
+      finally spark.conf.unset("spark.graft.pairgraph.cache")
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
