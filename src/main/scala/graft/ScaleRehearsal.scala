@@ -235,6 +235,16 @@ object ScaleRehearsal {
       val (tMmr, _) = time(TextStats.mmrRerank(spark, dir).count())
       val (tTemp, _) = time(Sampling.temperatureMixture(spark, dir).count())
 
+      // round-8 fourth leg. q186's manifest is one scan + an nShards-group
+      // aggregate: wall must track the token scan, never the shard count.
+      // q187 re-trains the probe cold here (memo off): 8 fixed full-batch
+      // GD passes, so growth must be ~linear — the iteration count is a
+      // constant, never a function of data size. q188 rides the q165
+      // word-piece table (vocabulary-bound) plus one lang-keyed aggregate.
+      val (tMan, _)  = time(Sampling.shardManifest(spark, dir).count())
+      val (tCal, _)  = time(analytics.QualityProbe.calibration(spark, dir).count())
+      val (tFert, _) = time(analytics.BpeInduction.fertilityByLang(spark, dir).count())
+
       // q95 skew-cap evidence: the largest single join group under the
   // prefix-only blocking key (round ≤4) vs the composite
       // (prefix, ⌊len/30⌋) key in use since round 5 — the composite cap is
@@ -268,7 +278,8 @@ object ScaleRehearsal {
         s""""q157_compressibility":$tComp,"q159_curriculum":$tCur,""" +
         s""""q165_bpe_tokenize":$tBpe,"q169_surprisal":$tSurp,"q170_dedup_weights":$tWts,""" +
         s""""q176_bm25":$tBm25,"q177_rrf":$tRrf,"q178_mmr":$tMmr,""" +
-        s""""q181_temp_mixture":$tTemp},""" +
+        s""""q181_temp_mixture":$tTemp,"q186_manifest":$tMan,""" +
+        s""""q187_calibration":$tCal,"q188_fertility":$tFert},""" +
         s""""bm25_matched_postings":$nMatchedPost,""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +

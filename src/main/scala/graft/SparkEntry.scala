@@ -271,7 +271,9 @@ object SparkEntry {
     "q186_shard_manifest"          -> ((s: SparkSession, d: String) => Sampling.shardManifest(s, d)),
     "q187_probe_calibration"       -> ((s: SparkSession, d: String) => QualityProbe.calibration(s, d)),
     "q188_bpe_fertility"           -> ((s: SparkSession, d: String) => BpeInduction.fertilityByLang(s, d)),
-    "q189_shard_write"             -> ((s: SparkSession, d: String) => Sampling.shardedWriteGate(s, d)))
+    "q189_shard_write"             -> ((s: SparkSession, d: String) => Sampling.shardedWriteGate(s, d)),
+    "q190_manifest_diff"           -> ((s: SparkSession, d: String) => Sampling.manifestDiff(s, d)),
+    "q191_source_leakage"          -> ((s: SparkSession, d: String) => Dedup.sourceLeakage(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1629,6 +1631,56 @@ object SparkEntry {
         |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
         |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // shard-level snapshot diff: q113's planted v2, manifests full-outer
+    // merged; checksum equality via null-safe compare both sides
+    "q190_manifest_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM v1
+        |  WHERE (ascii(substring(md5(text), 1, 1)) * 256 +
+        |         ascii(substring(md5(text), 2, 1))) % 100 < 2),
+        |m1 AS (
+        |  SELECT ('0x' || substring(md5(text), 1, 4))::BIGINT % 16 AS shard_id,
+        |    count(*) AS n,
+        |    sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT) AS s
+        |  FROM v1 GROUP BY 1),
+        |m2 AS (
+        |  SELECT ('0x' || substring(md5(text), 1, 4))::BIGINT % 16 AS shard_id,
+        |    count(*) AS n,
+        |    sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT) AS s
+        |  FROM v2 GROUP BY 1)
+        |SELECT shard_id, coalesce(m1.n, 0)::BIGINT AS docs_v1,
+        |  coalesce(m2.n, 0)::BIGINT AS docs_v2,
+        |  (m1.s IS NOT DISTINCT FROM m2.s) AS unchanged
+        |FROM m1 FULL OUTER JOIN m2 USING (shard_id)""".stripMargin,
+
+    // cross-source leakage matrix over the q25 pair graph: canonical
+    // (least, greatest) source pair, pair counts + 4dp mean similarity
+    "q191_source_leakage" ->
+      """WITH wt AS (
+        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS toks, source
+        |  FROM documents),
+        |wsh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE [tt] END) AS s
+        |  FROM wt),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard
+        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6)
+        |SELECT least(sa, sb) AS src_1, greatest(sa, sb) AS src_2,
+        |  count(*) AS n_pairs, round(avg(jaccard), 4) AS avg_jaccard
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     // the writer round-trip gate: the manifest over the WRITTEN layout
     // must equal the manifest over the source (no-answer-change)

@@ -271,6 +271,29 @@ object Dedup {
         count(lit(1)).as("n_clusters"),
         (sum(col("cluster_size")) - count(lit(1))).as("n_removed"))
 
+  /** q191: the cross-source LEAKAGE MATRIX — which sources copy from which:
+    * every near-duplicate pair (the q25 exact-Jaccard graph, session-
+    * memoized) labeled with both documents' sources, the source pair
+    * canonicalized (least/greatest, so a↔b and b↔a land in one cell), and
+    * aggregated to pair counts + mean similarity. The diagonal is
+    * WITHIN-source duplication (boilerplate, re-posts); off-diagonal cells
+    * are syndication/mirroring between sources — the audit that tells a
+    * mixture designer which "independent" sources actually share content.
+    * Plan: the memoized pair graph plus two broadcast-able (doc_id,
+    * source) joins and one tiny aggregate; at 100 TB the source lookup
+    * joins shuffle the PAIR GRAPH (near-dup density · corpus), never the
+    * corpus against itself. */
+  def sourceLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val src = documents(spark, dir).select(col("doc_id"), col("source"))
+    nearDupPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("src_1"),
+        greatest(col("sa"), col("sb")).as("src_2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+  }
+
   /** q142: the composed dedup pipeline summary gated WITH the shared
     * pair-graph cache ON (since round 8 the session default — the judge's
     * round-7 top item): the pair count, the cluster map, and the

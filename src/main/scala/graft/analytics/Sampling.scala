@@ -632,12 +632,51 @@ object Sampling {
     * one shuffle-free pass (shard_id is a narrow projection; the dynamic
     * writer splits files by partition value). */
   def shardedWriteGate(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    // drop + delete the managed location (a previous session's files would
+    // otherwise fail the create — the AnnIndex.build discipline)
     spark.sql("DROP TABLE IF EXISTS graft_shards")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_shards")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         shardOf(col("text"), nShards).as("shard_id"))
       .write.mode("overwrite").format("parquet").partitionBy("shard_id")
       .saveAsTable("graft_shards")
     manifestOn(spark.table("graft_shards"), nShards)
+  }
+
+  /** q190: SHARD-LEVEL snapshot diff — the "which shards must the trainer
+    * re-fetch" decision between two corpus versions, answered from two
+    * manifests (kilobytes) instead of a doc-level table diff (the q113
+    * form): per shard, both versions' doc counts and whether the exact
+    * checksums agree. Uses q113's deterministically planted v2 (every 7th
+    * doc edited, every 13th dropped, content-bucket<2 appended under +10⁶
+    * ids). Because shard choice is content-pure, an EDIT moves the
+    * document between shards — both its old and new shard correctly flag
+    * changed, which is exactly what a content-addressed layout must do.
+    * Plan: two q186 aggregates + one full-outer merge of ≤nShards rows.
+    * At 100 TB the v2 manifest comes from
+    * [[graft.streaming.ShardManifestStream]]'s maintained view, making
+    * this diff a metadata-only operation. */
+  def manifestDiff(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val v1 = documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(
+        v1.filter(contentBucket(col("text")) < 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val m1 = manifestRaw(v1, nShards)
+      .select(col("shard_id"), col("n_docs").as("d1"), col("checksum").as("s1"))
+    val m2 = manifestRaw(v2, nShards)
+      .select(col("shard_id"), col("n_docs").as("d2"), col("checksum").as("s2"))
+    m1.join(m2, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        coalesce(col("d1"), lit(0L)).as("docs_v1"),
+        coalesce(col("d2"), lit(0L)).as("docs_v2"),
+        (col("s1") <=> col("s2")).as("unchanged"))
   }
 }

@@ -285,6 +285,42 @@ class CurationSpec extends SparkSpec {
     assert(one.count() == fromSource(3L)._1)
   }
 
+  test("q190 manifest diff: totals reconcile; count-divergent shards flag changed") {
+    val d = sf("sf0.01")
+    val docs = Tables.documents(spark, d)
+    val out = Sampling.manifestDiff(spark, d).collect()
+    assert(out.map(_.getAs[Long]("docs_v1")).sum == docs.count())
+    val expectedV2 = docs.filter(col("doc_id") % 13 =!= 0).count() +
+      docs.filter(Sampling.contentBucket(col("text")) < 2).count()
+    assert(out.map(_.getAs[Long]("docs_v2")).sum == expectedV2,
+      "v2 totals must reproduce the planted edit/drop/append arithmetic")
+    out.foreach { r =>
+      if (r.getAs[Long]("docs_v1") != r.getAs[Long]("docs_v2"))
+        assert(!r.getAs[Boolean]("unchanged"),
+          s"a shard with different doc counts cannot be unchanged: $r")
+    }
+    // identity property: a manifest diffed against itself is all-unchanged
+    val m = Sampling.manifestRaw(docs.select(col("doc_id"), col("text")), 16)
+      .select(col("shard_id"), col("checksum").as("s1"))
+    val self = m.select(col("shard_id"), col("s1").as("s2")).join(m, "shard_id")
+      .filter(!(col("s1") <=> col("s2")))
+    assert(self.isEmpty)
+  }
+
+  test("q191 source leakage: canonical cells, totals reconcile with the pair graph") {
+    val d = sf("sf0.01")
+    val out = Dedup.sourceLeakage(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("src_1") <= r.getAs[String]("src_2"),
+        s"matrix cell must be canonicalized: $r")
+      val aj = r.getAs[Double]("avg_jaccard")
+      assert(aj >= 0.6 && aj <= 1.0, s"mean similarity out of range: $r")
+    }
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == Dedup.nearDupPairs(spark, d).count(),
+      "every near-dup pair lands in exactly one cell")
+  }
+
   test("q187 calibration: bins partition the corpus; rates reproduce the raw scores") {
     val d = sf("sf0.01")
     val cal = graft.analytics.QualityProbe.calibration(spark, d).collect()
