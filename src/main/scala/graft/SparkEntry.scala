@@ -273,7 +273,9 @@ object SparkEntry {
     "q188_bpe_fertility"           -> ((s: SparkSession, d: String) => BpeInduction.fertilityByLang(s, d)),
     "q189_shard_write"             -> ((s: SparkSession, d: String) => Sampling.shardedWriteGate(s, d)),
     "q190_manifest_diff"           -> ((s: SparkSession, d: String) => Sampling.manifestDiff(s, d)),
-    "q191_source_leakage"          -> ((s: SparkSession, d: String) => Dedup.sourceLeakage(s, d)))
+    "q191_source_leakage"          -> ((s: SparkSession, d: String) => Dedup.sourceLeakage(s, d)),
+    "q192_epoch_order"             -> ((s: SparkSession, d: String) => Sampling.epochOrder(s, d)),
+    "q193_packing_efficiency"      -> ((s: SparkSession, d: String) => Sampling.packingEfficiency(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1681,6 +1683,40 @@ object SparkEntry {
         |SELECT least(sa, sb) AS src_1, greatest(sa, sb) AS src_2,
         |  count(*) AS n_pairs, round(avg(jaccard), 4) AS avg_jaccard
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // deterministic per-epoch loader order: salted content hash per
+    // (shard, epoch), top-k per cell; row_number cast ::INT (gotchas)
+    "q192_epoch_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substring(md5(text), 1, 4))::BIGINT % 16 AS shard_id
+        |  FROM documents),
+        |e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+        |r AS (
+        |  SELECT epoch, shard_id, doc_id,
+        |    row_number() OVER (PARTITION BY shard_id, epoch
+        |      ORDER BY md5(epoch::VARCHAR || ':' || text) ASC, doc_id ASC) AS rk
+        |  FROM d CROSS JOIN e)
+        |SELECT epoch, shard_id, doc_id, rk::INT AS rk FROM r WHERE rk <= 3""".stripMargin,
+
+    // packing-efficiency audit: q62's chain + one bucket aggregate
+    "q193_packing_efficiency" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 % 32 AS bucket,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |  FROM d),
+        |p AS (
+        |  SELECT bucket, n_tok, ((cum_tok - n_tok) // 2048)::BIGINT AS seq_id FROM c)
+        |SELECT bucket, count(DISTINCT seq_id)::BIGINT AS n_seqs,
+        |  sum(n_tok)::BIGINT AS total_tokens,
+        |  (count(DISTINCT seq_id) * 2048)::BIGINT AS capacity,
+        |  (sum(n_tok) * 10000 // (count(DISTINCT seq_id) * 2048))::BIGINT AS fill_bp
+        |FROM p GROUP BY bucket""".stripMargin,
 
     // the writer round-trip gate: the manifest over the WRITTEN layout
     // must equal the manifest over the source (no-answer-change)

@@ -679,4 +679,51 @@ object Sampling {
         coalesce(col("d2"), lit(0L)).as("docs_v2"),
         (col("s1") <=> col("s2")).as("unchanged"))
   }
+
+  /** q192: deterministic EPOCH ordering — the data-loader shuffle, done
+    * engine-side with zero global sorts: within each shard, each epoch
+    * orders documents by a salted content hash (md5 of "epoch:text"), so
+    * every epoch sees a different permutation, every permutation is a pure
+    * function of (epoch, content) — replayable across reruns, clusters,
+    * and partitionings — and consecutive epochs are decorrelated without
+    * any RNG state to manage. The gate emits the first `k` documents per
+    * (shard, epoch): the rank bound is pushed below the per-shard sort
+    * (WindowGroupLimit, the q61 shape — pinned in PlanShapeSpec), so each
+    * map task ships at most k rows per (shard, epoch) into the shuffle
+    * whatever the corpus size. The full-ordering form (drop the filter) is
+    * what a shard-local loader consumes: per-shard sorts only, nShards
+    * independent tasks, never a corpus-wide ordering. */
+  def epochOrder(spark: SparkSession, dir: String, epochs: Int = 2, k: Int = 3,
+      nShards: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id"), col("epoch"))
+      .orderBy(md5(concat(col("epoch").cast("string"), lit(":"), col("text"))
+        .cast("binary")).asc, col("doc_id").asc)
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"), shardOf(col("text"), nShards).as("shard_id"))
+      .crossJoin(broadcast(
+        spark.range(1, epochs + 1).select(col("id").cast("int").as("epoch"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("epoch"), col("shard_id"), col("doc_id"), col("rk"))
+  }
+
+  /** q193: PACKING-EFFICIENCY audit over q62's greedy token packing —
+    * per bucket: sequence count, packed token total, nominal capacity
+    * (n_seqs · budget) and the integer basis-point fill rate. Fill can
+    * exceed 10000 bp: the greedy cum-div assignment charges a straddling
+    * document wholly to the sequence it starts in — the metric honestly
+    * shows where the packer over-stuffs (long docs) vs leaves tail waste
+    * (short buckets). One extra `buckets`-group aggregate over the q62
+    * plan; all-integer, so the audit hash-matches the oracle's restated
+    * chain. */
+  def packingEfficiency(spark: SparkSession, dir: String, budget: Int = 2048,
+      buckets: Int = 32): DataFrame =
+    tokenPacking(spark, dir, budget, buckets)
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("n_tok")).as("total_tokens"))
+      .select(col("bucket"), col("n_seqs"), col("total_tokens"),
+        (col("n_seqs") * budget).as("capacity"),
+        expr(s"(total_tokens * 10000L) div (n_seqs * ${budget}L)").as("fill_bp"))
 }

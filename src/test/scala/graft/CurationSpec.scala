@@ -321,6 +321,43 @@ class CurationSpec extends SparkSpec {
       "every near-dup pair lands in exactly one cell")
   }
 
+  test("q192 epoch order: per-cell ranks dense, epochs decorrelated, replayable") {
+    val d = sf("sf0.01")
+    val out = Sampling.epochOrder(spark, d).collect()
+    val byCell = out.groupBy(r => (r.getAs[Int]("epoch"), r.getAs[Long]("shard_id")))
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length).toSeq,
+        s"ranks must be dense in $cell")
+    }
+    // different epochs must give a different head order somewhere
+    val heads = (1 to 2).map { e =>
+      out.filter(_.getAs[Int]("epoch") == e)
+        .sortBy(r => (r.getAs[Long]("shard_id"), r.getAs[Int]("rk")))
+        .map(_.getAs[Long]("doc_id")).toSeq
+    }
+    assert(heads(0) != heads(1), "epoch salt must permute the order")
+    // pure function of (epoch, content): replayable
+    val again = Sampling.epochOrder(spark, d).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("q193 packing efficiency: reconciles with q62's packing; fill is the exact ratio") {
+    val d = sf("sf0.01")
+    val packs = Sampling.tokenPacking(spark, d).collect()
+    val eff = Sampling.packingEfficiency(spark, d).collect()
+    val byBucket = packs.groupBy(_.getAs[Int]("bucket"))
+    assert(eff.length == byBucket.size)
+    eff.foreach { r =>
+      val g = byBucket(r.getAs[Int]("bucket"))
+      val nSeqs = g.map(_.getAs[Long]("seq_id")).distinct.length.toLong
+      val total = g.map(_.getAs[Long]("n_tok")).sum
+      assert(r.getAs[Long]("n_seqs") == nSeqs)
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("capacity") == nSeqs * 2048)
+      assert(r.getAs[Long]("fill_bp") == total * 10000 / (nSeqs * 2048))
+    }
+  }
+
   test("q187 calibration: bins partition the corpus; rates reproduce the raw scores") {
     val d = sf("sf0.01")
     val cal = graft.analytics.QualityProbe.calibration(spark, d).collect()

@@ -409,4 +409,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("word_ngrams_all"), "codegen'd positional gram kernel\n" + p)
   }
+
+  test("q186: manifest is one partial+final aggregate — exactly one shuffle, no sort") {
+    val p = plan("q186_shard_manifest")
+    assert(p.contains("HashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "manifest must be a single shard_id-keyed exchange\n" + p)
+    assert(!p.contains("Sort "), "no ordering anywhere in a hash-mod manifest\n" + p)
+  }
+
+  test("q192: epoch top-k lowers to WindowGroupLimit; the only nested loop is the epoch broadcast") {
+    val p = plan("q192_epoch_order")
+    assert(p.contains("WindowGroupLimit"),
+      "rank bound must prune per-partition below the sort\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 2-row epoch frame broadcasts (the documented kilobyte-pin shape)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
