@@ -275,7 +275,8 @@ object SparkEntry {
     "q190_manifest_diff"           -> ((s: SparkSession, d: String) => Sampling.manifestDiff(s, d)),
     "q191_source_leakage"          -> ((s: SparkSession, d: String) => Dedup.sourceLeakage(s, d)),
     "q192_epoch_order"             -> ((s: SparkSession, d: String) => Sampling.epochOrder(s, d)),
-    "q193_packing_efficiency"      -> ((s: SparkSession, d: String) => Sampling.packingEfficiency(s, d)))
+    "q193_packing_efficiency"      -> ((s: SparkSession, d: String) => Sampling.packingEfficiency(s, d)),
+    "q194_source_profile"          -> ((s: SparkSession, d: String) => Sampling.sourceProfile(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2462,6 +2463,19 @@ object SparkEntry {
         |  coalesce(k.n_after, 0)::BIGINT AS n_after,
         |  coalesce(k.text_clean, '') AS text_clean
         |FROM chg c JOIN bef b USING (doc_id) LEFT JOIN kagg k USING (doc_id)""".stripMargin,
+
+    // per-source data card: Gopher pass rate + near-dup rate in basis
+    // points over the q73 WITH chain, one source-keyed aggregate
+    "q194_source_profile" ->
+      (CleanCorpusCtes +
+      """,
+        |tk AS (SELECT doc_id, source,
+        |  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok FROM documents)
+        |SELECT tk.source, count(*)::BIGINT AS n_docs, sum(tk.n_tok)::BIGINT AS n_tokens,
+        |  (sum(CASE WHEN gf.pass THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS quality_bp,
+        |  (sum(CASE WHEN kb.keep THEN 0 ELSE 1 END) * 10000 // count(*))::BIGINT AS dup_bp
+        |FROM tk JOIN gf USING (doc_id) JOIN kb USING (doc_id)
+        |GROUP BY tk.source""".stripMargin),
 
     // the funnel: cumulative-conjunction counts through every curation
     // gate (q175's chain) with q181's mixture as the final stage

@@ -717,6 +717,30 @@ object Sampling {
     * (short buckets). One extra `buckets`-group aggregate over the q62
     * plan; all-integer, so the audit hash-matches the oracle's restated
     * chain. */
+  /** q194: the per-source DATA CARD — the one-table corpus profile a
+    * dataset release ships: per source, document and token counts, the
+    * Gopher-quality pass rate and the near-duplicate rate, both in integer
+    * basis points (exact, so the whole card hash-matches an oracle that
+    * recomputes every underlying gate). Composes only gated operators
+    * (q66 Gopher, q71 keep-best — both riding the session memo's shared
+    * cluster map), plus ONE source-keyed aggregate; the source column of
+    * q191's leakage matrix and this card together are the mixture
+    * designer's source-selection evidence. */
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("source"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tok"))
+    val gopher = TextStats.gopherFilter(spark, dir).select(col("doc_id"), col("pass"))
+    val keep = Dedup.dedupKeepBest(spark, dir).select(col("doc_id"), col("keep"))
+    docs.join(gopher, "doc_id").join(keep, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("nq"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("nd"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(nq * 10000L) div n_docs").as("quality_bp"),
+        expr("(nd * 10000L) div n_docs").as("dup_bp"))
+  }
+
   def packingEfficiency(spark: SparkSession, dir: String, budget: Int = 2048,
       buckets: Int = 32): DataFrame =
     tokenPacking(spark, dir, budget, buckets)

@@ -358,6 +358,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q194 source profile: totals reconcile; rates reproduce the underlying gates") {
+    val d = sf("sf0.01")
+    val out = Sampling.sourceProfile(spark, d).collect()
+    val docs = Tables.documents(spark, d)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val gopherBySource = TextStats.gopherFilter(spark, d)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(
+        sum(when(col("pass"), 1L).otherwise(0L)).as("nq"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("nq"), r.getAs[Long]("n")))).toMap
+    out.foreach { r =>
+      val (nq, n) = gopherBySource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("quality_bp") == nq * 10000 / n,
+        s"quality rate must be the exact gate ratio: $r")
+      val dup = r.getAs[Long]("dup_bp")
+      assert(dup >= 0 && dup < 10000, s"dup rate out of range: $r")
+    }
+  }
+
   test("q187 calibration: bins partition the corpus; rates reproduce the raw scores") {
     val d = sf("sf0.01")
     val cal = graft.analytics.QualityProbe.calibration(spark, d).collect()
