@@ -276,7 +276,8 @@ object SparkEntry {
     "q191_source_leakage"          -> ((s: SparkSession, d: String) => Dedup.sourceLeakage(s, d)),
     "q192_epoch_order"             -> ((s: SparkSession, d: String) => Sampling.epochOrder(s, d)),
     "q193_packing_efficiency"      -> ((s: SparkSession, d: String) => Sampling.packingEfficiency(s, d)),
-    "q194_source_profile"          -> ((s: SparkSession, d: String) => Sampling.sourceProfile(s, d)))
+    "q194_source_profile"          -> ((s: SparkSession, d: String) => Sampling.sourceProfile(s, d)),
+    "q195_contamination_agreement" -> ((s: SparkSession, d: String) => Sampling.contaminationAgreement(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2463,6 +2464,56 @@ object SparkEntry {
         |  coalesce(k.n_after, 0)::BIGINT AS n_after,
         |  coalesce(k.text_clean, '') AS text_clean
         |FROM chg c JOIN bef b USING (doc_id) LEFT JOIN kagg k USING (doc_id)""".stripMargin,
+
+    // contamination-method agreement: three flagged-train-doc sets
+    // (exact 5-gram / containment>=0.5 / near-dup train-test straddle),
+    // counts + overlap vs the exact reference set
+    "q195_contamination_agreement" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 +
+        |     ascii(substring(md5(text), 2, 1))) % 100 AS b,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, b, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+        |    ELSE [tt] END) AS g
+        |  FROM s),
+        |ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE b >= 95),
+        |evn AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |tr AS (SELECT doc_id AS train_id, g FROM grams WHERE b < 90),
+        |exact AS (SELECT DISTINCT train_id FROM tr JOIN ev USING (g)),
+        |j AS (SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
+        |      FROM tr JOIN ev USING (g) GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT DISTINCT train_id FROM j JOIN evn USING (eval_id)
+        |  WHERE round(n_shared::DOUBLE / n_eval, 4) >= 0.5),
+        |wsh AS (
+        |  SELECT doc_id, b, list_distinct(
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         ELSE [tt] END) AS sh
+        |  FROM s),
+        |strad AS (
+        |  SELECT DISTINCT CASE WHEN a.b < 90 THEN a.doc_id ELSE bb.doc_id END AS train_id
+        |  FROM wsh a JOIN wsh bb ON a.doc_id < bb.doc_id
+        |  WHERE round(len(list_intersect(a.sh, bb.sh))::DOUBLE / nullif(len(list_distinct(list_cat(a.sh, bb.sh))), 0)::DOUBLE, 4) >= 0.6
+        |    AND ((a.b < 90 AND bb.b >= 95) OR (a.b >= 95 AND bb.b < 90)))
+        |SELECT 'exact_5gram' AS method, count(*)::BIGINT AS n_flagged,
+        |  coalesce(sum(CASE WHEN e.train_id IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT AS overlap_exact
+        |FROM exact m LEFT JOIN exact e ON m.train_id = e.train_id
+        |UNION ALL
+        |SELECT 'containment_0_5', count(*)::BIGINT,
+        |  coalesce(sum(CASE WHEN e.train_id IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT
+        |FROM cont m LEFT JOIN exact e ON m.train_id = e.train_id
+        |UNION ALL
+        |SELECT 'neardup_straddle', count(*)::BIGINT,
+        |  coalesce(sum(CASE WHEN e.train_id IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT
+        |FROM strad m LEFT JOIN exact e ON m.train_id = e.train_id""".stripMargin,
 
     // per-source data card: Gopher pass rate + near-dup rate in basis
     // points over the q73 WITH chain, one source-keyed aggregate

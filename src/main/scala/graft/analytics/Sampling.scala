@@ -741,6 +741,39 @@ object Sampling {
         expr("(nd * 10000L) div n_docs").as("dup_bp"))
   }
 
+  /** q195: contamination-method AGREEMENT matrix — the audit of the
+    * audits: three lexical leak detectors (exact shared 5-gram q69,
+    * containment ≥ 0.5 q145, near-dup train↔test straddle q53) each
+    * reduced to its flagged TRAIN-doc set, with per-method counts and the
+    * overlap against the exact-5-gram reference set. This is how a
+    * pipeline picks its decontamination battery: a method whose flags are
+    * a subset of exact's adds nothing; one with near-zero overlap is
+    * finding a different leak class (paraphrase vs verbatim) and earns
+    * its runtime. Composes only gated operators (the pair graph rides the
+    * session memo); three O(flagged) anti/semi joins + one 3-row union. */
+  def contaminationAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val exact = decontamination(spark, dir).select(col("train_id")).distinct()
+    val cont = containmentScores(spark, dir)
+      .filter(col("containment") >= 0.5).select(col("train_id")).distinct()
+    val straddle = splitContamination(spark, dir)
+      .filter((col("split_a") === "train" && col("split_b") === "test") ||
+        (col("split_a") === "test" && col("split_b") === "train"))
+      .select(when(col("split_a") === "train", col("doc_a"))
+        .otherwise(col("doc_b")).as("train_id"))
+      .distinct()
+    val ref = exact.withColumn("in_exact", lit(true))
+    Seq(("exact_5gram", exact), ("containment_0_5", cont),
+        ("neardup_straddle", straddle))
+      .map { case (name, ids) =>
+        ids.join(ref, Seq("train_id"), "left")
+          .agg(count(lit(1)).as("n_flagged"),
+            // coalesce: an empty flagged set sums to NULL, the gate wants 0
+            coalesce(sum(when(col("in_exact"), 1L).otherwise(0L)), lit(0L))
+              .as("overlap_exact"))
+          .select(lit(name).as("method"), col("n_flagged"), col("overlap_exact"))
+      }.reduce(_ unionByName _)
+  }
+
   def packingEfficiency(spark: SparkSession, dir: String, budget: Int = 2048,
       buckets: Int = 32): DataFrame =
     tokenPacking(spark, dir, budget, buckets)

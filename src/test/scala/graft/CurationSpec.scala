@@ -379,6 +379,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q195 agreement matrix: exact self-overlaps fully, containment is exact's subset") {
+    val d = sf("sf0.01")
+    val out = Sampling.contaminationAgreement(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_flagged"),
+        r.getAs[Long]("overlap_exact")))).toMap
+    assert(out.keySet == Set("exact_5gram", "containment_0_5", "neardup_straddle"))
+    val (ne, oe) = out("exact_5gram")
+    assert(ne > 0 && oe == ne, "the reference method overlaps itself fully")
+    val (nc, oc) = out("containment_0_5")
+    assert(oc == nc, "containment >= 0.5 implies >= 1 shared gram, i.e. subset of exact")
+    out.values.foreach { case (n, o) => assert(o <= n) }
+  }
+
   test("q187 calibration: bins partition the corpus; rates reproduce the raw scores") {
     val d = sf("sf0.01")
     val cal = graft.analytics.QualityProbe.calibration(spark, d).collect()

@@ -707,4 +707,51 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState MapState: Misra-Gries heavy hitters honor both MG bounds") {
+    import graft.streaming.HeavyHitterStream
+    import graft.streaming.HeavyHitterStream.Tok
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Tok]
+    val q = HeavyHitterStream.heavyHitters(in.toDS(), k = 8)
+      .writeStream.format("memory").queryName("hot").outputMode("update").start()
+    try {
+      // lang "en": 30 of 100 tokens are the planted heavy term, the other
+      // 70 are all distinct — n/(k+1) = 100/9 ≈ 11.1, so "hot" MUST be
+      // tracked with 30 ≥ count_lb ≥ 30 − 11 = 19
+      val heavy = Seq.fill(30)(Tok("en", "hot"))
+      val tail = (1 to 70).map(i => Tok("en", s"u$i"))
+      // interleave so decrements actually hit the heavy counter
+      val mixed = heavy.zipAll(tail, null, null)
+        .flatMap { case (a, b) => Seq(Option(a), Option(b)).flatten }
+      in.addData(mixed: _*)
+      // lang "vi": 3 distinct terms ≤ k ⇒ MG is EXACT
+      in.addData(Seq.fill(5)(Tok("vi", "a")) ++ Seq.fill(3)(Tok("vi", "b")) ++
+        Seq.fill(2)(Tok("vi", "c")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hot").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val hot = rows.getOrElse(("en", "hot"),
+        fail(s"heavy term must survive MG: ${rows.keys}"))
+      assert(hot >= 19L && hot <= 30L, s"MG bound violated: $hot")
+      assert(rows(("vi", "a")) == 5L && rows(("vi", "b")) == 3L &&
+        rows(("vi", "c")) == 2L, "≤k distinct terms must count exactly")
+      // cross-batch: the MapState persists — 4 more hits accumulate
+      in.addData(Seq.fill(4)(Tok("vi", "a")): _*)
+      q.processAllAvailable()
+      val later = spark.table("hot").collect()
+        .filter(r => r.getString(0) == "vi" && r.getString(1) == "a")
+        .map(_.getLong(2)).max
+      assert(later == 9L, s"counts must accumulate across batches: $later")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
