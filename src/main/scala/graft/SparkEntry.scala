@@ -277,7 +277,8 @@ object SparkEntry {
     "q192_epoch_order"             -> ((s: SparkSession, d: String) => Sampling.epochOrder(s, d)),
     "q193_packing_efficiency"      -> ((s: SparkSession, d: String) => Sampling.packingEfficiency(s, d)),
     "q194_source_profile"          -> ((s: SparkSession, d: String) => Sampling.sourceProfile(s, d)),
-    "q195_contamination_agreement" -> ((s: SparkSession, d: String) => Sampling.contaminationAgreement(s, d)))
+    "q195_contamination_agreement" -> ((s: SparkSession, d: String) => Sampling.contaminationAgreement(s, d)),
+    "q196_retrieval_agreement"     -> ((s: SparkSession, d: String) => TextStats.retrievalAgreement(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2464,6 +2465,57 @@ object SparkEntry {
         |  coalesce(k.n_after, 0)::BIGINT AS n_after,
         |  coalesce(k.text_clean, '') AS text_clean
         |FROM chg c JOIN bef b USING (doc_id) LEFT JOIN kagg k USING (doc_id)""".stripMargin,
+
+    // lexical-vs-semantic top-k agreement: the q177 legs bound at k=10,
+    // full-outer merged, per-query intersection in basis points
+    "q196_retrieval_agreement" ->
+      """WITH queries(query_id, term) AS (VALUES
+        |  (0,'stream'),(0,'table'),(0,'hash'),
+        |  (1,'customer'),(1,'order'),(1,'join'),
+        |  (2,'window'),(2,'batch'),(2,'spark')),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT DISTINCT term FROM queries)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    round(sum(
+        |      ln((s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |        * (t.tf * 2.2::DOUBLE)
+        |        / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))), 4)
+        |      AS score
+        |  FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s JOIN queries q USING (term)
+        |  GROUP BY q.query_id, t.doc_id),
+        |lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rn
+        |  FROM scored QUALIFY lex_rn <= 10),
+        |qv AS (
+        |  SELECT vec_id::INT AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |sem AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS sem_rn
+        |  FROM (
+        |    SELECT q.query_id, c.vec_id AS doc_id,
+        |      list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS sim
+        |    FROM qv q CROSS JOIN embeddings c WHERE c.vec_id <> q.query_id)
+        |  QUALIFY sem_rn <= 10)
+        |SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |  sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_lex,
+        |  sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_sem,
+        |  sum(CASE WHEN l.doc_id IS NOT NULL AND s.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        |  (sum(CASE WHEN l.doc_id IS NOT NULL AND s.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 10)::BIGINT AS overlap_bp
+        |FROM lex l FULL OUTER JOIN sem s
+        |  ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+        |GROUP BY 1""".stripMargin,
 
     // contamination-method agreement: three flagged-train-doc sets
     // (exact 5-gram / containment>=0.5 / near-dup train-test straddle),

@@ -806,6 +806,44 @@ object TextStats {
   def mmrRerank(spark: SparkSession, dir: String, k: Int = 5, n: Int = 30): DataFrame =
     mmrRerankOn(graft.Tables.embeddings(spark, dir), RetrievalQueries.length, k, n)
 
+  /** q196: lexical-vs-semantic retrieval AGREEMENT — per query, how much
+    * of the BM25 top-k and the cosine top-k is the same documents
+    * (set-intersection size, basis points of k). This is the diagnostic
+    * that justifies (or kills) the q177 hybrid: near-total agreement
+    * means one leg is redundant; near-zero means the legs see different
+    * relevance and fusion earns its cost. Both legs are the q177 legs
+    * verbatim, self-bound to k before the full-outer merge, so the whole
+    * audit is O(|queries|·k) past the leg scans; counts are integers and
+    * the gate hash-matches the oracle's restated chain. */
+  def retrievalAgreement(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorOps.cosine
+    val lex = bm25TopK(spark, dir, k)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("in_lex"))
+    val e = graft.Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < RetrievalQueries.length)
+      .select(col("vec_id").cast("int").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val corpus = e.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("nv"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val sem = corpus.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("sem_rn", row_number().over(ws))
+      .filter(col("sem_rn") <= k)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("in_sem"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("in_lex")), lit(0L)).as("n_lex"),
+        coalesce(sum(col("in_sem")), lit(0L)).as("n_sem"),
+        sum(when(col("in_lex").isNotNull && col("in_sem").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("query_id"), col("n_lex"), col("n_sem"), col("n_both"),
+        expr(s"(n_both * 10000L) div ${k}L").as("overlap_bp"))
+  }
+
   /** Core MMR over an explicit (vec_id, embedding) frame — vec_id <
     * nQueries are the queries, everything is a candidate (self excluded). */
   def mmrRerankOn(e: DataFrame, nQueries: Int, k: Int, n: Int): DataFrame = {

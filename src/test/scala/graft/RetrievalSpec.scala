@@ -79,4 +79,25 @@ class RetrievalSpec extends SparkSpec {
       assert(f.zip(f.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("q196 agreement: set bounds hold, overlap re-derives from the leg top-10s") {
+    import graft.analytics.TextStats
+    val d = sf("sf0.01")
+    val out = TextStats.retrievalAgreement(spark, d).collect()
+    assert(out.length == 3, "one row per retrieval query")
+    out.foreach { r =>
+      val (nl, ns, nb, bp) = (r.getAs[Long]("n_lex"), r.getAs[Long]("n_sem"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("overlap_bp"))
+      assert(nl <= 10 && ns == 10, s"legs must self-bound to k: $r")
+      assert(nb <= math.min(nl, ns) && bp == nb * 1000, s"overlap must be the exact ratio: $r")
+    }
+    // cross-check n_both against an independent recompute of the lex leg
+    val lexSets = TextStats.bm25TopK(spark, d, 10).collect()
+      .groupBy(_.getAs[Int]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    out.foreach { r =>
+      val qid = r.getAs[Int]("query_id")
+      assert(r.getAs[Long]("n_lex") == lexSets(qid).size.toLong)
+    }
+  }
 }
