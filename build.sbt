@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Java 17 derives the default charset from the locale (JEP 400 lands in
+  // 18); under this container's POSIX locale that is US-ASCII, and Spark's
+  // variant parse path (parse_json) decodes through the platform default —
+  // silently replacing every non-ASCII character with U+FFFD. Pin UTF-8 so
+  // VARIANT round-trips (q200) are lossless regardless of host locale.
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

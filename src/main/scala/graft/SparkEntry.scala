@@ -278,7 +278,14 @@ object SparkEntry {
     "q193_packing_efficiency"      -> ((s: SparkSession, d: String) => Sampling.packingEfficiency(s, d)),
     "q194_source_profile"          -> ((s: SparkSession, d: String) => Sampling.sourceProfile(s, d)),
     "q195_contamination_agreement" -> ((s: SparkSession, d: String) => Sampling.contaminationAgreement(s, d)),
-    "q196_retrieval_agreement"     -> ((s: SparkSession, d: String) => TextStats.retrievalAgreement(s, d)))
+    "q196_retrieval_agreement"     -> ((s: SparkSession, d: String) => TextStats.retrievalAgreement(s, d)),
+    "q197_token_waterfill"         -> ((s: SparkSession, d: String) => Sampling.waterfillCaps(s, d)),
+    "q198_waterfill_apply"         -> ((s: SparkSession, d: String) => Sampling.waterfillApply(s, d)),
+    "q199_matched_resample"        -> ((s: SparkSession, d: String) => Sampling.matchedResample(s, d)),
+    "q200_variant_extract"         -> Formats.variantExtract _,
+    "q201_orc_roundtrip"           -> Formats.orcRoundTrip _,
+    "q202_schema_evolution"        -> Formats.schemaEvolution _,
+    "q203_chunk_profile"           -> ((s: SparkSession, d: String) => Chunking.chunkProfile(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -3441,6 +3448,160 @@ object SparkEntry {
         |  UNION
         |  SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src WHERE b.dst <> a.src)
         |SELECT src AS node, count(*)::BIGINT AS n_reach2 FROM p GROUP BY 1""".stripMargin,
+
+    // token-budget waterfilling: the closed-form integer solve restated —
+    // g(i) = Σ_{j≤i} t_j + (n−i)·t_i over ascending sources, i* = max
+    // feasible, cap from the residual division (the three CASE arms)
+    "q197_token_waterfill" ->
+      """WITH per AS (
+        |  SELECT source, sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(n_tokens)::BIGINT AS total FROM per),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS i,
+        |    sum(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+        |      ROWS UNBOUNDED PRECEDING) AS pre
+        |  FROM per),
+        |j AS (
+        |  SELECT r.*, s.n, (s.total * 60 // 100)::BIGINT AS b,
+        |    (pre + (s.n - i) * n_tokens)::BIGINT AS g
+        |  FROM r, s),
+        |sol AS (
+        |  SELECT max(i) AS istar, arg_max(g, i) AS gstar, arg_max(n_tokens, i) AS tstar
+        |  FROM j WHERE g <= b),
+        |c AS (
+        |  SELECT (CASE WHEN sol.istar IS NULL THEN j0.b // j0.n
+        |               WHEN sol.istar = j0.n THEN sol.tstar
+        |               ELSE sol.tstar + (j0.b - sol.gstar) // (j0.n - sol.istar)
+        |          END)::BIGINT AS cap
+        |  FROM (SELECT any_value(n) AS n, any_value(b) AS b FROM j) j0, sol)
+        |SELECT per.source, per.n_tokens, c.cap,
+        |  least(per.n_tokens, c.cap)::BIGINT AS alloc_tokens,
+        |  per.n_tokens > c.cap AS capped
+        |FROM per, c""".stripMargin,
+
+    // the q197 cap applied doc-by-doc in content-hash priority order
+    "q198_waterfill_apply" ->
+      """WITH per AS (
+        |  SELECT source, sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(n_tokens)::BIGINT AS total FROM per),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS i,
+        |    sum(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+        |      ROWS UNBOUNDED PRECEDING) AS pre
+        |  FROM per),
+        |j AS (
+        |  SELECT r.*, s.n, (s.total * 60 // 100)::BIGINT AS b,
+        |    (pre + (s.n - i) * n_tokens)::BIGINT AS g
+        |  FROM r, s),
+        |sol AS (
+        |  SELECT max(i) AS istar, arg_max(g, i) AS gstar, arg_max(n_tokens, i) AS tstar
+        |  FROM j WHERE g <= b),
+        |c AS (
+        |  SELECT (CASE WHEN sol.istar IS NULL THEN j0.b // j0.n
+        |               WHEN sol.istar = j0.n THEN sol.tstar
+        |               ELSE sol.tstar + (j0.b - sol.gstar) // (j0.n - sol.istar)
+        |          END)::BIGINT AS cap
+        |  FROM (SELECT any_value(n) AS n, any_value(b) AS b FROM j) j0, sol),
+        |cum AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok,
+        |    sum(len(regexp_extract_all(text, '\S+'))) OVER (
+        |      PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT cum.source, c.cap, count(*)::BIGINT AS n_kept,
+        |  sum(n_tok)::BIGINT AS tok_kept,
+        |  (sum(n_tok) * 10000 // c.cap)::BIGINT AS util_bp
+        |FROM cum, c WHERE cum.cum <= c.cap
+        |GROUP BY cum.source, c.cap""".stripMargin,
+
+    // covariate-matched downsampling: test's length profile in basis
+    // points, the min-ratio feasible size, per-bucket quotas, and the
+    // hash-priority selection restated (kept set pinned by its id sum)
+    "q199_matched_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 90 THEN 'train'
+        |         WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    least(n_chars // 200, 9)::BIGINT AS bucket
+        |  FROM documents),
+        |t AS (SELECT bucket, count(*)::BIGINT AS n_test FROM d WHERE split = 'test' GROUP BY 1),
+        |tt AS (SELECT sum(n_test) AS t_tot FROM t),
+        |tg AS (
+        |  SELECT bucket, n_test, (n_test * 10000 // t_tot)::BIGINT AS p_bp
+        |  FROM t, tt WHERE (n_test * 10000 // t_tot) > 0),
+        |tr AS (SELECT bucket, count(*)::BIGINT AS n_train FROM d WHERE split = 'train' GROUP BY 1),
+        |jn AS (
+        |  SELECT tg.bucket, coalesce(tr.n_train, 0)::BIGINT AS n_train, tg.n_test, tg.p_bp
+        |  FROM tg LEFT JOIN tr USING (bucket)),
+        |m AS (SELECT min(n_train * 10000 // p_bp)::BIGINT AS m FROM jn),
+        |q AS (SELECT jn.*, (p_bp * m.m // 10000)::BIGINT AS k_quota FROM jn, m),
+        |rk AS (
+        |  SELECT bucket, doc_id,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY md5(text) ASC, doc_id ASC) AS rk
+        |  FROM d WHERE split = 'train'),
+        |kept AS (
+        |  SELECT rk.bucket, sum(rk.doc_id)::BIGINT AS kept_id_sum
+        |  FROM rk JOIN q USING (bucket) WHERE rk.rk <= q.k_quota GROUP BY 1)
+        |SELECT q.bucket, q.n_train, q.n_test, q.p_bp, q.k_quota,
+        |  coalesce(kept.kept_id_sum, 0)::BIGINT AS kept_id_sum
+        |FROM q LEFT JOIN kept USING (bucket)""".stripMargin,
+
+    // VARIANT round-trip: the oracle never sees the JSON — it states the
+    // same per-(source, lang) statistics from the typed columns
+    "q200_variant_extract" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(CASE WHEN regexp_extract(text, '\S+') <> '' THEN 1 ELSE 0 END)::BIGINT AS n_with_tok,
+        |  coalesce(sum(CASE WHEN regexp_extract(text, '\S+') <> ''
+        |    THEN ('0x' || substring(md5(regexp_extract(text, '\S+')), 1, 12))::BIGINT END), 0)::VARCHAR AS tok_checksum
+        |FROM documents GROUP BY source, lang""".stripMargin,
+
+    // ORC round-trip: the q186 manifest keyed by source, computed by the
+    // oracle from the ORIGINAL parquet (the engine reads its ORC copy)
+    "q201_orc_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
+        |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // schema evolution: the oracle recomputes each generation from the
+    // ORIGINAL typed table — the engine's mergeSchema read must agree
+    "q202_schema_evolution" ->
+      """SELECT 1::BIGINT AS gen, count(*)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_lang_null, 0::BIGINT AS sum_chars,
+        |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 2::BIGINT, count(*)::BIGINT, 0::BIGINT, sum(n_chars)::BIGINT,
+        |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    // token-window chunking restated: same starts (0, 24, 48, … < n_tok),
+    // same 32-token windows, same short tail
+    "q203_chunk_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 1),
+        |c AS (
+        |  SELECT doc_id, source, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 24)) AS s
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    len(toks[s + 1 : s + 32])::BIGINT AS n_tok,
+        |    array_to_string(toks[s + 1 : s + 32], ' ') AS ct
+        |  FROM c)
+        |SELECT source, count(*)::BIGINT AS n_chunks,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS chunk_tokens,
+        |  sum(('0x' || substring(md5(ct), 1, 12))::BIGINT)::VARCHAR AS checksum
+        |FROM p GROUP BY 1""".stripMargin,
 
     // modularity of the q139 partition over the common denominator 4m² —
     // numerator/denominator exact integers, one division at the edge

@@ -152,6 +152,37 @@ object AnnIndex {
     }
   }
 
+  /** Threshold-scoped compaction DRIVER — the piece that turns [[compact]]
+    * into a standing maintenance policy: read each cell's physical file
+    * count from `_metadata` provenance (the scan itself reports the
+    * layout — no filesystem walk), pick the cells whose count exceeds
+    * `threshold`, and run ONE [[compact]] pass scoped to exactly those
+    * cells. All selected cells rewrite in parallel inside a single job
+    * (compact's repartition(cid) gives each its own task); unselected
+    * cells are not rewritten — their files aren't even opened by the
+    * overwrite. The decision list is O(#cells) metadata held briefly on
+    * the driver, the same cardinality a lakehouse OPTIMIZE planner holds;
+    * at 100 TB that is thousands of cells, not data. Returns the plan it
+    * acted on: (cid, n_files, needs_compaction). */
+  def compactionPlan(spark: SparkSession, name: String, threshold: Int): DataFrame =
+    spark.table(s"${name}_cells")
+      .select(col("cid"), col("_metadata.file_path").as("fp"))
+      .groupBy(col("cid"))
+      .agg(countDistinct(col("fp")).as("n_files"))
+      .withColumn("needs_compaction", col("n_files") > threshold)
+
+  def compactOverThreshold(spark: SparkSession, name: String, threshold: Int): DataFrame = {
+    // snapshot the plan BEFORE acting on it — the plan's `_metadata` scan
+    // is lazy, so the un-materialized frame would re-list the layout
+    // after the rewrite and report the post-compaction file counts
+    val rows = compactionPlan(spark, name, threshold).collect()
+    val cids = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSeq
+    if (cids.nonEmpty) compact(spark, name, Some(cids))
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      .toDF("cid", "n_files", "needs_compaction")
+  }
+
   /** q167: the q47-pattern no-answer-change gate over a COMPACTED index —
     * build on a quarter of the corpus, grow it with three separate
     * [[extend]] batches plus the planted ×2-scaled copies of the query

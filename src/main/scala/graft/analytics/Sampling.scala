@@ -783,4 +783,164 @@ object Sampling {
       .select(col("bucket"), col("n_seqs"), col("total_tokens"),
         (col("n_seqs") * budget).as("capacity"),
         expr(s"(total_tokens * 10000L) div (n_seqs * ${budget}L)").as("fill_bp"))
+
+  private def W = org.apache.spark.sql.expressions.Window
+
+  /** The waterfilling solve on an already-aggregated (source, n_tokens)
+    * table — factored out so the spec can drive it with hand corpora.
+    * Finds the LARGEST integer cap C with Σ_s min(t_s, C) ≤ B, closed
+    * form, no iteration: with sources sorted ascending by tokens,
+    * g(i) = Σ_{j≤i} t_j + (n−i)·t_i equals Σ_s min(t_s, t_i); take
+    * i* = max{i : g(i) ≤ B} and C = t_{i*} + ⌊(B − g(i*)) / (n − i*)⌋.
+    * No qualifying i (a balanced corpus, where even the smallest source's
+    * level exceeds the budget) → C = ⌊B/n⌋; i* = n happens only when
+    * B ≥ total → C = t_n and nothing is capped. The solve runs on the
+    * #sources-row table: the single-partition window orders dozens of
+    * rows, never data. */
+  private[graft] def waterfillOn(per: DataFrame, budget: Column): DataFrame = {
+    val w = W.orderBy(col("n_tokens").asc, col("source").asc)
+    val ranked = per
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pre", sum(col("n_tokens")).over(w.rowsBetween(Long.MinValue, 0)))
+    val stats = per.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("n_tokens")).as("total"))
+      .withColumn("b", budget)
+    val g = ranked.crossJoin(broadcast(stats))
+      .withColumn("g", col("pre") + (col("n") - col("i")) * col("n_tokens"))
+    // argmax-by-i via struct max: i is unique and leads the struct.
+    val cap = g.agg(
+        max(when(col("g") <= col("b"),
+          struct(col("i"), col("g"), col("n_tokens")))).as("s"),
+        first(col("n")).as("n"), first(col("b")).as("b"))
+      .select(when(col("s").isNull, expr("b div n"))
+        .when(col("s.i") === col("n"), col("s.n_tokens"))
+        .otherwise(col("s.n_tokens") + expr("(b - s.g) div (n - s.i)"))
+        .as("cap"))
+    per.crossJoin(broadcast(cap))
+      .select(col("source"), col("n_tokens"), col("cap"),
+        least(col("n_tokens"), col("cap")).as("alloc_tokens"),
+        (col("n_tokens") > col("cap")).as("capped"))
+  }
+
+  /** q197: token-budget WATERFILLING — the mixture-capping policy solve a
+    * training-mixture designer runs before sampling: given per-source
+    * exact token totals and a global budget (60 % of the corpus here),
+    * find the largest per-source cap whose allocation fits the budget
+    * ([[waterfillOn]]) and state every source's allocation under it.
+    * All-integer, so cap and allocations hash-match the oracle's restated
+    * solve. Scale: one source-keyed partial+final aggregate over the
+    * corpus feeds a #sources-row solve — corpus size only ever crosses
+    * the first aggregate. */
+  def waterfillCaps(spark: SparkSession, dir: String, budgetPct: Int = 60): DataFrame = {
+    val per = documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(TextStats.tokens(col("text"))).cast("long")).as("n_tokens"))
+    waterfillOn(per, expr(s"(total * ${budgetPct}L) div 100L"))
+  }
+
+  /** q198: the q197 policy APPLIED — deterministic doc-level selection
+    * under each source's cap: within a source, documents are ranked by
+    * content hash (md5(text), doc_id — the q192 kernel: layout-, order-
+    * and partitioning-independent), and a document is kept while the
+    * running token total stays within the cap. Per source the gate states
+    * docs kept, tokens kept and the basis-point cap utilization — an
+    * inclusion-priority contract a 100 TB rerun reproduces byte-for-byte
+    * after any repartition, and under appends only lower-priority
+    * documents can be displaced. Scale: the cumulative sum is a
+    * per-source window (sources partition the corpus — no global sort);
+    * the cap table broadcasts. */
+  def waterfillApply(spark: SparkSession, dir: String, budgetPct: Int = 60): DataFrame = {
+    val caps = waterfillCaps(spark, dir, budgetPct).select(col("source"), col("cap"))
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("text").cast("binary")).as("h"))
+    saltedCumsum(docs)
+      .join(broadcast(caps), "source")
+      .filter(col("cum") <= col("cap"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"),
+        first(col("cap")).as("cap"))
+      .select(col("source"), col("cap"), col("n_kept"), col("tok_kept"),
+        expr("(tok_kept * 10000L) div cap").as("util_bp"))
+  }
+
+  /** Exact distributed running-total in content-hash priority order —
+    * the scale form of `sum OVER (PARTITION BY source ORDER BY h)`. A
+    * window partitioned only by `source` funnels each source's ENTIRE
+    * doc set through one task (5 TB/task at 100 TB with 20 sources); but
+    * the priority key IS the md5 hex string, so its first two hex chars
+    * `p` are an order-preserving salt: ordering by h ≡ ordering by
+    * (p, h). Phase 1 aggregates token sums per (source, p) — 256·n_src
+    * rows — and prefix-sums them with a TINY window; phase 2 broadcasts
+    * those bases back and runs the real window partitioned by
+    * (source, p), 256× finer, stragglerless. Exact, not approximate:
+    * cum(doc) = base(source, p) + within-(source, p) running total. */
+  private[graft] def saltedCumsum(docs: DataFrame): DataFrame = {
+    val salted = docs.withColumn("p", substring(col("h"), 1, 2))
+    val base = salted.groupBy(col("source"), col("p"))
+      .agg(sum(col("n_tok")).as("ptok"))
+      .withColumn("base", coalesce(sum(col("ptok")).over(
+        W.partitionBy(col("source")).orderBy(col("p").asc)
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("source"), col("p"), col("base"))
+    val w = W.partitionBy(col("source"), col("p"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    salted.join(broadcast(base), Seq("source", "p"))
+      .withColumn("cum", col("base") + sum(col("n_tok")).over(w.rowsBetween(Long.MinValue, 0)))
+  }
+
+  /** q199: covariate-matched DOWNSAMPLING — reshape train's length
+    * distribution to test's (the held-out set is the profile the
+    * evaluation actually sees): per 200-char length bucket, test's share
+    * in integer basis points is the target; the largest feasible matched
+    * size M = min_b ⌊n_train_b · 10000 / p_b⌋ over test-occupied buckets;
+    * per-bucket quota k_b = ⌊p_b · M / 10000⌋; each bucket keeps its k_b
+    * highest-priority train docs (content-hash order, the q198
+    * discipline). The gate states, per bucket, both counts, the target,
+    * the quota and the order-insensitive sum of kept doc_ids — the
+    * selection pinned exactly without ordering the output. All-integer.
+    * Scale: two bucket-keyed aggregates and one per-bucket window; the
+    * quota solve touches a ≤10-row table. */
+  def matchedResample(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"),
+      splitOf(col("text")).as("split"),
+      least(expr("n_chars div 200L"), lit(9L)).as("bucket"))
+    val test = d.filter(col("split") === "test")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_test"))
+    val target = test.crossJoin(broadcast(test.agg(sum(col("n_test")).as("t_tot"))))
+      .select(col("bucket"), col("n_test"),
+        expr("(n_test * 10000L) div t_tot").as("p_bp"))
+      .filter(col("p_bp") > 0L)
+    val train = d.filter(col("split") === "train")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_train"))
+    val joined = target.join(train, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_train"))
+    val quota = joined
+      .crossJoin(broadcast(
+        joined.agg(min(expr("(n_train * 10000L) div p_bp")).as("m"))))
+      .select(col("bucket"), col("n_train"), col("n_test"), col("p_bp"),
+        expr("(p_bp * m) div 10000L").as("k_quota"))
+    // distributed exact rank (the saltedCumsum discipline): rank within
+    // bucket by (h, doc_id) = count of earlier salt groups + rank within
+    // the 256× finer (bucket, p) partition — no whole-bucket sort task
+    val salted = d.filter(col("split") === "train")
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("p", substring(col("h"), 1, 2))
+    val base = salted.groupBy(col("bucket"), col("p"))
+      .agg(count(lit(1)).as("pn"))
+      .withColumn("base", coalesce(sum(col("pn")).over(
+        W.partitionBy(col("bucket")).orderBy(col("p").asc)
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("bucket"), col("p"), col("base"))
+    val w = W.partitionBy(col("bucket"), col("p"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val kept = salted.join(broadcast(base), Seq("bucket", "p"))
+      .withColumn("rk", col("base") + row_number().over(w).cast("long"))
+      .join(broadcast(quota.select(col("bucket"), col("k_quota"))), "bucket")
+      .filter(col("rk") <= col("k_quota"))
+      .groupBy(col("bucket")).agg(sum(col("doc_id")).as("kept_id_sum"))
+    quota.join(kept, Seq("bucket"), "left")
+      .na.fill(0L, Seq("kept_id_sum"))
+  }
 }

@@ -192,4 +192,51 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .collect().map(_.toSeq).toSet
     assert(compacted == baseline, "compaction changed an answer")
   }
+
+  test("threshold driver: plan matches the physical layout; only over-threshold cells rewritten") {
+    AnnIndex.build(vecs.filter(col("vec_id") % 2 === 0), "spec_ann_thr", numCentroids = 8)
+    for (r <- Seq(1, 3, 5))
+      AnnIndex.extend(vecs.filter(col("vec_id") % 6 === r), "spec_ann_thr")
+    // asymmetric hot cells: two more appends of ×2-scaled copies of a few
+    // vectors (same direction ⇒ same cell) so only their cells go over
+    for (off <- Seq(90000L, 91000L))
+      AnnIndex.extend(
+        vecs.filter(col("vec_id") < 5)
+          .select((col("vec_id") + off).as("vec_id"),
+            org.apache.spark.sql.functions.expr("transform(v, x -> x * 2.0d)").as("v")),
+        "spec_ann_thr")
+    def fileNames(): Map[String, Set[String]] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("spec_ann_thr_cells")).location
+      new java.io.File(loc).listFiles().filter(_.getName.startsWith("cid="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = fileNames()
+    val threshold = before.values.map(_.size).min  // some cells over, some at/under
+    assert(before.values.exists(_.size > threshold),
+      s"no cell over threshold $threshold — driver test is vacuous: ${before.view.mapValues(_.size).toMap}")
+    val baseline = AnnIndex.topKAgainst(spark, "spec_ann_thr", queries, k = 5)
+      .collect().map(_.toSeq).toSet
+
+    // the plan's file counts are the filesystem's, via _metadata provenance
+    val plan = AnnIndex.compactOverThreshold(spark, "spec_ann_thr", threshold)
+      .collect().map(r => s"cid=${r.getLong(0)}" -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(plan.keySet == before.keySet)
+    for ((cell, files) <- before) {
+      assert(plan(cell)._1 == files.size.toLong, s"$cell: plan says ${plan(cell)._1}, fs has ${files.size}")
+      assert(plan(cell)._2 == (files.size > threshold))
+    }
+
+    val after = fileNames()
+    for ((cell, files) <- before) {
+      if (files.size > threshold)
+        assert(after(cell).size == 1, s"$cell selected but not compacted: ${after(cell)}")
+      else
+        assert(after(cell) == files, s"$cell under threshold but its files changed")
+    }
+    val compacted = AnnIndex.topKAgainst(spark, "spec_ann_thr", queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(compacted == baseline, "threshold compaction changed an answer")
+  }
 }
