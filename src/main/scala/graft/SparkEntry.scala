@@ -285,7 +285,9 @@ object SparkEntry {
     "q200_variant_extract"         -> Formats.variantExtract _,
     "q201_orc_roundtrip"           -> Formats.orcRoundTrip _,
     "q202_schema_evolution"        -> Formats.schemaEvolution _,
-    "q203_chunk_profile"           -> ((s: SparkSession, d: String) => Chunking.chunkProfile(s, d)))
+    "q203_chunk_profile"           -> ((s: SparkSession, d: String) => Chunking.chunkProfile(s, d)),
+    "q204_retrieval_eval"          -> ((s: SparkSession, d: String) => TextStats.retrievalEval(s, d)),
+    "q205_corrupt_resilience"      -> Formats.corruptResilientRead _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -3581,6 +3583,67 @@ object SparkEntry {
         |SELECT 2::BIGINT, count(*)::BIGINT, 0::BIGINT, sum(n_chars)::BIGINT,
         |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    // retrieval eval: the BM25 run (q176's scratch chain verbatim) scored
+    // against the boolean-AND containment ground truth — all-integer
+    // metrics (MRR/recall in basis points, truncating division)
+    "q204_retrieval_eval" ->
+      """WITH queries(query_id, term) AS (VALUES
+        |  (0,'stream'),(0,'table'),(0,'hash'),
+        |  (1,'customer'),(1,'order'),(1,'join'),
+        |  (2,'window'),(2,'batch'),(2,'spark')),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT DISTINCT term FROM queries)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    round(sum(
+        |      ln((s.n_docs - f.df + 0.5::DOUBLE) / (f.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+        |        * (t.tf * 2.2::DOUBLE)
+        |        / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl))), 4)
+        |      AS score
+        |  FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s JOIN queries q USING (term)
+        |  GROUP BY q.query_id, t.doc_id),
+        |run AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::BIGINT AS rn
+        |  FROM scored QUALIFY rn <= 10),
+        |dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        |nq AS (SELECT query_id, count(*) AS n_terms FROM queries GROUP BY 1),
+        |relc AS (
+        |  SELECT q.query_id, dt.doc_id, count(*) AS nm
+        |  FROM dt JOIN queries q USING (term) GROUP BY 1, 2),
+        |rel AS (
+        |  SELECT relc.query_id, relc.doc_id
+        |  FROM relc JOIN nq USING (query_id) WHERE nm = n_terms),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |hit AS (
+        |  SELECT r.query_id,
+        |    sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+        |    min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rn END) AS fr
+        |  FROM run r LEFT JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+        |  GROUP BY 1)
+        |SELECT h.query_id, n.n_rel::BIGINT AS n_rel, h.hits::BIGINT AS hits_at_k,
+        |  coalesce(10000 // h.fr, 0)::BIGINT AS mrr_bp,
+        |  (h.hits * 10000 // n.n_rel)::BIGINT AS recall_bp
+        |FROM hit h JOIN nrel n USING (query_id)""".stripMargin,
+
+    // corrupt-file resilience: the oracle never sees the poisoned copy —
+    // it manifests the CLEAN table; the engine must skip exactly the two
+    // planted poison files to agree
+    "q205_corrupt_resilience" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
+        |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // token-window chunking restated: same starts (0, 24, 48, … < n_tok),
     // same 32-token windows, same short tail

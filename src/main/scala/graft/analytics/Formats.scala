@@ -112,4 +112,49 @@ object Formats {
       .select(col("gen"), col("n_docs"), col("n_lang_null"), col("sum_chars"),
         col("checksum").cast("string").as("checksum"))
   }
+
+  /** q205: corrupt-file RESILIENCE — at 100 TB some file in a
+    * million-file table is eventually truncated mid-upload or plain
+    * garbage, and one bad file must cost a warning, not the job (a
+    * 1000-executor scan that dies at 99% on a torn footer re-runs hours).
+    * The gate stages a copy of the corpus alongside two planted poison
+    * files — pure garbage (no parquet magic) and a torn copy (valid PAR1
+    * header, amputated footer) — and reads the directory with an explicit
+    * schema + `ignoreCorruptFiles=true`. The per-source manifest (count,
+    * token total, content checksum — the q110/q201 discipline) must equal
+    * the oracle's clean-table manifest exactly: the poison skipped, every
+    * healthy row kept, none double-read. The explicit schema matters at
+    * scale for a second reason: no footer-sampling schema inference pass
+    * over a million files before planning. */
+  def corruptResilientRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_corrupt_documents")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+    fs.delete(rootPath, true)
+    val clean = documents(spark, dir).select("doc_id", "text", "source")
+    clean.write.mode("overwrite").parquet(root.toString)
+    // poison 1: garbage bytes, no PAR1 magic
+    val junk = new java.io.FileOutputStream(new java.io.File(root, "zz_junk.parquet"))
+    junk.write(Array.fill[Byte](4096)(0x5a)); junk.close()
+    // poison 2: a torn copy — header intact, footer gone
+    val good = root.listFiles().filter(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(good.toPath)
+    java.nio.file.Files.write(
+      new java.io.File(root, "zz_torn.parquet").toPath,
+      bytes.take(math.max(bytes.length / 3, 8)))
+    spark.read.schema(clean.schema)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(root.toString)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextStats.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 12), 16, 10)
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("checksum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("checksum").cast("string").as("checksum"))
+  }
 }

@@ -844,6 +844,49 @@ object TextStats {
         expr(s"(n_both * 10000L) div ${k}L").as("overlap_bp"))
   }
 
+  /** q204: retrieval-quality EVALUATION — the metrics harness that closes
+    * the ranked-retrieval loop (build q179 → query q176 → fuse q177 →
+    * rerank q178 → EVAL): per query, hits@k, MRR and recall@k of the BM25
+    * ranking against a DECIDABLE relevance set — the documents containing
+    * every one of the query's terms (boolean-AND ground truth, the
+    * classical pre-ranking retrieval contract, so both engines derive the
+    * same labels from the corpus itself — no human judgments to pin).
+    *
+    * Determinism: ranks come from q176's 4-dp-rounded/doc_id-tie-broken
+    * ordering; metrics are integers — MRR as ⌊10000/first_rel_rank⌋ basis
+    * points (0 when no relevant doc makes top-k), recall as
+    * ⌊hits·10000/n_rel⌋.
+    *
+    * Scale: ground truth is one distinct (doc, term) scan broadcast-joined
+    * against the 9-term query list — the same corpus-sized leg BM25
+    * already walks; everything after the run table is Q×k rows. */
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val qterms = RetrievalQueries
+      .flatMap { case (qid, s) => s.split(" ").map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val nTerms = qterms.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_terms"))
+    val rel = documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("nm"))
+      .join(broadcast(nTerms), "query_id")
+      .filter(col("nm") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"), lit(true).as("rel"))
+    val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    bm25TopK(spark, dir, k)
+      .select(col("query_id"), col("doc_id"), col("rn"))
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("hits_at_k"),
+        min(when(col("rel"), col("rn"))).as("first_rel"))
+      .join(nRel, "query_id")
+      .select(col("query_id"), col("n_rel"), col("hits_at_k"),
+        coalesce(expr("10000L div first_rel"), lit(0L)).as("mrr_bp"),
+        expr("(hits_at_k * 10000L) div n_rel").as("recall_bp"))
+  }
+
   /** Core MMR over an explicit (vec_id, embedding) frame — vec_id <
     * nQueries are the queries, everything is a candidate (self excluded). */
   def mmrRerankOn(e: DataFrame, nQueries: Int, k: Int, n: Int): DataFrame = {

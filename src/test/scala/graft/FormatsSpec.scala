@@ -67,4 +67,22 @@ class FormatsSpec extends SparkSpec {
     val cols = spark.read.option("mergeSchema", "true").parquet(root).columns.toSet
     assert(Set("doc_id", "text", "source", "lang", "n_chars", "gen").subsetOf(cols), cols)
   }
+
+  test("corrupt resilience: poison skipped with the option, fatal without it") {
+    val clean = Tables.documents(spark, sf("sf0.001"))
+    val out = Formats.corruptResilientRead(spark, sf("sf0.001")).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == clean.count(),
+      "resilient read must see exactly the healthy rows")
+    // the poison must be real: the same directory without the option dies
+    val root = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_corrupt_documents").toString
+    assert(new java.io.File(root, "zz_junk.parquet").exists() &&
+      new java.io.File(root, "zz_torn.parquet").exists())
+    val schema = clean.select("doc_id", "text", "source").schema
+    val thrown = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).parquet(root).groupBy("source").count().collect()
+    }
+    assert(thrown.getMessage != null)
+  }
 }

@@ -100,4 +100,31 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_lex") == lexSets(qid).size.toLong)
     }
   }
+
+  test("q204 eval: metrics re-derive from the run and an independent ground truth") {
+    import graft.analytics.TextStats
+    val d = sf("sf0.001")
+    val out = TextStats.retrievalEval(spark, d).collect()
+      .map(r => r.getAs[Int]("query_id") -> r).toMap
+    assert(out.keySet == Set(0, 1, 2))
+    // independent ground truth: driver-side containment over the raw text
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSet)
+    val run = TextStats.bm25TopK(spark, d, 10).collect()
+      .groupBy(_.getAs[Int]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("doc_id"))).toMap
+    for ((qid, qs) <- TextStats.RetrievalQueries) {
+      val terms = qs.split(" ").toSet
+      val rel = docs.filter { case (_, ts) => terms.subsetOf(ts) }.map(_._1).toSet
+      val ranked = run(qid)
+      val hits = ranked.count(rel)
+      val first = ranked.zipWithIndex.collectFirst { case (id, i) if rel(id) => i + 1 }
+      val r = out(qid)
+      assert(r.getAs[Long]("n_rel") == rel.size.toLong, s"q$qid n_rel")
+      assert(r.getAs[Long]("hits_at_k") == hits.toLong, s"q$qid hits")
+      assert(r.getAs[Long]("mrr_bp") == first.map(10000L / _).getOrElse(0L), s"q$qid mrr")
+      assert(r.getAs[Long]("recall_bp") == hits.toLong * 10000L / rel.size, s"q$qid recall")
+      assert(rel.nonEmpty && r.getAs[Long]("recall_bp") <= 10000L)
+    }
+  }
 }
