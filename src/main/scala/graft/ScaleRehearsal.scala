@@ -245,6 +245,22 @@ object ScaleRehearsal {
       val (tCal, _)  = time(analytics.QualityProbe.calibration(spark, dir).count())
       val (tFert, _) = time(analytics.BpeInduction.fertilityByLang(spark, dir).count())
 
+      // round-8 seventh leg. q203 chunking is a zero-shuffle per-row
+      // generator: wall AND chunk count must both track corpus tokens
+      // linearly (the ×size/stride amplification is a constant factor).
+      // q198's salted cumsum replaces the per-source window with 256×
+      // finer (source, hex-prefix) partitions — the max-window evidence
+      // below is the measured form of that de-skew: the largest window
+      // task under plain per-source partitioning vs under the salt.
+      val (tChunk, nChunks) = time(analytics.Chunking.chunkTable(spark, dir).count())
+      val (tWf, _) = time(Sampling.waterfillApply(spark, dir).count())
+      val wfd = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), substring(md5(col("text").cast("binary")), 1, 2).as("p"))
+      val maxSourceWindow = wfd.groupBy(col("source")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).collect()(0).getLong(0)
+      val maxSaltedWindow = wfd.groupBy(col("source"), col("p")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).collect()(0).getLong(0)
+
       // q95 skew-cap evidence: the largest single join group under the
   // prefix-only blocking key (round ≤4) vs the composite
       // (prefix, ⌊len/30⌋) key in use since round 5 — the composite cap is
@@ -279,7 +295,10 @@ object ScaleRehearsal {
         s""""q165_bpe_tokenize":$tBpe,"q169_surprisal":$tSurp,"q170_dedup_weights":$tWts,""" +
         s""""q176_bm25":$tBm25,"q177_rrf":$tRrf,"q178_mmr":$tMmr,""" +
         s""""q181_temp_mixture":$tTemp,"q186_manifest":$tMan,""" +
-        s""""q187_calibration":$tCal,"q188_fertility":$tFert},""" +
+        s""""q187_calibration":$tCal,"q188_fertility":$tFert,""" +
+        s""""q198_waterfill":$tWf,"q203_chunking":$tChunk},""" +
+        s""""n_chunks":$nChunks,""" +
+        s""""wf_max_window":{"source":$maxSourceWindow,"salted":$maxSaltedWindow},""" +
         s""""bm25_matched_postings":$nMatchedPost,""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
