@@ -287,7 +287,14 @@ object SparkEntry {
     "q202_schema_evolution"        -> Formats.schemaEvolution _,
     "q203_chunk_profile"           -> ((s: SparkSession, d: String) => Chunking.chunkProfile(s, d)),
     "q204_retrieval_eval"          -> ((s: SparkSession, d: String) => TextStats.retrievalEval(s, d)),
-    "q205_corrupt_resilience"      -> Formats.corruptResilientRead _)
+    "q205_corrupt_resilience"      -> Formats.corruptResilientRead _,
+    "q206_dedup_index_delete"      -> DedupIndex.deleteGate _,
+    "q207_ann_index_delete"        -> AnnIndex.deleteGate _,
+    "q208_lex_index_delete"        -> LexIndex.deleteGate _,
+    "q209_filtered_ann"            -> AnnIndex.filteredGate _,
+    "q210_agg_pushdown"            -> Formats.aggPushdown _,
+    "q211_shard_delete"            -> ((s: SparkSession, d: String) => Sampling.shardedDeleteGate(s, d)),
+    "q212_index_audit"             -> IndexAudit.auditGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -388,15 +395,17 @@ object SparkEntry {
 
   /** q176's from-scratch BM25 SQL — also q179's oracle: the persisted
     * inverted index covers exactly the documents corpus, so index-served
-    * BM25 must reproduce the direct computation answer-for-answer. */
-  private val Bm25ScratchSql: String =
-    """WITH queries(query_id, term) AS (VALUES
+    * BM25 must reproduce the direct computation answer-for-answer.
+    * `where` restricts the corpus — q208 holds index-served retrieval
+    * AFTER A DELETE to the direct computation over the retained docs. */
+  private def bm25Sql(where: String): String =
+    s"""WITH queries(query_id, term) AS (VALUES
       |  (0,'stream'),(0,'table'),(0,'hash'),
       |  (1,'customer'),(1,'order'),(1,'join'),
       |  (2,'window'),(2,'batch'),(2,'spark')),
       |toks AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
-      |  FROM documents),
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+      |  FROM documents $where),
       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
       |tf AS (
@@ -418,6 +427,19 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rn
       |FROM scored
       |QUALIFY rn <= 10""".stripMargin
+
+  private val Bm25ScratchSql: String = bm25Sql("")
+
+  /** q208's oracle: the retained-corpus BM25 chain, stated once per served
+    * leg (merge-on-read, then post-purge) — both must match it exactly. */
+  private val Bm25RetainedDeleteSql: String = {
+    val retained = bm25Sql(
+      """WHERE (ascii(substring(md5(text), 1, 1)) * 256
+        |       + ascii(substring(md5(text), 2, 1))) % 100 >= 10""".stripMargin)
+    s"""SELECT 'mor' AS leg, * FROM ($retained)
+       |UNION ALL
+       |SELECT 'purged' AS leg, * FROM ($retained)""".stripMargin
+  }
 
   /** q178's oracle: the greedy MMR selection unrolled round-by-round (the
     * engine unrolls the identical recurrence into its plan — see
@@ -3644,6 +3666,79 @@ object SparkEntry {
         |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
         |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // dedup-index DELETE, planted-recall form: plants of deleted docs
+    // (content bucket < 20) must come back unfound through BOTH paths —
+    // merge-on-read (tombstone log) and the physically purged index;
+    // plants of retained docs found at estimate exactly 1.0
+    "q206_dedup_index_delete" ->
+      """SELECT doc_id + 10000000 AS new_id, doc_id AS orig_id,
+        |  cb >= 20 AS found_mor, cb >= 20 AS found_purged
+        |FROM (SELECT doc_id,
+        |        (ascii(substring(md5(text), 1, 1)) * 256
+        |         + ascii(substring(md5(text), 2, 1))) % 100 AS cb
+        |      FROM documents)
+        |WHERE cb < 40""".stripMargin,
+
+    // ANN-index DELETE: queries 0-4 lost their planted copy (tombstoned,
+    // then physically purged from exactly the affected cells); 5-9 keep it
+    "q207_ann_index_delete" ->
+      """SELECT vec_id AS query_id, vec_id >= 5 AS found_mor,
+        |  vec_id >= 5 AS found_purged
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // lex-index DELETE: served BM25 after deleting bucket-<10 docs must be
+    // indistinguishable from an index that never held them — the oracle is
+    // the from-scratch chain over the retained corpus, per served leg
+    "q208_lex_index_delete" -> Bm25RetainedDeleteSql,
+
+    // attribute-filtered ANN: the same-label filter must admit the planted
+    // copy (top-1 at 1.0), the other-label filter must exclude it and
+    // return only rows satisfying the filter
+    "q209_filtered_ann" ->
+      """SELECT vec_id AS query_id, true AS found_same,
+        |  true AS excluded_other, true AS filter_respected
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // footer-statistics aggregate: the pushed-down COUNT/MIN/MAX must
+    // agree with the data the footers describe
+    "q210_agg_pushdown" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
+
+    // delete propagation into the shard layout: the manifest recomputed
+    // from the partition-scoped rewrite must equal a manifest over a
+    // corpus that never held the deleted docs; touched = shard held one
+    "q211_shard_delete" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    (ascii(substring(md5(text), 1, 1)) * 256
+        |     + ascii(substring(md5(text), 2, 1))) % 100 AS cb,
+        |    ('0x' || substring(md5(text), 1, 4))::BIGINT % 16 AS shard_id
+        |  FROM documents)
+        |SELECT r.shard_id, r.n_docs, r.n_tokens, r.checksum,
+        |  coalesce(t.touched, false) AS touched
+        |FROM (
+        |  SELECT shard_id, count(*) AS n_docs,
+        |    sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
+        |    sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
+        |  FROM d WHERE cb >= 10 GROUP BY 1) r
+        |LEFT JOIN (SELECT DISTINCT shard_id, true AS touched
+        |           FROM d WHERE cb < 10) t USING (shard_id)""".stripMargin,
+
+    // index fsck: every reconciliation and invariant must hold on a
+    // freshly built trio — the engine computes the verdicts, the oracle
+    // states that a correct build has nothing to report
+    "q212_index_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('ann_cells', true, true),
+        |  ('dedup_bands', true, true),
+        |  ('dedup_sigs', true, true),
+        |  ('lex_dl', true, true),
+        |  ('lex_postings', true, true),
+        |  ('lex_stats', true, true)) AS t(surface, complete, consistent)""".stripMargin,
 
     // token-window chunking restated: same starts (0, 24, 48, … < n_tok),
     // same 32-token windows, same short tail

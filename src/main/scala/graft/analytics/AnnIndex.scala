@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.embeddings
 import graft.functions.VectorOps.cosine
+import graft.sink.Tombstones
 
 /** Persisted IVF ANN index — the production shape of similarity search at
   * 100 TB, where the corpus is indexed ONCE and every retrieval reads only
@@ -48,14 +49,43 @@ object AnnIndex {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     centroids.write.format("parquet").saveAsTable(s"${name}_centroids")
-    Similarity.assignCellsOn(vecs.select(col("vec_id"), col("v")), centroids)
-      .select(col("vec_id"), col("v"), col("cid"))
+    // every non-key input column rides into the cells table as payload
+    // (cid last — it's the partition column), so attribute-FILTERED search
+    // evaluates its predicate on the pruned scan itself, at rest
+    Similarity.assignCellsOn(vecs, centroids)
       .write.format("parquet").partitionBy("cid")
       .saveAsTable(s"${name}_cells")
     if (vecs.columns.contains("label"))
       labelMeansOn(vecs.select(col("label"), col("v")))
         .write.format("parquet").saveAsTable(s"${name}_label_stats")
+    Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
+
+  /** DELETE vectors from the index — merge-on-read ([[graft.sink.
+    * Tombstones]]): the request appends its ids to the log and touches no
+    * cell partition; [[topKAgainst]] anti-joins the log on its candidate
+    * rows from the next query on. The physical rewrite is
+    * [[purgeTombstones]] — a targeted in-layout pass over exactly the
+    * cells that hold tombstoned vectors, on the maintenance schedule, not
+    * the request path. */
+  def delete(ids: DataFrame, name: String): Unit =
+    Tombstones.append(ids, name, "vec_id")
+
+  /** Physical purge: find the cells holding tombstoned vectors (one
+    * semi-join scan of the index — at maintenance cadence, not per
+    * request; a service purging hourly would keep an id→cid map instead),
+    * rewrite exactly those partitions through [[compact]] (whose snapshot
+    * drops tombstoned rows), then reset the log. Untouched cells' files
+    * are not rewritten — or even opened. */
+  def purgeTombstones(spark: SparkSession, name: String): Unit =
+    Tombstones.of(spark, name).foreach { log =>
+      val cells = spark.table(s"${name}_cells")
+      val cids = cells.join(broadcast(log), cells("vec_id") === log("id"),
+          "left_semi")
+        .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+      if (cids.nonEmpty) compact(spark, name, Some(cids))
+      Tombstones.clear(spark, name)
+    }
 
   /** Per-label exact-decimal mean vectors of (label, v) — the q143 drift
     * monitor's kernel (Similarity.embeddingDrift) reused for the index's
@@ -141,8 +171,13 @@ object AnnIndex {
   def compact(spark: SparkSession, name: String, cids: Option[Seq[Long]] = None): Unit = {
     val cells = spark.table(s"${name}_cells")
     val slice = cids.map(cs => cells.filter(col("cid").isin(cs: _*))).getOrElse(cells)
+    // the rewrite drops tombstoned rows from the cells it touches (the log
+    // itself only resets in purgeTombstones, which scopes a pass to ALL
+    // affected cells — a threshold-scoped compact may leave tombstoned
+    // rows elsewhere, still masked by the merge-on-read filter)
     val snap = graft.functions.Materialize(
-      slice.select(col("vec_id"), col("v"), col("cid")).repartition(col("cid")))
+      Tombstones.filter(slice, name, "vec_id")
+        .select(cells.columns.toIndexedSeq.map(col): _*).repartition(col("cid")))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try snap.write.mode("overwrite").insertInto(s"${name}_cells")
@@ -210,34 +245,59 @@ object AnnIndex {
           col("cos_sim") === 1.0, lit(false)).as("found"))
   }
 
-  /** Append new vectors, assigned with the stored quantizer. */
+  /** Append new vectors, assigned with the stored quantizer. The select
+    * follows the cells table's own column order (payload columns ride
+    * along; cid last); payload columns the batch doesn't carry append as
+    * typed nulls — parquet's ordinary missing-column semantics. */
   def extend(vecs: DataFrame, name: String): Unit = {
     val spark = vecs.sparkSession
-    Similarity.assignCellsOn(vecs, spark.table(s"${name}_centroids"))
-      .select(col("vec_id"), col("v"), col("cid"))
+    val cells = spark.table(s"${name}_cells")
+    val assigned = Similarity.assignCellsOn(vecs, spark.table(s"${name}_centroids"))
+    val filled = cells.schema.fields.foldLeft(assigned) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    filled.select(cells.columns.toIndexedSeq.map(col): _*)
       .write.mode("append").format("parquet").partitionBy("cid")
       .saveAsTable(s"${name}_cells")
   }
 
   /** Top-k cosine neighbors of (query_id, qv) queries against the index:
     * nprobe nearest cells per query from the broadcast centroid table,
-    * then an exact re-rank over a partition-pruned cells scan. */
+    * then an exact re-rank over a partition-pruned cells scan.
+    *
+    * `candFilter` is attribute-FILTERED search: a predicate over the cells
+    * payload columns (and/or extra query columns — it evaluates on the
+    * joined candidate row, so per-query filters like `label === flabel`
+    * work), applied BEFORE the re-rank window, so the top-k is the top-k
+    * of the filtered candidate set, not a post-filtered top-k (which
+    * under-fills k — the classic filtered-ANN mistake). `keep` carries
+    * named candidate columns into the output for auditability.
+    * Pending deletions are masked here (merge-on-read anti-join on the
+    * candidate rows — after the pruned join, so dynamic partition pruning
+    * on the cells scan is undisturbed). */
   def topKAgainst(spark: SparkSession, name: String, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 4): DataFrame = {
+      k: Int = 5, nprobe: Int = 4,
+      candFilter: Option[org.apache.spark.sql.Column] = None,
+      keep: Seq[String] = Nil): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_c").desc, col("cid").asc)
     val probes = queries.crossJoin(broadcast(spark.table(s"${name}_centroids")))
       .withColumn("sim_c", cosine(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
+      // all query columns ride along (per-query candFilter columns, e.g.
+      // the target label of a filtered search, must reach the re-rank row)
+      .select(queries.columns.toIndexedSeq.map(col) :+ col("cid"): _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    spark.table(s"${name}_cells")
-      .join(broadcast(probes), Seq("cid"))
+    Tombstones.filter(
+        spark.table(s"${name}_cells").join(broadcast(probes), Seq("cid")),
+        name, "vec_id")
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("sim"))
+      .filter(candFilter.getOrElse(lit(true)))
+      .select(Seq(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim")) ++ keep.map(col): _*)
       // dedup on the candidate set (per-query cells content, not the
       // corpus): an index row duplicated by an at-least-once streaming
       // extend replay (AnnIndexStream's documented trade) must not occupy
@@ -246,8 +306,8 @@ object AnnIndex {
       .dropDuplicates(Seq("query_id", "neighbor_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"), col("rn"))
+      .select(Seq(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"), col("rn")) ++ keep.map(col): _*)
   }
 
   /** q161: oracle gate, planted-recall form through BOTH index legs — the
@@ -258,6 +318,85 @@ object AnnIndex {
     * its planted copy at similarity 1.0; any breakage in training,
     * assignment, the stored layout, dynamic pruning, or the probe window
     * falsifies it. */
+  /** q207: the DELETE gate, planted-recall form through BOTH delete paths.
+    * Build on the corpus, extend with the scaled copy (id + 10⁶, ×2) of
+    * every query vector — then DELETE the copies of queries 0–4. Queries
+    * whose copy was deleted must no longer find it (top-1 ≠ copy at 1.0;
+    * its own original is excluded by the self-filter, and no other
+    * isotropic vector is exactly collinear); queries 5–9 still must.
+    * Checked first merge-on-read (log only, no cell rewritten), then
+    * again after [[purgeTombstones]] physically rewrote exactly the
+    * affected cells. The oracle states both verdicts from the retention
+    * rule. */
+  def deleteGate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_ann_didx"
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    build(e, name, numCentroids = 16)
+    val q = e.filter(col("vec_id") < 10)
+    extend(q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v")), name)
+    delete(q.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id")), name)
+    def foundCol(top: DataFrame): DataFrame =
+      q.select(col("vec_id").as("query_id"))
+        .join(top.filter(col("rn") === 1), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("neighbor_id") === col("query_id") + 1000000L &&
+            col("cos_sim") === 1.0, lit(false)).as("found"))
+    val queries = q.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val mor = graft.functions.Materialize(
+      foundCol(topKAgainst(spark, name, queries, k = 5)))
+    purgeTombstones(spark, name) // targeted in-layout rewrite; log resets
+    val purged = foundCol(topKAgainst(spark, name, queries, k = 5))
+    mor.withColumnRenamed("found", "found_mor")
+      .join(purged.withColumnRenamed("found", "found_purged"), Seq("query_id"))
+  }
+
+  /** q209: attribute-FILTERED vector search, planted-recall form. The
+    * index is built WITH the label payload at rest; every query's scaled
+    * copy is planted with the query's own label. Leg A filters to the
+    * query's label — the copy passes the filter and must be top-1 at
+    * exactly 1.0 (`found_same`). Leg B filters to a DIFFERENT label —
+    * the copy must vanish from the result entirely (`excluded_other`)
+    * and every row the filtered search does return must satisfy the
+    * filter (`filter_respected`; vacuously true if the probed cells hold
+    * no such label). The oracle states all three from the construction. */
+  def filteredGate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_ann_fidx"
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+    build(e, name, numCentroids = 16)
+    val q = e.filter(col("vec_id") < 10)
+    extend(q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"), col("label")), name)
+    val nl = e.agg((max(col("label")) + 1L).as("nl"))
+    val qs = q.crossJoin(broadcast(nl))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"), pmod(col("label") + 1L, col("nl")).as("olabel"))
+    val same = topKAgainst(spark, name,
+      qs.select(col("query_id"), col("qv"), col("qlabel")),
+      k = 5, candFilter = Some(col("label") === col("qlabel")))
+    val other = topKAgainst(spark, name,
+      qs.select(col("query_id"), col("qv"), col("olabel")),
+      k = 5, candFilter = Some(col("label") === col("olabel")),
+      keep = Seq("label", "olabel"))
+    val foundSame = q.select(col("vec_id").as("query_id"))
+      .join(same.filter(col("rn") === 1), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("neighbor_id") === col("query_id") + 1000000L &&
+          col("cos_sim") === 1.0, lit(false)).as("found_same"))
+    val otherAgg = other.groupBy(col("query_id")).agg(
+      max(col("neighbor_id") === col("query_id") + 1000000L).as("has_copy"),
+      min(col("label") === col("olabel")).as("all_match"))
+    foundSame
+      .join(otherAgg, Seq("query_id"), "left")
+      .select(col("query_id"), col("found_same"),
+        coalesce(!col("has_copy"), lit(true)).as("excluded_other"),
+        coalesce(col("all_match"), lit(true)).as("filter_respected"))
+  }
+
   def plantedRecallGate(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -274,3 +413,4 @@ object AnnIndex {
           col("cos_sim") === 1.0, lit(false)).as("found"))
   }
 }
+

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables.documents
 import graft.analytics.TextStats.wordShingles
 import graft.functions.Materialize
-import graft.sink.Bucketed
+import graft.sink.{Bucketed, Tombstones}
 
 /** Persisted MinHash near-dup INDEX + incremental new-batch dedup — the
   * production shape of corpus dedup at 100 TB: the corpus's signatures and
@@ -39,7 +39,17 @@ object DedupIndex {
     val sigs = Materialize(sigsOf(docs))
     Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)
     Bucketed.writeBucketed(Dedup.bandsOf(sigs), s"${name}_bands", "band_key", buckets)
+    Tombstones.clear(docs.sparkSession, name) // a rebuild has nothing to forget
   }
+
+  /** DELETE docs from the index — merge-on-read ([[graft.sink.Tombstones]]):
+    * the request appends its ids to the log and touches neither index
+    * table (a doc's band rows are scattered across every band bucket — a
+    * physical rewrite per request is exactly the wrong cost at 100 TB).
+    * [[nearDupsAgainst]] anti-joins the log from the next query on; the
+    * physical purge rides the next [[compact]]. */
+  def delete(ids: DataFrame, name: String): Unit =
+    Tombstones.append(ids, name, "doc_id")
 
   /** Append a new batch into the existing index — the bucket spec is read
     * from the catalog (whatever [[build]] chose), so the appended files
@@ -70,9 +80,14 @@ object DedupIndex {
     * [[Bucketed.compactBucketed]] (the snapshot-before-repartition trap
     * and the warehouse-scale swap story live there); DedupIndexSpec pins
     * answers-unchanged + file-count collapse + preserved bucket spec. */
-  def compact(spark: SparkSession, name: String): Unit =
+  def compact(spark: SparkSession, name: String): Unit = {
+    // the physical purge point: the rewrite drops tombstoned rows from both
+    // tables, then the log resets — answers unchanged, because every read
+    // path already merge-on-read-filtered the same rows
     for ((t, key) <- Seq((s"${name}_sigs", "doc_id"), (s"${name}_bands", "band_key")))
-      Bucketed.compactBucketed(spark, t, key)
+      Bucketed.compactBucketed(spark, t, key, Tombstones.filter(_, name, "doc_id"))
+    Tombstones.clear(spark, name)
+  }
 
   /** Candidate (corpus_id, new_id) pairs: the batch's band keys probed into
     * the persisted band table. Batch side broadcast; index side pure scan. */
@@ -80,7 +95,10 @@ object DedupIndex {
       newSigs: DataFrame): DataFrame = {
     val newBands = Dedup.bandsOf(newSigs)
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
-    spark.table(s"${name}_bands")
+    // merge-on-read: pending deletions drop out of the candidate source
+    // (the sigs join downstream is inner on corpus_id, so filtering the
+    // band side alone suffices); identity when no deletions are pending
+    Tombstones.filter(spark.table(s"${name}_bands"), name, "doc_id")
       .join(broadcast(newBands), Seq("band", "band_key"))
       .select(col("doc_id").as("corpus_id"), col("new_id"))
       .distinct()
@@ -132,6 +150,42 @@ object DedupIndex {
   def compactedGate(spark: SparkSession, dir: String): DataFrame =
     incrementalGateImpl(spark, dir, "graft_dedup_cidx", compactFirst = true)
 
+  /** q206: the DELETE gate, planted-recall form through BOTH delete paths.
+    * The index is built on the full corpus, then every doc with content
+    * bucket < 20 is deleted. The probe batch plants a verbatim copy
+    * (doc_id + 10⁷) of every doc in bucket [0, 40): plants of DELETED
+    * docs (bucket < 20) must come back unfound, plants of retained docs
+    * found at estimate exactly 1.0 — first through the merge-on-read path
+    * (tombstone log only, index files untouched), then again through the
+    * physically purged index after [[compact]]. Both verdicts must agree
+    * with the retention rule, which the oracle states from the bucket
+    * formula. The join-back keys on corpus_id = new_id − 10⁷, so an
+    * organic exact-duplicate of a deleted doc elsewhere in the corpus
+    * can't fake a find. */
+  def deleteGate(spark: SparkSession, dir: String): DataFrame = {
+    val Stride = 10000000L
+    val name = "graft_dedup_didx"
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+    build(docs.select(col("doc_id"), col("text")), name, buckets = 8)
+    delete(docs.filter(col("cb") < 20).select(col("doc_id")), name)
+    val planted = Materialize(docs.filter(col("cb") < 40)
+      .select((col("doc_id") + lit(Stride)).as("doc_id"), col("text")))
+    def foundCol(res: DataFrame): DataFrame =
+      planted.select(col("doc_id").as("new_id"))
+        .join(res.filter(col("corpus_id") === col("new_id") - Stride),
+          Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("est_jaccard") === 1.0, lit(false)).as("found"))
+    val mor = Materialize(foundCol(nearDupsAgainst(spark, name, planted, 0.9)))
+    compact(spark, name) // physical purge; tombstone log resets
+    val purged = foundCol(nearDupsAgainst(spark, name, planted, 0.9))
+    mor.withColumnRenamed("found", "found_mor")
+      .join(purged.withColumnRenamed("found", "found_purged"), Seq("new_id"))
+      .select(col("new_id"), (col("new_id") - Stride).as("orig_id"),
+        col("found_mor"), col("found_purged"))
+  }
+
   private def incrementalGateImpl(spark: SparkSession, dir: String,
       name: String, compactFirst: Boolean): DataFrame = {
     val Stride = 10000000L
@@ -154,3 +208,4 @@ object DedupIndex {
         coalesce(col("est_jaccard") === 1.0, lit(false)).as("found"))
   }
 }
+

@@ -16,6 +16,48 @@ import graft.Tables.documents
   */
 object Formats {
 
+  /** q210: parquet FOOTER-STATISTICS aggregation — COUNT/MIN/MAX answered
+    * from row-group metadata without decoding a single data page. At
+    * 100 TB this is the difference between a stats query that touches
+    * kilobytes of footers and one that scans the table: the DSv2 parquet
+    * scan (aggregate pushdown is a V2-only rule, so the gate lifts parquet
+    * out of `useV1SourceList` for the duration) rewrites the whole
+    * aggregate into `PushedAggregation: [COUNT(*), MIN(..), MAX(..)]` —
+    * FormatsSpec pins that plan shape. The result is materialized INSIDE
+    * the conf scope (the pushdown decision happens at physical planning,
+    * which a lazily returned frame would defer past the conf restore), and
+    * the oracle computes the same aggregate the ordinary way — footer
+    * statistics must agree with the data they describe. */
+  def aggPushdown(spark: SparkSession, dir: String): DataFrame =
+    withAggPushdown(spark) {
+      graft.functions.Materialize(aggPushdownQuery(spark, dir))
+    }
+
+  private[graft] def aggPushdownQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+
+  private[graft] def withAggPushdown[A](spark: SparkSession)(body: => A): A = {
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList",
+      prevV1.split(",").map(_.trim).filter(s => s.nonEmpty && s != "parquet")
+        .mkString(","))
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try body
+    finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      prevAgg match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+    }
+  }
+
   /** q200: VARIANT round-trip — documents serialized to JSON envelopes
     * (the wire shape of an ingest feed: nested `meta` struct + a token
     * array), parsed into Spark 4's VARIANT type, and consumed via typed
@@ -158,3 +200,4 @@ object Formats {
         col("checksum").cast("string").as("checksum"))
   }
 }
+

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables.documents
 import graft.analytics.TextStats.tokens
 import graft.functions.Materialize
-import graft.sink.Bucketed
+import graft.sink.{Bucketed, Tombstones}
 
 /** Persisted INVERTED index + incremental BM25 — the lexical member of the
   * persisted-index trio (MinHash [[DedupIndex]], IVF [[AnnIndex]]): the
@@ -53,6 +53,29 @@ object LexIndex {
     if (fs.exists(loc)) fs.delete(loc, true)
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
+    Tombstones.clear(spark, name) // a rebuild has nothing to forget
+  }
+
+  /** DELETE docs from the index — merge-on-read plus one NEGATIVE stats
+    * delta. A doc's postings are scattered across every term bucket, so the
+    * request path must not rewrite them (that's [[compact]]'s job); but
+    * BM25's n_docs/avgdl must reflect the deletion NOW, and those live in
+    * the append-only stats delta log — so the delete appends
+    * (−n, −Σdl) computed from the doc-length table restricted to the
+    * newly-deleted ids. Long sums are exact, so the running totals equal a
+    * from-scratch count over the retained corpus bit-for-bit (the q208
+    * oracle holds the served scores to exactly that). Ids already
+    * tombstoned are excluded from the delta ([[Tombstones.newIds]]), so a
+    * replayed deletion request cannot double-subtract. */
+  def delete(ids: DataFrame, name: String): Unit = {
+    val spark = ids.sparkSession
+    val gone = Materialize(Tombstones.newIds(ids, name, "doc_id"))
+    spark.table(s"${name}_dl")
+      .join(broadcast(gone.select(col("id").as("doc_id"))), Seq("doc_id"))
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+      .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
+    Tombstones.append(gone.select(col("id").as("doc_id")), name, "doc_id")
   }
 
   private[graft] def bucketsOf(spark: SparkSession, t: String): Int =
@@ -110,8 +133,15 @@ object LexIndex {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val tf = Materialize(spark.table(s"${name}_postings")
-      .filter(col("term").isin(terms: _*)))
+    // merge-on-read: pending deletions drop out of the pruned postings
+    // BEFORE df/score aggregation (df must count retained docs only); the
+    // anti-join input is already cut to the query terms' buckets, so the
+    // filter costs O(matched postings), and it is the identity when no
+    // deletions are pending. n_docs/avgdl pick up deletions through the
+    // negative stats deltas ([[delete]]).
+    val tf = Materialize(Tombstones.filter(
+      spark.table(s"${name}_postings").filter(col("term").isin(terms: _*)),
+      name, "doc_id"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -139,8 +169,15 @@ object LexIndex {
     * through [[Materialize]] before its own overwrite). Answer-preserving
     * and idempotent — no marker needed in a streaming loop. */
   def compact(spark: SparkSession, name: String): Unit = {
-    Bucketed.compactBucketed(spark, s"${name}_postings", "term")
-    Bucketed.compactBucketed(spark, s"${name}_dl", "doc_id")
+    // the physical purge point: tombstoned postings and doc-lengths drop
+    // out of the rewrite (their stats contribution was already subtracted
+    // by [[delete]]'s negative deltas, which fold below), then the log
+    // resets — answers unchanged vs the merge-on-read path
+    Bucketed.compactBucketed(spark, s"${name}_postings", "term",
+      Tombstones.filter(_, name, "doc_id"))
+    Bucketed.compactBucketed(spark, s"${name}_dl", "doc_id",
+      Tombstones.filter(_, name, "doc_id"))
+    Tombstones.clear(spark, name)
     val t = s"${name}_stats"
     val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
@@ -166,6 +203,29 @@ object LexIndex {
   def compactedGate(spark: SparkSession, dir: String): DataFrame =
     indexGateImpl(spark, dir, "graft_lex_cidx", compactFirst = true)
 
+  /** q208: the DELETE gate — the strongest form the index family allows:
+    * build on the FULL corpus, delete every doc with content bucket < 10,
+    * then serve BM25 twice — merge-on-read (tombstone log + negative
+    * stats deltas, index files untouched), and again after [[compact]]
+    * physically purged the postings. The oracle is the from-scratch BM25
+    * SQL computed directly over the RETAINED corpus — served retrieval
+    * after a delete must be indistinguishable from an index that never
+    * contained the deleted docs, score-for-score (df, n_docs and avgdl
+    * all shift with the deletion; the negative delta's exact Long sums
+    * are what make avgdl match bit-for-bit). */
+  def deleteGate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_lex_didx"
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+    build(docs.select(col("doc_id"), col("text")), name, buckets = 8)
+    delete(docs.filter(col("cb") < 10).select(col("doc_id")), name)
+    val mor = Materialize(bm25Against(spark, name))
+    compact(spark, name) // physical purge; stats deltas fold; log resets
+    val purged = bm25Against(spark, name)
+    mor.withColumn("leg", lit("mor"))
+      .unionByName(purged.withColumn("leg", lit("purged")))
+  }
+
   private def indexGateImpl(spark: SparkSession, dir: String, name: String,
       compactFirst: Boolean): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"), col("text"),
@@ -177,3 +237,4 @@ object LexIndex {
     bm25Against(spark, name)
   }
 }
+

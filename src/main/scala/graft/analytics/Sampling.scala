@@ -647,6 +647,76 @@ object Sampling {
     manifestOn(spark.table("graft_shards"), nShards)
   }
 
+  /** Partition-scoped DELETE from a written shard layout — how a deletion
+    * reaches the delivery layer at 100 TB: `gone` (doc_id, shard_id —
+    * shard membership is content-pure, so the request can compute it
+    * without touching the table) names the affected partitions; only
+    * those are rewritten, via one semi-join-scoped scan + anti-join +
+    * dynamic partition overwrite. Untouched shards' files are never
+    * opened.
+    *
+    * The emptied-partition trap: a shard whose EVERY document was deleted
+    * contributes no rows to the snapshot, so dynamic overwrite never
+    * claims its partition — the deleted files would stay live. Affected
+    * shards absent from the snapshot are dropped explicitly (metadata +
+    * files); the decision list is ≤ nShards rows of driver metadata. */
+  def deleteFromShards(spark: SparkSession, table: String, gone: DataFrame): Unit = {
+    val affected = graft.functions.Materialize(
+      gone.select(col("shard_id")).distinct())
+    val cols = spark.table(table).columns
+    val snap = graft.functions.Materialize(
+      spark.table(table)
+        .join(broadcast(affected), Seq("shard_id"), "left_semi")
+        .join(broadcast(gone.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .select(cols.toIndexedSeq.map(col): _*)
+        .repartition(col("shard_id")))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try snap.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val present = snap.select(col("shard_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val emptied = affected.collect().map(_.getLong(0)).filterNot(present)
+    for (s <- emptied)
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (shard_id=$s)")
+  }
+
+  /** q211: the GDPR loop closed at the DELIVERY layer — deletions must
+    * reach the training shards a loader actually reads, not just the
+    * indexes. Writes the shard layout, deletes every content-bucket-<10
+    * document through [[deleteFromShards]] (affected partitions only),
+    * then emits the manifest RECOMPUTED FROM THE WRITTEN LAYOUT plus a
+    * per-shard `touched` flag. The oracle states the manifest straight
+    * from the retained corpus — the rewritten layout must be
+    * indistinguishable from one never containing the deleted docs — and
+    * restates `touched` as "this shard held a deleted doc". */
+  def shardedDeleteGate(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val t = "graft_shards_del"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        shardOf(col("text"), nShards).as("shard_id"))
+      .write.mode("overwrite").format("parquet").partitionBy("shard_id")
+      .saveAsTable(t)
+    val gone = graft.functions.Materialize(documents(spark, dir)
+      .filter(contentBucket(col("text")) < 10)
+      .select(col("doc_id"), shardOf(col("text"), nShards).as("shard_id")))
+    deleteFromShards(spark, t, gone)
+    val touched = gone.select(col("shard_id")).distinct()
+      .withColumn("touched", lit(true))
+    manifestOn(spark.table(t), nShards)
+      .join(touched, Seq("shard_id"), "left")
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"), col("checksum"),
+        coalesce(col("touched"), lit(false)).as("touched"))
+  }
+
   /** q190: SHARD-LEVEL snapshot diff — the "which shards must the trainer
     * re-fetch" decision between two corpus versions, answered from two
     * manifests (kilobytes) instead of a doc-level table diff (the q113

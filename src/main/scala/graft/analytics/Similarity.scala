@@ -125,9 +125,12 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cs"))
       .select(expr("transform(cs, c -> c.cid)").as("cids"),
         expr("transform(cs, c -> c.cv)").as("cvs"))
+    // every input column is preserved (payload columns ride along into the
+    // persisted index — AnnIndex's filtered search needs them at rest);
+    // inputs that carry only (vec_id, v) see the exact same output as before
     corpus.crossJoin(broadcast(packed))
-      .select(col("vec_id"), col("v"),
-        graft.functions.Sketches.nearestCentroid(col("v"), col("cvs"), col("cids")).as("cid"))
+      .select(corpus.columns.toIndexedSeq.map(col) :+
+        graft.functions.Sketches.nearestCentroid(col("v"), col("cvs"), col("cids")).as("cid"): _*)
   }
 
   /** Centroid training for the IVF family — deterministic init (first
@@ -580,3 +583,5 @@ object Similarity {
       .agg(round(max(col("sim")), 4).as("cos_sim"))
   }
 }
+
+

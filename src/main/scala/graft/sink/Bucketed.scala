@@ -59,7 +59,8 @@ object Bucketed {
     * Murmur3 hashing). Bucketed tables have no partitions to overwrite
     * selectively, so this is a full rewrite; at warehouse scale the swap
     * runs as write-new-table + catalog rename. */
-  def compactBucketed(spark: SparkSession, table: String, key: String): Unit = {
+  def compactBucketed(spark: SparkSession, table: String, key: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.col
     val n = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -67,7 +68,13 @@ object Bucketed {
       .numBuckets
     val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
-    val snap = graft.functions.Materialize(spark.table(table)).repartition(n, col(key))
+    // `transform` lets the rewrite fold in answer-preserving maintenance the
+    // caller already owes — the indexes pass their tombstone anti-join here,
+    // making compaction the physical purge point (Tombstones' copy-on-write
+    // half). It runs BEFORE the snapshot so the rewrite never materializes
+    // rows it is about to drop.
+    val snap = graft.functions.Materialize(transform(spark.table(table)))
+      .repartition(n, col(key))
     // drop + delete the location explicitly: overwrite-in-place leaves the
     // previous generation's files in the managed dir, which would both
     // defeat the compaction and feed stale rows back into the scan
@@ -77,3 +84,4 @@ object Bucketed {
     snap.write.bucketBy(n, key).sortBy(key).format("parquet").saveAsTable(table)
   }
 }
+

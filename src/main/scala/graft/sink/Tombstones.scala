@@ -1,0 +1,95 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Tombstone log for the persisted indexes — the DELETE verb of the index
+  * lifecycle (build / extend / monitor / refresh / compact / **delete**),
+  * in the shape a 100 TB corpus service actually needs it:
+  *
+  *  - **merge-on-read**: a deletion request appends its ids to
+  *    `<name>_tombstones` and touches NOTHING else — O(batch) I/O, visible
+  *    to the very next query, which [[filter]]s every index scan with a
+  *    broadcast anti-join against the log. No index rewrite on the
+  *    request path (a single doc's postings are scattered across every
+  *    term bucket; rewriting terabytes per GDPR request is the design
+  *    this exists to avoid).
+  *  - **purge-on-compact**: the physical rewrite rides the maintenance
+  *    pass the index already needs for small-file compaction — the
+  *    compaction snapshot anti-joins the log, so tombstoned rows vanish
+  *    from the new generation and the log resets. The log's size is
+  *    therefore bounded by purge cadence (kilobytes-to-MBs between
+  *    nightly compactions), which is what keeps the broadcast side of
+  *    [[filter]] trivially small.
+  *
+  * This is the merge-on-read + copy-on-write split every lakehouse delete
+  * implements (Delta deletion vectors, Iceberg delete files) — re-expressed
+  * over plain bucketed/partitioned parquet tables.
+  *
+  * The log stores a single `id` column; [[append]]/[[filter]] adapt to the
+  * caller's id column name. A rebuild ([[clear]] from each index's `build`)
+  * resets retention state — a fresh index has no history to forget.
+  */
+object Tombstones {
+
+  def tableOf(name: String): String = s"${name}_tombstones"
+
+  /** Ids of `idCol` newly deleted: the request minus what the log already
+    * holds. Callers that maintain side totals (LexIndex's negative stats
+    * delta) MUST base them on this, not the raw request — a replayed or
+    * overlapping deletion request must not double-subtract. */
+  def newIds(ids: DataFrame, name: String, idCol: String): DataFrame = {
+    val d = ids.select(col(idCol).as("id")).distinct()
+    of(ids.sparkSession, name) match {
+      case Some(log) => d.join(broadcast(log), Seq("id"), "left_anti")
+      case None => d
+    }
+  }
+
+  /** Append deleted ids to the log — the whole cost of a delete request.
+    * Ids already logged are skipped, so the call is idempotent. */
+  def append(ids: DataFrame, name: String, idCol: String): Unit = {
+    val spark = ids.sparkSession
+    val t = tableOf(name)
+    val d = newIds(ids, name, idCol)
+    if (spark.catalog.tableExists(t))
+      d.write.mode("append").format("parquet").saveAsTable(t)
+    else {
+      // stale-location guard (Bucketed.writeBucketed's): files left by a
+      // previous session at the managed location block CREATE TABLE
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      d.write.mode("overwrite").format("parquet").saveAsTable(t)
+    }
+  }
+
+  /** The current log, if any deletions are pending. */
+  def of(spark: SparkSession, name: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tableOf(name)))
+      Some(spark.table(tableOf(name)).select(col("id")))
+    else None
+
+  /** Merge-on-read: drop `df` rows whose `idCol` is tombstoned. Broadcast
+    * anti-join (log bounded by purge cadence); the identity when the log
+    * is empty, so read paths call it unconditionally and plans without
+    * pending deletions are byte-identical to before. */
+  def filter(df: DataFrame, name: String, idCol: String): DataFrame =
+    of(df.sparkSession, name) match {
+      case Some(log) => df.join(broadcast(log), df(idCol) === log("id"), "left_anti")
+      case None => df
+    }
+
+  /** Reset the log — after a purge has rewritten every row it covered, or
+    * from `build` (a rebuilt index starts with nothing to forget). */
+  def clear(spark: SparkSession, name: String): Unit = {
+    val t = tableOf(name)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+}
+

@@ -36,6 +36,35 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"cells scan lacks a dynamic pruning filter:\n${scans.map(_.toString).mkString}")
   }
 
+  test("filtered search: candFilter keeps dynamic pruning and ranks after filtering") {
+    AnnIndex.build(vecs.withColumn("label", pmod(col("vec_id"), lit(4L))),
+      "spec_ann_flt", numCentroids = 16)
+    val qs = queries.withColumn("qlabel", pmod(col("query_id"), lit(4L)))
+    val q = AnnIndex.topKAgainst(spark, "spec_ann_flt", qs, k = 5, nprobe = 2,
+      candFilter = Some(col("label") === col("qlabel")), keep = Seq("label"))
+    val rows = q.collect()
+    q.count()
+    val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case s: FileSourceScanExec if s.toString.contains("spec_ann_flt_cells") => s
+    }
+    assert(scans.exists(_.toString.contains("dynamicpruning")),
+      "candFilter broke dynamic partition pruning on the cells scan")
+    // every returned row satisfies the filter, and ranks are dense from 1
+    // (rank-after-filter: a wrong-label nearer neighbor doesn't burn a slot)
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("label") == r.getAs[Long]("query_id") % 4))
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length)))
+  }
+
+  test("q209 gate: filtered recall + exclusion booleans all hold") {
+    val out = AnnIndex.filteredGate(spark, sf("sf0.01")).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getAs[Boolean]("found_same") &&
+      r.getAs[Boolean]("excluded_other") && r.getAs[Boolean]("filter_respected")))
+  }
+
   test("q161 gate: planted copies found through build + extend + pruned scan") {
     val out = AnnIndex.plantedRecallGate(spark, sf("sf0.01")).collect()
     assert(out.length == 10)

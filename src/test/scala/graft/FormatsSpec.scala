@@ -85,4 +85,23 @@ class FormatsSpec extends SparkSpec {
     }
     assert(thrown.getMessage != null)
   }
+
+  test("agg pushdown: COUNT/MIN/MAX answered by the scan (PushedAggregation), values unchanged") {
+    val dir = sf("sf0.001")
+    // plan pin: under the gate's conf scope the DSv2 parquet scan carries
+    // the whole aggregate — the query reads footers, not data pages
+    Formats.withAggPushdown(spark) {
+      val q = Formats.aggPushdownQuery(spark, dir)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"aggregate not pushed into the parquet scan:\n$plan")
+      assert(plan.contains("COUNT(*)") && plan.contains("MIN(l_orderkey)"),
+        s"pushed aggregate list incomplete:\n$plan")
+    }
+    // value pin: footer statistics must agree with the ordinary scan
+    val pushed = Formats.aggPushdown(spark, dir).collect()(0).toSeq
+    val plain = Formats.aggPushdownQuery(spark, dir).collect()(0).toSeq
+    assert(pushed == plain, s"pushed $pushed != plain $plain")
+  }
 }

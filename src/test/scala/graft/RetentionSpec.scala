@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{AnnIndex, DedupIndex, IndexAudit, LexIndex, Sampling}
+import graft.sink.Tombstones
+
+/** Deletion propagation across the persisted-index trio (q206/q207/q208):
+  * merge-on-read tombstones + physical purge-on-compact. The properties a
+  * GDPR/retention pipeline actually relies on, pinned:
+  *  - a delete request is O(batch): NO index file is rewritten;
+  *  - the very next query already excludes the deleted rows;
+  *  - replaying the same request changes nothing (idempotent, and the lex
+  *    stats deltas don't double-subtract);
+  *  - the purge physically removes the rows (raw-file scan, bypassing the
+  *    merge-on-read filter), resets the log, and changes no answer;
+  *  - the ANN purge rewrites ONLY the cells that held tombstoned vectors.
+  */
+class RetentionSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf("sf0.01"))
+    .select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+
+  private def tableFiles(table: String): Set[String] = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    new java.io.File(loc).listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).toSet
+  }
+
+  private def rawIds(table: String, idCol: String): Set[Long] = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    spark.read.parquet(loc.toString).select(col(idCol))
+      .distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  test("dedup index: delete is O(batch) merge-on-read; purge removes rows and resets the log") {
+    val name = "spec_ret_dedup"
+    val corpus = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    DedupIndex.build(corpus, name, buckets = 4)
+    val batch = docs.filter(col("cb") >= 10 && col("cb") < 30)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    def pairs(): Set[(Long, Long)] =
+      DedupIndex.nearDupsAgainst(spark, name, batch, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseline = pairs()
+    assert(baseline.nonEmpty, "vacuous: no planted pair found before delete")
+
+    val gone = docs.filter(col("cb") >= 10 && col("cb") < 20).select("doc_id")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    val (sigsBefore, bandsBefore) =
+      (tableFiles(s"${name}_sigs"), tableFiles(s"${name}_bands"))
+    DedupIndex.delete(gone, name)
+    assert(tableFiles(s"${name}_sigs") == sigsBefore &&
+      tableFiles(s"${name}_bands") == bandsBefore,
+      "delete rewrote an index file — the request path must be O(batch)")
+
+    val afterDelete = pairs()
+    assert(afterDelete == baseline.filterNot(p => goneIds(p._1)),
+      "merge-on-read answer != baseline minus deleted corpus ids")
+    DedupIndex.delete(gone, name) // replay
+    assert(pairs() == afterDelete, "replayed delete changed answers")
+
+    DedupIndex.compact(spark, name)
+    assert(pairs() == afterDelete, "physical purge changed an answer")
+    assert(rawIds(s"${name}_sigs", "doc_id").intersect(goneIds).isEmpty,
+      "purged sigs still hold tombstoned rows on disk")
+    assert(rawIds(s"${name}_bands", "doc_id").intersect(goneIds).isEmpty,
+      "purged bands still hold tombstoned rows on disk")
+    assert(!spark.catalog.tableExists(Tombstones.tableOf(name)),
+      "tombstone log survived the purge")
+  }
+
+  test("lex index: delete adjusts stats exactly; served BM25 ≡ fresh index on the retained corpus") {
+    val name = "spec_ret_lex"
+    LexIndex.build(docs.select("doc_id", "text"), name, buckets = 4)
+    val gone = docs.filter(col("cb") < 10).select("doc_id")
+    LexIndex.delete(gone, name)
+
+    def statsTotals(n: String): (Long, Long) = {
+      val r = spark.table(s"${n}_stats")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // exactness: running totals equal a from-scratch count on the retained docs
+    val retained = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    val fresh = "spec_ret_lex_fresh"
+    LexIndex.build(retained, fresh, buckets = 4)
+    assert(statsTotals(name) == statsTotals(fresh),
+      "negative stats delta drifted from a from-scratch count")
+    // replay must not double-subtract
+    val t = statsTotals(name)
+    LexIndex.delete(gone, name)
+    assert(statsTotals(name) == t, "replayed delete double-subtracted stats")
+
+    def served(n: String): Set[Seq[Any]] =
+      LexIndex.bm25Against(spark, n).collect().map(_.toSeq).toSet
+    val mor = served(name)
+    assert(mor == served(fresh),
+      "BM25 after delete differs from an index that never held the docs")
+
+    LexIndex.compact(spark, name)
+    assert(served(name) == mor, "physical purge changed an answer")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    assert(rawIds(s"${name}_postings", "doc_id").intersect(goneIds).isEmpty,
+      "purged postings still hold tombstoned rows on disk")
+    assert(rawIds(s"${name}_dl", "doc_id").intersect(goneIds).isEmpty,
+      "purged dl still holds tombstoned rows on disk")
+    assert(!spark.catalog.tableExists(Tombstones.tableOf(name)),
+      "tombstone log survived the purge")
+  }
+
+  test("ann index: purge rewrites only the cells that held tombstoned vectors") {
+    val name = "spec_ret_ann"
+    val vecs = Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    AnnIndex.build(vecs, name, numCentroids = 8)
+    val q = vecs.filter(col("vec_id") < 10)
+    AnnIndex.extend(q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v")), name)
+    val queries = q.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def top(): Set[Seq[Any]] =
+      AnnIndex.topKAgainst(spark, name, queries, k = 5)
+        .collect().map(_.toSeq).toSet
+
+    val goneIds = (0L until 5L).map(_ + 1000000L).toSet
+    val affected = spark.table(s"${name}_cells")
+      .filter(col("vec_id").isin(goneIds.toSeq: _*))
+      .select(col("cid")).distinct().collect().map(_.getLong(0))
+      .map(c => s"cid=$c").toSet
+
+    def cellFiles(): Map[String, Set[String]] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells")).location
+      new java.io.File(loc).listFiles().filter(_.getName.startsWith("cid="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = cellFiles()
+    import spark.implicits._
+    AnnIndex.delete(goneIds.toSeq.toDF("vec_id"), name)
+    assert(cellFiles() == before, "delete rewrote a cell — must be O(batch)")
+    val mor = top()
+    assert(mor.forall(r => !goneIds(r(1).asInstanceOf[Long])),
+      "merge-on-read still returned a tombstoned neighbor")
+
+    AnnIndex.purgeTombstones(spark, name)
+    val after = cellFiles()
+    for ((cell, files) <- before) {
+      if (affected(cell)) assert(after(cell) != files, s"$cell held tombstones but was not rewritten")
+      else assert(after(cell) == files, s"$cell untouched by deletion but its files changed")
+    }
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells")).location
+    val physIds = spark.read.parquet(loc.toString).select(col("vec_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(physIds.intersect(goneIds).isEmpty,
+      "purged cells still hold tombstoned vectors on disk")
+    assert(!spark.catalog.tableExists(Tombstones.tableOf(name)),
+      "tombstone log survived the purge")
+    assert(top() == mor, "purge changed an answer")
+  }
+
+  test("shard delete: only affected partitions rewritten; an emptied shard's partition is dropped") {
+    val t = "spec_ret_shards"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    docs.select(col("doc_id"), col("text"),
+        Sampling.shardOf(col("text"), 16).as("shard_id"))
+      .write.mode("overwrite").format("parquet").partitionBy("shard_id")
+      .saveAsTable(t)
+    def partFiles(): Map[String, Set[String]] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      new java.io.File(loc).listFiles().filter(_.getName.startsWith("shard_id="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = partFiles()
+    // tombstones: ALL of shard 3 (the emptied-partition trap) plus the
+    // bucket-<10 docs of every other shard (the partial-rewrite path)
+    val assigned = docs.select(col("doc_id"), col("text"), col("cb"),
+      Sampling.shardOf(col("text"), 16).as("shard_id"))
+    val gone = assigned.filter(col("shard_id") === 3 || col("cb") < 10)
+      .select(col("doc_id"), col("shard_id"))
+    val goneIds = gone.select("doc_id").collect().map(_.getLong(0)).toSet
+    val affectedParts = gone.select("shard_id").distinct()
+      .collect().map(r => s"shard_id=${r.getLong(0)}").toSet
+
+    Sampling.deleteFromShards(spark, t, gone)
+    val after = partFiles()
+    assert(!after.contains("shard_id=3"),
+      s"emptied shard's partition still on disk: ${after.keySet}")
+    for ((p, files) <- before if !affectedParts(p))
+      assert(after(p) == files, s"$p untouched by deletion but its files changed")
+    val left = spark.table(t).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(left.intersect(goneIds).isEmpty, "deleted doc still readable")
+    assert(left == docs.select("doc_id").collect().map(_.getLong(0)).toSet -- goneIds,
+      "retained docs lost by the rewrite")
+  }
+
+  test("index audit: green on a correct build; flags orphans and a torn extend") {
+    val corpus = docs.filter(col("cb") >= 50).select("doc_id", "text")
+    val vecs = Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    DedupIndex.build(corpus, "spec_audit_dd", buckets = 4)
+    LexIndex.build(corpus, "spec_audit_lx", buckets = 4)
+    AnnIndex.build(vecs, "spec_audit_an", numCentroids = 8)
+    def verdicts(): Map[String, (Boolean, Boolean)] =
+      IndexAudit.audit(spark, corpus, vecs,
+          "spec_audit_dd", "spec_audit_lx", "spec_audit_an")
+        .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(verdicts().values.forall(v => v._1 && v._2),
+      s"fresh build must audit green: ${verdicts()}")
+
+    // a TORN extend — postings appended, dl/stats crash before their
+    // writes: postings now hold a doc the dl table doesn't know
+    val extra = docs.filter(col("cb") >= 40 && col("cb") < 50)
+      .select("doc_id", "text")
+    LexIndex.postingsOf(extra).write.mode("append")
+      .bucketBy(4, "term").sortBy("term").format("parquet")
+      .saveAsTable("spec_audit_lx_postings")
+    val v = verdicts()
+    assert(!v("lex_postings")._1 && !v("lex_postings")._2,
+      s"torn extend not flagged: $v")
+    assert(v("lex_dl")._1 && v("lex_stats")._1,
+      s"torn extend must localize to the postings surface: $v")
+  }
+}
