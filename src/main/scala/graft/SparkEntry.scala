@@ -294,7 +294,9 @@ object SparkEntry {
     "q209_filtered_ann"            -> AnnIndex.filteredGate _,
     "q210_agg_pushdown"            -> Formats.aggPushdown _,
     "q211_shard_delete"            -> ((s: SparkSession, d: String) => Sampling.shardedDeleteGate(s, d)),
-    "q212_index_audit"             -> IndexAudit.auditGate _)
+    "q212_index_audit"             -> IndexAudit.auditGate _,
+    "q213_manifest_delete"         -> ((s: SparkSession, d: String) => Sampling.manifestDeleteGate(s, d)),
+    "q214_slice_confidence"        -> TextStats.qualityConfidence _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -3727,6 +3729,61 @@ object SparkEntry {
         |  FROM d WHERE cb >= 10 GROUP BY 1) r
         |LEFT JOIN (SELECT DISTINCT shard_id, true AS touched
         |           FROM d WHERE cb < 10) t USING (shard_id)""".stripMargin,
+
+    // metadata-only manifest delete: stored manifest ⊕ one negative delta
+    // from the deleted docs must be BIT-IDENTICAL to recomputing over the
+    // retained corpus (exact Long + DECIMAL sums) — so the oracle IS the
+    // recomputation
+    "q213_manifest_delete" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    (ascii(substring(md5(text), 1, 1)) * 256
+        |     + ascii(substring(md5(text), 2, 1))) % 100 AS cb,
+        |    ('0x' || substring(md5(text), 1, 4))::BIGINT % 16 AS shard_id
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
+        |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
+        |FROM d WHERE cb >= 10 GROUP BY 1""".stripMargin,
+
+    // per-slice Gopher pass rate with its Wilson 95% interval — counts
+    // exact, interval in doubles with literal/order parity (1.96 and
+    // 3.8416 parsed on both sides, same expression tree), 4-dp edge
+    "q214_slice_confidence" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
+        |    regexp_extract_all(text, '\S+') AS t,
+        |    len(regexp_extract_all(text, '\S+')) AS n_words,
+        |    round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+        |          nullif(len(regexp_extract_all(text, '\S+')), 0), 4) AS mean_word_len,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|in|to)\b')) AS n_stopwords
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_words, mean_word_len, n_stopwords,
+        |    round(1.0 - len(CASE WHEN len(t) >= 2
+        |      THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1]))
+        |      ELSE [tt] END)::DOUBLE / nullif(len(t) - 1, 0), 4) AS rep_ratio
+        |  FROM f),
+        |p AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN n_words BETWEEN 50 AND 100000
+        |          AND mean_word_len BETWEEN 3.0 AND 10.0
+        |          AND n_stopwords >= 2 AND rep_ratio <= 0.1
+        |        THEN 1 ELSE 0 END) AS n_pass
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_docs::BIGINT AS n_docs, n_pass::BIGINT AS n_pass,
+        |  (n_pass * 10000 // n_docs)::BIGINT AS pass_bp,
+        |  round(((n_pass::DOUBLE / n_docs::DOUBLE) + 3.8416 / (2.0 * n_docs::DOUBLE)
+        |    - 1.96 * sqrt((((n_pass::DOUBLE / n_docs::DOUBLE) * (1.0 - (n_pass::DOUBLE / n_docs::DOUBLE)))
+        |        + 3.8416 / (4.0 * n_docs::DOUBLE)) / n_docs::DOUBLE))
+        |    / (1.0 + 3.8416 / n_docs::DOUBLE), 4) AS wilson_lo,
+        |  round(((n_pass::DOUBLE / n_docs::DOUBLE) + 3.8416 / (2.0 * n_docs::DOUBLE)
+        |    + 1.96 * sqrt((((n_pass::DOUBLE / n_docs::DOUBLE) * (1.0 - (n_pass::DOUBLE / n_docs::DOUBLE)))
+        |        + 3.8416 / (4.0 * n_docs::DOUBLE)) / n_docs::DOUBLE))
+        |    / (1.0 + 3.8416 / n_docs::DOUBLE), 4) AS wilson_hi
+        |FROM p""".stripMargin,
 
     // index fsck: every reconciliation and invariant must hold on a
     // freshly built trio — the engine computes the verdicts, the oracle

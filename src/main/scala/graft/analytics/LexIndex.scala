@@ -60,23 +60,49 @@ object LexIndex {
     * delta. A doc's postings are scattered across every term bucket, so the
     * request path must not rewrite them (that's [[compact]]'s job); but
     * BM25's n_docs/avgdl must reflect the deletion NOW, and those live in
-    * the append-only stats delta log — so the delete appends
-    * (−n, −Σdl) computed from the doc-length table restricted to the
-    * newly-deleted ids. Long sums are exact, so the running totals equal a
-    * from-scratch count over the retained corpus bit-for-bit (the q208
-    * oracle holds the served scores to exactly that). Ids already
-    * tombstoned are excluded from the delta ([[Tombstones.newIds]]), so a
-    * replayed deletion request cannot double-subtract. */
+    * the append-only stats delta log — so the delete appends (−n, −Σdl)
+    * for the deleted docs. Long sums are exact, so the running totals
+    * equal a from-scratch count over the retained corpus bit-for-bit (the
+    * q208 oracle holds the served scores to exactly that).
+    *
+    * Crash/replay discipline: append the ids to the log (idempotent —
+    * [[graft.sink.Tombstones.newIds]]), then [[healStats]]. The delta is
+    * never derived from the request: heal RECONCILES the delta log with
+    * the tombstone log, so any crash prefix of (append, heal) — including
+    * a replayed or overlapping request, or a crash between the two
+    * writes — converges to the same totals on the next call. This is what
+    * lets the streaming loop ([[graft.streaming.RetentionStream]]) run
+    * markerless where the extend loop (LexIndexStream) needs per-table
+    * commit markers. */
   def delete(ids: DataFrame, name: String): Unit = {
-    val spark = ids.sparkSession
-    val gone = Materialize(Tombstones.newIds(ids, name, "doc_id"))
-    spark.table(s"${name}_dl")
-      .join(broadcast(gone.select(col("id").as("doc_id"))), Seq("doc_id"))
-      .agg((-count(lit(1))).as("n_docs"),
-        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
-      .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
-    Tombstones.append(gone.select(col("id").as("doc_id")), name, "doc_id")
+    Tombstones.append(ids, name, "doc_id")
+    healStats(ids.sparkSession, name)
   }
+
+  /** Reconcile stats with the tombstone log: the target subtraction is
+    * what the log's docs still hold in the dl table; what negative delta
+    * rows already subtracted is read back from the stats table itself;
+    * exactly the difference is appended (nothing, when converged). All
+    * Long arithmetic — the healed totals are exact, not approximately
+    * caught-up. */
+  private[graft] def healStats(spark: SparkSession, name: String): Unit =
+    Tombstones.of(spark, name).foreach { log =>
+      val dl = spark.table(s"${name}_dl")
+      val target = dl.join(broadcast(log), dl("doc_id") === log("id"))
+        .agg(count(lit(1)).as("t_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("t_dl")).collect()(0)
+      val have = spark.table(s"${name}_stats")
+        .filter(col("n_docs") < 0 || col("sum_dl") < 0)
+        .agg(coalesce(-sum(col("n_docs")), lit(0L)),
+          coalesce(-sum(col("sum_dl")), lit(0L))).collect()(0)
+      val (dDocs, dDl) = (target.getLong(0) - have.getLong(0),
+        target.getLong(1) - have.getLong(1))
+      if (dDocs != 0L || dDl != 0L) {
+        import spark.implicits._
+        Seq((-dDocs, -dDl)).toDF("n_docs", "sum_dl")
+          .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
+      }
+    }
 
   private[graft] def bucketsOf(spark: SparkSession, t: String): Int =
     spark.sessionState.catalog

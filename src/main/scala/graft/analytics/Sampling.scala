@@ -717,6 +717,36 @@ object Sampling {
         coalesce(col("touched"), lit(false)).as("touched"))
   }
 
+  /** q213: the METADATA-ONLY delete at the manifest layer. Every manifest
+    * component is a commutative EXACT sum (Long counts, DECIMAL(38,0)
+    * checksum — the ShardManifestStream merge discipline), so a deletion's
+    * effect on the manifest is one NEGATIVE delta computed from the
+    * deleted docs alone: stored ⊕ (−manifest(gone)) is bit-identical to
+    * recomputing over the retained corpus, with the corpus never
+    * rescanned. This is what makes q190's "which shards changed" diff a
+    * kilobyte operation even under deletions at 100 TB. A shard whose
+    * every doc was deleted folds to n_docs = 0 and drops out — exactly
+    * the recomputed manifest's shape. The oracle IS the recomputation:
+    * the q186 statement over the retained docs. */
+  def manifestDeleteGate(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val all = documents(spark, dir).select(col("doc_id"), col("text"))
+    val stored = manifestRaw(all, nShards) // stands in for the maintained view
+    val gone = all.filter(contentBucket(col("text")) < 10)
+    val delta = manifestRaw(gone, nShards)
+      .select(col("shard_id"), col("n_docs").as("d_docs"),
+        col("n_tokens").as("d_tokens"), col("checksum").as("d_sum"))
+    stored.join(delta, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        (coalesce(col("n_docs"), lit(0L)) - coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("d_tokens"), lit(0L))).as("n_tokens"),
+        (coalesce(col("checksum"), lit(0).cast("decimal(38,0)"))
+          - coalesce(col("d_sum"), lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("checksum"))
+      .filter(col("n_docs") > 0)
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        col("checksum").cast("string").as("checksum"))
+  }
+
   /** q190: SHARD-LEVEL snapshot diff — the "which shards must the trainer
     * re-fetch" decision between two corpus versions, answered from two
     * manifests (kilobytes) instead of a doc-level table diff (the q113

@@ -319,6 +319,38 @@ object TextStats {
       (okWords && okLen && okStop && okRep).as("pass"))
   }
 
+  /** q214: per-SLICE quality confidence — the dataset-card number that
+    * separates "source B passes 80% of the Gopher gates" from "source B
+    * passes 80% ± we have 9 documents": per source, the pass rate with its
+    * Wilson 95% interval. At 100 TB slices are never uniform — small
+    * sources need the interval, not the point estimate, before a mixture
+    * decision acts on them. Plan: the q66 per-row gate fused into the
+    * scan, one source-keyed aggregate, the interval arithmetic on the
+    * |sources|-row result. Double discipline: both engines evaluate the
+    * SAME literals (1.96, 3.8416 — parsed, never recomputed as 1.96² —
+    * the q176 decimal-literal rule) in the same order, so the 4-dp edge
+    * rounding sees bit-identical IEEE values. */
+  def qualityConfidence(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val g = gopherFilterOn(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("pass"))
+    val agg = d.select(col("doc_id"), col("source"))
+      .join(g, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    val n = col("n_docs").cast("double")
+    val phat = col("n_pass").cast("double") / n
+    val denom = lit(1.0) + lit(3.8416) / n
+    val center = phat + lit(3.8416) / (lit(2.0) * n)
+    val margin = lit(1.96) *
+      sqrt((phat * (lit(1.0) - phat) + lit(3.8416) / (lit(4.0) * n)) / n)
+    agg.select(col("source"), col("n_docs"), col("n_pass"),
+      expr("n_pass * 10000 div n_docs").as("pass_bp"),
+      round((center - margin) / denom, 4).as("wilson_lo"),
+      round((center + margin) / denom, 4).as("wilson_hi"))
+  }
+
   /** q68: cross-document boilerplate n-gram fraction — word trigrams that
     * appear in ≥ 1% of the corpus's documents are boilerplate (headers,
     * navigation, license blurbs); each document reports what fraction of

@@ -162,6 +162,66 @@ class RetentionSpec extends SparkSpec {
     assert(top() == mor, "purge changed an answer")
   }
 
+  test("retention stream: markerless replay converges; crash window heals; purge on cadence") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text")
+    val vecs = Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    DedupIndex.build(corpus, "spec_rs_dd", buckets = 4)
+    LexIndex.build(corpus, "spec_rs_lx", buckets = 4)
+    AnnIndex.build(vecs, "spec_rs_an", numCentroids = 8)
+    def statsTotals(): (Long, Long) = {
+      val r = spark.table("spec_rs_lx_stats")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    def batchOf(ids: Seq[Long]) =
+      spark.createDataset(ids.map(graft.streaming.RetentionStream.DeleteRequest))
+
+    val b0 = docs.filter(col("cb") < 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    graft.streaming.RetentionStream.processBatch(spark, batchOf(b0), 0L,
+      "spec_rs_dd", "spec_rs_lx", "spec_rs_an")
+    val t0 = statsTotals()
+    // replay the same batch — all three applies must be no-ops
+    graft.streaming.RetentionStream.processBatch(spark, batchOf(b0), 0L,
+      "spec_rs_dd", "spec_rs_lx", "spec_rs_an")
+    assert(statsTotals() == t0, "replayed delete batch moved the stats")
+
+    // crash window: batch 1's ids reach the lex tombstone log but the node
+    // dies before healStats (and before the other two appends) — the
+    // streaming runtime then REPLAYS batch 1: the half-applied lex log
+    // must not double-subtract, and the other surfaces apply fresh
+    val b1df = docs.filter(col("cb") >= 5 && col("cb") < 8).select("doc_id")
+    Tombstones.append(b1df, "spec_rs_lx", "doc_id")
+    val b1 = b1df.collect().map(_.getLong(0)).toSeq
+    graft.streaming.RetentionStream.processBatch(spark, batchOf(b1), 1L,
+      "spec_rs_dd", "spec_rs_lx", "spec_rs_an")
+    val b2 = docs.filter(col("cb") >= 8 && col("cb") < 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // purgeEvery = 3, batchId 2 → this batch also runs the physical purges
+    graft.streaming.RetentionStream.processBatch(spark, batchOf(b2), 2L,
+      "spec_rs_dd", "spec_rs_lx", "spec_rs_an", purgeEvery = 3)
+    // post-purge: totals equal a from-scratch build on the retained corpus
+    val retained = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    LexIndex.build(retained, "spec_rs_lx_ref", buckets = 4)
+    val ref = spark.table("spec_rs_lx_ref_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
+    assert(statsTotals() == ((ref.getLong(0), ref.getLong(1))),
+      "streamed deletes + heal + purge drifted from a from-scratch build")
+    assert(!spark.catalog.tableExists(Tombstones.tableOf("spec_rs_lx")))
+    // dedup + ann surfaces forgot too
+    val goneAll = docs.filter(col("cb") < 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rawIds("spec_rs_dd_sigs", "doc_id").intersect(goneAll).isEmpty)
+    val annLoc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("spec_rs_an_cells")).location
+    val annIds = spark.read.parquet(annLoc.toString).select(col("vec_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(annIds.intersect(goneAll).isEmpty,
+      "ann cells still hold tombstoned vectors after the cadence purge")
+  }
+
   test("shard delete: only affected partitions rewritten; an emptied shard's partition is dropped") {
     val t = "spec_ret_shards"
     spark.sql(s"DROP TABLE IF EXISTS $t")
