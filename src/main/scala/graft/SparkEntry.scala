@@ -296,7 +296,8 @@ object SparkEntry {
     "q211_shard_delete"            -> ((s: SparkSession, d: String) => Sampling.shardedDeleteGate(s, d)),
     "q212_index_audit"             -> IndexAudit.auditGate _,
     "q213_manifest_delete"         -> ((s: SparkSession, d: String) => Sampling.manifestDeleteGate(s, d)),
-    "q214_slice_confidence"        -> TextStats.qualityConfidence _)
+    "q214_slice_confidence"        -> TextStats.qualityConfidence _,
+    "q215_shard_upsert"            -> ((s: SparkSession, d: String) => Sampling.shardUpsertGate(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -3745,6 +3746,25 @@ object SparkEntry {
         |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
         |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
         |FROM d WHERE cb >= 10 GROUP BY 1""".stripMargin,
+
+    // shard-layout upsert: the manifest from the rolled-forward layout
+    // (delete leg + append leg, partitions only) must equal a manifest
+    // computed directly over v2 — q190's planted transformation
+    "q215_shard_upsert" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM v1
+        |  WHERE (ascii(substring(md5(text), 1, 1)) * 256 +
+        |         ascii(substring(md5(text), 2, 1))) % 100 < 2)
+        |SELECT ('0x' || substring(md5(text), 1, 4))::BIGINT % 16 AS shard_id,
+        |  count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_tokens,
+        |  sum(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 12))::BIGINT)::VARCHAR AS checksum
+        |FROM v2 GROUP BY 1""".stripMargin,
 
     // per-slice Gopher pass rate with its Wilson 95% interval — counts
     // exact, interval in doubles with literal/order parity (1.96 and

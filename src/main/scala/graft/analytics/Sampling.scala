@@ -717,6 +717,60 @@ object Sampling {
         coalesce(col("touched"), lit(false)).as("touched"))
   }
 
+  /** UPSERT into a written shard layout — the corpus version rollover:
+    * remove the outgoing rows (deleted docs AND the old versions of edited
+    * docs) through [[deleteFromShards]], then append the incoming rows
+    * (new versions + brand-new docs) into their content-addressed
+    * partitions with a plain append — no overwrite, so the append leg
+    * touches exactly the partitions the new rows land in. Because shard
+    * membership is content-pure ([[shardOf]]), an EDIT naturally moves a
+    * document between shards: its old shard is rewritten by the delete
+    * leg, its new shard gains a file from the append leg, and every other
+    * partition of a 100 TB layout is untouched. */
+  def upsertShards(spark: SparkSession, table: String, gone: DataFrame,
+      incoming: DataFrame): Unit = {
+    deleteFromShards(spark, table, gone)
+    val cols = spark.table(table).columns
+    incoming.select(cols.toIndexedSeq.map(col): _*)
+      .write.mode("append").insertInto(table)
+  }
+
+  /** q215: the version-rollover gate — v1 is written as the shard layout,
+    * then q190's planted v2 transformation (every 7th doc edited, every
+    * 13th dropped, content-bucket-<2 docs appended under +10⁶ ids) is
+    * applied INCREMENTALLY through [[upsertShards]]. The manifest
+    * recomputed from the upserted layout must equal a manifest computed
+    * directly over v2 — the layout rolled forward partition-by-partition
+    * must be indistinguishable from one written from v2 scratch. */
+  def shardUpsertGate(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val t = "graft_shards_up"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val v1 = documents(spark, dir).select(col("doc_id"), col("text"))
+    v1.select(col("doc_id"), col("text"), shardOf(col("text"), nShards).as("shard_id"))
+      .write.mode("overwrite").format("parquet").partitionBy("shard_id")
+      .saveAsTable(t)
+    // outgoing: dropped docs + the OLD versions of edited docs (old shard!)
+    val gone = v1.filter(col("doc_id") % 13 === 0 ||
+        (col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0))
+      .select(col("doc_id"), shardOf(col("text"), nShards).as("shard_id"))
+    // incoming: edited docs' new versions (new content → possibly new
+    // shard) + brand-new appends
+    val incoming = v1
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      .unionByName(
+        v1.filter(contentBucket(col("text")) < 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"),
+        shardOf(col("text"), nShards).as("shard_id"))
+    upsertShards(spark, t, gone, incoming)
+    manifestOn(spark.table(t), nShards)
+  }
+
   /** q213: the METADATA-ONLY delete at the manifest layer. Every manifest
     * component is a commutative EXACT sum (Long counts, DECIMAL(38,0)
     * checksum — the ShardManifestStream merge discipline), so a deletion's

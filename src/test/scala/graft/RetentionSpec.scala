@@ -259,6 +259,48 @@ class RetentionSpec extends SparkSpec {
       "retained docs lost by the rewrite")
   }
 
+  test("shard upsert: edits move shards; only outgoing/incoming partitions touched") {
+    val t = "spec_ret_upsert"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val v1 = docs.select(col("doc_id"), col("text"))
+    v1.select(col("doc_id"), col("text"), Sampling.shardOf(col("text"), 16).as("shard_id"))
+      .write.mode("overwrite").format("parquet").partitionBy("shard_id")
+      .saveAsTable(t)
+    def partFiles(): Map[String, Set[String]] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      new java.io.File(loc).listFiles().filter(_.getName.startsWith("shard_id="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = partFiles()
+    // one edited doc whose new content lands in a DIFFERENT shard than the
+    // old (guaranteed to exist at this corpus size; found, not assumed)
+    val moved = v1.select(col("doc_id"),
+        Sampling.shardOf(col("text"), 16).as("s_old"),
+        Sampling.shardOf(concat(col("text"), lit(" v2")), 16).as("s_new"))
+      .filter(col("s_old") =!= col("s_new")).limit(1).collect()(0)
+    val (id, sOld, sNew) = (moved.getLong(0), moved.getLong(1), moved.getLong(2))
+    val gone = v1.filter(col("doc_id") === id)
+      .select(col("doc_id"), Sampling.shardOf(col("text"), 16).as("shard_id"))
+    val incoming = v1.filter(col("doc_id") === id)
+      .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      .select(col("doc_id"), col("text"), Sampling.shardOf(col("text"), 16).as("shard_id"))
+    Sampling.upsertShards(spark, t, gone, incoming)
+    val after = partFiles()
+    for ((p, files) <- before if p != s"shard_id=$sOld" && p != s"shard_id=$sNew")
+      assert(after(p) == files, s"$p untouched by the upsert but its files changed")
+    assert(after(s"shard_id=$sOld") != before(s"shard_id=$sOld"),
+      "outgoing shard not rewritten")
+    assert(after(s"shard_id=$sNew").size > before(s"shard_id=$sNew").size,
+      "incoming shard gained no file")
+    val row = spark.table(t).filter(col("doc_id") === id)
+      .select(col("shard_id"), col("text")).collect()
+    assert(row.length == 1 && row(0).getLong(0) == sNew &&
+      row(0).getString(1).endsWith(" v2"),
+      "edited doc must exist exactly once, in its new shard, with new content")
+  }
+
   test("index audit: green on a correct build; flags orphans and a torn extend") {
     val corpus = docs.filter(col("cb") >= 50).select("doc_id", "text")
     val vecs = Tables.embeddings(spark, sf("sf0.01"))
