@@ -297,7 +297,8 @@ object SparkEntry {
     "q212_index_audit"             -> IndexAudit.auditGate _,
     "q213_manifest_delete"         -> ((s: SparkSession, d: String) => Sampling.manifestDeleteGate(s, d)),
     "q214_slice_confidence"        -> TextStats.qualityConfidence _,
-    "q215_shard_upsert"            -> ((s: SparkSession, d: String) => Sampling.shardUpsertGate(s, d)))
+    "q215_shard_upsert"            -> ((s: SparkSession, d: String) => Sampling.shardUpsertGate(s, d)),
+    "q216_forget_audit"            -> IndexAudit.forgetGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -3804,6 +3805,33 @@ object SparkEntry {
         |        + 3.8416 / (4.0 * n_docs::DOUBLE)) / n_docs::DOUBLE))
         |    / (1.0 + 3.8416 / n_docs::DOUBLE), 4) AS wilson_hi
         |FROM p""".stripMargin,
+
+    // the compliance report: n_before stated from the corpus (a delete
+    // that silently targeted nothing cannot pass), zero rows at rest
+    // after the purges, logs themselves gone
+    "q216_forget_audit" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(text), 1, 1)) * 256
+        |     + ascii(substring(md5(text), 2, 1))) % 100 AS cb,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tok
+        |  FROM documents)
+        |SELECT 'ann_cells' AS surface,
+        |  (SELECT count(*) FROM g WHERE cb < 15
+        |     AND doc_id IN (SELECT vec_id FROM embeddings))::BIGINT AS n_before,
+        |  0::BIGINT AS n_remaining, true AS forgotten, true AS log_cleared
+        |UNION ALL
+        |SELECT 'dedup_bands', (SELECT count(*) FROM g WHERE cb < 15)::BIGINT,
+        |  0::BIGINT, true, true
+        |UNION ALL
+        |SELECT 'dedup_sigs', (SELECT count(*) FROM g WHERE cb < 15)::BIGINT,
+        |  0::BIGINT, true, true
+        |UNION ALL
+        |SELECT 'lex_dl', (SELECT count(*) FROM g WHERE cb < 15 AND n_tok >= 1)::BIGINT,
+        |  0::BIGINT, true, true
+        |UNION ALL
+        |SELECT 'lex_postings', (SELECT count(*) FROM g WHERE cb < 15 AND n_tok >= 1)::BIGINT,
+        |  0::BIGINT, true, true""".stripMargin,
 
     // index fsck: every reconciliation and invariant must hold on a
     // freshly built trio — the engine computes the verdicts, the oracle

@@ -41,6 +41,74 @@ object IndexAudit {
       "graft_audit_ann")
   }
 
+  /** q216: the COMPLIANCE REPORT — what a deletion request's owner actually
+    * gets back: for one retention decision (here: every content-bucket-<15
+    * document, with vectors linked by the vec_id == doc_id convention),
+    * propagate through every surface (tombstones → physical purges), then
+    * PROVE the forgetting per surface by scanning the raw index tables for
+    * the ids: how many rows the surface held before (`n_before` — stated by
+    * the oracle from the corpus, so a delete that silently targeted
+    * nothing cannot pass), how many remain (must be 0), and that the
+    * tombstone logs themselves are gone (`log_cleared` — the log is also
+    * personal data). The raw-table scans bypass the merge-on-read filters
+    * on purpose: this report is about bytes at rest, not query answers. */
+  def forgetGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    val vecs = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    DedupIndex.build(docs, "graft_forget_dd", buckets = 8)
+    LexIndex.build(docs, "graft_forget_lx", buckets = 8)
+    AnnIndex.build(vecs, "graft_forget_an", numCentroids = 16)
+    val gone = graft.functions.Materialize(
+      docs.filter(Sampling.contentBucket(col("text")) < 15).select(col("doc_id")))
+    DedupIndex.delete(gone, "graft_forget_dd")
+    LexIndex.delete(gone, "graft_forget_lx")
+    AnnIndex.delete(gone.select(col("doc_id").as("vec_id")), "graft_forget_an")
+    val before = Map(
+      "dedup_sigs" -> held(spark, "graft_forget_dd_sigs", "doc_id", gone),
+      "dedup_bands" -> held(spark, "graft_forget_dd_bands", "doc_id", gone),
+      "lex_postings" -> held(spark, "graft_forget_lx_postings", "doc_id", gone),
+      "lex_dl" -> held(spark, "graft_forget_lx_dl", "doc_id", gone),
+      "ann_cells" -> held(spark, "graft_forget_an_cells", "vec_id",
+        gone.select(col("doc_id").as("vec_id"))))
+    DedupIndex.compact(spark, "graft_forget_dd")
+    LexIndex.compact(spark, "graft_forget_lx")
+    AnnIndex.purgeTombstones(spark, "graft_forget_an")
+    val logsGone =
+      !spark.catalog.tableExists(graft.sink.Tombstones.tableOf("graft_forget_dd")) &&
+      !spark.catalog.tableExists(graft.sink.Tombstones.tableOf("graft_forget_lx")) &&
+      !spark.catalog.tableExists(graft.sink.Tombstones.tableOf("graft_forget_an"))
+    import spark.implicits._
+    before.toSeq.map { case (surface, nBefore) =>
+      val key = if (surface == "ann_cells") "vec_id" else "doc_id"
+      val ids = if (surface == "ann_cells")
+        gone.select(col("doc_id").as("vec_id")) else gone
+      val remaining = held(spark, s"graft_forget_${tableOf(surface)}", key, ids)
+      (surface, nBefore, remaining, remaining == 0L, logsGone)
+    }.toDF("surface", "n_before", "n_remaining", "forgotten", "log_cleared")
+      .orderBy(col("surface"))
+  }
+
+  private def tableOf(surface: String): String = surface match {
+    case "dedup_sigs" => "dd_sigs"
+    case "dedup_bands" => "dd_bands"
+    case "lex_postings" => "lx_postings"
+    case "lex_dl" => "lx_dl"
+    case "ann_cells" => "an_cells"
+  }
+
+  /** Distinct ids of `ids` physically present in `table` — a raw scan of
+    * the managed location, deliberately NOT `spark.table` (the report must
+    * see bytes at rest, not the merge-on-read view). */
+  private def held(spark: SparkSession, table: String, key: String,
+      ids: DataFrame): Long = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    spark.read.parquet(loc.toString).select(col(key)).distinct()
+      .join(org.apache.spark.sql.functions.broadcast(ids), Seq(key), "left_semi")
+      .count()
+  }
+
   /** The audit itself, over already-built indexes (callable against live
     * ones — the gate builds fresh copies so the query is self-contained). */
   def audit(spark: SparkSession, docs: DataFrame, vecs: DataFrame,
