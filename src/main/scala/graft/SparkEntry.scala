@@ -298,7 +298,8 @@ object SparkEntry {
     "q213_manifest_delete"         -> ((s: SparkSession, d: String) => Sampling.manifestDeleteGate(s, d)),
     "q214_slice_confidence"        -> TextStats.qualityConfidence _,
     "q215_shard_upsert"            -> ((s: SparkSession, d: String) => Sampling.shardUpsertGate(s, d)),
-    "q216_forget_audit"            -> IndexAudit.forgetGate _)
+    "q216_forget_audit"            -> IndexAudit.forgetGate _,
+    "q217_index_swap"              -> AnnIndex.rebuildSwapGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -3805,6 +3806,12 @@ object SparkEntry {
         |        + 3.8416 / (4.0 * n_docs::DOUBLE)) / n_docs::DOUBLE))
         |    / (1.0 + 3.8416 / n_docs::DOUBLE), 4) AS wilson_hi
         |FROM p""".stripMargin,
+
+    // generation swap: the live name must serve the REBUILT index — every
+    // plant (present only in the staged generation) found at exactly 1.0
+    "q217_index_swap" ->
+      """SELECT vec_id AS query_id, true AS found
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // the compliance report: n_before stated from the corpus (a delete
     // that silently targeted nothing cannot pass), zero rows at rest

@@ -318,6 +318,80 @@ object AnnIndex {
     * its planted copy at similarity 1.0; any breakage in training,
     * assignment, the stored layout, dynamic pruning, or the probe window
     * falsifies it. */
+  /** Deploy a rebuilt generation: rename the staging tables over the live
+    * names. The q166 refresh loop's missing last step — `refreshDecision`
+    * says rebuild, [[build]] writes the new generation into a STAGING name
+    * (hours of work, zero impact on the serving index), and this swap
+    * makes it live. The swap itself is catalog ops + a filesystem rename —
+    * no data movement on HDFS-like stores (an object store pays a copy;
+    * production there fronts the index with a view and replaces the view,
+    * a single atomic catalog op). The two-op drop+rename window means a
+    * concurrent reader can catch a missing table — the same reason the
+    * warehouse-scale form of [[graft.sink.Bucketed.compactBucketed]] is
+    * write-new + rename; AnnIndexSpec pins reader-visible content before
+    * and after. Both generations' tombstone logs are retired: the new
+    * generation was built from the current corpus and has nothing to
+    * forget. */
+  def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
+    for (suffix <- Seq("_centroids", "_cells", "_label_stats")) {
+      val (s, l) = (staging + suffix, live + suffix)
+      if (spark.catalog.tableExists(s)) {
+        spark.sql(s"DROP TABLE IF EXISTS $l")
+        spark.sql(s"ALTER TABLE $s RENAME TO $l")
+        reanchorPartitions(spark, l)
+      }
+    }
+    Tombstones.clear(spark, live)
+    Tombstones.clear(spark, staging)
+  }
+
+  /** Renaming a managed partitioned table moves its directory but the
+    * catalog's PARTITION entries keep their old locations — a scan after
+    * the rename would quietly read zero rows from the vanished paths.
+    * Re-anchor every partition under the table's new root: O(#cells)
+    * catalog metadata, the same cardinality the compaction planner holds. */
+  private def reanchorPartitions(spark: SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ti = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (cat.getTableMetadata(ti).partitionColumnNames.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(cat.getTableMetadata(ti).location)
+      val fixed = cat.listPartitions(ti).map { p =>
+        val dir = p.spec.map { case (k, v) => s"$k=$v" }.mkString("/")
+        p.copy(storage = p.storage.copy(
+          locationUri = Some(new org.apache.hadoop.fs.Path(root, dir).toUri)))
+      }
+      if (fixed.nonEmpty) cat.alterPartitions(ti, fixed)
+    }
+  }
+
+  /** q217: the rebuild-and-swap gate — the serving flow a retrieval
+    * service runs when q166 votes rebuild: the LIVE index (built on the
+    * stale corpus) keeps serving while the new generation builds into
+    * staging on the CURRENT corpus (which includes the ×2 planted copies
+    * of every query); the swap lands; the same serving code — same live
+    * name — must now find every plant at exactly 1.0. Before the swap it
+    * could not (the copies postdate the live build), so the gate fails
+    * both on a broken swap and on a swap that silently didn't happen. */
+  def rebuildSwapGate(spark: SparkSession, dir: String): DataFrame = {
+    val live = "graft_ann_live"
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    build(e, live, numCentroids = 8) // stale generation: no plants
+    val q = e.filter(col("vec_id") < 10)
+    val current = e.unionByName(
+      q.select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v")))
+    build(current, s"${live}_stg", numCentroids = 16) // retrained generation
+    swapIn(spark, s"${live}_stg", live)
+    val top = topKAgainst(spark, live,
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
+    q.select(col("vec_id").as("query_id"))
+      .join(top.filter(col("rn") === 1), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("neighbor_id") === col("query_id") + 1000000L &&
+          col("cos_sim") === 1.0, lit(false)).as("found"))
+  }
+
   /** q207: the DELETE gate, planted-recall form through BOTH delete paths.
     * Build on the corpus, extend with the scaled copy (id + 10⁶, ×2) of
     * every query vector — then DELETE the copies of queries 0–4. Queries

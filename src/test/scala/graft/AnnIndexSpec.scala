@@ -65,6 +65,28 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       r.getAs[Boolean]("excluded_other") && r.getAs[Boolean]("filter_respected")))
   }
 
+  test("generation swap: live name serves old content until swap, new after; staging retired") {
+    AnnIndex.build(vecs.filter(col("vec_id") % 2 === 0), "spec_ann_swap", numCentroids = 8)
+    val beforeIds = spark.table("spec_ann_swap_cells")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(beforeIds.forall(_ % 2 == 0))
+    AnnIndex.build(vecs, "spec_ann_swap_stg", numCentroids = 16)
+    // live still serves the old generation while staging builds
+    assert(spark.table("spec_ann_swap_cells")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet == beforeIds)
+    AnnIndex.swapIn(spark, "spec_ann_swap_stg", "spec_ann_swap")
+    val afterIds = spark.table("spec_ann_swap_cells")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(afterIds == vecs.select(col("vec_id")).collect().map(_.getLong(0)).toSet,
+      "live name must serve the rebuilt generation after the swap")
+    assert(!spark.catalog.tableExists("spec_ann_swap_stg_cells") &&
+      !spark.catalog.tableExists("spec_ann_swap_stg_centroids"),
+      "staging names must be retired by the swap")
+    // the swapped-in index serves through the ordinary path
+    val top = AnnIndex.topKAgainst(spark, "spec_ann_swap", queries, k = 3)
+    assert(top.count() > 0)
+  }
+
   test("q161 gate: planted copies found through build + extend + pruned scan") {
     val out = AnnIndex.plantedRecallGate(spark, sf("sf0.01")).collect()
     assert(out.length == 10)
