@@ -261,6 +261,32 @@ object ScaleRehearsal {
       val maxSaltedWindow = wfd.groupBy(col("source"), col("p")).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).collect()(0).getLong(0)
 
+      // round-8 eighth leg: DELETE must stay O(batch) as the corpus grows.
+      // The lex index is rebuilt at each scale (one-time layout cost, grows
+      // with the corpus); the deletion batch is FIXED — base docs with
+      // content bucket < 2, identical at every scale because copies carry
+      // rewritten text — so t_delete's curve isolates the request path:
+      // one tombstone-log append + the healStats reconciliation (a slim
+      // dl-table scan; flat-to-linear in the corpus, never in the pair
+      // space). Single-shot timings (a best-of would time the no-op
+      // replay); t_serve_mor is BM25 with the deletions pending.
+      val docsScaled = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def once(body: => Unit): Double = {
+        val t0 = System.nanoTime()
+        body
+        math.rint((System.nanoTime() - t0) / 1e5) / 1e4
+      }
+      val tLexBuild = once(analytics.LexIndex.build(docsScaled, "reh_lex", buckets = 8))
+      val delBatch = docsScaled
+        .filter(col("doc_id") < CopyIdStride &&
+          Sampling.contentBucket(col("text")) < 2)
+        .select(col("doc_id"))
+      val nDeleted = delBatch.count()
+      val tDelete = once(analytics.LexIndex.delete(delBatch, "reh_lex"))
+      val (tServeMor, _) =
+        time(analytics.LexIndex.bm25Against(spark, "reh_lex").count())
+
       // q95 skew-cap evidence: the largest single join group under the
   // prefix-only blocking key (round ≤4) vs the composite
       // (prefix, ⌊len/30⌋) key in use since round 5 — the composite cap is
@@ -297,6 +323,8 @@ object ScaleRehearsal {
         s""""q181_temp_mixture":$tTemp,"q186_manifest":$tMan,""" +
         s""""q187_calibration":$tCal,"q188_fertility":$tFert,""" +
         s""""q198_waterfill":$tWf,"q203_chunking":$tChunk},""" +
+        s""""lex_delete":{"build":$tLexBuild,"delete":$tDelete,""" +
+        s""""serve_mor":$tServeMor,"n_deleted":$nDeleted},""" +
         s""""n_chunks":$nChunks,""" +
         s""""wf_max_window":{"source":$maxSourceWindow,"salted":$maxSaltedWindow},""" +
         s""""bm25_matched_postings":$nMatchedPost,""" +

@@ -299,7 +299,8 @@ object SparkEntry {
     "q214_slice_confidence"        -> TextStats.qualityConfidence _,
     "q215_shard_upsert"            -> ((s: SparkSession, d: String) => Sampling.shardUpsertGate(s, d)),
     "q216_forget_audit"            -> IndexAudit.forgetGate _,
-    "q217_index_swap"              -> AnnIndex.rebuildSwapGate _)
+    "q217_index_swap"              -> AnnIndex.rebuildSwapGate _,
+    "q218_k_anonymity"             -> ((s: SparkSession, d: String) => Privacy.kAnonymity(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -3806,6 +3807,19 @@ object SparkEntry {
         |        + 3.8416 / (4.0 * n_docs::DOUBLE)) / n_docs::DOUBLE))
         |    / (1.0 + 3.8416 / n_docs::DOUBLE), 4) AS wilson_hi
         |FROM p""".stripMargin,
+
+    // k-anonymity generalization lattice over (source, lang, len-bucket):
+    // per QI group, the finest level at which its population reaches k=5
+    "q218_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, lang, n_chars // 500 AS lb FROM documents),
+        |g0 AS (SELECT source, lang, lb, count(*) AS n0 FROM q GROUP BY 1,2,3),
+        |g1 AS (SELECT source, lang, count(*) AS n1 FROM q GROUP BY 1,2),
+        |g2 AS (SELECT source, count(*) AS n2 FROM q GROUP BY 1)
+        |SELECT g0.source, g0.lang, g0.lb, g0.n0, g1.n1, g2.n2,
+        |  (CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+        |        WHEN n2 >= 5 THEN 2 ELSE 3 END)::INT AS level
+        |FROM g0 JOIN g1 USING (source, lang) JOIN g2 USING (source)""".stripMargin,
 
     // generation swap: the live name must serve the REBUILT index — every
     // plant (present only in the staged generation) found at exactly 1.0

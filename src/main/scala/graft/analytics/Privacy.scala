@@ -61,4 +61,35 @@ object Privacy {
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     piiScrubOn(withSyntheticPii(
       documents(spark, dir).select(col("doc_id"), col("text"))))
+
+  /** q218: k-ANONYMITY generalization audit — the re-identification check a
+    * dataset release runs over its metadata: with quasi-identifiers
+    * (source, lang, length-bucket), a document whose QI combination is
+    * shared by fewer than k others is linkable. Rather than a bare
+    * flag, each document gets the FINEST generalization level at which
+    * its group reaches k (the standard generalization lattice, cut to a
+    * chain): 0 = full QI ok, 1 = drop the length bucket, 2 = keep source
+    * only, 3 = suppress (even the source slice is smaller than k).
+    * Plan: three aggregates over BOUNDED group spaces (|sources|×|langs|×
+    * buckets at worst), each broadcast back onto the docs scan — group
+    * sizes are metadata-sized, the corpus shuffles nothing. Emitted
+    * per-group (group sizes + level), so the gate stays stable and the
+    * release decision ("publish levels ≤ 2, suppress 3") is one filter. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = documents(spark, dir).select(col("doc_id"), col("source"),
+      col("lang"), expr("cast(n_chars as bigint) div 500").as("lb"))
+    val g0 = q.groupBy(col("source"), col("lang"), col("lb"))
+      .agg(count(lit(1)).as("n0"))
+    val g1 = q.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n1"))
+    val g2 = q.groupBy(col("source")).agg(count(lit(1)).as("n2"))
+    g0.join(broadcast(g1), Seq("source", "lang"))
+      .join(broadcast(g2), Seq("source"))
+      .select(col("source"), col("lang"), col("lb"),
+        col("n0"), col("n1"), col("n2"),
+        when(col("n0") >= k, lit(0))
+          .when(col("n1") >= k, lit(1))
+          .when(col("n2") >= k, lit(2))
+          .otherwise(lit(3)).as("level"))
+      .orderBy(col("source"), col("lang"), col("lb"))
+  }
 }
