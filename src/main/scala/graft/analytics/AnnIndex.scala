@@ -332,37 +332,9 @@ object AnnIndex {
     * and after. Both generations' tombstone logs are retired: the new
     * generation was built from the current corpus and has nothing to
     * forget. */
-  def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
-    for (suffix <- Seq("_centroids", "_cells", "_label_stats")) {
-      val (s, l) = (staging + suffix, live + suffix)
-      if (spark.catalog.tableExists(s)) {
-        spark.sql(s"DROP TABLE IF EXISTS $l")
-        spark.sql(s"ALTER TABLE $s RENAME TO $l")
-        reanchorPartitions(spark, l)
-      }
-    }
-    Tombstones.clear(spark, live)
-    Tombstones.clear(spark, staging)
-  }
-
-  /** Renaming a managed partitioned table moves its directory but the
-    * catalog's PARTITION entries keep their old locations — a scan after
-    * the rename would quietly read zero rows from the vanished paths.
-    * Re-anchor every partition under the table's new root: O(#cells)
-    * catalog metadata, the same cardinality the compaction planner holds. */
-  private def reanchorPartitions(spark: SparkSession, table: String): Unit = {
-    val cat = spark.sessionState.catalog
-    val ti = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    if (cat.getTableMetadata(ti).partitionColumnNames.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(cat.getTableMetadata(ti).location)
-      val fixed = cat.listPartitions(ti).map { p =>
-        val dir = p.spec.map { case (k, v) => s"$k=$v" }.mkString("/")
-        p.copy(storage = p.storage.copy(
-          locationUri = Some(new org.apache.hadoop.fs.Path(root, dir).toUri)))
-      }
-      if (fixed.nonEmpty) cat.alterPartitions(ti, fixed)
-    }
-  }
+  def swapIn(spark: SparkSession, staging: String, live: String): Unit =
+    graft.sink.TableSwap.swapIn(spark, staging, live,
+      Seq("_centroids", "_cells", "_label_stats"))
 
   /** q217: the rebuild-and-swap gate — the serving flow a retrieval
     * service runs when q166 votes rebuild: the LIVE index (built on the

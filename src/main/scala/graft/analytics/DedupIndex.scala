@@ -51,6 +51,13 @@ object DedupIndex {
   def delete(ids: DataFrame, name: String): Unit =
     Tombstones.append(ids, name, "doc_id")
 
+  /** Deploy a rebuilt generation over the live name — the q217 pattern for
+    * the bucketed family: the bucket spec is table metadata and travels
+    * with the rename, so the exchange-free probe plans survive the swap
+    * (RetentionSpec pins spec + answers). */
+  def swapIn(spark: SparkSession, staging: String, live: String): Unit =
+    graft.sink.TableSwap.swapIn(spark, staging, live, Seq("_sigs", "_bands"))
+
   /** Append a new batch into the existing index — the bucket spec is read
     * from the catalog (whatever [[build]] chose), so the appended files
     * land in the established layout and every later [[nearDupsAgainst]]

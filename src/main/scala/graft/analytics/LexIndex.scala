@@ -79,6 +79,12 @@ object LexIndex {
     healStats(ids.sparkSession, name)
   }
 
+  /** Deploy a rebuilt generation over the live name (the q217 pattern;
+    * bucket specs travel with the rename — see [[graft.sink.TableSwap]]). */
+  def swapIn(spark: SparkSession, staging: String, live: String): Unit =
+    graft.sink.TableSwap.swapIn(spark, staging, live,
+      Seq("_postings", "_dl", "_stats"))
+
   /** Reconcile stats with the tombstone log: the target subtraction is
     * what the log's docs still hold in the dl table; what negative delta
     * rows already subtracted is read back from the stats table itself;

@@ -162,6 +162,31 @@ class RetentionSpec extends SparkSpec {
     assert(top() == mor, "purge changed an answer")
   }
 
+  test("plan: merge-on-read tombstone filters are broadcast anti-joins, never shuffles") {
+    val name = "spec_ret_plan"
+    DedupIndex.build(docs.filter(col("cb") >= 10).select("doc_id", "text"), name, buckets = 4)
+    DedupIndex.delete(docs.filter(col("cb") >= 10 && col("cb") < 20)
+      .select("doc_id"), name)
+    val probe = docs.filter(col("cb") < 10)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val q = DedupIndex.nearDupsAgainst(spark, name, probe, 0.9)
+    q.count()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val antiJoins = helper.collectWithSubqueries(q.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.toString == "LeftAnti" => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType.toString == "LeftAnti" => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(antiJoins.nonEmpty, "tombstone anti-join not found in the probe plan")
+    assert(antiJoins.forall(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"a tombstone anti-join shuffled the index side:\n${antiJoins.map(_.nodeName)}")
+  }
+
   test("retention stream: markerless replay converges; crash window heals; purge on cadence") {
     import spark.implicits._
     val corpus = docs.select("doc_id", "text")
@@ -299,6 +324,28 @@ class RetentionSpec extends SparkSpec {
     assert(row.length == 1 && row(0).getLong(0) == sNew &&
       row(0).getString(1).endsWith(" v2"),
       "edited doc must exist exactly once, in its new shard, with new content")
+  }
+
+  test("bucketed generation swap: bucket spec travels with the rename; probe answers roll forward") {
+    val corpusV1 = docs.filter(col("cb") >= 30).select("doc_id", "text")
+    val corpusV2 = docs.select("doc_id", "text") // the rebuild covers everything
+    DedupIndex.build(corpusV1, "spec_swap_dd", buckets = 4)
+    val probe = docs.filter(col("cb") < 30)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    def found(): Set[Long] =
+      DedupIndex.nearDupsAgainst(spark, "spec_swap_dd", probe, 0.9)
+        .filter(col("corpus_id") === col("new_id") - 10000000L)
+        .select("new_id").collect().map(_.getLong(0)).toSet
+    assert(found().isEmpty, "v1 index cannot know the bucket-<30 docs")
+    DedupIndex.build(corpusV2, "spec_swap_dd_stg", buckets = 4)
+    DedupIndex.swapIn(spark, "spec_swap_dd_stg", "spec_swap_dd")
+    val afterSpec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("spec_swap_dd_sigs")).bucketSpec
+    assert(afterSpec.exists(_.numBuckets == 4),
+      s"bucket spec lost in the rename: $afterSpec")
+    assert(found() == probe.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "swapped-in generation must find every planted copy")
+    assert(!spark.catalog.tableExists("spec_swap_dd_stg_sigs"))
   }
 
   test("index audit: green on a correct build; flags orphans and a torn extend") {
