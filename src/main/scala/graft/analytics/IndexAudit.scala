@@ -56,9 +56,12 @@ object IndexAudit {
     val docs = documents(spark, dir).select(col("doc_id"), col("text"))
     val vecs = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    DedupIndex.build(docs, "graft_forget_dd", buckets = 8)
-    LexIndex.build(docs, "graft_forget_lx", buckets = 8)
-    AnnIndex.build(vecs, "graft_forget_an", numCentroids = 16)
+    // constant factors sized for the gate: the report's semantics don't
+    // depend on quantizer granularity or bucket count, and centroid
+    // training is the gate's dominant cost
+    DedupIndex.build(docs, "graft_forget_dd", buckets = 4)
+    LexIndex.build(docs, "graft_forget_lx", buckets = 4)
+    AnnIndex.build(vecs, "graft_forget_an", numCentroids = 8)
     val gone = graft.functions.Materialize(
       docs.filter(Sampling.contentBucket(col("text")) < 15).select(col("doc_id")))
     DedupIndex.delete(gone, "graft_forget_dd")

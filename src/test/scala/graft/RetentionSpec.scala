@@ -348,6 +348,56 @@ class RetentionSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("spec_swap_dd_stg_sigs"))
   }
 
+  test("shard upsert stream: commit marker, crash scrub, exactly-once layout content") {
+    import spark.implicits._
+    import graft.streaming.ShardUpsertStream
+    import graft.streaming.ShardUpsertStream.DocChange
+    val t = "spec_shard_cdc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val base = docs.filter(col("cb") >= 50).select(col("doc_id"), col("text"))
+    base.select(col("doc_id"), col("text"),
+        Sampling.shardOf(col("text"), 16).as("shard_id"))
+      .write.mode("overwrite").format("parquet").partitionBy("shard_id")
+      .saveAsTable(t)
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_state").toString
+    def content(): Map[Long, String] =
+      spark.table(t).select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v0 = content()
+    val editId = v0.keys.min
+    val delId = v0.keys.max
+    val b0 = Seq(
+      DocChange(9000001L, "brand new doc alpha", deleted = false),
+      DocChange(editId, v0(editId) + " EDITED", deleted = false),
+      DocChange(delId, "", deleted = true))
+    ShardUpsertStream.processBatch(spark, t, spark.createDataset(b0), 0L, tmp)
+    val v1 = content()
+    assert(v1(9000001L) == "brand new doc alpha")
+    assert(v1(editId) == v0(editId) + " EDITED")
+    assert(!v1.contains(delId))
+    assert(v1.size == v0.size, "upsert changed the cardinality beyond the delete+add")
+
+    // fully-committed replay: the marker short-circuits
+    ShardUpsertStream.processBatch(spark, t, spark.createDataset(b0), 0L, tmp)
+    assert(content() == v1, "marker-committed replay changed the layout")
+
+    // crash window: batch 1's append leg half-committed (rows written,
+    // marker missing) — the replay's scrub must remove the duplicates
+    // before re-appending, landing on exactly-once content
+    val b1 = Seq(DocChange(9000002L, "brand new doc beta", deleted = false))
+    val half = spark.createDataset(b1).toDF()
+      .select(col("doc_id"), col("text"),
+        Sampling.shardOf(col("text"), 16).as("shard_id"))
+    half.select(spark.table(t).columns.toIndexedSeq.map(col): _*)
+      .write.mode("append").insertInto(t)
+    assert(spark.table(t).filter(col("doc_id") === 9000002L).count() == 1L)
+    ShardUpsertStream.processBatch(spark, t, spark.createDataset(b1), 1L, tmp)
+    assert(spark.table(t).filter(col("doc_id") === 9000002L).count() == 1L,
+      "replay after a half-committed append duplicated the document")
+    val v2 = content()
+    assert(v2 - 9000002L == v1, "the crash replay disturbed unrelated rows")
+  }
+
   test("index audit: green on a correct build; flags orphans and a torn extend") {
     val corpus = docs.filter(col("cb") >= 50).select("doc_id", "text")
     val vecs = Tables.embeddings(spark, sf("sf0.01"))
