@@ -348,6 +348,34 @@ class RetentionSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("spec_swap_dd_stg_sigs"))
   }
 
+  test("plan: the shard-delete rewrite scan is partition-pruned to the affected shards") {
+    val t = "spec_ret_dpp"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    docs.select(col("doc_id"), col("text"),
+        Sampling.shardOf(col("text"), 16).as("shard_id"))
+      .write.mode("overwrite").format("parquet").partitionBy("shard_id")
+      .saveAsTable(t)
+    // the exact join shape deleteFromShards snapshots: semi on the
+    // partition column against the (broadcast) affected-shard list, anti
+    // on the tombstoned ids — the semi must reach the scan as a dynamic
+    // partition filter, or a 100 TB delete would read the whole layout
+    val gone = docs.filter(col("cb") < 3)
+      .select(col("doc_id"), Sampling.shardOf(col("text"), 16).as("shard_id"))
+    val affected = gone.select(col("shard_id")).distinct()
+    val snap = spark.table(t)
+      .join(broadcast(affected), Seq("shard_id"), "left_semi")
+      .join(broadcast(gone.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    snap.count()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(snap.queryExecution.executedPlan) {
+      case s: FileSourceScanExec if s.toString.contains(t) => s
+    }
+    assert(scans.nonEmpty, "layout scan not found")
+    assert(scans.exists(_.toString.contains("dynamicpruning")),
+      s"shard-delete scan reads the whole layout:\n${scans.map(_.toString).mkString}")
+  }
+
   test("shard upsert stream: commit marker, crash scrub, exactly-once layout content") {
     import spark.implicits._
     import graft.streaming.ShardUpsertStream
