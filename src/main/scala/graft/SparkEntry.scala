@@ -32,12 +32,11 @@ object SparkEntry {
       |FROM documents
       |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 10""".stripMargin
 
-  /** Shared recursive-CTE prefix: exact Jaccard ≥ 0.6 pair graph and its
-    * connected components (q37's statement; reused by the q142 composed-
-    * pipeline summary). Ends with `comp(doc_id, canonical_id)`. */
-  private val DedupCcCte: String =
-    """WITH RECURSIVE
-      |wt AS (
+  /** Shared shingle CTEs: per-doc DISTINCT word-3-gram sets (q25's
+    * statement; `[trimmed_text]` for docs under 3 tokens). Ends with
+    * `wsh(doc_id, s)`. */
+  private val ShingleCtes: String =
+    """wt AS (
       |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
       |  FROM documents),
       |wsh AS (
@@ -46,19 +45,64 @@ object SparkEntry {
       |         THEN list_transform(range(1, len(toks) - 1),
       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |         ELSE [tt] END) AS s
-      |  FROM wt),
-      |e AS (
-      |  SELECT a.doc_id AS a, b.doc_id AS b
-      |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-      |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
-      |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-      |reach(src, dst) AS (
-      |  SELECT a, b FROM und
-      |  UNION
-      |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-      |comp AS (
-      |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
-      |  FROM reach GROUP BY src)""".stripMargin
+      |  FROM wt)""".stripMargin
+
+  /** Exact Jaccard ≥ 0.6 pair graph over `wsh`, in the fast relational
+    * form: unnest the distinct shingle sets and equi-join on the shingle
+    * (the PPJoin candidate rule — only pairs sharing ≥1 shingle are ever
+    * scored), with |A∩B| = the matched-shingle count and |A∪B| =
+    * |A|+|B|−|A∩B| since the sets are distinct. Replaces the former
+    * all-pairs `wsh a JOIN wsh b … list_intersect` statement, which cost
+    * 47–72 s PER CONSUMING ORACLE in the round-8 driver gate; this form
+    * is row-identical (pinned at sf0.001/0.01/0.1 in
+    * tools/proto_fast_cc.py) and runs in <0.1 s. MATERIALIZED pins one
+    * evaluation of the doubly-referenced unnest. Ends with
+    * `ej(a, b, jaccard)`. */
+  private val JaccardPairCtes: String =
+    """ex AS MATERIALIZED (SELECT doc_id, len(s) AS ln, unnest(s) AS sh FROM wsh),
+      |ej AS MATERIALIZED (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |    round(count(*)::DOUBLE / nullif(x.ln + y.ln - count(*), 0)::DOUBLE, 4) AS jaccard
+      |  FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id, x.ln, y.ln
+      |  HAVING round(count(*)::DOUBLE / nullif(x.ln + y.ln - count(*), 0)::DOUBLE, 4) >= 0.6)""".stripMargin
+
+  /** Fixed-round min-label connected components over an edge CTE
+    * `e(a, b)` — replaces the former `WITH RECURSIVE reach` transitive
+    * closure (all-pairs reachability, quadratic in component size; the
+    * other half of the round-8 oracle-budget blowout). Each composite
+    * round is one edge relax (lbl ← min over neighbors' labels) and one
+    * pointer jump (lbl ← lbl(lbl)), so the known-min horizon grows at
+    * least one hop per round and in practice doubles via the jump; 8
+    * rounds far exceed the near-clique dedup-component diameters here,
+    * and the result is pinned row-identical to the recursive form at
+    * sf0.001/0.01/0.1 (tools/proto_fast_cc.py). Ends with
+    * `comp(doc_id, canonical_id)`: one row per node with ≥1 edge,
+    * canonical = component min — the reach statement's semantics. */
+  private def minLabelCcCtes(rounds: Int = 8): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = s"n${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT p.v, least(p.lbl, min(q.lbl)) AS lbl
+         |  FROM $p p JOIN und u ON p.v = u.a JOIN $p q ON u.b = q.v
+         |  GROUP BY p.v, p.lbl),
+         |n$i AS MATERIALIZED (
+         |  SELECT p.v, least(p.lbl, q.lbl) AS lbl
+         |  FROM r$i p JOIN r$i q ON p.lbl = q.v)""".stripMargin
+    }.mkString(",\n")
+    s"""und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |n0 AS MATERIALIZED (SELECT a AS v, least(a, min(b)) AS lbl FROM und GROUP BY a),
+       |$steps,
+       |comp AS (SELECT v AS doc_id, lbl AS canonical_id FROM n$rounds)""".stripMargin
+  }
+
+  /** Shared prefix: exact Jaccard ≥ 0.6 pair graph and its connected
+    * components (q37's statement; reused by q142/q170/q71/q72). Ends
+    * with `comp(doc_id, canonical_id)`; `e(a, b)` stays visible for
+    * pair-count consumers. */
+  private val DedupCcCte: String =
+    "WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" +
+      "e AS (SELECT a, b FROM ej),\n" + minLabelCcCtes()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational core ---------------------------------------------------
@@ -497,30 +541,7 @@ object SparkEntry {
   /** The q73/q175 shared WITH chain: near-dup components, quality
     * keep-best, Gopher pass, split buckets, eval-gram contamination. */
   private val CleanCorpusCtes: String =
-    """WITH RECURSIVE
-        |wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt),
-        |e AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
-        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-        |comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
-        |  FROM reach GROUP BY src),
-        |m AS (
+    DedupCcCte + ",\n" + """m AS (
         |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
         |fq AS (
@@ -1064,20 +1085,8 @@ object SparkEntry {
          |FROM documents d JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
 
     "q25_jaccard_neardup" ->
-      """WITH wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard
-        |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6""".stripMargin,
+      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + "\n" +
+       "SELECT a AS doc_a, b AS doc_b, jaccard FROM ej"),
 
     "q37_dedup_corpus" ->
       (DedupCcCte +
@@ -1280,21 +1289,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q48_minhash_recall" ->
-      """WITH wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt),
-        |e AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6)
-        |SELECT count(*) AS n_exact_pairs, true AS recall_ok FROM e""".stripMargin,
+      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + "\n" +
+       "SELECT count(*) AS n_exact_pairs, true AS recall_ok FROM ej"),
 
     "q49_lsh_planted_recall" ->
       """SELECT count(*) AS n_queries, true AS planted_ok
@@ -1312,21 +1308,8 @@ object SparkEntry {
 
     // exact near-dup pair set (q25's statement) + per-pair LSH recall flag
     "q26_minhash_lsh" ->
-      """WITH wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard,
-        |  true AS lsh_found
-        |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6""".stripMargin,
+      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + "\n" +
+       "SELECT a AS doc_a, b AS doc_b, jaccard, true AS lsh_found FROM ej"),
 
     // planted exact copies of the deterministic 10% content sample:
     // identical text -> identical fingerprint -> Hamming 0, every plant found
@@ -1704,25 +1687,14 @@ object SparkEntry {
     // cross-source leakage matrix over the q25 pair graph: canonical
     // (least, greatest) source pair, pair counts + 4dp mean similarity
     "q191_source_leakage" ->
-      """WITH wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt,
-        |    regexp_extract_all(text, '\S+') AS toks, source
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, source, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt),
+      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" +
+      """so AS (SELECT doc_id, source FROM documents),
         |pairs AS (
-        |  SELECT a.source AS sa, b.source AS sb,
-        |    round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard
-        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6)
+        |  SELECT sa.source AS sa, sb.source AS sb, ej.jaccard
+        |  FROM ej JOIN so sa ON ej.a = sa.doc_id JOIN so sb ON ej.b = sb.doc_id)
         |SELECT least(sa, sb) AS src_1, greatest(sa, sb) AS src_2,
         |  count(*) AS n_pairs, round(avg(jaccard), 4) AS avg_jaccard
-        |FROM pairs GROUP BY 1, 2""".stripMargin,
+        |FROM pairs GROUP BY 1, 2""".stripMargin),
 
     // deterministic per-epoch loader order: salted content hash per
     // (shard, epoch), top-k per cell; row_number cast ::INT (gotchas)
@@ -1923,24 +1895,16 @@ object SparkEntry {
         |GROUP BY bigs.doc_id""".stripMargin,
 
     "q53_split_contamination" ->
-      """WITH wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks,
+      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" +
+      """sp AS (
+        |  SELECT doc_id,
         |    CASE WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 90 THEN 'train'
         |         WHEN (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 95 THEN 'val'
         |         ELSE 'test' END AS split
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, split, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.split AS split_a, b.split AS split_b,
-        |  round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) AS jaccard
-        |FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6
-        |  AND a.split <> b.split""".stripMargin,
+        |  FROM documents)
+        |SELECT ej.a AS doc_a, ej.b AS doc_b, sa.split AS split_a, sb.split AS split_b, ej.jaccard
+        |FROM ej JOIN sp sa ON ej.a = sa.doc_id JOIN sp sb ON ej.b = sb.doc_id
+        |WHERE sa.split <> sb.split""".stripMargin),
 
     "q60_unigram_logprob" ->
       """WITH toks AS (
@@ -2182,30 +2146,7 @@ object SparkEntry {
         |WHERE b < 90 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
 
     "q71_dedup_keep_best" ->
-      """WITH RECURSIVE
-        |wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt),
-        |e AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
-        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-        |comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
-        |  FROM reach GROUP BY src),
-        |m AS (
+      (DedupCcCte + ",\n" + """m AS (
         |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
         |f AS (
@@ -2226,40 +2167,17 @@ object SparkEntry {
         |SELECT m.doc_id, m.canonical_id, q.quality,
         |  row_number() OVER (PARTITION BY m.canonical_id
         |                     ORDER BY q.quality DESC, m.doc_id ASC) = 1 AS keep
-        |FROM m JOIN q ON m.doc_id = q.doc_id""".stripMargin,
+        |FROM m JOIN q ON m.doc_id = q.doc_id""".stripMargin),
 
     "q72_dedup_stats" ->
-      """WITH RECURSIVE
-        |wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt),
-        |e AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
-        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-        |comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
-        |  FROM reach GROUP BY src),
-        |m AS (
+      (DedupCcCte + ",\n" + """m AS (
         |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
         |cs AS (
         |  SELECT canonical_id, count(*) AS cluster_size FROM m GROUP BY canonical_id)
         |SELECT cluster_size, count(*) AS n_clusters,
         |  (sum(cluster_size) - count(*))::BIGINT AS n_removed
-        |FROM cs GROUP BY cluster_size""".stripMargin,
+        |FROM cs GROUP BY cluster_size""".stripMargin),
 
     "q73_clean_corpus" ->
       (CleanCorpusCtes +
@@ -2587,11 +2505,16 @@ object SparkEntry {
         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
         |         ELSE [tt] END) AS sh
         |  FROM s),
+        |wx AS MATERIALIZED (SELECT doc_id, b, len(sh) AS ln, unnest(sh) AS g3 FROM wsh),
+        |wpair AS MATERIALIZED (
+        |  SELECT x.doc_id AS da, x.b AS ba, y.doc_id AS db, y.b AS bb
+        |  FROM wx x JOIN wx y ON x.g3 = y.g3 AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, x.b, y.doc_id, y.b, x.ln, y.ln
+        |  HAVING round(count(*)::DOUBLE / nullif(x.ln + y.ln - count(*), 0)::DOUBLE, 4) >= 0.6),
         |strad AS (
-        |  SELECT DISTINCT CASE WHEN a.b < 90 THEN a.doc_id ELSE bb.doc_id END AS train_id
-        |  FROM wsh a JOIN wsh bb ON a.doc_id < bb.doc_id
-        |  WHERE round(len(list_intersect(a.sh, bb.sh))::DOUBLE / nullif(len(list_distinct(list_cat(a.sh, bb.sh))), 0)::DOUBLE, 4) >= 0.6
-        |    AND ((a.b < 90 AND bb.b >= 95) OR (a.b >= 95 AND bb.b < 90)))
+        |  SELECT DISTINCT CASE WHEN ba < 90 THEN da ELSE db END AS train_id
+        |  FROM wpair
+        |  WHERE (ba < 90 AND bb >= 95) OR (ba >= 95 AND bb < 90))
         |SELECT 'exact_5gram' AS method, count(*)::BIGINT AS n_flagged,
         |  coalesce(sum(CASE WHEN e.train_id IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT AS overlap_exact
         |FROM exact m LEFT JOIN exact e ON m.train_id = e.train_id
@@ -3035,24 +2958,10 @@ object SparkEntry {
         |  round(sum(revenue) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
         |FROM daily""".stripMargin,
 
-    // transitive closure over the UNION of the q25 and q95 edge sets
+    // fixed-round CC over the UNION of the q25 and q95 edge sets
     "q122_ensemble_dedup" ->
-      """WITH RECURSIVE
-        |wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt),
-        |ej AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
-        |fd AS (
+      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" +
+      """fd AS (
         |  SELECT doc_id, text, substring(text, 1, 16) AS blk, length(text) AS l
         |  FROM documents),
         |ef AS (
@@ -3060,19 +2969,12 @@ object SparkEntry {
         |  FROM fd fa JOIN fd fb ON fa.blk = fb.blk AND fa.doc_id < fb.doc_id
         |    AND abs(fa.l - fb.l) <= 30
         |  WHERE round(1.0 - levenshtein(fa.text, fb.text)::DOUBLE / greatest(fa.l, fb.l), 4) >= 0.7),
-        |e AS (SELECT a, b FROM ej UNION SELECT a, b FROM ef),
-        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-        |comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
-        |  FROM reach GROUP BY src)
-        |SELECT d.doc_id,
+        |e AS (SELECT a, b FROM ej UNION SELECT a, b FROM ef),""".stripMargin + "\n" +
+      minLabelCcCtes() + "\n" +
+      """SELECT d.doc_id,
         |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
         |  coalesce(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin),
 
     // the correlated scalar subquery stated literally (Q2 shape); the Spark
     // side runs the decorrelated min-aggregate + join-back equivalent
@@ -3306,24 +3208,10 @@ object SparkEntry {
     },
 
     // q122's union extended with the exact brute-force cosine edge set
-    // (vec_id ≡ doc_id); same recursive-CTE transitive closure
+    // (vec_id ≡ doc_id); same fixed-round CC
     "q134_ensemble_full" ->
-      """WITH RECURSIVE
-        |wt AS (
-        |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-        |  FROM documents),
-        |wsh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) >= 3
-        |         THEN list_transform(range(1, len(toks) - 1),
-        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |         ELSE [tt] END) AS s
-        |  FROM wt),
-        |ej AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / nullif(len(list_distinct(list_cat(a.s, b.s))), 0)::DOUBLE, 4) >= 0.6),
-        |fd AS (
+      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" +
+      """fd AS (
         |  SELECT doc_id, text, substring(text, 1, 16) AS blk, length(text) AS l
         |  FROM documents),
         |ef AS (
@@ -3335,19 +3223,12 @@ object SparkEntry {
         |  SELECT ea.vec_id AS a, eb.vec_id AS b
         |  FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
         |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.95),
-        |e AS (SELECT a, b FROM ej UNION SELECT a, b FROM ef UNION SELECT a, b FROM ec),
-        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-        |comp AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
-        |  FROM reach GROUP BY src)
-        |SELECT d.doc_id,
+        |e AS (SELECT a, b FROM ej UNION SELECT a, b FROM ef UNION SELECT a, b FROM ec),""".stripMargin + "\n" +
+      minLabelCcCtes() + "\n" +
+      """SELECT d.doc_id,
         |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
         |  coalesce(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
-        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin),
 
     "q135_attribution" ->
       """WITH e AS (

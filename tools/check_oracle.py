@@ -13,10 +13,18 @@ output columns are rejected outright (pandas sort_values crashes on ndarray
 cells — the round-4 q104 harness crash).
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, math
+import json, sys, glob, math, time
 
 import duckdb
 import pandas as pd
+
+# Hard wall budget for the DuckDB leg (seconds). The driver's gate has a
+# finite budget; round 8 shipped an empty CORRECTNESS artifact because
+# eleven pair-graph oracles silently cost 47-72 s EACH. Fail the preflight
+# loudly if the oracle side exceeds this, so surface growth can never
+# zero a round again.
+DUCK_BUDGET_S = float(__import__("os").environ.get("GRAFT_DUCK_BUDGET_S", "480"))
+SLOW_QUERY_S = 5.0
 
 
 def dtype_preflight(name, spark_df, duck_df):
@@ -77,6 +85,8 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    duck_total = 0.0
+    slow = []
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -85,6 +95,7 @@ def main(sf_dir, out_dir):
             continue
         got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         got_names, got = table_canon(got_rel.fetchall(), got_rel.columns)
+        t0 = time.time()
         try:
             want_rel = con.sql(oracle[name])
             want_names, want = table_canon(want_rel.fetchall(), want_rel.columns)
@@ -92,6 +103,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
+        dt = time.time() - t0
+        duck_total += dt
+        if dt >= SLOW_QUERY_S:
+            slow.append((name, dt))
         if got_names != want_names:
             print(f"FAIL {name}: columns {got_names} vs oracle {want_names}")
             failures += 1
@@ -116,13 +131,21 @@ def main(sf_dir, out_dir):
                     print(f"   {p}")
                 failures += 1
             else:
-                print(f"ok   {name}: {len(got)} rows")
+                print(f"ok   {name}: {len(got)} rows ({dt:.2f}s duck)")
     # rows-only queries (no oracle): just report row counts
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
         if name not in oracle:
             n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
             print(f"rows {name}: {n}")
+    print(f"DUCK TOTAL: {duck_total:.1f}s (budget {DUCK_BUDGET_S:.0f}s)")
+    for name, dt in sorted(slow, key=lambda x: -x[1]):
+        print(f"SLOW {name}: {dt:.1f}s oracle")
+    if duck_total > DUCK_BUDGET_S:
+        print(f"FAIL <budget>: DuckDB leg {duck_total:.1f}s exceeds "
+              f"{DUCK_BUDGET_S:.0f}s — the driver gate will starve; "
+              f"rewrite the SLOW oracles above")
+        failures += 1
     print("FAILURES:", failures)
     return failures
 
