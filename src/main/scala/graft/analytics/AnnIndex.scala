@@ -43,10 +43,7 @@ object AnnIndex {
       vecs.select(col("vec_id"), col("v")), numCentroids)
     for (t <- Seq(s"${name}_centroids", s"${name}_cells", s"${name}_label_stats")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.sink.ManagedPaths.clearStale(spark, t)
     }
     centroids.write.format("parquet").saveAsTable(s"${name}_centroids")
     // every non-key input column rides into the cells table as payload
@@ -69,7 +66,7 @@ object AnnIndex {
     * cells that hold tombstoned vectors, on the maintenance schedule, not
     * the request path. */
   def delete(ids: DataFrame, name: String): Unit =
-    Tombstones.append(ids, name, "vec_id")
+    Tombstones.append(ids.select(col("vec_id")), name, "vec_id")
 
   /** Physical purge: find the cells holding tombstoned vectors (one
     * semi-join scan of the index — at maintenance cadence, not per

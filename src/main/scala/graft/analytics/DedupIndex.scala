@@ -49,7 +49,8 @@ object DedupIndex {
     * [[nearDupsAgainst]] anti-joins the log from the next query on; the
     * physical purge rides the next [[compact]]. */
   def delete(ids: DataFrame, name: String): Unit =
-    Tombstones.append(ids, name, "doc_id")
+    Tombstones.append(ids.select(org.apache.spark.sql.functions.col("doc_id")),
+      name, "doc_id")
 
   /** Deploy a rebuilt generation over the live name — the q217 pattern for
     * the bucketed family: the bucket spec is table metadata and travels

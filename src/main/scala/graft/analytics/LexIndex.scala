@@ -47,10 +47,7 @@ object LexIndex {
     Bucketed.writeBucketed(postingsOf(docs), s"${name}_postings", "term", buckets)
     Bucketed.writeBucketed(dl, s"${name}_dl", "doc_id", buckets)
     spark.sql(s"DROP TABLE IF EXISTS ${name}_stats")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"${name}_stats".toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sink.ManagedPaths.clearStale(spark, s"${name}_stats")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
@@ -75,26 +72,64 @@ object LexIndex {
     * markerless where the extend loop (LexIndexStream) needs per-table
     * commit markers. */
   def delete(ids: DataFrame, name: String): Unit = {
-    Tombstones.append(ids, name, "doc_id")
-    healStats(ids.sparkSession, name)
+    val spark = ids.sparkSession
+    // Record each deleted doc's length IN the log (left join: an id the
+    // index doesn't hold yet logs with NULL dl and resolves if it ever
+    // arrives — see [[healStats]]). The stored dl is what makes heal's
+    // target independent of physical state: a crash window where compact
+    // has already purged the dl rows but not yet reset the log can no
+    // longer shrink the target and un-subtract completed deletions
+    // (round-8 ADVICE).
+    val dl = spark.table(s"${name}_dl")
+    val req = ids.select(col("doc_id")).distinct()
+    Tombstones.append(
+      req.join(dl, Seq("doc_id"), "left").select(col("doc_id"), col("dl")),
+      name, "doc_id")
+    healStats(spark, name)
   }
 
   /** Deploy a rebuilt generation over the live name (the q217 pattern;
-    * bucket specs travel with the rename — see [[graft.sink.TableSwap]]). */
-  def swapIn(spark: SparkSession, staging: String, live: String): Unit =
+    * bucket specs travel with the rename — see [[graft.sink.TableSwap]]).
+    * The live tombstone log is carried forward, NOT cleared (deletes that
+    * arrived after the rebuild's snapshot must keep holding); the heal
+    * then re-subtracts those pending deletions from the new generation's
+    * fresh stats — served BM25 is consistent with the merge-on-read doc
+    * set from the first post-swap query. */
+  def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
     graft.sink.TableSwap.swapIn(spark, staging, live,
       Seq("_postings", "_dl", "_stats"))
+    healStats(spark, live)
+  }
 
-  /** Reconcile stats with the tombstone log: the target subtraction is
-    * what the log's docs still hold in the dl table; what negative delta
-    * rows already subtracted is read back from the stats table itself;
+  /** Reconcile stats with the tombstone log. The target subtraction is
+    * what the log itself says was deleted — each entry's dl as recorded
+    * at delete time ([[delete]]) — NEVER the current physical dl table,
+    * so a stale log left by a compact that crashed between the physical
+    * purge and the log reset reconciles to a zero delta instead of
+    * un-subtracting completed purges (round-8 ADVICE). What negative
+    * delta rows already subtracted is read back from the stats table;
     * exactly the difference is appended (nothing, when converged). All
     * Long arithmetic — the healed totals are exact, not approximately
-    * caught-up. */
+    * caught-up.
+    *
+    * Entries logged with NULL dl (deleted before the doc was ever
+    * indexed) resolve here: if the id has since arrived in the dl table,
+    * its dl is appended to the log as a second row for the id (per-id
+    * max() folds the pair), making the subtraction durable against the
+    * same crash window. */
   private[graft] def healStats(spark: SparkSession, name: String): Unit =
-    Tombstones.of(spark, name).foreach { log =>
+    Tombstones.logOf(spark, name).foreach { rawLog =>
+      val unresolved = rawLog.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+        .filter(col("dl").isNull).select(col("id"))
       val dl = spark.table(s"${name}_dl")
-      val target = dl.join(broadcast(log), dl("doc_id") === log("id"))
+      val resolved = dl.join(broadcast(unresolved), dl("doc_id") === col("id"))
+        .select(col("doc_id").as("id"), col("dl"))
+      if (!resolved.isEmpty)
+        resolved.write.mode("append").format("parquet")
+          .saveAsTable(Tombstones.tableOf(name))
+      val target = spark.table(Tombstones.tableOf(name))
+        .groupBy(col("id")).agg(max(col("dl")).as("dl"))
+        .filter(col("dl").isNotNull)
         .agg(count(lit(1)).as("t_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("t_dl")).collect()(0)
       val have = spark.table(s"${name}_stats")
@@ -204,21 +239,23 @@ object LexIndex {
     // the physical purge point: tombstoned postings and doc-lengths drop
     // out of the rewrite (their stats contribution was already subtracted
     // by [[delete]]'s negative deltas, which fold below), then the log
-    // resets — answers unchanged vs the merge-on-read path
+    // resets — answers unchanged vs the merge-on-read path.
+    // Ordering, for crash safety: both purges, THEN the log reset, THEN
+    // the stats fold. Any crash prefix heals — a stale log over purged
+    // tables reconciles to a zero delta via the stored-dl target
+    // ([[healStats]]), and an unfolded stats table already sums to the
+    // right totals. Each rewrite runs staging-then-rename
+    // ([[Bucketed.replaceTable]]), so no window can destroy a table.
     Bucketed.compactBucketed(spark, s"${name}_postings", "term",
       Tombstones.filter(_, name, "doc_id"))
     Bucketed.compactBucketed(spark, s"${name}_dl", "doc_id",
       Tombstones.filter(_, name, "doc_id"))
     Tombstones.clear(spark, name)
     val t = s"${name}_stats"
-    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
     val folded = Materialize(spark.table(t)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
-    spark.sql(s"DROP TABLE $t")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    folded.write.format("parquet").saveAsTable(t)
+    Bucketed.replaceTable(spark, t, staging =>
+      folded.write.format("parquet").saveAsTable(staging))
   }
 
   /** q179: build on one corpus slice, extend with the rest (content-bucket

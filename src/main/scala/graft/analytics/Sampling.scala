@@ -635,10 +635,7 @@ object Sampling {
     // drop + delete the managed location (a previous session's files would
     // otherwise fail the create — the AnnIndex.build discipline)
     spark.sql("DROP TABLE IF EXISTS graft_shards")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), "graft_shards")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sink.ManagedPaths.clearStale(spark, "graft_shards")
     documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         shardOf(col("text"), nShards).as("shard_id"))
@@ -696,10 +693,7 @@ object Sampling {
   def shardedDeleteGate(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
     val t = "graft_shards_del"
     spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), t)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sink.ManagedPaths.clearStale(spark, t)
     documents(spark, dir)
       .select(col("doc_id"), col("text"),
         shardOf(col("text"), nShards).as("shard_id"))
@@ -745,10 +739,7 @@ object Sampling {
   def shardUpsertGate(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
     val t = "graft_shards_up"
     spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), t)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sink.ManagedPaths.clearStale(spark, t)
     val v1 = documents(spark, dir).select(col("doc_id"), col("text"))
     v1.select(col("doc_id"), col("text"), shardOf(col("text"), nShards).as("shard_id"))
       .write.mode("overwrite").format("parquet").partitionBy("shard_id")

@@ -19,15 +19,8 @@ object Bucketed {
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
     val spark = df.sparkSession
-    // The session catalog is in-memory but the warehouse dir persists:
-    // files left by a PREVIOUS session at the managed location make
-    // CREATE TABLE fail even in overwrite mode (the table isn't in this
-    // session's catalog, so overwrite can't claim the location). Drop both.
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    ManagedPaths.clearStale(spark, table)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
@@ -42,11 +35,52 @@ object Bucketed {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  private[graft] def stagingOf(table: String): String = table + "__staging"
+
+  /** If a previous [[replaceTable]] crashed between its DROP and RENAME,
+    * the completed snapshot sits under the staging name and the live name
+    * is gone — finish the swap. Called at the top of every replace so the
+    * crash heals on the next maintenance pass. Returns true if it healed. */
+  def healInterruptedReplace(spark: SparkSession, table: String): Boolean = {
+    val staging = stagingOf(table)
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging)) {
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      true
+    } else false
+  }
+
+  /** Crash-safe full-table replacement: `write` builds the new generation
+    * under a STAGING name while the live table keeps serving, then the
+    * swap is two catalog ops (DROP live, RENAME staging) — the pattern
+    * [[TableSwap]] uses for whole-index generations, applied to a single
+    * table. No window destroys the data: before the staging write
+    * completes the live table is untouched; after it, a crash between the
+    * two catalog ops leaves the complete snapshot under the staging name,
+    * which [[healInterruptedReplace]] finishes on the next call. (The old
+    * shape — drop, delete files, then write from a localCheckpoint
+    * snapshot — permanently destroyed the table if the process died
+    * mid-write; round-8 ADVICE.) */
+  def replaceTable(spark: SparkSession, table: String,
+      write: String => Unit): Unit = {
+    healInterruptedReplace(spark, table)
+    val staging = stagingOf(table)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    ManagedPaths.clearStale(spark, staging)
+    write(staging) // the expensive part — live serves throughout
+    val liveLoc = ManagedPaths.pathOf(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val fs = liveLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(liveLoc)) fs.delete(liveLoc, true)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
   /** Rewrite a bucketed table to exactly ONE file per bucket, preserving
     * the bucket spec — the small-file compaction every append-mode index
     * table eventually needs (each `extend`/micro-batch append leaves one
     * file per touched bucket). Shared by [[graft.analytics.DedupIndex]]
-    * and [[graft.analytics.LexIndex]].
+    * and [[graft.analytics.LexIndex]]. Runs through [[replaceTable]], so
+    * a crash anywhere leaves either the old generation serving or the
+    * complete new one recoverable — never neither.
     *
     * Snapshot FIRST, repartition AFTER: the table relation advertises
     * `HashPartitioning(key, n)` from its bucket spec, so a repartition over
@@ -56,18 +90,16 @@ object Bucketed {
     * one file per (task, bucket) instead of one per bucket. The checkpoint
     * severs the bucketing claim, so the repartition survives and task i
     * holds exactly bucket i (repartition and the bucketed writer share
-    * Murmur3 hashing). Bucketed tables have no partitions to overwrite
-    * selectively, so this is a full rewrite; at warehouse scale the swap
-    * runs as write-new-table + catalog rename. */
+    * Murmur3 hashing). The bucket spec travels with the closing RENAME
+    * (same property the generation swap relies on). */
   def compactBucketed(spark: SparkSession, table: String, key: String,
       transform: DataFrame => DataFrame = identity): Unit = {
     import org.apache.spark.sql.functions.col
+    healInterruptedReplace(spark, table)
     val n = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.getOrElse(sys.error(s"$table is not a bucketed table"))
       .numBuckets
-    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
     // `transform` lets the rewrite fold in answer-preserving maintenance the
     // caller already owes — the indexes pass their tombstone anti-join here,
     // making compaction the physical purge point (Tombstones' copy-on-write
@@ -75,13 +107,9 @@ object Bucketed {
     // rows it is about to drop.
     val snap = graft.functions.Materialize(transform(spark.table(table)))
       .repartition(n, col(key))
-    // drop + delete the location explicitly: overwrite-in-place leaves the
-    // previous generation's files in the managed dir, which would both
-    // defeat the compaction and feed stale rows back into the scan
-    spark.sql(s"DROP TABLE $table")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    snap.write.bucketBy(n, key).sortBy(key).format("parquet").saveAsTable(table)
+    replaceTable(spark, table, staging =>
+      snap.write.bucketBy(n, key).sortBy(key).format("parquet")
+        .saveAsTable(staging))
   }
 }
 

@@ -22,8 +22,15 @@ import org.apache.spark.sql.SparkSession
   *    spec is table metadata and travels with the rename, so the
   *    exchange-free probe plans survive the swap (spec-pinned).
   *
-  * Tombstone logs of both names are retired: a rebuilt generation was
-  * built from the current corpus and has nothing to forget. */
+  * Retention state survives the swap: deletion requests that arrived
+  * AFTER the rebuild's corpus snapshot (a rebuild the scaladoc above
+  * describes as hours of work) are NOT covered by the new generation's
+  * tables, so the live tombstone log is kept — clearing it here would
+  * silently resurrect those docs at the exact moment the new generation
+  * goes live. Ids the rebuild did already exclude cost nothing (the
+  * merge-on-read anti-join is a no-op for them) and the log retires at
+  * the next purge-on-compact as usual; a staging-side log folds into the
+  * live one ([[Tombstones.carryForward]]). */
 object TableSwap {
 
   def swapIn(spark: SparkSession, staging: String, live: String,
@@ -36,8 +43,7 @@ object TableSwap {
         reanchorPartitions(spark, l)
       }
     }
-    Tombstones.clear(spark, live)
-    Tombstones.clear(spark, staging)
+    Tombstones.carryForward(spark, staging, live)
   }
 
   /** See scaladoc: partition locations stranded by a managed-table rename

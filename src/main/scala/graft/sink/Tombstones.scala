@@ -37,9 +37,12 @@ object Tombstones {
   /** Ids of `idCol` newly deleted: the request minus what the log already
     * holds. Callers that maintain side totals (LexIndex's negative stats
     * delta) MUST base them on this, not the raw request — a replayed or
-    * overlapping deletion request must not double-subtract. */
+    * overlapping deletion request must not double-subtract. Extra columns
+    * of `ids` ride along (LexIndex stores each deleted doc's length so a
+    * later stats heal never has to consult physical state — see
+    * [[graft.analytics.LexIndex.healStats]]); dedup is by id. */
   def newIds(ids: DataFrame, name: String, idCol: String): DataFrame = {
-    val d = ids.select(col(idCol).as("id")).distinct()
+    val d = ids.withColumnRenamed(idCol, "id").dropDuplicates("id")
     of(ids.sparkSession, name) match {
       case Some(log) => d.join(broadcast(log), Seq("id"), "left_anti")
       case None => d
@@ -55,12 +58,7 @@ object Tombstones {
     if (spark.catalog.tableExists(t))
       d.write.mode("append").format("parquet").saveAsTable(t)
     else {
-      // stale-location guard (Bucketed.writeBucketed's): files left by a
-      // previous session at the managed location block CREATE TABLE
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      ManagedPaths.clearStale(spark, t)
       d.write.mode("overwrite").format("parquet").saveAsTable(t)
     }
   }
@@ -70,6 +68,28 @@ object Tombstones {
     if (spark.catalog.tableExists(tableOf(name)))
       Some(spark.table(tableOf(name)).select(col("id")))
     else None
+
+  /** The full log including payload columns stored by [[append]]. */
+  def logOf(spark: SparkSession, name: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tableOf(name)))
+      Some(spark.table(tableOf(name)))
+    else None
+
+  /** Carry retention state FORWARD across a generation swap: deletion
+    * requests that arrived AFTER the rebuild's corpus snapshot must keep
+    * holding against the new generation — clearing the live log at swap
+    * time would silently resurrect tombstoned docs (round-8 ADVICE).
+    * Requests addressed to the staging name while it was building fold
+    * in too; ids the rebuild already excluded cost nothing (the
+    * merge-on-read anti-join is a no-op for them) and the log retires at
+    * the next purge-on-compact as usual. Payload columns are carried only
+    * when both logs agree on schema (they do within one index family). */
+  def carryForward(spark: SparkSession, staging: String, live: String): Unit = {
+    logOf(spark, staging).foreach { s =>
+      append(s, live, "id")
+      clear(spark, staging)
+    }
+  }
 
   /** Merge-on-read: drop `df` rows whose `idCol` is tombstoned. Broadcast
     * anti-join (log bounded by purge cadence); the identity when the log
@@ -86,10 +106,7 @@ object Tombstones {
   def clear(spark: SparkSession, name: String): Unit = {
     val t = tableOf(name)
     spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    ManagedPaths.clearStale(spark, t)
   }
 }
 

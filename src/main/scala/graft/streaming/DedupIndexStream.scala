@@ -25,12 +25,13 @@ import graft.functions.Materialize
   *    verified output, so duplicated rows never duplicate matches. The
   *    dangerous twin of that window — the batch's OWN survivors already
   *    sitting in the index when the batch replays, so every survivor
-  *    matches itself at est 1.0 and the anti-join erases the previously
-  *    committed survivor set — is closed structurally: matches whose
-  *    corpus id is one of the replaying batch's own doc ids are discarded,
-  *    which restores exactly the first run's semantics (dedup against the
-  *    pre-batch index only; intra-batch near-dups are by contract not
-  *    deduped here, only exact intra-batch copies collapse);
+  *    would match itself at est 1.0 and be erased — is closed by making
+  *    the survivor SET durable before the extend: a replay whose survivor
+  *    write completed (`_SUCCESS`) reuses that set verbatim and never
+  *    re-probes the index, reproducing the first run bit-for-bit. A doc
+  *    id legitimately re-delivered by an at-least-once source in a LATER
+  *    batch takes the fresh path and correctly matches its earlier copy
+  *    (the old id-exclusion guard wrongly re-admitted it);
   *  - intra-batch exact copies collapse first (min doc_id per content
   *    digest), so two copies arriving in ONE batch can't both survive.
   *
@@ -59,24 +60,37 @@ object DedupIndexStream {
     val markerPath = new Path(s"$survivorsDir/_committed/b=$batchId")
     val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(markerPath)) return // fully committed — replay is a no-op
-    // intra-batch exact dedup: keep min doc_id per content digest
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
-    val uniq = batch.select(col("doc_id"), col("text"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("doc_id"), col("text"))
-    // Replay safety: a crash between extend and the marker leaves this
-    // batch's survivors in the index; on replay they would match THEMSELVES
-    // (est 1.0) and the anti-join below would erase the committed survivor
-    // files. Dropping matches whose corpus side is a doc id of this very
-    // batch makes the replay reproduce the first run bit-for-bit — the
-    // batch is always deduplicated against the pre-batch index only.
-    val batchIds = uniq.select(col("doc_id").as("corpus_id"))
-    val matched = DedupIndex.nearDupsAgainst(spark, name, uniq, estThreshold)
-      .join(broadcast(batchIds), Seq("corpus_id"), "left_anti")
-      .select(col("new_id").as("doc_id")).distinct()
-    val survivors = Materialize(uniq.join(matched, Seq("doc_id"), "left_anti"))
-    survivors.write.mode("overwrite").parquet(s"$survivorsDir/b=$batchId")
+    val batchDir = s"$survivorsDir/b=$batchId"
+    val survivors =
+      if (fs.exists(new Path(batchDir, "_SUCCESS"))) {
+        // Replay of a crash between the survivor write and the marker: the
+        // first run's survivor set is already durable — reuse it VERBATIM
+        // and redo only the extend (duplicate index rows from a replayed
+        // append are harmless by construction — candidates are distinct
+        // pairs and nearDupsAgainst distincts its verified output). This
+        // replaces the old guard that dropped every match whose corpus id
+        // was one of the batch's own doc ids: that erased legitimate
+        // matches when an at-least-once SOURCE re-delivered a doc id in a
+        // LATER batch (different batchId, no marker coverage), re-appending
+        // an already-indexed doc as a second survivor (round-8 ADVICE).
+        // With the reuse, a replayed batch never probes the index at all,
+        // so its own half-committed rows can't self-match; a later-batch
+        // redelivery takes the fresh path below and correctly matches its
+        // earlier copy.
+        spark.read.parquet(batchDir)
+      } else {
+        // intra-batch exact dedup: keep min doc_id per content digest
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+        val uniq = batch.select(col("doc_id"), col("text"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("doc_id"), col("text"))
+        val matched = DedupIndex.nearDupsAgainst(spark, name, uniq, estThreshold)
+          .select(col("new_id").as("doc_id")).distinct()
+        val s = Materialize(uniq.join(matched, Seq("doc_id"), "left_anti"))
+        s.write.mode("overwrite").parquet(batchDir)
+        s
+      }
     DedupIndex.extend(survivors, name)
     fs.create(markerPath, true).close()
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)

@@ -148,7 +148,9 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // marker write leaves this batch's survivors in the index; on replay
     // each survivor matched ITSELF at est 1.0, the anti-join dropped them
     // all, and the overwrite replaced the committed files with an empty
-    // dataset. The fix discards matches whose corpus id is in the batch.
+    // dataset. The fix (round-8 form): the durable survivor set written
+    // before the extend is reused VERBATIM on replay, so the index is
+    // never re-probed with its own half-committed rows.
     import spark.implicits._
     import graft.streaming.DedupIndexStream
     import org.apache.hadoop.fs.Path
@@ -169,6 +171,32 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val replayed = spark.read.parquet(s"$tmp/b=0").select("doc_id").as[Long].collect().toSet
     assert(replayed == committed,
       s"replay after the crash window changed the survivor set: $replayed vs $committed")
+  }
+
+  test("at-least-once source: a doc re-delivered in a LATER batch is deduped, not re-admitted") {
+    // round-8 advice (low): the old replay guard dropped every match whose
+    // corpus id was one of the batch's own doc ids, so a doc legitimately
+    // re-delivered under a DIFFERENT batchId (no marker coverage) never
+    // matched its own earlier index row and was appended as a second
+    // survivor — duplicate doc_id rows in the index, two survivor copies.
+    import spark.implicits._
+    import graft.streaming.DedupIndexStream
+    val tmp = java.nio.file.Files.createTempDirectory("didx_redeliver").toString
+    DedupIndex.build(docs.filter(col("cb") >= 50).select("doc_id", "text"),
+      "spec_idx_redeliver", buckets = 4)
+    val f = docs.filter(col("cb") < 50).select("doc_id", "text")
+      .limit(1).collect()(0)
+    val b0 = Seq((f.getLong(0), f.getString(1))).toDF("doc_id", "text")
+    DedupIndexStream.processBatch(spark, "spec_idx_redeliver", b0, 0L, tmp)
+    assert(spark.read.parquet(s"$tmp/b=0").count() == 1L,
+      "vacuous: the fresh doc did not survive its first delivery")
+    // the source re-delivers the same doc in a later batch
+    DedupIndexStream.processBatch(spark, "spec_idx_redeliver", b0, 1L, tmp)
+    assert(spark.read.parquet(s"$tmp/b=1").count() == 0L,
+      "re-delivered doc re-admitted as a survivor")
+    val sigRows = spark.table("spec_idx_redeliver_sigs")
+      .filter(col("doc_id") === f.getLong(0)).count()
+    assert(sigRows == 1L, s"index holds $sigRows sig rows for the re-delivered doc")
   }
 
   test("standing loop: survivors committed, index grows, replay is a no-op") {

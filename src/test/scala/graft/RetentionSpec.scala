@@ -216,9 +216,14 @@ class RetentionSpec extends SparkSpec {
     // crash window: batch 1's ids reach the lex tombstone log but the node
     // dies before healStats (and before the other two appends) — the
     // streaming runtime then REPLAYS batch 1: the half-applied lex log
-    // must not double-subtract, and the other surfaces apply fresh
+    // must not double-subtract, and the other surfaces apply fresh.
+    // (The simulated append carries the stored dl, matching what
+    // LexIndex.delete writes before it would have crashed.)
     val b1df = docs.filter(col("cb") >= 5 && col("cb") < 8).select("doc_id")
-    Tombstones.append(b1df, "spec_rs_lx", "doc_id")
+    Tombstones.append(
+      b1df.join(spark.table("spec_rs_lx_dl"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dl")),
+      "spec_rs_lx", "doc_id")
     val b1 = b1df.collect().map(_.getLong(0)).toSeq
     graft.streaming.RetentionStream.processBatch(spark, batchOf(b1), 1L,
       "spec_rs_dd", "spec_rs_lx", "spec_rs_an")
@@ -346,6 +351,94 @@ class RetentionSpec extends SparkSpec {
     assert(found() == probe.select("doc_id").collect().map(_.getLong(0)).toSet,
       "swapped-in generation must find every planted copy")
     assert(!spark.catalog.tableExists("spec_swap_dd_stg_sigs"))
+  }
+
+  test("generation swap carries pending deletions forward — no resurrection at swap time") {
+    // round-8 advice (medium): swapIn used to CLEAR the live tombstone log,
+    // so a deletion request that arrived after the rebuild's corpus
+    // snapshot (the staging build) was silently forgotten the moment the
+    // new generation went live.
+    val name = "spec_swap_carry"
+    val stg = name + "_stg"
+    val corpus = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    DedupIndex.build(corpus, name, buckets = 4)
+    DedupIndex.build(corpus, stg, buckets = 4) // rebuild snapshot still holds the docs
+    val gone = docs.filter(col("cb") >= 10 && col("cb") < 20).select("doc_id")
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    DedupIndex.delete(gone, name) // arrives AFTER the staging snapshot
+    DedupIndex.swapIn(spark, stg, name)
+    val probe = docs.filter(col("cb") >= 10 && col("cb") < 30)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val found = DedupIndex.nearDupsAgainst(spark, name, probe, 0.9)
+      .filter(col("corpus_id") === col("new_id") - 10000000L)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(found.intersect(goneIds).isEmpty,
+      "tombstoned docs resurrected by the generation swap")
+    assert(found.nonEmpty, "vacuous: no retained planted copy found")
+    // the carried log retires at the next purge-on-compact as usual
+    DedupIndex.compact(spark, name)
+    assert(rawIds(s"${name}_sigs", "doc_id").intersect(goneIds).isEmpty,
+      "carried tombstones not purged by the post-swap compact")
+    assert(!spark.catalog.tableExists(Tombstones.tableOf(name)))
+  }
+
+  test("lex stats heal survives a compact that crashed between the purge and the log reset") {
+    // round-8 advice (medium): with the dl rows physically purged but the
+    // tombstone log still present, the next heal used to compute target=0
+    // vs have=D and append a +D 'correction', permanently overstating
+    // n_docs/avgdl. The stored-dl target makes that window reconcile to a
+    // zero delta.
+    val name = "spec_ret_lexcrash"
+    LexIndex.build(docs.select("doc_id", "text"), name, buckets = 4)
+    val goneA = docs.filter(col("cb") < 10).select("doc_id")
+    LexIndex.delete(goneA, name)
+    // simulate the crash: both physical purges completed, the process died
+    // BEFORE Tombstones.clear — a stale log over purged tables
+    graft.sink.Bucketed.compactBucketed(spark, s"${name}_postings", "term",
+      Tombstones.filter(_, name, "doc_id"))
+    graft.sink.Bucketed.compactBucketed(spark, s"${name}_dl", "doc_id",
+      Tombstones.filter(_, name, "doc_id"))
+    // the next delete's heal must not un-subtract the completed purge
+    val goneB = docs.filter(col("cb") >= 10 && col("cb") < 20).select("doc_id")
+    LexIndex.delete(goneB, name)
+    def statsTotals(n: String): (Long, Long) = {
+      val r = spark.table(s"${n}_stats")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val fresh = "spec_ret_lexcrash_fresh"
+    LexIndex.build(docs.filter(col("cb") >= 20).select("doc_id", "text"),
+      fresh, buckets = 4)
+    assert(statsTotals(name) == statsTotals(fresh),
+      "heal after the crash window drifted from a from-scratch count")
+    assert(LexIndex.bm25Against(spark, name).collect().map(_.toSeq).toSet ==
+      LexIndex.bm25Against(spark, fresh).collect().map(_.toSeq).toSet,
+      "served BM25 after the crash window differs from a fresh index")
+  }
+
+  test("compactBucketed: a crash between DROP and RENAME heals on the next pass") {
+    // round-8 advice (medium): the old compact dropped the table and
+    // deleted its files BEFORE writing the snapshot — a crash in that
+    // window permanently destroyed the index table. The staging-then-
+    // rename shape leaves the completed snapshot recoverable instead.
+    import spark.implicits._
+    val t = "spec_heal_tbl"
+    graft.sink.Bucketed.writeBucketed(
+      (1L to 50L).map(i => (i, s"payload $i")).toDF("k", "v"), t, "k", 4)
+    val before = spark.table(t).collect().map(_.toSeq).toSet
+    // simulate the crash: the completed snapshot sits under the staging
+    // name and the live name is gone
+    spark.table(t).write.bucketBy(4, "k").sortBy("k").format("parquet")
+      .saveAsTable(t + "__staging")
+    spark.sql(s"DROP TABLE $t")
+    assert(!spark.catalog.tableExists(t))
+    graft.sink.Bucketed.compactBucketed(spark, t, "k") // heals, then compacts
+    assert(spark.table(t).collect().map(_.toSeq).toSet == before,
+      "healed table lost rows")
+    assert(!spark.catalog.tableExists(t + "__staging"), "staging left behind")
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).bucketSpec
+    assert(spec.exists(_.numBuckets == 4), s"bucket spec lost: $spec")
   }
 
   test("plan: the shard-delete rewrite scan is partition-pruned to the affected shards") {
