@@ -288,15 +288,19 @@ object ScaleRehearsal {
         time(analytics.LexIndex.bm25Against(spark, "reh_lex").count())
 
       // q95 skew-cap evidence: the largest single join group under the
-  // prefix-only blocking key (round ≤4) vs the composite
-      // (prefix, ⌊len/30⌋) key in use since round 5 — the composite cap is
-      // what bounds the worst task when boilerplate prefixes collide
+      // char-prefix-only blocking key (round ≤4) vs the composite key in
+      // use — (first-3-tokens, ⌊len/30⌋) since round 9 (token-prefix
+      // block: fixed char windows lose selectivity to uniform decoration;
+      // see Relational.fuzzyCandidates) — the composite cap is what
+      // bounds the worst task when boilerplate prefixes collide
       val dd = spark.read.parquet(s"$dir/documents.parquet")
-        .select(substring(col("text"), 1, 16).as("blk"),
+        .select(substring(col("text"), 1, 16).as("cblk"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 3)).as("blk"),
           (length(col("text")) / 30).cast("int").as("lbk"))
-      val maxPrefixBlock = dd.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+      val maxPrefixBlock = dd.groupBy(col("cblk")).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).collect()(0).getLong(0)
-      val maxCompositeBlock = dd.groupBy(col("blk"), col("lbk")).agg(count(lit(1)).as("c"))
+      val maxCompositeBlock = dd.groupBy(col("blk"), col("lbk"))
+        .agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).collect()(0).getLong(0)
 
       // every planted pair is (original, copy) with copy ids ≥ stride;

@@ -104,6 +104,24 @@ object SparkEntry {
     "WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" +
       "e AS (SELECT a, b FROM ej),\n" + minLabelCcCtes()
 
+  /** Fuzzy-edge blocking + verify (q95's statement; the `ef` leg of the
+    * q122/q134 ensembles): first-3-tokens block × width-30 length band,
+    * then exact levenshtein ≥ 0.7 on candidates — mirrors
+    * Relational.fuzzyCandidates exactly (the round-9 token-prefix block;
+    * see its scaladoc for the growth measurements). Ends with `ef(a, b)`;
+    * `fd` stays visible for consumers needing lev/edit_sim columns. */
+  private val FuzzyEdgeCtes: String =
+    """fd AS (
+      |  SELECT doc_id, text,
+      |    array_to_string(regexp_extract_all(text, '\S+')[1:3], ' ') AS blk,
+      |    length(text) AS l
+      |  FROM documents),
+      |ef AS (
+      |  SELECT fa.doc_id AS a, fb.doc_id AS b
+      |  FROM fd fa JOIN fd fb ON fa.blk = fb.blk
+      |    AND fa.doc_id < fb.doc_id AND abs(fa.l - fb.l) <= 30
+      |  WHERE round(1.0 - levenshtein(fa.text, fb.text)::DOUBLE / greatest(fa.l, fb.l), 4) >= 0.7)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- relational core ---------------------------------------------------
     "q01_pricing_summary"          -> Relational.pricingSummary _,
@@ -344,7 +362,8 @@ object SparkEntry {
     "q215_shard_upsert"            -> ((s: SparkSession, d: String) => Sampling.shardUpsertGate(s, d)),
     "q216_forget_audit"            -> IndexAudit.forgetGate _,
     "q217_index_swap"              -> AnnIndex.rebuildSwapGate _,
-    "q218_k_anonymity"             -> ((s: SparkSession, d: String) => Privacy.kAnonymity(s, d)))
+    "q218_k_anonymity"             -> ((s: SparkSession, d: String) => Privacy.kAnonymity(s, d)),
+    "q219_betweenness_exact"       -> ((s: SparkSession, d: String) => Graph.betweennessExact(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -2936,17 +2955,15 @@ object SparkEntry {
         |UNION ALL SELECT 'l_returnflag', n_rows, f_nulls, f_distinct, f_min, f_max FROM a
         |UNION ALL SELECT 'l_shipdate', n_rows, d_nulls, d_distinct, d_min, d_max FROM a""".stripMargin,
 
-    // prefix-16 blocking + length band, then exact levenshtein on candidates
+    // (first-3-tokens, length-band) blocking, then exact levenshtein
     "q95_fuzzy_neardup" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, substring(text, 1, 16) AS blk, length(text) AS l
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  levenshtein(a.text, b.text)::BIGINT AS lev,
-        |  round(1.0 - levenshtein(a.text, b.text)::DOUBLE / greatest(a.l, b.l), 4) AS edit_sim
-        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |  AND abs(a.l - b.l) <= 30
-        |WHERE round(1.0 - levenshtein(a.text, b.text)::DOUBLE / greatest(a.l, b.l), 4) >= 0.7""".stripMargin,
+      ("WITH\n" + FuzzyEdgeCtes + "\n" +
+      """SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b,
+        |  levenshtein(fa.text, fb.text)::BIGINT AS lev,
+        |  round(1.0 - levenshtein(fa.text, fb.text)::DOUBLE / greatest(fa.l, fb.l), 4) AS edit_sim
+        |FROM fd fa JOIN fd fb ON fa.blk = fb.blk
+        |  AND fa.doc_id < fb.doc_id AND abs(fa.l - fb.l) <= 30
+        |WHERE round(1.0 - levenshtein(fa.text, fb.text)::DOUBLE / greatest(fa.l, fb.l), 4) >= 0.7""".stripMargin),
 
     // RANGE frame over the per-day aggregate: value-based 7-day bounds
     "q96_rolling_revenue" ->
@@ -2960,16 +2977,8 @@ object SparkEntry {
 
     // fixed-round CC over the UNION of the q25 and q95 edge sets
     "q122_ensemble_dedup" ->
-      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" +
-      """fd AS (
-        |  SELECT doc_id, text, substring(text, 1, 16) AS blk, length(text) AS l
-        |  FROM documents),
-        |ef AS (
-        |  SELECT fa.doc_id AS a, fb.doc_id AS b
-        |  FROM fd fa JOIN fd fb ON fa.blk = fb.blk AND fa.doc_id < fb.doc_id
-        |    AND abs(fa.l - fb.l) <= 30
-        |  WHERE round(1.0 - levenshtein(fa.text, fb.text)::DOUBLE / greatest(fa.l, fb.l), 4) >= 0.7),
-        |e AS (SELECT a, b FROM ej UNION SELECT a, b FROM ef),""".stripMargin + "\n" +
+      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" + FuzzyEdgeCtes + ",\n" +
+      "e AS (SELECT a, b FROM ej UNION SELECT a, b FROM ef),\n" +
       minLabelCcCtes() + "\n" +
       """SELECT d.doc_id,
         |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
@@ -3210,16 +3219,8 @@ object SparkEntry {
     // q122's union extended with the exact brute-force cosine edge set
     // (vec_id ≡ doc_id); same fixed-round CC
     "q134_ensemble_full" ->
-      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" +
-      """fd AS (
-        |  SELECT doc_id, text, substring(text, 1, 16) AS blk, length(text) AS l
-        |  FROM documents),
-        |ef AS (
-        |  SELECT fa.doc_id AS a, fb.doc_id AS b
-        |  FROM fd fa JOIN fd fb ON fa.blk = fb.blk AND fa.doc_id < fb.doc_id
-        |    AND abs(fa.l - fb.l) <= 30
-        |  WHERE round(1.0 - levenshtein(fa.text, fb.text)::DOUBLE / greatest(fa.l, fb.l), 4) >= 0.7),
-        |ec AS (
+      ("WITH\n" + ShingleCtes + ",\n" + JaccardPairCtes + ",\n" + FuzzyEdgeCtes + ",\n" +
+      """ec AS (
         |  SELECT ea.vec_id AS a, eb.vec_id AS b
         |  FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
         |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.95),
@@ -3701,6 +3702,26 @@ object SparkEntry {
         |  (CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
         |        WHEN n2 >= 5 THEN 2 ELSE 3 END)::INT AS level
         |FROM g0 JOIN g1 USING (source, lang) JOIN g2 USING (source)""".stripMargin,
+
+    // exact Brandes on the planted motif graph: every node's score is a
+    // closed-form constant of its (motif, position) role — path / star /
+    // 5-cycle / 4-cycle+pendant per group of five consecutive doc ids;
+    // constants independently derived (GraphSpec pins them against a
+    // reference Brandes with the same integer-micro truncating-div rule)
+    "q219_betweenness_exact" ->
+      """WITH d AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS p FROM documents),
+        |fg AS (SELECT g FROM d GROUP BY g HAVING count(*) = 5),
+        |n AS (SELECT doc_id, (d.g % 4) AS m, p FROM d JOIN fg USING (g))
+        |SELECT doc_id AS node, 4::BIGINT AS n_pivots_reached,
+        |  (CASE
+        |    WHEN m = 0 THEN CASE p WHEN 1 THEN 6000000 WHEN 2 THEN 8000000
+        |                           WHEN 3 THEN 6000000 ELSE 0 END
+        |    WHEN m = 1 THEN CASE p WHEN 0 THEN 12000000 ELSE 0 END
+        |    WHEN m = 2 THEN 2000000
+        |    ELSE CASE p WHEN 0 THEN 7000000 WHEN 1 THEN 2000000
+        |                WHEN 2 THEN 1000000 WHEN 3 THEN 2000000 ELSE 0 END
+        |  END)::BIGINT AS betweenness_micro
+        |FROM n""".stripMargin,
 
     // generation swap: the live name must serve the REBUILT index — every
     // plant (present only in the staged generation) found at exactly 1.0

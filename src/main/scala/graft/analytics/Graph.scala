@@ -492,9 +492,70 @@ object Graph {
   def betweennessPivotsOn(und: DataFrame, nPivots: Int, depth: Int): DataFrame = {
     val edges = Materialize(und.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(und.select(col("pb").as("src"), col("pa").as("dst"))))
-    val pivots = edges.select(col("src")).distinct()
-      .orderBy(col("src")).limit(nPivots)
-      .select(col("src").as("pivot"))
+    brandesSweep(edges,
+      edges.select(col("src")).distinct().orderBy(col("src")).limit(nPivots)
+        .select(col("src").as("pivot")),
+      depth)
+  }
+
+  /** q219 core: EXACT Brandes — every node a pivot. Exact whenever `depth`
+    * ≥ the graph's diameter (the caller's contract; q219's planted motifs
+    * have diameter ≤ 4 by construction). O(V·E) total frontier volume —
+    * the estimator [[betweennessPivotsOn]] stays the 100 TB default; exact
+    * all-sources is for bounded subgraphs (a brand's co-purchase
+    * neighborhood, a dedup cluster's internal structure), where V·E is a
+    * task, not a cluster-week. Parallelism note: all pivots advance in ONE
+    * DataFrame per BFS round (pivot is just a key column), so the sweep is
+    * |pivots| independent Brandes runs for the price of `depth` joins. */
+  def betweennessExactOn(und: DataFrame, depth: Int): DataFrame = {
+    val edges = Materialize(und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst"))))
+    brandesSweep(edges,
+      edges.select(col("src")).distinct().select(col("src").as("pivot")),
+      depth)
+  }
+
+  /** q219: exact betweenness gated on a PLANTED motif graph — the oracle
+    * problem that kept exact Brandes out of rounds 4–8 (unrolling the
+    * backward sweep for all sources in SQL is unreadable and slow) is
+    * dissolved by planting: docs group into consecutive-id 5-node motifs
+    * (g = doc_id div 5, position = doc_id mod 5, motif = g mod 4 — path /
+    * star / 5-cycle / 4-cycle+pendant), so every node's exact score is a
+    * CLOSED-FORM constant of its (motif, position) role, which the DuckDB
+    * oracle states as a CASE table. The 4-cycle's σ=2 shortest-path pairs
+    * exercise the truncating-div micro semantics; constants derived by an
+    * independent reference implementation and spec-pinned (GraphSpec).
+    * Only complete 5-groups enter the graph, so the gate is
+    * SF-independent. */
+  def betweennessExact(spark: SparkSession, dir: String): DataFrame =
+    betweennessExactOn(plantedMotifEdges(spark, dir), depth = 4)
+
+  /** The planted motif edge table (see [[betweennessExact]]): built from
+    * group ids alone — no global window, no rank; group completeness is a
+    * 5-row-per-key aggregate. */
+  private[graft] def plantedMotifEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val motifEdges = Seq(
+      (0, 0, 1), (0, 1, 2), (0, 2, 3), (0, 3, 4),            // path
+      (1, 0, 1), (1, 0, 2), (1, 0, 3), (1, 0, 4),            // star
+      (2, 0, 1), (2, 1, 2), (2, 2, 3), (2, 3, 4), (2, 4, 0), // 5-cycle
+      (3, 0, 1), (3, 1, 2), (3, 2, 3), (3, 3, 0), (3, 0, 4)  // 4-cycle + pendant
+    ).toDF("m", "pa_pos", "pb_pos")
+    val fullGroups = graft.Tables.documents(spark, dir)
+      .select(expr("doc_id div 5").as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") === 5)
+      .select(col("g"), (col("g") % 4).cast("int").as("m"))
+    fullGroups.join(broadcast(motifEdges), "m")
+      .select((col("g") * 5 + col("pa_pos")).as("pa"),
+        (col("g") * 5 + col("pb_pos")).as("pb"))
+  }
+
+  /** Shared Brandes machinery of q168/q219 (see [[betweennessPivots]] for
+    * the sweep-by-sweep contract and the integer-micro δ discipline). */
+  private def brandesSweep(edges: DataFrame, pivotsDf: DataFrame,
+      depth: Int): DataFrame = {
+    val pivots = pivotsDf
     // forward sweep: levels(d) = (pivot, node, sigma) at BFS distance d
     var levels = Vector(Materialize(pivots
       .select(col("pivot"), col("pivot").as("node"), lit(1L).as("sigma"))))

@@ -907,7 +907,7 @@ object Relational {
         .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"), col("edit_sim")))
 
   /** The blocked candidate stage of [[fuzzyNearDup]] (equi-join on a
-    * COMPOSITE key: 16-char prefix block × width-30 length bucket, BEFORE
+    * COMPOSITE key: first-3-TOKENS block × width-30 length bucket, BEFORE
     * the edit distance) — also the scale instrumentation: blocked-pair
     * count is what must grow with true near-pair density, not the n² pair
     * space (ScaleRehearsal).
@@ -919,11 +919,27 @@ object Relational {
     * at the docs of one length class. The band |la−lb| ≤ 30 spans at most
     * adjacent buckets, so the probe side emits its bucket ±1 (3 keys) and
     * every band pair still meets on exactly one key — identical candidate
-    * semantics, deterministically bounded worst block. */
+    * semantics, deterministically bounded worst block.
+    *
+    * The TOKEN prefix (round 9; replaces the round-4 16-char prefix) is
+    * what keeps the block's discriminating power independent of token
+    * width: a fixed char window covers FEWER distinguishing tokens the
+    * moment content grows uniform decoration (markup, tags, boilerplate
+    * IDs — ScaleRehearsal's tagged-copy corpus is the measured adversary:
+    * 2-char tags cost the char-16 window a third of its selectivity and
+    * tripled per-cohort candidates), while "the first three tokens" always
+    * carries three content units and is whitespace-normalized for free.
+    * Measured at 10× corpus: 3,854 candidates vs 12,098 under the char
+    * key — 1.26× linear vs 3.9×. Recall posture unchanged in kind: edits
+    * within the first three tokens drop the pair (the char window had the
+    * same failure class in its first 16 chars); production ER would union
+    * a second blocking pass. */
   private[graft] def fuzzyCandidates(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        substring(col("text"), 1, 16).as("blk"), length(col("text")).as("l"),
+        concat_ws(" ",
+          slice(graft.analytics.TextStats.tokens(col("text")), 1, 3)).as("blk"),
+        length(col("text")).as("l"),
         (col("l") / 30).cast("int").as("lbk0"))
     val a = d.select(col("doc_id").as("doc_a"), col("text").as("ta"),
       col("blk"), col("l").as("la"), col("lbk0").as("lbk"))

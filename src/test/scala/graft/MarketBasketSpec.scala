@@ -385,5 +385,44 @@ class MarketBasketSpec extends SparkSpec {
         assert(got == want, s"trial $trial (n=$n, e=${edges.size}): $got vs $want")
       }
     }
+
+    // and the EXACT variant (q219's core — all nodes as pivots) against the
+    // same reference with every node a pivot and a diameter-covering depth
+    (1 to 2).foreach { trial =>
+      val n = 7 + rng.nextInt(4)
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rng.nextDouble() < 0.4
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = graft.analytics.Graph
+          .betweennessExactOn(edges.toDF("pa", "pb"), depth = n.toInt)
+          .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+        val want = ref(edges, nPivots = n.toInt, depth = n.toInt)
+        assert(got == want, s"exact trial $trial (n=$n): $got vs $want")
+      }
+    }
+  }
+
+  test("q219 exact betweenness: every planted motif role scores its closed-form constant") {
+    import spark.implicits._
+    // 4 complete groups — one per motif — plus a partial group (ids 20,21)
+    // that must be excluded from the graph entirely
+    val docs = (0L to 21L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet("target/motif_docs/documents.parquet")
+    val got = graft.analytics.Graph.betweennessExact(spark, "target/motif_docs")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val M = 1000000L
+    val want =
+      Seq(0L -> 0L, 1L -> 6 * M, 2L -> 8 * M, 3L -> 6 * M, 4L -> 0L) ++ // path
+      Seq(5L -> 12 * M, 6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 0L) ++     // star
+      (10L to 14L).map(_ -> 2 * M) ++                                   // 5-cycle
+      Seq(15L -> 7 * M, 16L -> 2 * M, 17L -> M, 18L -> 2 * M, 19L -> 0L) // C4+pendant
+    assert(got.keySet == (0L to 19L).toSet,
+      s"partial group leaked into the graph: ${got.keySet}")
+    want.foreach { case (node, micro) =>
+      assert(got(node) == ((4L, micro)),
+        s"node $node (motif ${(node / 5) % 4}, pos ${node % 5}): ${got(node)}")
+    }
   }
 }
