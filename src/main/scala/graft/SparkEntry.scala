@@ -363,7 +363,8 @@ object SparkEntry {
     "q216_forget_audit"            -> IndexAudit.forgetGate _,
     "q217_index_swap"              -> AnnIndex.rebuildSwapGate _,
     "q218_k_anonymity"             -> ((s: SparkSession, d: String) => Privacy.kAnonymity(s, d)),
-    "q219_betweenness_exact"       -> ((s: SparkSession, d: String) => Graph.betweennessExact(s, d)))
+    "q219_betweenness_exact"       -> ((s: SparkSession, d: String) => Graph.betweennessExact(s, d)),
+    "q220_rp_topk"                 -> Accuracy.rpTopKGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1319,6 +1320,7 @@ object SparkEntry {
     // planted-copy outcome exactly (rank 1 / sim 1.0 / Hamming 0 per plant)
     // — deterministic by construction, so every row is value-checked
     "q29_lsh_topk" -> PlantedTopKOracle,
+    "q220_rp_topk" -> PlantedTopKOracle,
     "q51_ivf_topk" -> PlantedTopKOracle,
     "q74_pq_topk" -> PlantedTopKOracle,
     "q85_sq_topk" -> PlantedTopKOracle,

@@ -263,6 +263,13 @@ object Accuracy {
   def ivfSqTopKGate(spark: SparkSession, dir: String): DataFrame =
     plantedTopKGate(spark, dir, (c, q) => Similarity.ivfSqTopKOn(c, q, k = 5))
 
+  /** q220 gate: random-projection (JL) top-k, per-query planted rank/sim —
+    * the projection is linear, so the planted 2× copy keeps cos 1.0 in the
+    * PROJECTED candidate rank too; a broken projection or candidate cut
+    * drops the plant and the hash mismatches. */
+  def rpTopKGate(spark: SparkSession, dir: String): DataFrame =
+    plantedTopKGate(spark, dir, (c, q) => Similarity.rpTopKOn(c, q, k = 5))
+
   /** q26 gate: exact Jaccard ≥ 0.6 pair set (the q25 oracle re-states it)
     * with a per-pair `lsh_found` flag from the MinHash-LSH candidate path.
     * The oracle asserts TRUE for every exact pair — i.e. recall 1.0 over

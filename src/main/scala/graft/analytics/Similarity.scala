@@ -321,6 +321,59 @@ object Similarity {
       e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
   }
 
+  /** Deterministic ±1 random projection (Achlioptas' JL construction with
+    * the sign drawn from Murmur3(out-dim, in-dim) — no RNG, no stored
+    * matrix: any executor reproduces the row of the matrix it needs from
+    * the hash). Linear, so an exact scaled copy projects to an exact
+    * scaled copy — the planted gate's cos 1.0 survives projection. */
+  private[graft] def rpProject(vName: String, rpDims: Int): Column =
+    expr(s"""transform(sequence(0, ${rpDims - 1}), i ->
+      aggregate(zip_with($vName, sequence(0, size($vName) - 1),
+        (x, j) -> CASE WHEN pmod(hash(i, j), 2) = 0 THEN x ELSE -x END),
+        0.0d, (acc, x) -> acc + x))""")
+
+  /** q220: RANDOM-PROJECTION (JL) ANN — the dimension-reduction tier that
+    * completes the quantizer matrix (IVF prunes ROWS, PQ/SQ shrink BYTES,
+    * RP shrinks DIMENSIONS): corpus and queries project through one
+    * deterministic ±1 matrix to `rpDims` dims (64 → 16 = 4× less
+    * arithmetic and memory traffic per comparison; JL keeps angles to
+    * within ~1/√rpDims), the approximate scan ranks candidates by
+    * PROJECTED cosine, over-fetches `candMult`·k, and only candidates
+    * rejoin the full vectors for exact re-rank — the same two-phase shape
+    * as PQ/SQ (q74/q85), with the code computed on the fly instead of
+    * stored. Composes with the row-pruning tiers at 100 TB (project
+    * inside probed IVF cells); gated standalone here so the projection's
+    * recall is what the planted gate measures. */
+  def rpTopKOn(corpus: DataFrame, queries: DataFrame, k: Int,
+      rpDims: Int = 16, candMult: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+      rpProject("v", rpDims).as("pnv"))
+    val q = queries.select(col("query_id"), col("qv"),
+      rpProject("qv", rpDims).as("pqv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("neighbor_id").asc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("psim", cosine(col("pqv"), col("pnv")))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= k * candMult)
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** q220 entry: RP ANN for the q28 query set. */
+  def rpTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    rpTopKOn(e,
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")), k)
+  }
+
   /** q87: IVF-PQ — the composition that production vector stores actually
     * run at 100 TB (the FAISS IVFPQ shape): IVF's coarse cells prune the
     * corpus to nprobe/numCentroids of its rows, PQ's byte codes make the

@@ -146,6 +146,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q220 RP: projection linear, planted copy at rank 1, full-fetch degenerates to exact") {
+    // linearity: proj(2v) == 2·proj(v) component-for-component (FP-exact —
+    // each term is a double doubled), which is why the planted gate's
+    // cos 1.0 survives the projected candidate cut
+    val v = Seq.tabulate(64)(i => math.sin(i + 1.0))
+    val pair = Seq((v, v.map(_ * 2.0))).toDF("a", "b")
+    val (pa, pb) = {
+      val r = pair.select(Similarity.rpProject("a", 16).as("pa"),
+        Similarity.rpProject("b", 16).as("pb")).head()
+      (r.getSeq[Double](0), r.getSeq[Double](1))
+    }
+    assert(pa.length == 16 && pb == pa.map(_ * 2.0),
+      s"projection not linear: $pa vs $pb")
+
+    // planted near-copy surfaces at rank 1 through the projected cut
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val plants = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val got = Similarity.rpTopKOn(e.unionByName(plants), q, k = 5)
+      .filter(col("neighbor_id") === col("query_id") + 1000000L)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getDouble(2))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), s"plants lost in projection: $got")
+    got.foreach { case (qid, (rn, sim)) =>
+      assert(rn == 1 && sim == 1.0, s"query $qid plant at ($rn, $sim)") }
+
+    // with the candidate cut covering the whole corpus, RP ≡ the exact
+    // brute-force path (the re-rank is exact) — pins re-rank + output shape
+    val n = e.count().toInt
+    val exact = Similarity.bruteForceTopK(spark, sf("sf0.001"), k = 5)
+      .collect().map(_.toSeq).toSet
+    val full = Similarity.rpTopKOn(e,
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")),
+      k = 5, candMult = n)
+      .collect().map(_.toSeq).toSet
+    assert(full == exact, "full-fetch RP differs from exact brute force")
+  }
+
   test("nearest_centroid kernel is bit-identical to the explode/max-struct assignment") {
     val e = graft.Tables.embeddings(spark, sf("sf0.001"))
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
