@@ -60,6 +60,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q220: RP candidate scan broadcasts the query side; projection is a narrow map") {
+    val p = plan("q220_rp_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // intentional: tiny query side, q28's shape
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate"), "projection must not expand rows\n" + p)
+  }
+
+  test("q219: planted motif edges broadcast the 18-row motif table, no cartesian") {
+    // the Brandes sweep itself runs through eager Materialize barriers
+    // (lineage control), so the load-bearing plan is the edge build:
+    // group-completeness aggregate + ONE broadcast of the motif table
+    val p = graft.analytics.Graph.plantedMotifEdges(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("similarity/dedup candidate joins are equi-joins (no nested loop)") {
     Seq("q25_jaccard_neardup", "q26_minhash_lsh", "q27_simhash_neardup",
       "q29_lsh_topk", "q30_embedding_neardup", "q63_simhash128_neardup").foreach { q =>
