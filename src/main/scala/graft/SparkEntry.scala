@@ -76,7 +76,12 @@ object SparkEntry {
     * least one hop per round and in practice doubles via the jump; 8
     * rounds far exceed the near-clique dedup-component diameters here,
     * and the result is pinned row-identical to the recursive form at
-    * sf0.001/0.01/0.1 (tools/proto_fast_cc.py). Ends with
+    * sf0.001/0.01/0.1 (tools/proto_fast_cc.py). A corpus whose component
+    * diameters ever defeat the rounds fails LOUDLY, not wrong: one extra
+    * relax round re-derives the labels, and any difference raises a
+    * DuckDB error() — a relax fixpoint implies labels are constant per
+    * component, which forces canonical = component min (the minimum
+    * node's label can never exceed itself). Ends with
     * `comp(doc_id, canonical_id)`: one row per node with ≥1 edge,
     * canonical = component min — the reach statement's semantics. */
   private def minLabelCcCtes(rounds: Int = 8): String = {
@@ -90,10 +95,21 @@ object SparkEntry {
          |  SELECT p.v, least(p.lbl, q.lbl) AS lbl
          |  FROM r$i p JOIN r$i q ON p.lbl = q.v)""".stripMargin
     }.mkString(",\n")
+    val last = s"n$rounds"
     s"""und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
        |n0 AS MATERIALIZED (SELECT a AS v, least(a, min(b)) AS lbl FROM und GROUP BY a),
        |$steps,
-       |comp AS (SELECT v AS doc_id, lbl AS canonical_id FROM n$rounds)""".stripMargin
+       |ccchk AS MATERIALIZED (
+       |  SELECT count(*) AS n_unconverged FROM (
+       |    SELECT p.v, least(p.lbl, min(q.lbl)) AS lbl
+       |    FROM $last p JOIN und u ON p.v = u.a JOIN $last q ON u.b = q.v
+       |    GROUP BY p.v, p.lbl
+       |    EXCEPT SELECT v, lbl FROM $last)),
+       |comp AS (
+       |  SELECT v AS doc_id,
+       |    CASE WHEN (SELECT n_unconverged FROM ccchk) = 0 THEN lbl
+       |         ELSE error('min-label CC not converged in $rounds rounds') END AS canonical_id
+       |  FROM $last)""".stripMargin
   }
 
   /** Shared prefix: exact Jaccard ≥ 0.6 pair graph and its connected

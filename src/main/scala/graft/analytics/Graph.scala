@@ -553,9 +553,8 @@ object Graph {
 
   /** Shared Brandes machinery of q168/q219 (see [[betweennessPivots]] for
     * the sweep-by-sweep contract and the integer-micro δ discipline). */
-  private def brandesSweep(edges: DataFrame, pivotsDf: DataFrame,
+  private def brandesSweep(edges: DataFrame, pivots: DataFrame,
       depth: Int): DataFrame = {
-    val pivots = pivotsDf
     // forward sweep: levels(d) = (pivot, node, sigma) at BFS distance d
     var levels = Vector(Materialize(pivots
       .select(col("pivot"), col("pivot").as("node"), lit(1L).as("sigma"))))

@@ -91,14 +91,30 @@ object LexIndex {
   /** Deploy a rebuilt generation over the live name (the q217 pattern;
     * bucket specs travel with the rename — see [[graft.sink.TableSwap]]).
     * The live tombstone log is carried forward, NOT cleared (deletes that
-    * arrived after the rebuild's snapshot must keep holding); the heal
-    * then re-subtracts those pending deletions from the new generation's
-    * fresh stats — served BM25 is consistent with the merge-on-read doc
-    * set from the first post-swap query. */
+    * arrived after the rebuild's snapshot must keep holding) — and then
+    * RE-ANCHORED to the new generation: only ids the rebuild still
+    * contains stay in the log (an id the rebuild already excluded was
+    * never counted by the fresh stats, so subtracting its stored dl would
+    * permanently UNDERSTATE n_docs/avgdl — the round-9 review finding),
+    * and their dl re-resolves from the new dl table (content can differ
+    * between generations). The log rewrite rides the crash-safe
+    * staging-then-rename ([[graft.sink.Bucketed.replaceTable]]) so no
+    * window loses retention state; the heal then subtracts exactly the
+    * re-anchored amounts from the fresh stats — served BM25 is consistent
+    * with the merge-on-read doc set from the first post-swap query. */
   def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
     graft.sink.TableSwap.swapIn(spark, staging, live,
       Seq("_postings", "_dl", "_stats"))
-    healStats(spark, live)
+    Tombstones.logOf(spark, live).foreach { log =>
+      val dl = spark.table(s"${live}_dl")
+      val rebased = Materialize(
+        dl.join(broadcast(log.select(col("id")).distinct()),
+            dl("doc_id") === col("id"))
+          .select(col("doc_id").as("id"), col("dl")))
+      graft.sink.Bucketed.replaceTable(spark, Tombstones.tableOf(live),
+        t => rebased.write.format("parquet").saveAsTable(t))
+      healStats(spark, live)
+    }
   }
 
   /** Reconcile stats with the tombstone log. The target subtraction is

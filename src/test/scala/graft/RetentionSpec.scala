@@ -382,6 +382,48 @@ class RetentionSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(Tombstones.tableOf(name)))
   }
 
+  test("lex generation swap: carried deletions re-anchor — no double-subtract, no resurrection") {
+    // round-9 review finding: a carried log entry whose doc the rebuild
+    // ALREADY excluded must not re-subtract its stored dl from the fresh
+    // stats (they never counted it — doing so understates n_docs/avgdl
+    // forever); one whose doc the rebuild still contains must subtract,
+    // with dl re-resolved from the new generation.
+    val name = "spec_swap_lex"
+    val stg = name + "_stg"
+    LexIndex.build(docs.select("doc_id", "text"), name, buckets = 4)
+    val goneA = docs.filter(col("cb") < 10).select("doc_id")
+    LexIndex.delete(goneA, name) // known to the operator before the rebuild
+    // the rebuild snapshot is the merge-on-read corpus — EXCLUDES goneA
+    LexIndex.build(docs.filter(col("cb") >= 10).select("doc_id", "text"),
+      stg, buckets = 4)
+    // this request lands after the snapshot: the rebuild still contains it
+    val goneB = docs.filter(col("cb") >= 10 && col("cb") < 20).select("doc_id")
+    LexIndex.delete(goneB, name)
+    LexIndex.swapIn(spark, stg, name)
+    def statsTotals(n: String): (Long, Long) = {
+      val r = spark.table(s"${n}_stats")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val fresh = "spec_swap_lex_fresh"
+    LexIndex.build(docs.filter(col("cb") >= 20).select("doc_id", "text"),
+      fresh, buckets = 4)
+    assert(statsTotals(name) == statsTotals(fresh),
+      "post-swap stats drifted from a fresh build on the retained corpus " +
+        s"(${statsTotals(name)} vs ${statsTotals(fresh)})")
+    assert(LexIndex.bm25Against(spark, name).collect().map(_.toSeq).toSet ==
+      LexIndex.bm25Against(spark, fresh).collect().map(_.toSeq).toSet,
+      "post-swap served BM25 differs from a fresh index on the retained corpus")
+    // goneB stays held by the re-anchored log until the next purge
+    val logIds = spark.table(Tombstones.tableOf(name))
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val bIds = goneB.collect().map(_.getLong(0)).toSet
+    val aIds = goneA.collect().map(_.getLong(0)).toSet
+    assert(logIds == bIds, s"re-anchored log should hold exactly the " +
+      s"post-snapshot deletions: ${logIds.size} vs ${bIds.size}")
+    assert(logIds.intersect(aIds).isEmpty)
+  }
+
   test("lex stats heal survives a compact that crashed between the purge and the log reset") {
     // round-8 advice (medium): with the dl rows physically purged but the
     // tombstone log still present, the next heal used to compute target=0

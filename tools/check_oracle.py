@@ -13,7 +13,7 @@ output columns are rejected outright (pandas sort_values crashes on ndarray
 cells — the round-4 q104 harness crash).
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, math, time
+import json, os, sys, glob, math, time
 
 import duckdb
 import pandas as pd
@@ -23,7 +23,7 @@ import pandas as pd
 # eleven pair-graph oracles silently cost 47-72 s EACH. Fail the preflight
 # loudly if the oracle side exceeds this, so surface growth can never
 # zero a round again.
-DUCK_BUDGET_S = float(__import__("os").environ.get("GRAFT_DUCK_BUDGET_S", "480"))
+DUCK_BUDGET_S = float(os.environ.get("GRAFT_DUCK_BUDGET_S", "480"))
 SLOW_QUERY_S = 5.0
 
 
