@@ -254,6 +254,16 @@ object ScaleRehearsal {
       // task under plain per-source partitioning vs under the salt.
       val (tChunk, nChunks) = time(analytics.Chunking.chunkTable(spark, dir).count())
       val (tWf, _) = time(Sampling.waterfillApply(spark, dir).count())
+
+      // round-9 operators. q219 exact Brandes runs EVERY node as a pivot,
+      // but the planted motif graph keeps components at 5 nodes — frontier
+      // volume is 4·|V| per level, so wall must grow ~linearly with the
+      // corpus (the copies' ids are dense per cohort, so their groups are
+      // complete and join the graph). q220's candidate stage is a
+      // projected-cosine scan over the corpus for a FIXED query set —
+      // linear by construction; the re-rank touches candMult·k ids only.
+      val (tBetwEx, _) = time(analytics.Graph.betweennessExact(spark, dir).count())
+      val (tRp, _) = time(analytics.Similarity.rpTopK(spark, dir).count())
       val wfd = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("source"), substring(md5(col("text").cast("binary")), 1, 2).as("p"))
       val maxSourceWindow = wfd.groupBy(col("source")).agg(count(lit(1)).as("c"))
@@ -326,7 +336,8 @@ object ScaleRehearsal {
         s""""q176_bm25":$tBm25,"q177_rrf":$tRrf,"q178_mmr":$tMmr,""" +
         s""""q181_temp_mixture":$tTemp,"q186_manifest":$tMan,""" +
         s""""q187_calibration":$tCal,"q188_fertility":$tFert,""" +
-        s""""q198_waterfill":$tWf,"q203_chunking":$tChunk},""" +
+        s""""q198_waterfill":$tWf,"q203_chunking":$tChunk,""" +
+        s""""q219_betweenness_exact":$tBetwEx,"q220_rp_topk":$tRp},""" +
         s""""lex_delete":{"build":$tLexBuild,"delete":$tDelete,""" +
         s""""serve_mor":$tServeMor,"n_deleted":$nDeleted},""" +
         s""""n_chunks":$nChunks,""" +
