@@ -80,7 +80,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("similarity/dedup candidate joins are equi-joins (no nested loop)") {
     Seq("q25_jaccard_neardup", "q26_minhash_lsh", "q27_simhash_neardup",
-      "q29_lsh_topk", "q30_embedding_neardup", "q63_simhash128_neardup").foreach { q =>
+      "q29_lsh_topk", "q30_embedding_neardup", "q63_simhash128_neardup",
+      "q95_fuzzy_neardup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
