@@ -18,8 +18,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** Shared oracle for the six ANN gate queries (q29/q51/q74/q85/q87/q97):
-    * each planted scaled copy must come back at rank 1, cosine 1.0. */
+  /** Shared oracle for the seven ANN gate queries
+    * (q29/q51/q74/q85/q87/q97/q220): each planted scaled copy must come
+    * back at rank 1, cosine 1.0. */
   private val PlantedTopKOracle: String =
     """SELECT vec_id AS query_id, 1::BIGINT AS plant_rank, 1.0::DOUBLE AS plant_sim
       |FROM embeddings WHERE vec_id < 10""".stripMargin

@@ -90,31 +90,41 @@ object LexIndex {
 
   /** Deploy a rebuilt generation over the live name (the q217 pattern;
     * bucket specs travel with the rename — see [[graft.sink.TableSwap]]).
-    * The live tombstone log is carried forward, NOT cleared (deletes that
-    * arrived after the rebuild's snapshot must keep holding) — and then
-    * RE-ANCHORED to the new generation: only ids the rebuild still
-    * contains stay in the log (an id the rebuild already excluded was
-    * never counted by the fresh stats, so subtracting its stored dl would
-    * permanently UNDERSTATE n_docs/avgdl — the round-9 review finding),
-    * and their dl re-resolves from the new dl table (content can differ
-    * between generations). The log rewrite rides the crash-safe
-    * staging-then-rename ([[graft.sink.Bucketed.replaceTable]]) so no
-    * window loses retention state; the heal then subtracts exactly the
-    * re-anchored amounts from the fresh stats — served BM25 is consistent
-    * with the merge-on-read doc set from the first post-swap query. */
+    *
+    * The retention log is treated as ONE MORE TABLE OF THE GENERATION:
+    * before the rename sequence, the live log (plus any staging-side
+    * requests) is RE-ANCHORED against the STAGING generation's dl —
+    * ids the rebuild still contains re-resolve their dl from the new
+    * table (content can differ between generations); ids the rebuild
+    * already excluded keep a NULL dl (their stored amount must NOT be
+    * re-subtracted from fresh stats that never counted them, but the
+    * entry itself must SURVIVE so a doc that later re-arrives via
+    * extend is still filtered and [[healStats]] resolves it then) —
+    * and the result is written under the STAGING log name, swapping in
+    * atomically-with-its-generation through the same per-table rename
+    * discipline as the data tables. A crash mid-sequence is therefore
+    * the one already-documented TableSwap exposure (a mixed generation,
+    * glaring and operator-recoverable), never a silent stats drift:
+    * once the renames complete, the log the heal reads is already the
+    * rebased one. Re-running swapIn before the renames started is a
+    * clean retry (the staged log rewrite is idempotent). */
   def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
-    graft.sink.TableSwap.swapIn(spark, staging, live,
-      Seq("_postings", "_dl", "_stats"))
-    Tombstones.logOf(spark, live).foreach { log =>
-      val dl = spark.table(s"${live}_dl")
+    val allIds = (Tombstones.logOf(spark, live).toSeq ++
+      Tombstones.logOf(spark, staging).toSeq)
+      .map(_.select(col("id"))).reduceOption(_ unionByName _)
+    allIds.foreach { ids =>
+      val dl = spark.table(s"${staging}_dl")
       val rebased = Materialize(
-        dl.join(broadcast(log.select(col("id")).distinct()),
-            dl("doc_id") === col("id"))
-          .select(col("doc_id").as("id"), col("dl")))
-      graft.sink.Bucketed.replaceTable(spark, Tombstones.tableOf(live),
-        t => rebased.write.format("parquet").saveAsTable(t))
-      healStats(spark, live)
+        ids.distinct().join(dl, col("id") === dl("doc_id"), "left")
+          .select(col("id"), col("dl")))
+      val t = Tombstones.tableOf(staging)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sink.ManagedPaths.clearStale(spark, t)
+      rebased.write.format("parquet").saveAsTable(t)
     }
+    graft.sink.TableSwap.swapIn(spark, staging, live,
+      Seq("_postings", "_dl", "_stats", "_tombstones"))
+    healStats(spark, live)
   }
 
   /** Reconcile stats with the tombstone log. The target subtraction is

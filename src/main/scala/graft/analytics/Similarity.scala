@@ -346,19 +346,30 @@ object Similarity {
     * recall is what the planted gate measures. */
   def rpTopKOn(corpus: DataFrame, queries: DataFrame, k: Int,
       rpDims: Int = 16, candMult: Int = 8): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+    // two-phase, same discipline as PQ/SQ: the candidate scan and its
+    // window shuffle carry ONLY (query_id, neighbor_id, projected sim) —
+    // never the 64-dim vectors (hauling them through the dominant path
+    // would negate the dimension reduction that is RP's whole point);
+    // candidate IDS then rejoin the full vectors for the exact re-rank
+    val proj = corpus.select(col("vec_id").as("neighbor_id"),
       rpProject("v", rpDims).as("pnv"))
-    val q = queries.select(col("query_id"), col("qv"),
+    val projQ = queries.select(col("query_id"),
       rpProject("qv", rpDims).as("pqv"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("psim").desc, col("neighbor_id").asc)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    c.crossJoin(broadcast(q))
+    val cand = proj.crossJoin(broadcast(projQ))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("psim", cosine(col("pqv"), col("pnv")))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("pqv"), col("pnv")).as("psim"))
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= k * candMult)
+      .select(col("query_id"), col("neighbor_id"))
+    cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"))), "query_id")
       .withColumn("sim", cosine(col("qv"), col("nv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -34,6 +34,15 @@ object Tombstones {
 
   def tableOf(name: String): String = s"${name}_tombstones"
 
+  /** A missing log table normally MEANS "no deletions pending", so a log
+    * rewrite interrupted between its DROP and RENAME
+    * ([[Bucketed.replaceTable]]'s one crash window) would silently read as
+    * an empty log — and the next [[append]] would recreate the table and
+    * orphan the staged ids forever. Every accessor heals that window
+    * first: two in-memory catalog lookups when nothing is pending. */
+  private def healed(spark: SparkSession, name: String): Unit =
+    Bucketed.healInterruptedReplace(spark, tableOf(name))
+
   /** Ids of `idCol` newly deleted: the request minus what the log already
     * holds. Callers that maintain side totals (LexIndex's negative stats
     * delta) MUST base them on this, not the raw request — a replayed or
@@ -53,6 +62,7 @@ object Tombstones {
     * Ids already logged are skipped, so the call is idempotent. */
   def append(ids: DataFrame, name: String, idCol: String): Unit = {
     val spark = ids.sparkSession
+    healed(spark, name)
     val t = tableOf(name)
     val d = newIds(ids, name, idCol)
     if (spark.catalog.tableExists(t))
@@ -65,15 +75,15 @@ object Tombstones {
 
   /** The current log, if any deletions are pending. */
   def of(spark: SparkSession, name: String): Option[DataFrame] =
-    if (spark.catalog.tableExists(tableOf(name)))
-      Some(spark.table(tableOf(name)).select(col("id")))
-    else None
+    logOf(spark, name).map(_.select(col("id")))
 
   /** The full log including payload columns stored by [[append]]. */
-  def logOf(spark: SparkSession, name: String): Option[DataFrame] =
+  def logOf(spark: SparkSession, name: String): Option[DataFrame] = {
+    healed(spark, name)
     if (spark.catalog.tableExists(tableOf(name)))
       Some(spark.table(tableOf(name)))
     else None
+  }
 
   /** Carry retention state FORWARD across a generation swap: deletion
     * requests that arrived AFTER the rebuild's corpus snapshot must keep
@@ -104,6 +114,7 @@ object Tombstones {
   /** Reset the log — after a purge has rewritten every row it covered, or
     * from `build` (a rebuilt index starts with nothing to forget). */
   def clear(spark: SparkSession, name: String): Unit = {
+    healed(spark, name)
     val t = tableOf(name)
     spark.sql(s"DROP TABLE IF EXISTS $t")
     ManagedPaths.clearStale(spark, t)

@@ -414,14 +414,75 @@ class RetentionSpec extends SparkSpec {
     assert(LexIndex.bm25Against(spark, name).collect().map(_.toSeq).toSet ==
       LexIndex.bm25Against(spark, fresh).collect().map(_.toSeq).toSet,
       "post-swap served BM25 differs from a fresh index on the retained corpus")
-    // goneB stays held by the re-anchored log until the next purge
-    val logIds = spark.table(Tombstones.tableOf(name))
-      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    // the re-anchored log keeps EVERY request: post-snapshot deletions
+    // with their new-generation dl (they subtract), rebuild-excluded ones
+    // at NULL dl (nothing to subtract unless the doc ever re-arrives)
+    val perId = spark.table(Tombstones.tableOf(name))
+      .groupBy(col("id")).agg(max(col("dl")).as("dl"))
+    val nonNull = perId.filter(col("dl").isNotNull)
+      .collect().map(_.getLong(0)).toSet
+    val nullDl = perId.filter(col("dl").isNull)
+      .collect().map(_.getLong(0)).toSet
     val bIds = goneB.collect().map(_.getLong(0)).toSet
     val aIds = goneA.collect().map(_.getLong(0)).toSet
-    assert(logIds == bIds, s"re-anchored log should hold exactly the " +
-      s"post-snapshot deletions: ${logIds.size} vs ${bIds.size}")
-    assert(logIds.intersect(aIds).isEmpty)
+    assert(nonNull == bIds,
+      s"resolved-dl entries should be exactly the post-snapshot deletions")
+    assert(nullDl == aIds,
+      s"rebuild-excluded requests must survive at NULL dl")
+  }
+
+  test("lex swap: pending delete for a NOT-yet-indexed doc survives the re-anchor") {
+    // round-9 review (second pass): the re-anchor must keep NULL-dl log
+    // entries — a delete that predates the doc's arrival. Dropping them
+    // would let the doc serve when it later arrives via extend.
+    val name = "spec_swap_lex2"
+    val stg = name + "_stg"
+    val corpus = docs.filter(col("cb") >= 20).select("doc_id", "text")
+    LexIndex.build(corpus, name, buckets = 4)
+    val future = docs.filter(col("cb") >= 10 && col("cb") < 20)
+    LexIndex.delete(future.select("doc_id"), name) // logs (id, NULL): not indexed yet
+    LexIndex.build(corpus, stg, buckets = 4)
+    LexIndex.swapIn(spark, stg, name)
+    val logged = spark.table(Tombstones.tableOf(name))
+      .select("id").distinct().count()
+    assert(logged == future.count(),
+      "NULL-dl entries dropped by the swap re-anchor")
+    // the doc arrives later — it must be filtered, and a heal resolves
+    // its dl so the stats match an index that never admitted it
+    LexIndex.extend(future.select("doc_id", "text"), name)
+    LexIndex.healStats(spark, name)
+    val fresh = "spec_swap_lex2_fresh"
+    LexIndex.build(corpus, fresh, buckets = 4)
+    def statsTotals(n: String): (Long, Long) = {
+      val r = spark.table(s"${n}_stats")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(statsTotals(name) == statsTotals(fresh),
+      "late-arriving tombstoned docs leaked into the stats")
+    assert(LexIndex.bm25Against(spark, name).collect().map(_.toSeq).toSet ==
+      LexIndex.bm25Against(spark, fresh).collect().map(_.toSeq).toSet,
+      "late-arriving tombstoned docs leaked into served BM25")
+  }
+
+  test("tombstone log: an interrupted staging-rename heals on the next access") {
+    // round-9 review (second pass): a MISSING log table normally means
+    // 'no deletions pending', so a log rewrite crashed between DROP and
+    // RENAME would silently serve every tombstoned doc and the next
+    // append would orphan the staged ids forever. Every accessor heals.
+    val name = "spec_ts_heal"
+    LexIndex.build(docs.select("doc_id", "text"), name, buckets = 4)
+    val gone = docs.filter(col("cb") < 10).select("doc_id")
+    LexIndex.delete(gone, name)
+    val served = LexIndex.bm25Against(spark, name).collect().map(_.toSeq).toSet
+    // simulate the crash: staged copy durable, live name gone
+    val t = Tombstones.tableOf(name)
+    spark.table(t).write.format("parquet").saveAsTable(t + "__staging")
+    spark.sql(s"DROP TABLE $t")
+    assert(Tombstones.of(spark, name).isDefined,
+      "missing log read as empty — staged ids orphaned")
+    assert(LexIndex.bm25Against(spark, name).collect().map(_.toSeq).toSet
+      == served, "healed log no longer filters the tombstoned docs")
   }
 
   test("lex stats heal survives a compact that crashed between the purge and the log reset") {
