@@ -381,7 +381,8 @@ object SparkEntry {
     "q217_index_swap"              -> AnnIndex.rebuildSwapGate _,
     "q218_k_anonymity"             -> ((s: SparkSession, d: String) => Privacy.kAnonymity(s, d)),
     "q219_betweenness_exact"       -> ((s: SparkSession, d: String) => Graph.betweennessExact(s, d)),
-    "q220_rp_topk"                 -> Accuracy.rpTopKGate _)
+    "q220_rp_topk"                 -> Accuracy.rpTopKGate _,
+    "q221_lex_swap"                -> LexIndex.swapGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -3598,6 +3599,13 @@ object SparkEntry {
     // indistinguishable from an index that never held them — the oracle is
     // the from-scratch chain over the retained corpus, per served leg
     "q208_lex_index_delete" -> Bm25RetainedDeleteSql,
+
+    // lex generation swap + retention-across-swap: served BM25 after the
+    // swap ≡ the from-scratch SQL over the retained corpus (bucket ≥ 10) —
+    // the rebuild deployed, pending deletions carried, stats re-anchored
+    "q221_lex_swap" -> bm25Sql(
+      """WHERE (ascii(substring(md5(text), 1, 1)) * 256
+        |       + ascii(substring(md5(text), 2, 1))) % 100 >= 10""".stripMargin),
 
     // attribute-filtered ANN: the same-label filter must admit the planted
     // copy (top-1 at 1.0), the other-label filter must exclude it and

@@ -321,6 +321,32 @@ object LexIndex {
       .unionByName(purged.withColumn("leg", lit("purged")))
   }
 
+  /** q221: the generation-swap gate for the LEXICAL family — q217's
+    * deploy-the-rebuild pattern PLUS retention-across-swap: the live
+    * generation is built STALE (content bucket ≥ 30 only), the staging
+    * rebuild covers the full corpus, and a deletion batch (bucket < 10)
+    * lands on the LIVE name after the staging snapshot — the docs aren't
+    * even IN the stale live index yet, so the request logs at NULL dl.
+    * After [[swapIn]], served BM25 must equal the from-scratch SQL over
+    * the retained corpus (bucket ≥ 10): the swap must deploy the rebuild
+    * (docs in [10,30) exist only in the new generation), carry the
+    * pending deletions (bucket-<10 docs ARE in the rebuild — un-carried
+    * they would resurrect), and re-anchor the stats subtraction to the
+    * new generation's doc lengths (a wrongly-anchored heal shifts every
+    * score via n_docs/avgdl — the oracle is score-exact, so it catches
+    * that too). One query drives the whole round-9 swap machinery. */
+  def swapGate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_lex_sidx"
+    val stg = name + "_stg"
+    val d = documents(spark, dir).select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+    build(d.filter(col("cb") >= 30).select("doc_id", "text"), name, buckets = 8)
+    build(d.select("doc_id", "text"), stg, buckets = 8)
+    delete(d.filter(col("cb") < 10).select(col("doc_id")), name)
+    swapIn(spark, stg, name)
+    bm25Against(spark, name)
+  }
+
   private def indexGateImpl(spark: SparkSession, dir: String, name: String,
       compactFirst: Boolean): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"), col("text"),
