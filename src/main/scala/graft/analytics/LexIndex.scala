@@ -91,40 +91,63 @@ object LexIndex {
   /** Deploy a rebuilt generation over the live name (the q217 pattern;
     * bucket specs travel with the rename — see [[graft.sink.TableSwap]]).
     *
-    * The retention log is treated as ONE MORE TABLE OF THE GENERATION:
-    * before the rename sequence, the live log (plus any staging-side
-    * requests) is RE-ANCHORED against the STAGING generation's dl —
-    * ids the rebuild still contains re-resolve their dl from the new
-    * table (content can differ between generations); ids the rebuild
-    * already excluded keep a NULL dl (their stored amount must NOT be
-    * re-subtracted from fresh stats that never counted them, but the
-    * entry itself must SURVIVE so a doc that later re-arrives via
-    * extend is still filtered and [[healStats]] resolves it then) —
-    * and the result is written under the STAGING log name, swapping in
-    * atomically-with-its-generation through the same per-table rename
-    * discipline as the data tables. A crash mid-sequence is therefore
-    * the one already-documented TableSwap exposure (a mixed generation,
-    * glaring and operator-recoverable), never a silent stats drift:
-    * once the renames complete, the log the heal reads is already the
-    * rebased one. Re-running swapIn before the renames started is a
-    * clean retry (the staged log rewrite is idempotent). */
+    * Retention across the swap, in four crash-isolated steps:
+    *
+    *  1. RE-ANCHOR the pending requests (live log ∪ any staging-side
+    *     requests) against the STAGING generation's dl — ids the rebuild
+    *     still contains re-resolve their dl from the new table (content
+    *     can differ between generations); ids it already excluded keep a
+    *     NULL dl (their stored amount must NOT re-subtract from fresh
+    *     stats that never counted them, but the entry SURVIVES so a doc
+    *     that later re-arrives via extend is still filtered and heals
+    *     then). One broadcast pass over dl; the result is staged under
+    *     `<live>_tombstones__staging` via [[Bucketed.stageReplacement]]
+    *     — the exact name every Tombstones accessor's interrupted-
+    *     replace heal covers, so no crash here or later can silently
+    *     lose it, and a retry re-stages cleanly.
+    *  2. PRE-SUBTRACT the re-anchored amounts into the STAGING stats
+    *     ([[healStats]] on the staging name — idempotent), so the stats
+    *     that rename in are already consistent with the filtered doc
+    *     set: there is no post-swap window where served scores use
+    *     un-healed n_docs/avgdl.
+    *  3. FLIP the log ([[Bucketed.completeReplacement]]): merge-on-read
+    *     filtering is id-based and the rebased id set equals the old
+    *     one, so the flip is invisible to reads; its DROP→RENAME gap is
+    *     covered by the accessors' heal.
+    *  4. RENAME the data+stats tables (TableSwap). A crash inside this
+    *     sequence is the documented mixed-generation exposure; the
+    *     recovery is re-driving TableSwap.swapIn (steps 1–3 are already
+    *     durable and idempotent). Before step 4 starts, the OLD
+    *     generation serves with correct filtering throughout (same ids);
+    *     a heal landing in that window writes against the old stats and
+    *     is discarded when the staged stats rename in. */
   def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
     val allIds = (Tombstones.logOf(spark, live).toSeq ++
       Tombstones.logOf(spark, staging).toSeq)
       .map(_.select(col("id"))).reduceOption(_ unionByName _)
-    allIds.foreach { ids =>
+    allIds.foreach { all =>
+      val ids = Materialize(all.distinct())
       val dl = spark.table(s"${staging}_dl")
-      val rebased = Materialize(
-        ids.distinct().join(dl, col("id") === dl("doc_id"), "left")
+      // broadcast the tiny id set both ways: one streamed pass over dl
+      // for resolution; the unresolved remainder derives from the (also
+      // tiny) resolved set, never from an anti-join building on dl
+      val resolved = Materialize(
+        dl.join(broadcast(ids), dl("doc_id") === col("id"))
           .select(col("id"), col("dl")))
-      val t = Tombstones.tableOf(staging)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      graft.sink.ManagedPaths.clearStale(spark, t)
-      rebased.write.format("parquet").saveAsTable(t)
+      val rebased = resolved.unionByName(
+        ids.join(broadcast(resolved.select(col("id"))), Seq("id"), "left_anti")
+          .select(col("id"), lit(null).cast("long").as("dl")))
+      graft.sink.Bucketed.stageReplacement(spark, Tombstones.tableOf(live),
+        t => Materialize(rebased).write.format("parquet").saveAsTable(t))
+      // the staged stats must already carry the subtraction when they
+      // rename in — heal the STAGING name against the staged log
+      healStats(spark, staging, logOverride = Some(spark.table(
+        graft.sink.Bucketed.stagingOf(Tombstones.tableOf(live)))))
+      graft.sink.Bucketed.completeReplacement(spark, Tombstones.tableOf(live))
     }
     graft.sink.TableSwap.swapIn(spark, staging, live,
-      Seq("_postings", "_dl", "_stats", "_tombstones"))
-    healStats(spark, live)
+      Seq("_postings", "_dl", "_stats"))
+    healStats(spark, live) // idempotent convergence point; no-op when clean
   }
 
   /** Reconcile stats with the tombstone log. The target subtraction is
@@ -142,18 +165,30 @@ object LexIndex {
     * indexed) resolve here: if the id has since arrived in the dl table,
     * its dl is appended to the log as a second row for the id (per-id
     * max() folds the pair), making the subtraction durable against the
-    * same crash window. */
-  private[graft] def healStats(spark: SparkSession, name: String): Unit =
-    Tombstones.logOf(spark, name).foreach { rawLog =>
+    * same crash window.
+    *
+    * `logOverride` heals `name`'s stats against an EXPLICIT request set
+    * instead of `name`'s own log — [[swapIn]] uses it to pre-subtract the
+    * re-anchored requests into the STAGING generation's stats before the
+    * rename, so the stats that go live are already consistent (the
+    * override is fully resolved, so the resolve-append stays silent). */
+  private[graft] def healStats(spark: SparkSession, name: String,
+      logOverride: Option[DataFrame] = None): Unit =
+    logOverride.orElse(Tombstones.logOf(spark, name)).foreach { rawLog =>
       val unresolved = rawLog.groupBy(col("id")).agg(max(col("dl")).as("dl"))
         .filter(col("dl").isNull).select(col("id"))
       val dl = spark.table(s"${name}_dl")
       val resolved = dl.join(broadcast(unresolved), dl("doc_id") === col("id"))
         .select(col("doc_id").as("id"), col("dl"))
-      if (!resolved.isEmpty)
-        resolved.write.mode("append").format("parquet")
-          .saveAsTable(Tombstones.tableOf(name))
-      val target = spark.table(Tombstones.tableOf(name))
+      val withResolved =
+        if (resolved.isEmpty) rawLog
+        else if (logOverride.isDefined) rawLog.unionByName(resolved)
+        else {
+          resolved.write.mode("append").format("parquet")
+            .saveAsTable(Tombstones.tableOf(name))
+          spark.table(Tombstones.tableOf(name))
+        }
+      val target = withResolved
         .groupBy(col("id")).agg(max(col("dl")).as("dl"))
         .filter(col("dl").isNotNull)
         .agg(count(lit(1)).as("t_docs"),

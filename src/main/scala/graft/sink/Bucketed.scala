@@ -62,16 +62,39 @@ object Bucketed {
     * mid-write; round-8 ADVICE.) */
   def replaceTable(spark: SparkSession, table: String,
       write: String => Unit): Unit = {
+    stageReplacement(spark, table, write)
+    completeReplacement(spark, table)
+  }
+
+  /** First half of [[replaceTable]]: build the new generation under the
+    * staging name while the live table keeps serving. Callable on its own
+    * when the swap must be deferred past other work (LexIndex stages the
+    * rebased retention log before the generation's table renames and
+    * flips it with [[completeReplacement]] after) — the staged table then
+    * waits under exactly the name [[healInterruptedReplace]] covers. */
+  def stageReplacement(spark: SparkSession, table: String,
+      write: String => Unit): Unit = {
     healInterruptedReplace(spark, table)
     val staging = stagingOf(table)
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     ManagedPaths.clearStale(spark, staging)
-    write(staging) // the expensive part — live serves throughout
-    val liveLoc = ManagedPaths.pathOf(spark, table)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val fs = liveLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(liveLoc)) fs.delete(liveLoc, true)
-    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    write(staging)
+  }
+
+  /** Second half of [[replaceTable]]: the two catalog ops. A crash in the
+    * gap leaves the complete snapshot under the staging name, healed by
+    * the next [[healInterruptedReplace]] (which every Tombstones accessor
+    * runs, so even a table whose ABSENCE reads as a valid state — the
+    * retention log — cannot silently lose its staged generation). */
+  def completeReplacement(spark: SparkSession, table: String): Unit = {
+    val staging = stagingOf(table)
+    if (spark.catalog.tableExists(staging)) {
+      val liveLoc = ManagedPaths.pathOf(spark, table)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val fs = liveLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(liveLoc)) fs.delete(liveLoc, true)
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    }
   }
 
   /** Rewrite a bucketed table to exactly ONE file per bucket, preserving

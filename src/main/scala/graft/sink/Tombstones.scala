@@ -62,9 +62,8 @@ object Tombstones {
     * Ids already logged are skipped, so the call is idempotent. */
   def append(ids: DataFrame, name: String, idCol: String): Unit = {
     val spark = ids.sparkSession
-    healed(spark, name)
     val t = tableOf(name)
-    val d = newIds(ids, name, idCol)
+    val d = newIds(ids, name, idCol) // heals via logOf before the existence check below
     if (spark.catalog.tableExists(t))
       d.write.mode("append").format("parquet").saveAsTable(t)
     else {
