@@ -111,16 +111,27 @@ object LexIndex {
     *     set: there is no post-swap window where served scores use
     *     un-healed n_docs/avgdl.
     *  3. FLIP the log ([[Bucketed.completeReplacement]]): merge-on-read
-    *     filtering is id-based and the rebased id set equals the old
-    *     one, so the flip is invisible to reads; its DROP→RENAME gap is
+    *     filtering is id-based, so for requests addressed to the live
+    *     name the flip is invisible to reads (same ids, new dl
+    *     payloads); staging-addressed requests newly hide their docs
+    *     from the still-serving old generation — over-deletion, the
+    *     conservative direction for retention. The DROP→RENAME gap is
     *     covered by the accessors' heal.
-    *  4. RENAME the data+stats tables (TableSwap). A crash inside this
-    *     sequence is the documented mixed-generation exposure; the
-    *     recovery is re-driving TableSwap.swapIn (steps 1–3 are already
-    *     durable and idempotent). Before step 4 starts, the OLD
-    *     generation serves with correct filtering throughout (same ids);
-    *     a heal landing in that window writes against the old stats and
-    *     is discarded when the staged stats rename in. */
+    *  4. RENAME the data+stats tables (TableSwap) — the documented
+    *     mixed-generation exposure.
+    *
+    * RECOVERY after a crash anywhere: re-run THIS method. Steps 1–3 are
+    * durable and idempotent — a re-stage re-anchors the log from
+    * scratch (including cleaning any dl values a stray heal resolved
+    * against the OLD generation's dl during the window) and the
+    * staging-stats heal reconciles to a zero delta; step 4's remaining
+    * renames are skipped-if-done by the suffix loop. The swap and its
+    * recovery assume the module's single-maintainer discipline (no
+    * concurrent delete/compact while a swap is in flight —
+    * RetentionStream's sequential loop satisfies it): a delete landing
+    * INSIDE a crashed swap's window can write old-generation dl into
+    * the flipped log or a soon-discarded delta into the old stats; the
+    * swapIn re-run re-anchors both away. */
   def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
     val allIds = (Tombstones.logOf(spark, live).toSeq ++
       Tombstones.logOf(spark, staging).toSeq)
@@ -138,7 +149,7 @@ object LexIndex {
         ids.join(broadcast(resolved.select(col("id"))), Seq("id"), "left_anti")
           .select(col("id"), lit(null).cast("long").as("dl")))
       graft.sink.Bucketed.stageReplacement(spark, Tombstones.tableOf(live),
-        t => Materialize(rebased).write.format("parquet").saveAsTable(t))
+        t => rebased.write.format("parquet").saveAsTable(t))
       // the staged stats must already carry the subtraction when they
       // rename in — heal the STAGING name against the staged log
       healStats(spark, staging, logOverride = Some(spark.table(
@@ -182,8 +193,14 @@ object LexIndex {
         .select(col("doc_id").as("id"), col("dl"))
       val withResolved =
         if (resolved.isEmpty) rawLog
-        else if (logOverride.isDefined) rawLog.unionByName(resolved)
         else {
+          // an override must arrive fully resolved: folding a resolution
+          // into the target without a durable log record would let a
+          // later heal compute target < have and un-subtract completed
+          // deletions (the round-8 drift class)
+          require(logOverride.isEmpty,
+            "healStats logOverride must be fully resolved against the " +
+              s"${name}_dl table it heals against")
           resolved.write.mode("append").format("parquet")
             .saveAsTable(Tombstones.tableOf(name))
           spark.table(Tombstones.tableOf(name))
