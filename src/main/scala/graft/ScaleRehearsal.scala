@@ -264,6 +264,13 @@ object ScaleRehearsal {
       // linear by construction; the re-rank touches candMult·k ids only.
       val (tBetwEx, _) = time(analytics.Graph.betweennessExact(spark, dir).count())
       val (tRp, _) = time(analytics.Similarity.rpTopK(spark, dir).count())
+      // round-10 q222: exact substring spans. The near-dup copies repeat
+      // the original's windows verbatim and the token-prefixed copies
+      // carry their own (tagged) repeats of base-internal runs, so the
+      // collided-window count — the only rows whose TEXT shuffles — must
+      // grow linearly with the corpus, never with the window-pair space.
+      val (tSubstr, _) = time(Dedup.exactSubstringSpans(spark, dir).count())
+      val (_, nSubstrCand) = time(Dedup.exactSubstringCandidates(spark, dir).count())
       val wfd = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("source"), substring(md5(col("text").cast("binary")), 1, 2).as("p"))
       val maxSourceWindow = wfd.groupBy(col("source")).agg(count(lit(1)).as("c"))
@@ -337,14 +344,16 @@ object ScaleRehearsal {
         s""""q181_temp_mixture":$tTemp,"q186_manifest":$tMan,""" +
         s""""q187_calibration":$tCal,"q188_fertility":$tFert,""" +
         s""""q198_waterfill":$tWf,"q203_chunking":$tChunk,""" +
-        s""""q219_betweenness_exact":$tBetwEx,"q220_rp_topk":$tRp},""" +
+        s""""q219_betweenness_exact":$tBetwEx,"q220_rp_topk":$tRp,""" +
+        s""""q222_substring":$tSubstr},""" +
         s""""lex_delete":{"build":$tLexBuild,"delete":$tDelete,""" +
         s""""serve_mor":$tServeMor,"n_deleted":$nDeleted},""" +
         s""""n_chunks":$nChunks,""" +
         s""""wf_max_window":{"source":$maxSourceWindow,"salted":$maxSaltedWindow},""" +
         s""""bm25_matched_postings":$nMatchedPost,""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
-        s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand},""" +
+        s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand,""" +
+        s""""substring":$nSubstrCand},""" +
         s""""fuzzy_max_block":{"prefix":$maxPrefixBlock,"composite":$maxCompositeBlock},""" +
         s""""ivf_neardup_cand":{"fixed16":$ivfNdFixedCand,"scaled":$ivfNdScaledCand},""" +
         s""""true_pairs":$nPairs,"decon_pairs":$nDeconPairs,"neardup_triangles":$nTriangles,""" +

@@ -382,7 +382,9 @@ object SparkEntry {
     "q218_k_anonymity"             -> ((s: SparkSession, d: String) => Privacy.kAnonymity(s, d)),
     "q219_betweenness_exact"       -> ((s: SparkSession, d: String) => Graph.betweennessExact(s, d)),
     "q220_rp_topk"                 -> Accuracy.rpTopKGate _,
-    "q221_lex_swap"                -> LexIndex.swapGate _)
+    "q221_lex_swap"                -> LexIndex.swapGate _,
+    "q222_exact_substring_spans"   -> ((s: SparkSession, d: String) =>
+      Dedup.exactSubstringSpans(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -3606,6 +3608,33 @@ object SparkEntry {
     "q221_lex_swap" -> bm25Sql(
       """WHERE (ascii(substring(md5(text), 1, 1)) * 256
         |       + ascii(substring(md5(text), 2, 1))) % 100 >= 10""".stripMargin),
+
+    // exact substring dedup: maximal per-doc spans covered by an exact
+    // 8-token run repeated corpus-wide — the oracle restates the coverage
+    // theorem directly over unnested windows (duplicated-window starts,
+    // merged where ≤ L apart); 0-based positions match posexplode
+    "q222_exact_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['g'] AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(ts) - 7),
+        |      p -> {'pos': p, 'g': array_to_string(ts[p+1:p+8], ' ')})) AS u
+        |    FROM toks)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS newisl
+        |  FROM grams JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM hits)
+        |SELECT doc_id, min(pos)::BIGINT AS s, (max(pos) + 7)::BIGINT AS e,
+        |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     // attribute-filtered ANN: the same-label filter must admit the planted
     // copy (top-1 at 1.0), the other-label filter must exclude it and

@@ -757,4 +757,77 @@ object Dedup {
         coalesce(col("n_after"), lit(0L)).as("n_after"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** q222: EXACT substring dedup — per-document maximal spans covered by
+    * an exact token run of length ≥ L repeated anywhere in the corpus
+    * (suffix-array dedup semantics, Lee et al. §4.1, re-expressed
+    * relationally). Exactness is a small theorem, not an approximation:
+    * a position is covered by some repeated run of length ≥ L iff it is
+    * covered by a DUPLICATED L-window (any longer repeat of length m
+    * contains all its m−L+1 interior L-windows, each duplicated; any
+    * duplicated L-window IS a repeat of length L), so the union of
+    * [s, s+L−1] over duplicated window starts — merged where consecutive
+    * starts are ≤ L apart — is EXACTLY the repeated-coverage interval
+    * set. Unlike q183's per-doc aggregate this emits the spans
+    * themselves, and unlike q79's content-defined chunks the boundaries
+    * are exact to the token.
+    *
+    * The 100 TB shape is the hash-group → verify-on-collision split:
+    * stage 1 aggregates window COUNTS keyed by a 64-bit xxhash of the
+    * window (8-byte keys with map-side partial aggregation — the
+    * corpus's strings never enter this shuffle); only windows whose hash
+    * repeats survive the semi-join back, so the one full-string shuffle
+    * (count-over-window keyed by the window text, the exact-equality
+    * verify that makes a hash collision harmless) is bounded by
+    * duplicated+collided mass, not corpus size. `hashBuckets` shrinks
+    * the hash space to force real collisions — the spec runs buckets=16
+    * and pins output ≡ the full-hash and the strings-only forms, proving
+    * the verify leg does the work rather than the hash width. */
+  def exactSubstringSpans(spark: SparkSession, dir: String, L: Int = 8): DataFrame =
+    exactSubstringSpansOn(documents(spark, dir), L)
+
+  /** Stage-2 input of [[exactSubstringSpansOn]]: windows whose hash
+    * repeats — the ONLY rows whose text ever shuffles. ScaleRehearsal
+    * counts this frame: growth must track duplicated mass (linear under
+    * the planted-copy corpus builder), never the window space. */
+  def exactSubstringCandidates(spark: SparkSession, dir: String,
+      L: Int = 8): DataFrame =
+    collidedWindows(documents(spark, dir), L, 0L)
+
+  private def collidedWindows(docs: DataFrame, L: Int,
+      hashBuckets: Long): DataFrame = {
+    val win = docs.select(col("doc_id"),
+      posexplode(Sketches.wordNgramsAll(col("text"), L)).as(Seq("pos", "g")))
+    val wh = win.withColumn("h",
+      if (hashBuckets > 0L) pmod(xxhash64(col("g")), lit(hashBuckets))
+      else xxhash64(col("g")))
+    // stage 1: candidate hashes — fixed-width keys, partial agg combines
+    // per task; a unique window costs 8 bytes of shuffle, not its text
+    val candH = wh.groupBy(col("h")).agg(count(lit(1)).as("ch"))
+      .filter(col("ch") >= 2).select(col("h"))
+    // stage 2: strings shuffle only for collided hashes; count over the
+    // window TEXT is the exact-equality verify (AQE broadcasts candH when
+    // small; at scale this is a shuffle semi-join on the 8-byte key)
+    wh.join(candH, Seq("h"), "left_semi")
+  }
+
+  def exactSubstringSpansOn(docs: DataFrame, L: Int,
+      hashBuckets: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val verified = collidedWindows(docs, L, hashBuckets)
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("c") >= 2)
+    // coverage union: starts ≤ L apart overlap-or-abut — one span
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    verified.select(col("doc_id"), col("pos"))
+      .withColumn("newisl",
+        when(col("pos") - lag(col("pos"), 1).over(wo) > L, 1).otherwise(0))
+      .withColumn("island", sum(col("newisl"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(L - 1)).as("e"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        col("e").cast("long").as("e"),
+        (col("e") - col("s") + 1).cast("long").as("span_tokens"))
+  }
 }

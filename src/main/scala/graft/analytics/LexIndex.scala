@@ -84,7 +84,7 @@ object LexIndex {
     val req = ids.select(col("doc_id")).distinct()
     Tombstones.append(
       req.join(dl, Seq("doc_id"), "left").select(col("doc_id"), col("dl")),
-      name, "doc_id")
+      name, "doc_id", payloadCols = Seq("dl"))
     healStats(spark, name)
   }
 
@@ -125,7 +125,11 @@ object LexIndex {
     * scratch (including cleaning any dl values a stray heal resolved
     * against the OLD generation's dl during the window) and the
     * staging-stats heal reconciles to a zero delta; step 4's remaining
-    * renames are skipped-if-done by the suffix loop. The swap and its
+    * renames are skipped-if-done by the suffix loop. Crashes INSIDE or
+    * after step 4 (between the `_dl` and `_stats` renames, or before the
+    * final heal) are detected by the staging dl's absence — the re-run
+    * skips steps 1–3 (already durable) and goes straight to the renames
+    * + heal (round-9 ADVICE). The swap and its
     * recovery assume the module's single-maintainer discipline (no
     * concurrent delete/compact while a swap is in flight —
     * RetentionStream's sequential loop satisfies it): a delete landing
@@ -133,6 +137,27 @@ object LexIndex {
     * the flipped log or a soon-discarded delta into the old stats; the
     * swapIn re-run re-anchors both away. */
   def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
+    // Re-anchor only while the staging generation's dl still exists: once
+    // TableSwap has renamed `_dl` onto the live name (a crash between the
+    // _dl and _stats renames, or after TableSwap but before the final
+    // heal), steps 1–3 of the prior run already completed durably — they
+    // all precede the renames — and re-deriving the rebase would throw
+    // Table-not-found on `${staging}_dl`. In that window the re-run must
+    // skip straight to the remaining renames (TableSwap's suffix loop is
+    // skipped-if-done) and the final heal (round-9 ADVICE).
+    if (spark.catalog.tableExists(s"${staging}_dl"))
+      reanchorLog(spark, staging, live)
+    graft.sink.TableSwap.swapIn(spark, staging, live,
+      Seq("_postings", "_dl", "_stats"))
+    healStats(spark, live) // idempotent convergence point; no-op when clean
+  }
+
+  /** Steps 1–3 of [[swapIn]]: rebase the pending requests onto the staging
+    * generation, pre-subtract them into the staging stats, flip the log.
+    * Durable and idempotent — separated out so the crash-window spec can
+    * stop exactly here and resume with a partial rename. */
+  private[graft] def reanchorLog(spark: SparkSession, staging: String,
+      live: String): Unit = {
     val allIds = (Tombstones.logOf(spark, live).toSeq ++
       Tombstones.logOf(spark, staging).toSeq)
       .map(_.select(col("id"))).reduceOption(_ unionByName _)
@@ -156,9 +181,6 @@ object LexIndex {
         graft.sink.Bucketed.stagingOf(Tombstones.tableOf(live)))))
       graft.sink.Bucketed.completeReplacement(spark, Tombstones.tableOf(live))
     }
-    graft.sink.TableSwap.swapIn(spark, staging, live,
-      Seq("_postings", "_dl", "_stats"))
-    healStats(spark, live) // idempotent convergence point; no-op when clean
   }
 
   /** Reconcile stats with the tombstone log. The target subtraction is

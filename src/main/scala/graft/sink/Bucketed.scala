@@ -44,6 +44,13 @@ object Bucketed {
   def healInterruptedReplace(spark: SparkSession, table: String): Boolean = {
     val staging = stagingOf(table)
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging)) {
+      // [[completeReplacement]]'s sub-window can leave stale prior-session
+      // files at the live default path (the DROP no-op'd on an in-memory
+      // catalog but the explicit fs.delete hadn't run): a RENAME into a
+      // non-empty destination can fail or nest the moved directory. Clear
+      // first — safe, the live table is known absent from the catalog
+      // here (round-9 ADVICE).
+      ManagedPaths.clearStale(spark, table)
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
       true
     } else false

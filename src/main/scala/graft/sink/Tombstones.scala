@@ -46,12 +46,20 @@ object Tombstones {
   /** Ids of `idCol` newly deleted: the request minus what the log already
     * holds. Callers that maintain side totals (LexIndex's negative stats
     * delta) MUST base them on this, not the raw request — a replayed or
-    * overlapping deletion request must not double-subtract. Extra columns
-    * of `ids` ride along (LexIndex stores each deleted doc's length so a
-    * later stats heal never has to consult physical state — see
-    * [[graft.analytics.LexIndex.healStats]]); dedup is by id. */
-  def newIds(ids: DataFrame, name: String, idCol: String): DataFrame = {
-    val d = ids.withColumnRenamed(idCol, "id").dropDuplicates("id")
+    * overlapping deletion request must not double-subtract. Payload
+    * columns persist ONLY when declared in `payloadCols` (LexIndex stores
+    * each deleted doc's length so a later stats heal never has to consult
+    * physical state — see [[graft.analytics.LexIndex.healStats]]); any
+    * other column of a wide request frame is dropped here, so a caller
+    * passing raw docs can't silently persist text into the log, and a
+    * declared column that's missing fails AT the call site instead of as
+    * a schema mismatch on a later cross-family append (round-9 ADVICE).
+    * Dedup is by id. */
+  def newIds(ids: DataFrame, name: String, idCol: String,
+      payloadCols: Seq[String] = Nil): DataFrame = {
+    val d = ids.withColumnRenamed(idCol, "id")
+      .select(("id" +: payloadCols).map(col): _*)
+      .dropDuplicates("id")
     of(ids.sparkSession, name) match {
       case Some(log) => d.join(broadcast(log), Seq("id"), "left_anti")
       case None => d
@@ -59,11 +67,14 @@ object Tombstones {
   }
 
   /** Append deleted ids to the log — the whole cost of a delete request.
-    * Ids already logged are skipped, so the call is idempotent. */
-  def append(ids: DataFrame, name: String, idCol: String): Unit = {
+    * Ids already logged are skipped, so the call is idempotent. Columns
+    * beyond the id survive only when declared via `payloadCols` (see
+    * [[newIds]]). */
+  def append(ids: DataFrame, name: String, idCol: String,
+      payloadCols: Seq[String] = Nil): Unit = {
     val spark = ids.sparkSession
     val t = tableOf(name)
-    val d = newIds(ids, name, idCol) // heals via logOf before the existence check below
+    val d = newIds(ids, name, idCol, payloadCols) // heals via logOf before the existence check below
     if (spark.catalog.tableExists(t))
       d.write.mode("append").format("parquet").saveAsTable(t)
     else {
@@ -95,7 +106,9 @@ object Tombstones {
     * when both logs agree on schema (they do within one index family). */
   def carryForward(spark: SparkSession, staging: String, live: String): Unit = {
     logOf(spark, staging).foreach { s =>
-      append(s, live, "id")
+      // intra-family carry: the staged log's own payload schema IS the
+      // declaration (both logs agree on schema within one index family)
+      append(s, live, "id", s.columns.filterNot(_ == "id").toSeq)
       clear(spark, staging)
     }
   }

@@ -348,4 +348,97 @@ class DedupSpec extends SparkSpec {
     val (n3, mass3, _) = out(3L)
     assert(n3 == 2 && mass3 == 24, s"doc3 expected two 12-token spans: ${out(3L)}")
   }
+
+  test("exact substring spans: planted repeat found with exact token boundaries") {
+    // a 12-token run shared by docs 1 and 2 at different offsets, unique
+    // elsewhere — exactly one span per doc, boundaries exact (L = 8)
+    val run = (0 until 12).map(i => s"shared$i").mkString(" ")
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val d = docs(
+      (1L, uniq("a", 5) + " " + run + " " + uniq("b", 7)),   // run at 5..16
+      (2L, uniq("c", 9) + " " + run),                        // run at 9..20
+      (3L, uniq("z", 30)))                                   // no repeats
+    val spans = Dedup.exactSubstringSpansOn(d, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSet == Set((1L, 5L, 16L, 12L), (2L, 9L, 20L, 12L)),
+      s"exact boundaries wrong: ${spans.mkString(", ")}")
+  }
+
+  test("exact substring spans: within-doc repeat covered; one-token edit splits exactly") {
+    // doc 10 repeats its own 8-token run twice — both occurrences covered;
+    // doc 20/21 share runs A and B separated by a differing middle token:
+    // the changed position must NOT be covered (two spans, exact split)
+    val run8 = (0 until 8).map(i => s"r$i").mkString(" ")
+    val runA = (0 until 8).map(i => s"A$i").mkString(" ")
+    val runB = (0 until 8).map(i => s"B$i").mkString(" ")
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val d = docs(
+      (10L, run8 + " " + uniq("m", 12) + " " + run8), // self-repeat at 0..7 and 20..27
+      (20L, runA + " xMID " + runB + " " + uniq("p", 9)),  // A at 0..7, B at 9..16
+      (21L, runA + " yMID " + runB + " " + uniq("q", 9)))
+    val got = Dedup.exactSubstringSpansOn(d, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got((10L, 0L, 7L)) && got((10L, 20L, 27L)),
+      s"within-doc repeat not fully covered: $got")
+    // position 8 (the MID token) uncovered in both docs
+    for (doc <- Seq(20L, 21L))
+      assert(got((doc, 0L, 7L)) && got((doc, 9L, 16L)),
+        s"one-token edit did not split spans exactly for doc $doc: $got")
+    assert(got.size == 6, s"unexpected extra spans: $got")
+  }
+
+  test("exact substring spans: forced hash collisions ≡ full hash ≡ strings-only form") {
+    // hashBuckets = 4 forces unrelated windows into shared hash groups —
+    // the string-equality verify must reject them, leaving output
+    // identical to the full-width hash AND to a reference that never
+    // hashes at all. This is what makes a 64-bit collision harmless.
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text")).limit(200)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val full = canon(Dedup.exactSubstringSpansOn(corpus, 8))
+    val collided = canon(Dedup.exactSubstringSpansOn(corpus, 8, hashBuckets = 4L))
+    assert(collided == full, "verify leg failed under forced collisions")
+    // strings-only reference: duplicated windows by text, no hash stage
+    import org.apache.spark.sql.expressions.Window
+    val win = corpus.select(col("doc_id"),
+      posexplode(graft.functions.Sketches.wordNgramsAll(col("text"), 8))
+        .as(Seq("pos", "g")))
+    val dup = win.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("g"))
+    val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ref = canon(win.join(dup, "g").select(col("doc_id"), col("pos"))
+      .withColumn("newisl",
+        when(col("pos") - lag(col("pos"), 1).over(wo) > 8, 1).otherwise(0))
+      .withColumn("island", sum(col("newisl"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(7)).as("e"))
+      .select(col("doc_id"), col("s").cast("long"), col("e").cast("long"),
+        (col("e") - col("s") + 1).cast("long")))
+    assert(full == ref, "hash-group path drifted from the strings-only form")
+    assert(full.nonEmpty, "sf0.001 corpus should contain repeated 8-runs")
+  }
+
+  test("exact substring spans: stage-1 shuffle carries the 8-byte hash, never window text") {
+    // the 100 TB contract: the first exchange aggregates (h, count) with
+    // map-side partial aggregation; window strings appear only after the
+    // hash semi-join prunes to collided groups
+    val d = docs((1L, (0 until 40).map(i => s"w$i").mkString(" ")))
+    val plan = Dedup.exactSubstringSpansOn(d, 8).queryExecution.executedPlan
+    val aggs = plan.toString
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val hashAggs = helper.collectWithSubqueries(plan) {
+      case a: HashAggregateExec if a.groupingExpressions.exists(
+        _.toString.contains("h#")) => a
+    }
+    assert(hashAggs.nonEmpty, s"stage-1 hash aggregate missing:\n$aggs")
+    assert(hashAggs.exists(a => !a.groupingExpressions.exists(
+      _.toString.contains("g#"))),
+      s"stage-1 aggregate groups on the window text:\n$aggs")
+    assert(hashAggs.exists(_.aggregateExpressions.exists(
+      _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      s"no map-side partial aggregation in the hash stage:\n$aggs")
+  }
 }

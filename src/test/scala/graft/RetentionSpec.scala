@@ -223,7 +223,7 @@ class RetentionSpec extends SparkSpec {
     Tombstones.append(
       b1df.join(spark.table("spec_rs_lx_dl"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("dl")),
-      "spec_rs_lx", "doc_id")
+      "spec_rs_lx", "doc_id", payloadCols = Seq("dl"))
     val b1 = b1df.collect().map(_.getLong(0)).toSeq
     graft.streaming.RetentionStream.processBatch(spark, batchOf(b1), 1L,
       "spec_rs_dd", "spec_rs_lx", "spec_rs_an")
@@ -648,5 +648,93 @@ class RetentionSpec extends SparkSpec {
       s"torn extend not flagged: $v")
     assert(v("lex_dl")._1 && v("lex_stats")._1,
       s"torn extend must localize to the postings surface: $v")
+  }
+
+  test("lex swap: a crash between the _dl and _stats renames recovers by re-running swapIn") {
+    // round-9 ADVICE (medium): in this window the staging dl is already
+    // renamed onto the live name, so a re-run's re-anchor used to throw
+    // Table-not-found on `${stg}_dl` — leaving the live name serving the
+    // new generation's postings/dl under the OLD generation's stats with
+    // no recovery path. The tableExists guard skips straight to the
+    // remaining renames + final heal.
+    val name = "spec_swap_crash"
+    val stg = name + "_stg"
+    LexIndex.build(docs.select("doc_id", "text"), name, buckets = 4)
+    val gone = docs.filter(col("cb") < 10).select("doc_id")
+    LexIndex.delete(gone, name) // pending at swap time — exercises the rebase
+    val retained = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    LexIndex.build(retained, stg, buckets = 4)
+    // steps 1–3 exactly as swapIn runs them (durable, idempotent) …
+    LexIndex.reanchorLog(spark, stg, name)
+    // … then TableSwap crashes AFTER the _dl rename, BEFORE _stats
+    for (suffix <- Seq("_postings", "_dl")) {
+      spark.sql(s"DROP TABLE IF EXISTS $name$suffix")
+      spark.sql(s"ALTER TABLE $stg$suffix RENAME TO $name$suffix")
+    }
+    assert(spark.catalog.tableExists(s"${stg}_stats") &&
+      !spark.catalog.tableExists(s"${stg}_dl"), "crash state not as planned")
+    // the documented recovery: re-run THIS method
+    LexIndex.swapIn(spark, stg, name)
+    val fresh = "spec_swap_crash_fresh"
+    LexIndex.build(retained, fresh, buckets = 4)
+    def statsTotals(n: String): (Long, Long) = {
+      val r = spark.table(s"${n}_stats")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(statsTotals(name) == statsTotals(fresh),
+      "recovered swap's stats drifted from a fresh build " +
+        s"(${statsTotals(name)} vs ${statsTotals(fresh)})")
+    assert(LexIndex.bm25Against(spark, name).collect().map(_.toSeq).toSet ==
+      LexIndex.bm25Against(spark, fresh).collect().map(_.toSeq).toSet,
+      "recovered swap serves wrong BM25")
+    assert(!spark.catalog.tableExists(s"${stg}_stats"),
+      "staging stats left behind after recovery")
+  }
+
+  test("heal of an interrupted replace clears stale files at the live path first") {
+    // round-9 ADVICE (low): live table absent from the in-memory catalog
+    // but stale prior-session files present at its default path (DROP
+    // no-op'd, crash before the explicit fs.delete). The RENAME must not
+    // land in a non-empty destination directory.
+    import spark.implicits._
+    val t = "spec_heal_stale"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}__staging")
+    val next = (100L to 120L).map(i => (i, s"gen2 $i")).toDF("k", "v")
+    next.write.bucketBy(4, "k").sortBy("k").format("parquet")
+      .saveAsTable(t + "__staging")
+    // stale prior-session files at the path the live name will claim
+    val loc = graft.sink.ManagedPaths.pathOf(spark, t)
+    (1L to 50L).map(i => (i, s"stale $i")).toDF("k", "v")
+      .write.mode("overwrite").parquet(loc.toString)
+    assert(!spark.catalog.tableExists(t))
+    assert(graft.sink.Bucketed.healInterruptedReplace(spark, t),
+      "heal did not fire")
+    assert(spark.table(t).collect().map(_.toSeq).toSet ==
+      next.collect().map(_.toSeq).toSet,
+      "healed table does not serve the staged generation exactly")
+    assert(!spark.catalog.tableExists(t + "__staging"), "staging left behind")
+  }
+
+  test("tombstone log: only DECLARED payload columns persist; missing ones fail at the call site") {
+    // round-9 ADVICE (low): a wide request frame used to ride every extra
+    // column into the persisted log — silently storing payloads (text!)
+    // and arming a schema mismatch on a later cross-family append.
+    import spark.implicits._
+    val name = "spec_ts_payload"
+    Tombstones.clear(spark, name)
+    val wide = Seq((1L, 10L, "the doc text must NOT persist"))
+      .toDF("doc_id", "dl", "text")
+    Tombstones.append(wide, name, "doc_id", payloadCols = Seq("dl"))
+    assert(spark.table(Tombstones.tableOf(name)).columns.toSet ==
+      Set("id", "dl"),
+      "undeclared columns persisted into the log")
+    // a declared payload column the frame lacks fails HERE, not at a
+    // later append against a differently-shaped log
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Tombstones.newIds(Seq(2L).toDF("doc_id"), name, "doc_id", Seq("dl"))
+    }
+    Tombstones.clear(spark, name)
   }
 }
