@@ -38,9 +38,17 @@ object AnnIndex {
     * distribution the drift-triggered [[refreshDecision]] compares against
     * (build → extend → monitor → refresh, the full index lifecycle). */
   def build(vecs: DataFrame, name: String, numCentroids: Int = 32): Unit = {
-    val spark = vecs.sparkSession
     val centroids = Similarity.trainCentroidsOn(
       vecs.select(col("vec_id"), col("v")), numCentroids)
+    buildFrom(vecs, centroids, Similarity.assignCellsOn(vecs, centroids), name)
+  }
+
+  /** [[build]] from precomputed centroids + assigned cells — the q212/q216
+    * shared-input path (centroid training and assignment dominate the
+    * build; round-9 VERDICT item 4). */
+  private[analytics] def buildFrom(vecs: DataFrame, centroids: DataFrame,
+      assigned: DataFrame, name: String): Unit = {
+    val spark = vecs.sparkSession
     for (t <- Seq(s"${name}_centroids", s"${name}_cells", s"${name}_label_stats")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       graft.sink.ManagedPaths.clearStale(spark, t)
@@ -49,8 +57,7 @@ object AnnIndex {
     // every non-key input column rides into the cells table as payload
     // (cid last — it's the partition column), so attribute-FILTERED search
     // evaluates its predicate on the pruned scan itself, at rest
-    Similarity.assignCellsOn(vecs, centroids)
-      .write.format("parquet").partitionBy("cid")
+    assigned.write.format("parquet").partitionBy("cid")
       .saveAsTable(s"${name}_cells")
     if (vecs.columns.contains("label"))
       labelMeansOn(vecs.select(col("label"), col("v")))

@@ -30,16 +30,22 @@ import graft.sink.{Bucketed, Tombstones}
   */
 object DedupIndex {
 
-  private def sigsOf(docs: DataFrame): DataFrame =
+  private[analytics] def sigsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       Dedup.minhashSignature(wordShingles(col("text"))).as("mhs"))
 
   /** Build (or rebuild) the index over a corpus of (doc_id, text). */
-  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
-    val sigs = Materialize(sigsOf(docs))
+  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit =
+    buildFromSigs(Materialize(sigsOf(docs)), name, buckets)
+
+  /** [[build]] from a precomputed signature frame — lets the q212/q216
+    * gate twins share ONE memoized signature pass where independent-build
+    * semantics are not the thing under test (round-9 VERDICT item 4). */
+  private[analytics] def buildFromSigs(sigs: DataFrame, name: String,
+      buckets: Int): Unit = {
     Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)
     Bucketed.writeBucketed(Dedup.bandsOf(sigs), s"${name}_bands", "band_key", buckets)
-    Tombstones.clear(docs.sparkSession, name) // a rebuild has nothing to forget
+    Tombstones.clear(sigs.sparkSession, name) // a rebuild has nothing to forget
   }
 
   /** DELETE docs from the index — merge-on-read ([[graft.sink.Tombstones]]):
@@ -65,6 +71,7 @@ object DedupIndex {
     * sees old + new corpus through the same exchange-free scans. */
   def extend(docs: DataFrame, name: String): Unit = {
     val spark = docs.sparkSession
+    healedTables(spark, name)
     def bucketsOf(t: String): Int = DedupIndex.bucketsOf(spark, t)
     val sigs = Materialize(sigsOf(docs))
     sigs.write.mode("append").bucketBy(bucketsOf(s"${name}_sigs"), "doc_id")
@@ -80,6 +87,14 @@ object DedupIndex {
       .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
       .numBuckets
 
+  /** Heal any interrupted staging-rename before reading or appending —
+    * the [[graft.analytics.LexIndex]] discipline applied to this family's
+    * two tables (a compact crashed in its DROP→RENAME gap must not make
+    * the next probe throw, or the next extend create-and-orphan). */
+  private def healedTables(spark: SparkSession, name: String): Unit =
+    Seq("_sigs", "_bands").foreach(s =>
+      Bucketed.healInterruptedReplace(spark, name + s))
+
   /** Compaction for the bucketed index tables — the dedup twin of
     * [[AnnIndex.compact]]: every [[extend]] (and every DedupIndexStream
     * micro-batch) appends one file per touched bucket, so after N extends
@@ -89,6 +104,7 @@ object DedupIndex {
     * and the warehouse-scale swap story live there); DedupIndexSpec pins
     * answers-unchanged + file-count collapse + preserved bucket spec. */
   def compact(spark: SparkSession, name: String): Unit = {
+    healedTables(spark, name)
     // the physical purge point: the rewrite drops tombstoned rows from both
     // tables, then the log resets — answers unchanged, because every read
     // path already merge-on-read-filtered the same rows
@@ -101,6 +117,7 @@ object DedupIndex {
     * the persisted band table. Batch side broadcast; index side pure scan. */
   private[graft] def candidatesAgainst(spark: SparkSession, name: String,
       newSigs: DataFrame): DataFrame = {
+    healedTables(spark, name)
     val newBands = Dedup.bandsOf(newSigs)
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
     // merge-on-read: pending deletions drop out of the candidate source

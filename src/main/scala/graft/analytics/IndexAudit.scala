@@ -30,15 +30,58 @@ object IndexAudit {
     complete.crossJoin(consistent)
       .select(lit(surface).as("surface"), col("complete"), col("consistent"))
 
-  def auditGate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
-    val vecs = embeddings(spark, dir)
+  // Shared gate inputs (round-9 VERDICT item 4): q212 and q216 each build
+  // the full index trio, and the expensive passes — MinHash signatures,
+  // the postings/dl explode, centroid training + cell assignment — are
+  // identical between them while independent-BUILD semantics are not what
+  // either gate tests (q212 audits invariants, q216 proves forgetting).
+  // Memoized once per session (SessionMemo, charged in Bench's
+  // q00_shared_build like every other shared table); each gate still
+  // writes its OWN tables, so q216's deletes and purges can never touch
+  // q212's audited copies, and either gate alone still self-contains.
+  private def gateDocs(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), col("text"))
+  private def gateVecs(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    DedupIndex.build(docs, "graft_audit_dedup", buckets = 8)
-    LexIndex.build(docs, "graft_audit_lex", buckets = 8)
-    AnnIndex.build(vecs, "graft_audit_ann", numCentroids = 16)
-    audit(spark, docs, vecs, "graft_audit_dedup", "graft_audit_lex",
-      "graft_audit_ann")
+  private def sigsMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.SessionMemo(spark, s"indexgate.sigs:$dir")(
+      DedupIndex.sigsOf(gateDocs(spark, dir)))
+  private def postingsMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.SessionMemo(spark, s"indexgate.postings:$dir")(
+      LexIndex.postingsOf(gateDocs(spark, dir)))
+  private def dlMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.SessionMemo(spark, s"indexgate.dl:$dir")(
+      LexIndex.dlOf(gateDocs(spark, dir)))
+  private def centroidsMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.SessionMemo(spark, s"indexgate.centroids:$dir")(
+      Similarity.trainCentroidsOn(gateVecs(spark, dir), numCentroids = 8))
+  private def cellsMemo(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.SessionMemo(spark, s"indexgate.cells:$dir")(
+      Similarity.assignCellsOn(gateVecs(spark, dir), centroidsMemo(spark, dir)))
+
+  /** Eagerly build the shared gate inputs — Bench calls this inside
+    * q00_shared_build so the shared cost stays visible in the total. */
+  def warmGateInputs(spark: SparkSession, dir: String): Unit = {
+    sigsMemo(spark, dir); postingsMemo(spark, dir); dlMemo(spark, dir)
+    centroidsMemo(spark, dir); cellsMemo(spark, dir)
+  }
+
+  private def buildTrio(spark: SparkSession, dir: String, prefix: String,
+      buckets: Int): Unit = {
+    DedupIndex.buildFromSigs(sigsMemo(spark, dir), s"${prefix}_dd", buckets)
+    LexIndex.buildFrom(postingsMemo(spark, dir), dlMemo(spark, dir),
+      s"${prefix}_lx", buckets)
+    AnnIndex.buildFrom(gateVecs(spark, dir), centroidsMemo(spark, dir),
+      cellsMemo(spark, dir), s"${prefix}_an")
+  }
+
+  def auditGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = gateDocs(spark, dir)
+    val vecs = gateVecs(spark, dir)
+    buildTrio(spark, dir, "graft_audit", buckets = 8)
+    audit(spark, docs, vecs, "graft_audit_dd", "graft_audit_lx",
+      "graft_audit_an")
   }
 
   /** q216: the COMPLIANCE REPORT — what a deletion request's owner actually
@@ -53,15 +96,11 @@ object IndexAudit {
     * personal data). The raw-table scans bypass the merge-on-read filters
     * on purpose: this report is about bytes at rest, not query answers. */
   def forgetGate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
-    val vecs = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // constant factors sized for the gate: the report's semantics don't
-    // depend on quantizer granularity or bucket count, and centroid
-    // training is the gate's dominant cost
-    DedupIndex.build(docs, "graft_forget_dd", buckets = 4)
-    LexIndex.build(docs, "graft_forget_lx", buckets = 4)
-    AnnIndex.build(vecs, "graft_forget_an", numCentroids = 8)
+    val docs = gateDocs(spark, dir)
+    // fresh MUTABLE copies from the shared inputs: this gate deletes,
+    // purges and drops logs — none of which can be allowed to reach the
+    // q212 copies (hence separate tables, shared compute only)
+    buildTrio(spark, dir, "graft_forget", buckets = 4)
     val gone = graft.functions.Materialize(
       docs.filter(Sampling.contentBucket(col("text")) < 15).select(col("doc_id")))
     DedupIndex.delete(gone, "graft_forget_dd")

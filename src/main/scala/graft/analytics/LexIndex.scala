@@ -41,10 +41,15 @@ object LexIndex {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
 
   /** Build (or rebuild) the index over a corpus of (doc_id, text). */
-  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
-    val spark = docs.sparkSession
-    val dl = Materialize(dlOf(docs))
-    Bucketed.writeBucketed(postingsOf(docs), s"${name}_postings", "term", buckets)
+  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit =
+    buildFrom(postingsOf(docs), Materialize(dlOf(docs)), name, buckets)
+
+  /** [[build]] from precomputed postings/dl frames — the q212/q216
+    * shared-input path ([[DedupIndex.buildFromSigs]]'s twin). */
+  private[analytics] def buildFrom(postings: DataFrame, dl: DataFrame,
+      name: String, buckets: Int): Unit = {
+    val spark = dl.sparkSession
+    Bucketed.writeBucketed(postings, s"${name}_postings", "term", buckets)
     Bucketed.writeBucketed(dl, s"${name}_dl", "doc_id", buckets)
     spark.sql(s"DROP TABLE IF EXISTS ${name}_stats")
     graft.sink.ManagedPaths.clearStale(spark, s"${name}_stats")
@@ -73,6 +78,7 @@ object LexIndex {
     * commit markers. */
   def delete(ids: DataFrame, name: String): Unit = {
     val spark = ids.sparkSession
+    healedTables(spark, name)
     // Record each deleted doc's length IN the log (left join: an id the
     // index doesn't hold yet logs with NULL dl and resolves if it ever
     // arrives — see [[healStats]]). The stored dl is what makes heal's
@@ -137,6 +143,10 @@ object LexIndex {
     * the flipped log or a soon-discarded delta into the old stats; the
     * swapIn re-run re-anchors both away. */
   def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
+    // heal both generations' tables first: the staging-dl existence check
+    // below must not be fooled by a compact that died in a DROP→RENAME gap
+    healedTables(spark, staging)
+    healedTables(spark, live)
     // Re-anchor only while the staging generation's dl still exists: once
     // TableSwap has renamed `_dl` onto the live name (a crash between the
     // _dl and _stats renames, or after TableSwap but before the final
@@ -206,7 +216,8 @@ object LexIndex {
     * rename, so the stats that go live are already consistent (the
     * override is fully resolved, so the resolve-append stays silent). */
   private[graft] def healStats(spark: SparkSession, name: String,
-      logOverride: Option[DataFrame] = None): Unit =
+      logOverride: Option[DataFrame] = None): Unit = {
+    healedTables(spark, name)
     logOverride.orElse(Tombstones.logOf(spark, name)).foreach { rawLog =>
       val unresolved = rawLog.groupBy(col("id")).agg(max(col("dl")).as("dl"))
         .filter(col("dl").isNull).select(col("id"))
@@ -225,6 +236,7 @@ object LexIndex {
               s"${name}_dl table it heals against")
           resolved.write.mode("append").format("parquet")
             .saveAsTable(Tombstones.tableOf(name))
+          graft.sink.CrashPoints.reached("lex.heal.resolved")
           spark.table(Tombstones.tableOf(name))
         }
       val target = withResolved
@@ -242,14 +254,28 @@ object LexIndex {
         import spark.implicits._
         Seq((-dDocs, -dDl)).toDF("n_docs", "sum_dl")
           .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
+        graft.sink.CrashPoints.reached("lex.heal.delta")
       }
     }
+  }
 
   private[graft] def bucketsOf(spark: SparkSession, t: String): Int =
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
       .numBuckets
+
+  /** Heal any interrupted staging-rename on the index's replaceTable-
+    * managed tables before reading or appending: a crash in a compact's
+    * (or the stats fold's) DROP→RENAME gap leaves the live name gone with
+    * the completed snapshot under `__staging` — without this, the next
+    * read throws Table-not-found and the next APPEND would create a fresh
+    * empty table and orphan the staged generation, the same window
+    * Tombstones' accessors already heal for the log (found by the
+    * round-10 crash sweep). Three in-memory catalog lookups when clean. */
+  private def healedTables(spark: SparkSession, name: String): Unit =
+    Seq("_postings", "_dl", "_stats").foreach(s =>
+      Bucketed.healInterruptedReplace(spark, name + s))
 
   /** The three table appends of one extend, individually callable so a
     * streaming loop can guard EACH with its own commit marker: unlike the
@@ -273,6 +299,7 @@ object LexIndex {
 
   /** Append a batch of NEW documents into the existing layout. */
   def extend(docs: DataFrame, name: String): Unit = {
+    healedTables(docs.sparkSession, name)
     val d = Materialize(docs.select(col("doc_id"), col("text")))
     appendPostings(d, name)
     appendDl(d, name)
@@ -292,6 +319,7 @@ object LexIndex {
       queries: Seq[(Int, String)] = TextStats.RetrievalQueries,
       k: Int = 10): DataFrame = {
     import spark.implicits._
+    healedTables(spark, name)
     val qterms = queries
       .flatMap { case (qid, s) => s.split(" ").map(t => (qid, t)) }
       .toDF("query_id", "term")
@@ -336,6 +364,10 @@ object LexIndex {
     * through [[Materialize]] before its own overwrite). Answer-preserving
     * and idempotent — no marker needed in a streaming loop. */
   def compact(spark: SparkSession, name: String): Unit = {
+    // a prior compact may have died in ANY table's DROP→RENAME gap —
+    // including the stats fold's, whose table this method reads directly
+    // below (the round-10 crash sweep caught exactly that window)
+    healedTables(spark, name)
     // the physical purge point: tombstoned postings and doc-lengths drop
     // out of the rewrite (their stats contribution was already subtracted
     // by [[delete]]'s negative deltas, which fold below), then the log

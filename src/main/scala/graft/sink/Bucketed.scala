@@ -51,7 +51,9 @@ object Bucketed {
       // first — safe, the live table is known absent from the catalog
       // here (round-9 ADVICE).
       ManagedPaths.clearStale(spark, table)
+      CrashPoints.reached("heal.cleared-live")
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      CrashPoints.reached("heal.renamed")
       true
     } else false
   }
@@ -85,7 +87,9 @@ object Bucketed {
     val staging = stagingOf(table)
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     ManagedPaths.clearStale(spark, staging)
+    CrashPoints.reached("stage.cleared")
     write(staging)
+    CrashPoints.reached("stage.written")
   }
 
   /** Second half of [[replaceTable]]: the two catalog ops. A crash in the
@@ -98,9 +102,12 @@ object Bucketed {
     if (spark.catalog.tableExists(staging)) {
       val liveLoc = ManagedPaths.pathOf(spark, table)
       spark.sql(s"DROP TABLE IF EXISTS $table")
+      CrashPoints.reached("complete.dropped-live")
       val fs = liveLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(liveLoc)) fs.delete(liveLoc, true)
+      CrashPoints.reached("complete.cleared-live")
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      CrashPoints.reached("complete.renamed")
     }
   }
 
@@ -137,6 +144,7 @@ object Bucketed {
     // rows it is about to drop.
     val snap = graft.functions.Materialize(transform(spark.table(table)))
       .repartition(n, col(key))
+    CrashPoints.reached("compact.snapshotted")
     replaceTable(spark, table, staging =>
       snap.write.bucketBy(n, key).sortBy(key).format("parquet")
         .saveAsTable(staging))

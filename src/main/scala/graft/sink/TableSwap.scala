@@ -39,8 +39,10 @@ object TableSwap {
       val (s, l) = (staging + suffix, live + suffix)
       if (spark.catalog.tableExists(s)) {
         spark.sql(s"DROP TABLE IF EXISTS $l")
+        CrashPoints.reached(s"swap.dropped$suffix")
         spark.sql(s"ALTER TABLE $s RENAME TO $l")
         reanchorPartitions(spark, l)
+        CrashPoints.reached(s"swap.renamed$suffix")
       }
     }
     Tombstones.carryForward(spark, staging, live)

@@ -81,6 +81,7 @@ object Tombstones {
       ManagedPaths.clearStale(spark, t)
       d.write.mode("overwrite").format("parquet").saveAsTable(t)
     }
+    CrashPoints.reached("tombstones.appended")
   }
 
   /** The current log, if any deletions are pending. */
@@ -130,6 +131,7 @@ object Tombstones {
     val t = tableOf(name)
     spark.sql(s"DROP TABLE IF EXISTS $t")
     ManagedPaths.clearStale(spark, t)
+    CrashPoints.reached("tombstones.cleared")
   }
 }
 

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{DedupIndex, LexIndex, Sampling}
+import graft.sink.{CrashPoints, Tombstones}
+import graft.sink.CrashPoints.CrashInjected
+
+/** EVERY-prefix crash sweep for the retention state machine (round-9
+  * VERDICT item 5): instead of hand-planted crash windows (RetentionSpec's
+  * approach, which closed three windows across rounds 8–9 one finding at
+  * a time), arm [[graft.sink.CrashPoints]] with a budget of k and kill the
+  * REAL swap/compact/delete sequence after exactly k durable operations,
+  * for ALL k — then run the documented recovery and assert convergence to
+  * a from-scratch reference. An unarmed rehearsal counts the points, so
+  * the sweep is exhaustive by construction and grows automatically with
+  * any new durable op added to the sequence.
+  *
+  * Building the sweep exposed a real gap: a compact that died in the
+  * stats fold's DROP→RENAME window left `<name>_stats` dangling under
+  * `__staging`, and every reader (compact's own re-run, healStats,
+  * bm25Against) threw Table-not-found with no self-healing path — closed
+  * by LexIndex/DedupIndex healing their replaceTable-managed tables at
+  * every entry point, the discipline Tombstones' accessors already
+  * applied to the log. The "lex compact" sweep below kills exactly that
+  * window (complete.dropped-live / complete.cleared-live on the stats
+  * fold) among its prefixes.
+  */
+class CrashSweepSpec extends SparkSpec {
+
+  // small fixed corpus: the sweep runs the full sequence O(N) times
+  private lazy val corpus = Tables.documents(spark, sf("sf0.001"))
+    .select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+    .filter(col("doc_id") < 150)
+    .localCheckpoint()
+
+  private def statsTotals(n: String): (Long, Long) = {
+    val r = spark.table(s"${n}_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def bm25Set(n: String): Set[Seq[Any]] =
+    LexIndex.bm25Against(spark, n).collect().map(_.toSeq).toSet
+
+  /** Count points in `body` unarmed, then for every k < N: rebuild the
+    * initial state, crash after k points, recover, verify. */
+  private def sweep(label: String)(setup: () => Unit)(body: () => Unit)(
+      recover: () => Unit)(verify: Int => Unit): Unit = {
+    setup()
+    CrashPoints.disarm()
+    body()
+    val n = CrashPoints.count
+    assert(n >= 2, s"$label: expected several crash points, got $n")
+    verify(-1) // the uncrashed run must converge too
+    for (k <- 0L until n) {
+      setup()
+      CrashPoints.arm(k)
+      val thrown = intercept[CrashInjected] { body() }
+      CrashPoints.disarm()
+      withClue(s"$label: recovery after crash at k=$k (${thrown.point}): ") {
+        recover()
+        verify(k.toInt)
+      }
+    }
+    CrashPoints.disarm()
+  }
+
+  private def dropAll(prefix: String): Unit =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix)).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("lex generation swap converges from EVERY crash prefix") {
+    val name = "swl_live"; val stg = "swl_stg"; val fresh = "swlref1"
+    // reference: the post-swap index must equal a fresh build on the
+    // corpus minus BOTH deletion batches (pre- and post-snapshot)
+    LexIndex.build(corpus.filter(col("cb") >= 20).select("doc_id", "text"),
+      fresh, buckets = 2)
+    val refStats = statsTotals(fresh)
+    val refServed = bm25Set(fresh)
+    def setup(): Unit = {
+      dropAll("swl_")
+      LexIndex.build(corpus.select("doc_id", "text"), name, buckets = 2)
+      // batch A known before the rebuild snapshot (rebuild excludes it)
+      LexIndex.delete(corpus.filter(col("cb") < 10).select("doc_id"), name)
+      LexIndex.build(corpus.filter(col("cb") >= 10).select("doc_id", "text"),
+        stg, buckets = 2)
+      // batch B lands after the snapshot (rebuild still contains it)
+      LexIndex.delete(
+        corpus.filter(col("cb") >= 10 && col("cb") < 20).select("doc_id"), name)
+    }
+    sweep("lex swap")(setup _)(() => LexIndex.swapIn(spark, stg, name))(
+      () => LexIndex.swapIn(spark, stg, name)) { k =>
+      assert(statsTotals(name) == refStats,
+        s"stats drifted: ${statsTotals(name)} vs $refStats")
+      assert(bm25Set(name) == refServed, "served BM25 drifted")
+    }
+  }
+
+  test("lex compact (with pending deletions) converges from EVERY crash prefix") {
+    val name = "swlc_idx"; val fresh = "swlcref"
+    LexIndex.build(corpus.filter(col("cb") >= 15).select("doc_id", "text"),
+      fresh, buckets = 2)
+    val refStats = statsTotals(fresh)
+    val refServed = bm25Set(fresh)
+    def setup(): Unit = {
+      dropAll(name)
+      LexIndex.build(corpus.select("doc_id", "text"), name, buckets = 2)
+      LexIndex.delete(corpus.filter(col("cb") < 15).select("doc_id"), name)
+    }
+    sweep("lex compact")(setup _)(() => LexIndex.compact(spark, name))(
+      () => LexIndex.compact(spark, name)) { k =>
+      assert(statsTotals(name) == refStats,
+        s"stats drifted: ${statsTotals(name)} vs $refStats")
+      assert(bm25Set(name) == refServed, "served BM25 drifted")
+      assert(!spark.catalog.tableExists(Tombstones.tableOf(name)),
+        "tombstone log not reset after recovered compact")
+    }
+  }
+
+  test("dedup compact (with pending deletions) converges from EVERY crash prefix") {
+    val name = "swdd_idx"; val fresh = "swddref"
+    val probe = corpus.filter(col("cb") < 40).select("doc_id", "text")
+      .withColumn("doc_id", col("doc_id") + lit(900000L))
+    DedupIndex.build(corpus.filter(col("cb") >= 15).select("doc_id", "text"),
+      fresh, buckets = 2)
+    val ref = DedupIndex.nearDupsAgainst(spark, fresh, probe)
+      .collect().map(_.toSeq).toSet
+    def setup(): Unit = {
+      dropAll(name)
+      DedupIndex.build(corpus.select("doc_id", "text"), name, buckets = 2)
+      DedupIndex.delete(corpus.filter(col("cb") < 15).select("doc_id"), name)
+    }
+    sweep("dedup compact")(setup _)(() => DedupIndex.compact(spark, name))(
+      () => DedupIndex.compact(spark, name)) { k =>
+      val got = DedupIndex.nearDupsAgainst(spark, name, probe)
+        .collect().map(_.toSeq).toSet
+      assert(got == ref, s"probe answers drifted after recovery")
+      assert(!spark.catalog.tableExists(Tombstones.tableOf(name)),
+        "tombstone log not reset after recovered compact")
+    }
+  }
+
+  test("lex delete (append + heal) converges from EVERY crash prefix") {
+    val name = "swld_idx"; val fresh = "swldref"
+    LexIndex.build(corpus.filter(col("cb") >= 25).select("doc_id", "text"),
+      fresh, buckets = 2)
+    val refStats = statsTotals(fresh)
+    val refServed = bm25Set(fresh)
+    val batch = corpus.filter(col("cb") < 25).select("doc_id")
+    def setup(): Unit = {
+      dropAll(name)
+      LexIndex.build(corpus.select("doc_id", "text"), name, buckets = 2)
+    }
+    // recovery for a crashed delete is REPLAYING the request — the
+    // RetentionStream at-least-once contract
+    sweep("lex delete")(setup _)(() => LexIndex.delete(batch, name))(
+      () => LexIndex.delete(batch, name)) { k =>
+      assert(statsTotals(name) == refStats,
+        s"stats drifted: ${statsTotals(name)} vs $refStats")
+      assert(bm25Set(name) == refServed, "served BM25 drifted")
+    }
+  }
+}
