@@ -271,6 +271,11 @@ object ScaleRehearsal {
       // grow linearly with the corpus, never with the window-pair space.
       val (tSubstr, _) = time(Dedup.exactSubstringSpans(spark, dir).count())
       val (_, nSubstrCand) = time(Dedup.exactSubstringCandidates(spark, dir).count())
+      // round-10 q223: fixed 3-round Lloyd refresh — per round one
+      // broadcast-assignment scan (O(n·k·d) narrow compute) plus one
+      // (cid, dim) aggregate, so wall must track the corpus linearly;
+      // the round count is a constant, never a function of data size
+      val (tLloyd, _) = time(analytics.Similarity.lloydRefine(spark, dir).count())
       val wfd = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("source"), substring(md5(col("text").cast("binary")), 1, 2).as("p"))
       val maxSourceWindow = wfd.groupBy(col("source")).agg(count(lit(1)).as("c"))
@@ -345,7 +350,7 @@ object ScaleRehearsal {
         s""""q187_calibration":$tCal,"q188_fertility":$tFert,""" +
         s""""q198_waterfill":$tWf,"q203_chunking":$tChunk,""" +
         s""""q219_betweenness_exact":$tBetwEx,"q220_rp_topk":$tRp,""" +
-        s""""q222_substring":$tSubstr},""" +
+        s""""q222_substring":$tSubstr,"q223_lloyd":$tLloyd},""" +
         s""""lex_delete":{"build":$tLexBuild,"delete":$tDelete,""" +
         s""""serve_mor":$tServeMor,"n_deleted":$nDeleted},""" +
         s""""n_chunks":$nChunks,""" +

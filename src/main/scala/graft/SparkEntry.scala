@@ -384,7 +384,9 @@ object SparkEntry {
     "q220_rp_topk"                 -> Accuracy.rpTopKGate _,
     "q221_lex_swap"                -> LexIndex.swapGate _,
     "q222_exact_substring_spans"   -> ((s: SparkSession, d: String) =>
-      Dedup.exactSubstringSpans(s, d)))
+      Dedup.exactSubstringSpans(s, d)),
+    "q223_lloyd_refresh"           -> ((s: SparkSession, d: String) =>
+      Similarity.lloydRefine(s, d)))
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -519,6 +521,53 @@ object SparkEntry {
       |QUALIFY rn <= 10""".stripMargin
 
   private val Bm25ScratchSql: String = bm25Sql("")
+
+  /** q223's oracle: 3 Lloyd rounds unrolled as CTE chains — assignment
+    * (argmin of exact BIGINT squared distance, ties on cid), per-cell
+    * metrics against the pre-update centroid, component-wise floor-mean
+    * refresh, emptied cells carrying the prior centroid. Every output
+    * value is integer, so the hash match is bit-for-bit. */
+  private val LloydOracleSql: String = {
+    val iters = 3
+    def round(t: Int): String = {
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      s"""a$t AS (
+         |  SELECT vec_id, xq, cid, dist FROM (
+         |    SELECT q.vec_id, q.xq, p.cid,
+         |      list_sum(list_transform(list_zip(q.xq, p.c),
+         |        z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(q.xq, p.c),
+         |          z -> (z[1] - z[2]) * (z[1] - z[2]))), p.cid) AS rn
+         |    FROM q CROSS JOIN $prev p) WHERE rn = 1),
+         |m$t AS (
+         |  SELECT cid, count(*)::BIGINT AS n, sum(dist)::BIGINT AS j_cell
+         |  FROM a$t GROUP BY cid),
+         |s$t AS (
+         |  SELECT cid, u['j'] AS j, sum(u['x'])::BIGINT AS sx,
+         |    count(*)::BIGINT AS nj
+         |  FROM (SELECT cid, unnest(list_transform(range(1, len(xq) + 1),
+         |          j -> {'j': j, 'x': xq[j]})) AS u FROM a$t)
+         |  GROUP BY cid, u['j']),
+         |c$t AS (
+         |  SELECT p.cid, coalesce(nc.c, p.c) AS c FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(CAST(floor(sx / nj) AS BIGINT) ORDER BY j) AS c
+         |    FROM s$t GROUP BY cid) nc USING (cid))""".stripMargin
+    }
+    def emit(t: Int): String =
+      s"""SELECT $t AS iter, c$t.cid, coalesce(m$t.n, 0)::BIGINT AS n,
+         |  coalesce(m$t.j_cell, 0)::BIGINT AS j_cell,
+         |  list_sum(c$t.c)::BIGINT AS c_sum
+         |FROM c$t LEFT JOIN m$t USING (cid)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cid, xq AS c FROM q ORDER BY vec_id LIMIT 8),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |${(1 to iters).map(emit).mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** q208's oracle: the retained-corpus BM25 chain, stated once per served
     * leg (merge-on-read, then post-purge) — both must match it exactly. */
@@ -3635,6 +3684,13 @@ object SparkEntry {
         |SELECT doc_id, min(pos)::BIGINT AS s, (max(pos) + 7)::BIGINT AS e,
         |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    // quantizer refresh training: 3 Lloyd rounds over micro-unit integer
+    // vectors, unrolled round-by-round (the q164 BPE-induction oracle
+    // pattern) — per-round cell population, assignment objective against
+    // the pre-update centroid, and refreshed-centroid component sum, all
+    // exact integers
+    "q223_lloyd_refresh" -> LloydOracleSql,
 
     // attribute-filtered ANN: the same-label filter must admit the planted
     // copy (top-1 at 1.0), the other-label filter must exclude it and

@@ -65,6 +65,26 @@ object AnnIndex {
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
 
+  /** Drift RESPONSE — the refresh-train-deploy loop that completes the
+    * lifecycle: [[refreshDecision]] (q166) says a label's population moved;
+    * this retrains the quantizer over the index's CURRENT vectors
+    * ([[Similarity.lloydCentroidsOn]] — q223's integer-exact Lloyd), builds
+    * the refreshed generation under a staging name while the live index
+    * keeps serving, and deploys with [[swapIn]] (q217's rename + partition
+    * re-anchor). Tombstoned vectors drop out of the rebuild snapshot;
+    * pending requests still carry across the swap (Tombstones.carryForward
+    * inside TableSwap) — over-deletion-safe, like every other rebuild. */
+  def refreshQuantizer(spark: SparkSession, name: String, k: Int = 32,
+      iters: Int = 3): Unit = {
+    val vecs = Tombstones.filter(spark.table(s"${name}_cells"), name, "vec_id")
+      .drop("cid")
+    val cents = Similarity.lloydCentroidsOn(
+      vecs.select(col("vec_id"), col("v")), k, iters)
+    val staging = name + "__refresh"
+    buildFrom(vecs, cents, Similarity.assignCellsOn(vecs, cents), staging)
+    swapIn(spark, staging, name)
+  }
+
   /** DELETE vectors from the index — merge-on-read ([[graft.sink.
     * Tombstones]]): the request appends its ids to the log and touches no
     * cell partition; [[topKAgainst]] anti-joins the log on its candidate

@@ -146,9 +146,12 @@ object IndexAudit {
       ids: DataFrame): Long = {
     val loc = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table)).location
-    spark.read.parquet(loc.toString).select(col(key)).distinct()
+    // semi-join BEFORE distinct: the broadcast hash filter prunes inside
+    // the scan stage, so the distinct shuffles only the matching rows
+    // (the deletion batch's share), never the whole surface
+    spark.read.parquet(loc.toString).select(col(key))
       .join(org.apache.spark.sql.functions.broadcast(ids), Seq(key), "left_semi")
-      .count()
+      .distinct().count()
   }
 
   /** The audit itself, over already-built indexes (callable against live

@@ -646,6 +646,113 @@ object Similarity {
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(round(max(col("sim")), 4).as("cos_sim"))
   }
+
+  /** q223: the quantizer REFRESH training loop — fixed-iteration Lloyd
+    * (k-means) over micro-unit INTEGER vectors, completing the index
+    * lifecycle story: q166 decides WHEN to retrain (drift monitor), this
+    * trains the replacement quantizer, and the staging-build + TableSwap
+    * machinery (q217) deploys it. The seeded quantizer ([[trainCentroidsOn]],
+    * k smallest vec_ids) is the build-time default; after drift, the Lloyd
+    * rounds re-center the cells on the CURRENT vector population.
+    * ([[trainCentroidsOn]]'s latent `spark.graft.ivf.kmeans.iters` knob is
+    * the double-arithmetic sibling — deterministic but not oracle-exact;
+    * THIS loop is the gateable integer-lattice form, with per-round
+    * convergence metrics and the [[graft.analytics.AnnIndex
+    * .refreshQuantizer]] deployment path.)
+    *
+    * Exactness discipline: components quantize once to micro-units via
+    * `floor(x·10⁶ + 0.5)` — NOT `round()`: the testdata's embeddings sit
+    * on a 2·10⁻⁶ lattice, so x·10⁶ lands on EXACT .5 ties 270 times at
+    * sf0.01 and the two engines' round() tie rules would have to agree;
+    * floor(+0.5) is pure IEEE arithmetic (float→double widening exact,
+    * one multiply, one add, one floor) and therefore bit-identical on
+    * both sides by construction. Distances are exact BIGINT sums
+    * (|x−c| ≤ 2·10⁶ per component, squared ×64 dims ≈ 2.6·10¹⁴ — far
+    * inside Long), ties break on (dist, cid), and the updated centroid is
+    * the component-wise `floor(Σx/n)` — the one double division, whose
+    * floor is provably exact for integer sums ≤ 2⁵³ with n ≤ corpus size
+    * (the quotient sits ≥ 1/n away from the nearest integer unless the
+    * division is exact). Every per-iteration output cell row — member
+    * count, assignment objective J against the PRE-update centroid, and
+    * the refreshed centroid's component sum — is therefore a pure integer
+    * the DuckDB oracle reproduces bit-for-bit by unrolling the same
+    * rounds (the q164 BPE-induction oracle pattern).
+    *
+    * Plan shape per round: the k-row centroid table is BROADCAST into a
+    * narrow map over the corpus (cross join + zip_with/aggregate, fused
+    * into the scan), the argmin is a per-vector window, and the update is
+    * one (cid, component) aggregate — O(corpus·k·d) compute, one exchange
+    * per round, nothing corpus-squared. At 100 TB: identical shape, with
+    * the per-round Materialize as a real table checkpoint. */
+  def lloydRefine(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3): DataFrame =
+    lloydRefineOn(embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      k, iters)
+
+  /** One assignment round: the k-row centroid table BROADCASTS into a
+    * narrow map over the corpus (dist is a fused zip_with/aggregate), the
+    * argmin is a per-vector window. Exposed so the plan spec pins the
+    * broadcast on the production code path (the round's Materialize hides
+    * it from the composed plan). */
+  private[graft] def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(xq, c, (a, b) -> (a - b) * (a - b)), 0L, (s, d) -> s + d)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("xq"), col("cid"), col("dist"))
+  }
+
+  private def lloydQuantize(vecs: DataFrame): DataFrame =
+    graft.functions.Materialize(vecs.select(col("vec_id"),
+      expr("transform(v, x -> CAST(floor(x * 1000000 + 0.5D) AS BIGINT))").as("xq")))
+
+  /** The shared Lloyd loop: per-round metric frames + the final integer
+    * centroids. */
+  private def lloydLoop(q: DataFrame, k: Int,
+      iters: Int): (Seq[DataFrame], DataFrame) = {
+    var cents = graft.functions.Materialize(
+      q.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("xq").as("c")))
+    val rounds = (1 to iters).map { t =>
+      val assigned = graft.functions.Materialize(lloydAssign(q, cents))
+      val metrics = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("dist")).as("j_cell"))
+      val refreshed = assigned
+        .select(col("cid"), posexplode(col("xq")).as(Seq("j", "xj")))
+        .groupBy(col("cid"), col("j"))
+        .agg(sum(col("xj")).as("sx"), count(lit(1)).as("nj"))
+        .select(col("cid"),
+          struct(col("j"), floor(col("sx") / col("nj")).cast("long").as("cj")).as("p"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(p)), s -> s.cj)").as("cNew"))
+      // an emptied cell keeps its previous centroid (deterministic; the
+      // oracle's LEFT JOIN + coalesce states the same rule)
+      cents = graft.functions.Materialize(
+        cents.select(col("cid"), col("c").as("cOld"))
+          .join(refreshed, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("cNew"), col("cOld")).as("c")))
+      cents.join(metrics, Seq("cid"), "left")
+        .select(lit(t).as("iter"), col("cid"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("j_cell"), lit(0L)).as("j_cell"),
+          expr("aggregate(c, 0L, (s, x) -> s + x)").as("c_sum"))
+    }
+    (rounds, cents)
+  }
+
+  def lloydRefineOn(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    lloydLoop(lloydQuantize(vecs), k, iters)._1.reduce(_ unionByName _)
+
+  /** The refreshed quantizer itself — final Lloyd centroids de-quantized
+    * to the (cid, cv) shape the ANN family stores. The deployment half is
+    * [[AnnIndex.refreshQuantizer]]: q166 decides WHEN, this trains, the
+    * staging-build + swap deploys. */
+  private[graft] def lloydCentroidsOn(vecs: DataFrame, k: Int,
+      iters: Int): DataFrame =
+    lloydLoop(lloydQuantize(vecs), k, iters)._2
+      .select(col("cid"), expr("transform(c, x -> x / 1000000.0D)").as("cv"))
 }
 
 

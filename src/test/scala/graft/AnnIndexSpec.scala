@@ -290,4 +290,39 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .collect().map(_.toSeq).toSet
     assert(compacted == baseline, "threshold compaction changed an answer")
   }
+
+  test("quantizer refresh: Lloyd retrain + staged swap; deletions honored; serving intact") {
+    val name = "spec_ann_refresh"
+    AnnIndex.build(vecs, name, numCentroids = 16)
+    // pending deletions at refresh time: the rebuild snapshot excludes them
+    val gone = vecs.filter(col("vec_id") >= 480).select(col("vec_id"))
+    AnnIndex.delete(gone, name)
+    AnnIndex.refreshQuantizer(spark, name, k = 16, iters = 2)
+    // the refreshed quantizer is Lloyd-trained: 16 centroids, re-centered
+    assert(spark.table(s"${name}_centroids").count() == 16)
+    val seeded = Similarity.trainCentroidsOn(
+      vecs.select(col("vec_id"), col("v")), 16)
+      .collect().map(_.getSeq[Double](1)).toSet
+    val refreshed = spark.table(s"${name}_centroids")
+      .collect().map(_.getSeq[Double](1)).toSet
+    assert(refreshed != seeded, "refresh left the seeded centroids in place")
+    // deleted vectors are physically absent from the new generation
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_cells")).location
+    val atRest = spark.read.parquet(loc.toString)
+      .select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    assert(atRest.intersect(goneIds).isEmpty,
+      "tombstoned vectors survived the refresh rebuild")
+    // serving is intact through the swap: a probe whose vector COPIES a
+    // retained corpus vector must find that vector top-1 at sim 1.0
+    // (query ids offset so the self-exclusion filter doesn't bite)
+    val copyQ = vecs.filter(col("vec_id") < 10)
+      .select((col("vec_id") + lit(700000L)).as("query_id"), col("v").as("qv"))
+    val top1 = AnnIndex.topKAgainst(spark, name, copyQ, k = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0) - 700000L, r.getLong(1), r.getDouble(2)))
+    assert(top1.length == 10 && top1.forall { case (q, n, s) => q == n && s == 1.0 },
+      s"planted copies lost through the refresh swap: ${top1.mkString(", ")}")
+  }
 }

@@ -342,4 +342,89 @@ class SimilaritySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       "per-cell cap must prune below the sort:\n" + p)
   }
+
+  test("lloyd refresh: planted clusters converge to exact membership and fixpoint") {
+    // 4 well-separated prototypes on coordinate axes; member m of cluster c
+    // is the prototype plus a small unique offset on a far component. Seeds
+    // (smallest vec_ids) are one per cluster by construction, so 3 rounds
+    // settle: per-cell n equals the planted sizes and the last two rounds'
+    // (n, c_sum) agree — an assignment fixpoint on the integer lattice.
+    val dim = 8
+    val rows = for {
+      c <- 0 until 4
+      m <- 0 until (10 + c)
+    } yield {
+      val v = Array.fill(dim)(0.0)
+      v(c) = 1.0
+      v(4 + ((c + m) % 4)) = 0.001 * (m + 1)
+      // ids: first four ids are one member of each cluster (the seeds)
+      val id = if (m == 0) c.toLong else 4L + c * 100 + m
+      (id, v.toSeq)
+    }
+    val vecs = rows.toDF("vec_id", "v")
+    val out = Similarity.lloydRefineOn(vecs, k = 4, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byIter = out.groupBy(_._1)
+    assert(byIter(3).map(_._3).sorted.toSeq == Seq(10L, 11L, 12L, 13L),
+      s"planted cluster sizes not recovered: ${byIter(3).mkString(", ")}")
+    val last2 = Seq(2, 3).map(t => byIter(t).map(r => (r._2, r._3, r._5)).toSet)
+    assert(last2(0) == last2(1),
+      s"no fixpoint on the integer lattice: ${last2(0)} vs ${last2(1)}")
+  }
+
+  test("lloyd refresh: engine ≡ in-memory reference on real embeddings") {
+    // same quantization (floor(x·1e6 + 0.5)), same argmin tie rule, same
+    // floor-mean update, same empty-cell carry — computed in plain Scala
+    // over the collected vectors, then compared row-for-row
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val got = Similarity.lloydRefineOn(vecs, k = 8, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    val data = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(x => math.floor(x * 1e6 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    var cents: Seq[(Long, Array[Long])] = data.take(8).map { case (id, x) => (id, x.clone) }
+    val ref = scala.collection.mutable.Set[(Int, Long, Long, Long, Long)]()
+    for (t <- 1 to 3) {
+      val assigned = data.map { case (id, x) =>
+        val (cid, dist) = cents.map { case (cc, c) =>
+          (cc, x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.minBy { case (cc, d) => (d, cc) }
+        (id, cid, dist, x)
+      }
+      val byCell = assigned.groupBy(_._2)
+      cents = cents.map { case (cid, cOld) =>
+        byCell.get(cid) match {
+          case Some(members) =>
+            val n = members.length
+            val c = (0 until cOld.length).map { j =>
+              math.floor(members.map(_._4(j)).sum.toDouble / n).toLong
+            }.toArray
+            (cid, c)
+          case None => (cid, cOld)
+        }
+      }
+      cents.foreach { case (cid, c) =>
+        val members = byCell.getOrElse(cid, Array.empty[(Long, Long, Long, Array[Long])])
+        ref += ((t, cid, members.length.toLong, members.map(_._3).sum, c.sum))
+      }
+    }
+    assert(got == ref.toSet,
+      s"engine diverged from the reference:\n got=${got.toSeq.sorted.take(5)}...\n ref=${ref.toSeq.sorted.take(5)}...")
+  }
+
+  test("lloyd refresh plan: the k-row centroid table broadcasts into the assignment scan") {
+    val q = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5D) AS BIGINT))").as("xq"))
+    val cents = q.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("cid"), col("xq").as("c"))
+    val plan = Similarity.lloydAssign(q, cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "assignment stage must broadcast the centroid side:\n" + plan.take(4000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "corpus must never shuffle for the assignment:\n" + plan.take(4000))
+  }
 }

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Standalone ScaleRehearsal runner on a SNAPSHOTTED classpath: copies the
+# compiled classes out of target/ first, so the long rehearsal can run in
+# the background while sbt keeps compiling/testing (no target-dir lock, no
+# mid-run class rewrites under the running JVM). JVM flags mirror
+# build.sbt's run/javaOptions (JDK-17 add-opens + UTF-8 + driver memory).
+#
+# Env: SPARK_GRAFT_SCALES (default "1,2,5,10"), SPARK_GRAFT_SF_DIR,
+#      SPARK_GRAFT_SCALE_RUNS, SPARK_GRAFT_CPUS, SPARK_DRIVER_MEM.
+set -e
+cd "$(dirname "$0")/.."
+SNAP=${GRAFT_CLASS_SNAP:-/tmp/graft_rehearsal_classes}
+rm -rf "$SNAP"
+cp -r target/scala-2.13/classes "$SNAP"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Dfile.encoding=UTF-8 \
+  -Dsun.jnu.encoding=UTF-8 \
+  -Xmx"${SPARK_DRIVER_MEM:-48g}" \
+  -cp "$SNAP:/opt/spark/jars/*" graft.ScaleRehearsal
