@@ -386,7 +386,8 @@ object SparkEntry {
     "q222_exact_substring_spans"   -> ((s: SparkSession, d: String) =>
       Dedup.exactSubstringSpans(s, d)),
     "q223_lloyd_refresh"           -> ((s: SparkSession, d: String) =>
-      Similarity.lloydRefine(s, d)))
+      Similarity.lloydRefine(s, d)),
+    "q224_graph_ann"               -> Accuracy.graphTopKGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1390,6 +1391,10 @@ object SparkEntry {
     // — deterministic by construction, so every row is value-checked
     "q29_lsh_topk" -> PlantedTopKOracle,
     "q220_rp_topk" -> PlantedTopKOracle,
+    // graph ANN: NN-Descent k-NN graph + beam search — deterministic
+    // end-to-end (id-anchored init/entries/tie-breaks), so the planted
+    // contract is the same closed form as the other ANN tiers
+    "q224_graph_ann" -> PlantedTopKOracle,
     "q51_ivf_topk" -> PlantedTopKOracle,
     "q74_pq_topk" -> PlantedTopKOracle,
     "q85_sq_topk" -> PlantedTopKOracle,

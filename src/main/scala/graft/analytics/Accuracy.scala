@@ -270,6 +270,16 @@ object Accuracy {
   def rpTopKGate(spark: SparkSession, dir: String): DataFrame =
     plantedTopKGate(spark, dir, (c, q) => Similarity.rpTopKOn(c, q, k = 5))
 
+  /** q224 gate: graph-ANN (NN-Descent build + beam-search serve) top-k,
+    * per-query planted rank/sim. The planted 2× copy shares the query's
+    * direction, so it is the beam's similarity argmax the moment ANY of
+    * {the plant, the query's own corpus twin} enters the explored set —
+    * and the twin's top out-edge IS the plant (cos 1.0), so one further
+    * hop always surfaces it. A broken graph build, symmetrization, or
+    * beam rank drops the plant and the hash mismatches. */
+  def graphTopKGate(spark: SparkSession, dir: String): DataFrame =
+    plantedTopKGate(spark, dir, (c, q) => AnnGraph.graphTopKOn(c, q, k = 5))
+
   /** q26 gate: exact Jaccard ≥ 0.6 pair set (the q25 oracle re-states it)
     * with a per-pair `lsh_found` flag from the MinHash-LSH candidate path.
     * The oracle asserts TRUE for every exact pair — i.e. recall 1.0 over

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{AnnGraph, Similarity}
+
+/** Graph-ANN tier (q224): NN-Descent k-NN graph + IVF-guided beam search. */
+class AnnGraphSpec extends SparkSpec {
+
+  private lazy val vecs = Tables.embeddings(spark, sf("sf0.001"))
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("graph build: degree bound holds and NN-Descent rounds only improve per-node quality") {
+    val init = AnnGraph.buildGraphOn(vecs, k = 8, rounds = 0)
+    val refined = AnnGraph.buildGraphOn(vecs, k = 8, rounds = 2)
+    val deg = refined.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).collect()(0).getLong(0)
+    assert(deg <= 8, s"out-degree exceeded k: $deg")
+    // the candidate set of every round includes the current edges, so the
+    // per-src kept top-k can only improve: sum of sims is non-decreasing
+    val q0 = init.groupBy(col("src")).agg(sum(col("sim")).as("s0"))
+    val q2 = refined.groupBy(col("src")).agg(sum(col("sim")).as("s2"))
+    val regressed = q0.join(q2, Seq("src"))
+      .filter(col("s2") < col("s0") - lit(1e-9)).count()
+    assert(regressed == 0, s"NN-Descent made $regressed nodes worse")
+    // and it genuinely finds better neighbors than the cell-blocked init
+    // somewhere (otherwise the rounds are dead code)
+    val improved = q0.join(q2, Seq("src"))
+      .filter(col("s2") > col("s0") + lit(1e-9)).count()
+    assert(improved > 0, "NN-Descent rounds improved nothing")
+  }
+
+  test("beam search recall vs exact brute force on real queries") {
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = Similarity.bruteForceTopK(spark, sf("sf0.001"), k = 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = AnnGraph.graphTopKOn(vecs, q, k = 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    // isotropic 64-dim noise is the adversarial case for greedy graph
+    // navigation (no similarity gradient to follow); the measured floor
+    // documents the contract honestly rather than overclaiming
+    assert(recall >= 0.5, s"graph-ANN recall collapsed: $recall")
+  }
+
+  test("plan: the beam frontier broadcasts into the graph expansion; graph never shuffles") {
+    val g = AnnGraph.buildGraphOn(vecs, k = 4, rounds = 0)
+    val frontier = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"))
+    val und = g.select(col("src"), col("dst"))
+      .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+    val plan = AnnGraph.expandHop(und, frontier)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "frontier must broadcast into the graph join:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "graph side must stream, never sort-merge:\n" + plan.take(3000))
+  }
+
+  test("planted copies surface at rank 1 sim 1.0 through build + serve") {
+    val out = analytics.Accuracy.graphTopKGate(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 10 &&
+      out.forall { case (_, rk, sim) => rk == 1L && sim == 1.0 },
+      s"plants lost: ${out.sortBy(_._1).mkString(", ")}")
+  }
+}
