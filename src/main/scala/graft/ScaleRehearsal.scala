@@ -276,6 +276,19 @@ object ScaleRehearsal {
       // (cid, dim) aggregate, so wall must track the corpus linearly;
       // the round count is a constant, never a function of data size
       val (tLloyd, _) = time(analytics.Similarity.lloydRefine(spark, dir).count())
+      // round-10 q224: graph ANN. K scales to hold cell size ≈ 64 (the
+      // q148 knob — a fixed-K cell init is quadratic per cell by
+      // construction), so the NN-Descent candidate volume must grow
+      // ~linearly (N·(2k)² for fixed degree k), and the beam-search serve
+      // cost is hops·|Q|·beam·degree — corpus-independent beyond the
+      // build's own scans.
+      val kGraphCents = math.max(16, (nVecs / 64).toInt)
+      val (_, nDescCand) = time(analytics.AnnGraph.descentCandidatesOn(
+        e, 8, kGraphCents).count())
+      val (tGraphAnn, _) = time(analytics.AnnGraph.graphTopKOn(e,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+        k = 5, numCentroids = kGraphCents).count())
       val wfd = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("source"), substring(md5(col("text").cast("binary")), 1, 2).as("p"))
       val maxSourceWindow = wfd.groupBy(col("source")).agg(count(lit(1)).as("c"))
@@ -350,7 +363,8 @@ object ScaleRehearsal {
         s""""q187_calibration":$tCal,"q188_fertility":$tFert,""" +
         s""""q198_waterfill":$tWf,"q203_chunking":$tChunk,""" +
         s""""q219_betweenness_exact":$tBetwEx,"q220_rp_topk":$tRp,""" +
-        s""""q222_substring":$tSubstr,"q223_lloyd":$tLloyd},""" +
+        s""""q222_substring":$tSubstr,"q223_lloyd":$tLloyd,""" +
+        s""""q224_graph_ann":$tGraphAnn},""" +
         s""""lex_delete":{"build":$tLexBuild,"delete":$tDelete,""" +
         s""""serve_mor":$tServeMor,"n_deleted":$nDeleted},""" +
         s""""n_chunks":$nChunks,""" +
@@ -358,7 +372,7 @@ object ScaleRehearsal {
         s""""bm25_matched_postings":$nMatchedPost,""" +
         s""""candidates":{"jaccard":$nJacCand,"minhash":$nMhCand,"simhash":$nShCand,""" +
         s""""simhash128":$nSh2Cand,"ivf":$nIvfCand,"fuzzy":$nFuzzyCand,""" +
-        s""""substring":$nSubstrCand},""" +
+        s""""substring":$nSubstrCand,"graph_descent":$nDescCand},""" +
         s""""fuzzy_max_block":{"prefix":$maxPrefixBlock,"composite":$maxCompositeBlock},""" +
         s""""ivf_neardup_cand":{"fixed16":$ivfNdFixedCand,"scaled":$ivfNdScaledCand},""" +
         s""""true_pairs":$nPairs,"decon_pairs":$nDeconPairs,"neardup_triangles":$nTriangles,""" +
