@@ -387,7 +387,8 @@ object SparkEntry {
       Dedup.exactSubstringSpans(s, d)),
     "q223_lloyd_refresh"           -> ((s: SparkSession, d: String) =>
       Similarity.lloydRefine(s, d)),
-    "q224_graph_ann"               -> Accuracy.graphTopKGate _)
+    "q224_graph_ann"               -> Accuracy.graphTopKGate _,
+    "q225_graph_index"             -> AnnGraphIndex.indexGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1395,6 +1396,9 @@ object SparkEntry {
     // end-to-end (id-anchored init/entries/tie-breaks), so the planted
     // contract is the same closed form as the other ANN tiers
     "q224_graph_ann" -> PlantedTopKOracle,
+    // persisted graph index: same closed-form planted contract, served
+    // from the bucketed tables instead of the in-memory path
+    "q225_graph_index" -> PlantedTopKOracle,
     "q51_ivf_topk" -> PlantedTopKOracle,
     "q74_pq_topk" -> PlantedTopKOracle,
     "q85_sq_topk" -> PlantedTopKOracle,

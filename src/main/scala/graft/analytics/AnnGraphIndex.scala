@@ -1,0 +1,210 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Materialize
+import graft.functions.VectorOps._
+import graft.sink.{Bucketed, ManagedPaths, TableSwap, Tombstones}
+
+/** PERSISTED graph-ANN index — the serving tier for [[AnnGraph]]'s
+  * NN-Descent k-NN graph, with the same lifecycle verbs as the other two
+  * persisted index families ([[AnnIndex]] cells, [[LexIndex]] postings):
+  * build / serve / delete (merge-on-read) / purge-on-compact / generation
+  * swap.
+  *
+  * Layout (all managed parquet):
+  *  - `{name}_edges`   (src, dst, sim) — the SYMMETRIZED graph, bucketed
+  *    by src: a serving hop probes it with the broadcast frontier, so the
+  *    index side never shuffles and (at warehouse scale) only the
+  *    frontier's buckets are opened.
+  *  - `{name}_vectors` (vec_id, v, cid) — bucketed by vec_id: candidate
+  *    scoring and the final re-rank fetch vectors by broadcast id probe.
+  *  - `{name}_entries` (cid, cv, rep) — one row per cell: the centroid
+  *    vector plus the cell's smallest-id member, the per-query IVF-guided
+  *    entry points ([[AnnGraph.ivfEntriesOn]] persisted).
+  *
+  * Symmetrization is a BUILD-time decision here (the in-memory
+  * [[AnnGraph.searchOn]] symmetrizes per search): serving then needs one
+  * bucketed probe per hop instead of a union of two directions, and the
+  * stored graph's degree bound is 2k, not k.
+  *
+  * Deletion semantics (merge-on-read): a delete appends ids to the
+  * tombstone log and touches no index table. Serving inner-joins every
+  * candidate through the tombstone-filtered vectors table, so a deleted
+  * vector can never be RETURNED — but edges through it also stop
+  * expanding (its row never re-enters the frontier), so heavy pending
+  * deletion degrades graph connectivity (recall), never correctness;
+  * the physical purge at [[compact]] rewrites both bucketed tables
+  * without the tombstoned endpoints and re-derives each cell's entry rep
+  * from the retained members. That trade is the right one at 100 TB: a
+  * vector's edges live in up to 2k src-buckets, so a per-request
+  * physical rewrite would touch the whole table.
+  */
+object AnnGraphIndex {
+
+  private val Suffixes = Seq("_edges", "_vectors", "_entries")
+
+  /** Build (or rebuild) the index over a corpus of (vec_id, v). */
+  def build(vecs: DataFrame, name: String, k: Int = 8, rounds: Int = 2,
+      numCentroids: Int = 16, buckets: Int = 32): Unit = {
+    val spark = vecs.sparkSession
+    val ids = vecs.select(col("vec_id"), col("v"))
+    val cents = Materialize(Similarity.trainCentroidsOn(ids, numCentroids))
+    val cells = Materialize(Similarity.assignCellsOn(ids, cents))
+    val g = AnnGraph.buildGraphFromCells(cells, k, rounds)
+    val und = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+    Bucketed.writeBucketed(und, s"${name}_edges", "src", buckets)
+    Bucketed.writeBucketed(cells.select(col("vec_id"), col("v"), col("cid")),
+      s"${name}_vectors", "vec_id", buckets)
+    writeEntries(spark, name,
+      cents.join(cells.groupBy(col("cid")).agg(min(col("vec_id")).as("rep")),
+        Seq("cid")))
+    Tombstones.clear(spark, name) // a rebuild has nothing to forget
+  }
+
+  private def writeEntries(spark: SparkSession, name: String,
+      entries: DataFrame): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_entries")
+    ManagedPaths.clearStale(spark, s"${name}_entries")
+    entries.write.format("parquet").saveAsTable(s"${name}_entries")
+  }
+
+  /** DELETE vectors — merge-on-read: O(batch) log append, no table
+    * touched; [[topKAgainst]] filters from the next query on, the
+    * physical purge rides [[compact]]. */
+  def delete(ids: DataFrame, name: String): Unit =
+    Tombstones.append(ids.select(col("vec_id")), name, "vec_id")
+
+  /** Beam-search serve from the persisted tables — same algorithm as
+    * [[AnnGraph.searchOn]] (AnnGraphSpec pins the equivalence against the
+    * in-memory path on an identical corpus): IVF-guided entries from the
+    * tiny `_entries` table, then `hops` rounds of broadcast-frontier probe
+    * into `_edges` + vector fetch from `_vectors`. Every index-side join
+    * streams the bucketed table against a broadcast; pending deletions
+    * drop out at the vector fetch (inner join through the filtered
+    * table). */
+  def topKAgainst(spark: SparkSession, name: String, queries: DataFrame,
+      k: Int, beam: Int = 32, hops: Int = 3, nprobe: Int = 2): DataFrame = {
+    healedTables(spark, name)
+    val q = Materialize(queries.select(col("query_id"), col("qv")))
+    val vectors = Tombstones.filter(
+      spark.table(s"${name}_vectors")
+        .select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+      name, "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    def score(cand: DataFrame): DataFrame = vectors
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("sim"))
+    def topBeam(scored: DataFrame): DataFrame = Materialize(
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam).drop("rn"))
+    val seed = q.crossJoin(broadcast(spark.table(s"${name}_entries")))
+      .select(col("query_id"), col("cid"), col("rep"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("rep").as("neighbor_id"))
+    var bs = topBeam(score(seed))
+    (1 to hops).foreach { _ =>
+      val expanded = expandHopAgainst(spark, name, bs)
+      bs = topBeam(bs.unionByName(score(expanded))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("sim")).as("sim")))
+    }
+    bs.filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"), col("rn"))
+  }
+
+  /** One persisted-serving expansion hop, exposed for the plan pin: the
+    * frontier broadcasts into the bucketed edges scan — the index side
+    * never shuffles. */
+  private[graft] def expandHopAgainst(spark: SparkSession, name: String,
+      frontier: DataFrame): DataFrame =
+    spark.table(s"${name}_edges")
+      .join(broadcast(frontier.select(col("query_id"),
+        col("neighbor_id").as("src"))), Seq("src"))
+      .select(col("query_id"), col("dst").as("neighbor_id")).distinct()
+
+  /** Physical purge — rewrite both bucketed tables without the tombstoned
+    * endpoints (an edge dies if EITHER end is deleted), re-derive each
+    * cell's entry rep from the retained members, then retire the log.
+    * Both rewrites ride the crash-safe staging-rename ([[Bucketed
+    * .replaceTable]]); the log clears last, so a crash anywhere replays
+    * into the same end state. */
+  def compact(spark: SparkSession, name: String): Unit = {
+    healedTables(spark, name)
+    val log = Tombstones.of(spark, name)
+    def retained(df: DataFrame, idCol: String): DataFrame =
+      Tombstones.filter(df, name, idCol)
+    val edges = Materialize(
+      retained(retained(spark.table(s"${name}_edges"), "src"), "dst"))
+    val vectors = Materialize(retained(spark.table(s"${name}_vectors"), "vec_id"))
+    val nb = bucketsOf(spark, s"${name}_edges")
+    Bucketed.replaceTable(spark, s"${name}_edges", staging =>
+      edges.repartition(nb, col("src")).write.bucketBy(nb, "src")
+        .sortBy("src").format("parquet").saveAsTable(staging))
+    val nv = bucketsOf(spark, s"${name}_vectors")
+    Bucketed.replaceTable(spark, s"${name}_vectors", staging =>
+      vectors.repartition(nv, col("vec_id")).write.bucketBy(nv, "vec_id")
+        .sortBy("vec_id").format("parquet").saveAsTable(staging))
+    if (log.isDefined) {
+      // snapshot BEFORE writeEntries drops the table the plan reads from
+      // (the drop-then-write self-reference trap — lazy plans must not
+      // survive past the DROP of their own source)
+      val cents = spark.table(s"${name}_entries").select(col("cid"), col("cv"))
+      val newEntries = Materialize(cents.join(
+        vectors.groupBy(col("cid")).agg(min(col("vec_id")).as("rep")),
+        Seq("cid")))
+      writeEntries(spark, name, newEntries)
+      Tombstones.clear(spark, name)
+    }
+  }
+
+  /** Deploy a rebuilt generation over the live name — the q217 pattern;
+    * pending live deletions carry forward inside [[TableSwap.swapIn]]. */
+  def swapIn(spark: SparkSession, staging: String, live: String): Unit =
+    TableSwap.swapIn(spark, staging, live, Suffixes)
+
+  private def bucketsOf(spark: SparkSession, t: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
+      .numBuckets
+
+  private def healedTables(spark: SparkSession, name: String): Unit =
+    Suffixes.foreach(s => Bucketed.healInterruptedReplace(spark, name + s))
+
+  /** q225: the oracle gate — planted-copy serving through the PERSISTED
+    * index (build over corpus + plants, serve the 10 queries from the
+    * tables): every plant must come back rank 1 at sim 1.0, the same
+    * closed form as the in-memory tiers (q29/q51/q74/q85/q87/q97/q220/
+    * q224). A broken bucketed layout, entry table, tombstone wiring, or
+    * serve loop drops a plant and the hash mismatches. */
+  def indexGate(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+    val planted = q.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(v, x -> x * 2.0d)").as("v"))
+    build(e.unionByName(planted), "graft_graph_idx")
+    val topk = topKAgainst(spark, "graft_graph_idx",
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
+    topk.groupBy(col("query_id"))
+      .agg(min(when(col("neighbor_id") === col("query_id") + 1000000L,
+          col("rn"))).as("rk"),
+        max(when(col("neighbor_id") === col("query_id") + 1000000L,
+          col("cos_sim"))).as("ps"))
+      .select(col("query_id"), col("rk").cast("long").as("plant_rank"),
+        col("ps").cast("double").as("plant_sim"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.analytics.{AnnGraph, Similarity}
+import graft.analytics.{AnnGraph, AnnGraphIndex, Similarity}
 
 /** Graph-ANN tier (q224): NN-Descent k-NN graph + IVF-guided beam search. */
 class AnnGraphSpec extends SparkSpec {
@@ -65,5 +65,72 @@ class AnnGraphSpec extends SparkSpec {
     assert(out.length == 10 &&
       out.forall { case (_, rk, sim) => rk == 1L && sim == 1.0 },
       s"plants lost: ${out.sortBy(_._1).mkString(", ")}")
+  }
+
+  test("persisted index serves exactly what the in-memory path serves") {
+    val name = "spec_graph_idx"
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    AnnGraphIndex.build(vecs, name)
+    val persisted = AnnGraphIndex.topKAgainst(spark, name, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    val inMemory = AnnGraph.graphTopKOn(vecs, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(persisted == inMemory,
+      s"persisted serve diverged from the in-memory path:\n" +
+        s" only persisted: ${(persisted -- inMemory).take(5)}\n" +
+        s" only in-memory: ${(inMemory -- persisted).take(5)}")
+  }
+
+  test("persisted index: delete masks immediately, compact purges at rest, swap deploys v2") {
+    val name = "spec_graph_idx_life"
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // plants make the assertions sharp: each query's planted copy is its
+    // guaranteed top-1 while present, and must VANISH once deleted
+    val planted = q.select((col("query_id") + 500000L).as("vec_id"),
+      expr("transform(qv, x -> x * 2.0d)").as("v"))
+    AnnGraphIndex.build(vecs.unionByName(planted), name)
+    def top1 = AnnGraphIndex.topKAgainst(spark, name, q, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top1.forall { case (qid, n, s) => n == qid + 500000L && s == 1.0 },
+      "plants not served before the delete")
+    // merge-on-read: the delete request touches no index table, but the
+    // tombstoned plants must stop being served from the next query on
+    AnnGraphIndex.delete(planted.select(col("vec_id")), name)
+    assert(top1.forall { case (_, n, s) => n < 500000L && s < 1.0 },
+      "tombstoned plants still served")
+    // physical purge: after compact the raw tables (bypassing the
+    // merge-on-read filter on purpose) hold no tombstoned endpoint
+    AnnGraphIndex.compact(spark, name)
+    def rawIds(t: String, c: String): Set[Long] =
+      spark.read.parquet(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString)
+        .select(col(c)).distinct().collect().map(_.getLong(0)).toSet
+    val gone = (0 until 5).map(_ + 500000L).toSet
+    assert(rawIds(s"${name}_vectors", "vec_id").intersect(gone).isEmpty,
+      "purged vectors still at rest")
+    assert(rawIds(s"${name}_edges", "src").intersect(gone).isEmpty &&
+      rawIds(s"${name}_edges", "dst").intersect(gone).isEmpty,
+      "purged edge endpoints still at rest")
+    // generation swap: rebuild WITH the plants under a staging name, swap,
+    // and the plants serve again through the live name
+    AnnGraphIndex.build(vecs.unionByName(planted), s"${name}_v2")
+    AnnGraphIndex.swapIn(spark, s"${name}_v2", name)
+    assert(top1.forall { case (qid, n, s) => n == qid + 500000L && s == 1.0 },
+      "staged generation not serving after swapIn")
+  }
+
+  test("persisted serving plan: frontier broadcasts into the bucketed edges scan") {
+    val name = "spec_graph_idx_plan"
+    AnnGraphIndex.build(vecs, name, k = 4, rounds = 0)
+    val frontier = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"))
+    val plan = AnnGraphIndex.expandHopAgainst(spark, name, frontier)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "frontier must broadcast into the edges probe:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning(src"),
+      "the edges table must stream, never shuffle:\n" + plan.take(3000))
   }
 }
