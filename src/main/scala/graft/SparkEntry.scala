@@ -388,7 +388,8 @@ object SparkEntry {
     "q223_lloyd_refresh"           -> ((s: SparkSession, d: String) =>
       Similarity.lloydRefine(s, d)),
     "q224_graph_ann"               -> Accuracy.graphTopKGate _,
-    "q225_graph_index"             -> AnnGraphIndex.indexGate _)
+    "q225_graph_index"             -> AnnGraphIndex.indexGate _,
+    "q226_graph_index_extend"      -> AnnGraphIndex.extendGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1399,6 +1400,9 @@ object SparkEntry {
     // persisted graph index: same closed-form planted contract, served
     // from the bucketed tables instead of the in-memory path
     "q225_graph_index" -> PlantedTopKOracle,
+    // graph-index incremental extend: plants arrive AFTER the build and
+    // must be reachable through the appended reverse edges
+    "q226_graph_index_extend" -> PlantedTopKOracle,
     "q51_ivf_topk" -> PlantedTopKOracle,
     "q74_pq_topk" -> PlantedTopKOracle,
     "q85_sq_topk" -> PlantedTopKOracle,

@@ -78,6 +78,54 @@ object AnnGraphIndex {
   def delete(ids: DataFrame, name: String): Unit =
     Tombstones.append(ids.select(col("vec_id")), name, "vec_id")
 
+  /** Append a new batch of vectors into the existing graph — the
+    * incremental graph-ANN insert, batched: each new vector's neighbor
+    * list comes from (a) the index's own serving path (beam search with
+    * the batch as the query set — the standard insert-by-search) unioned
+    * with (b) same-cell pairs WITHIN the batch (two fresh near-dups must
+    * link even though neither is indexed yet); the kept top-k edges append
+    * to `_edges` in BOTH directions, so existing nodes immediately gain
+    * reverse edges into the new vectors and serving reaches them with no
+    * rebuild. Degree of old nodes grows past 2k as batches accrue — a
+    * deliberate HNSW-style trade; the next full rebuild + [[swapIn]]
+    * re-normalizes (and [[compact]] keeps the file counts flat
+    * meanwhile). Cell reps in `_entries` stay as built: entry points only
+    * need to EXIST, and extends never remove rows.
+    *
+    * Replay safety (the DedupIndexStream discipline): a crash between
+    * this append and its stream marker can duplicate rows; serving
+    * tolerates duplicates (the hop-loop groupBy dedups (query, neighbor)
+    * before every rank), so at-least-once replay degrades nothing. */
+  def extend(newVecs: DataFrame, name: String, k: Int = 8): Unit = {
+    val spark = newVecs.sparkSession
+    healedTables(spark, name)
+    val ids = Materialize(newVecs.select(col("vec_id"), col("v")))
+    val cents = spark.table(s"${name}_entries")
+      .select(col("cid"), col("cv"))
+    val assigned = Materialize(Similarity.assignCellsOn(ids, cents))
+    val served = topKAgainst(spark, name,
+      ids.select(col("vec_id").as("query_id"), col("v").as("qv")), k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("cos_sim").as("sim"))
+    val a = assigned.select(col("cid"), col("vec_id").as("src"), col("v").as("sv"))
+    val b = assigned.select(col("cid"), col("vec_id").as("dst"), col("v").as("dv"))
+    val intra = a.join(b, Seq("cid")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), round(cosine(col("sv"), col("dv")), 4).as("sim"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
+    val kept = Materialize(served.unionByName(intra)
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn"))
+    val both = kept.unionByName(
+      kept.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+    val ne = bucketsOf(spark, s"${name}_edges")
+    both.write.mode("append").bucketBy(ne, "src").sortBy("src")
+      .format("parquet").saveAsTable(s"${name}_edges")
+    val nv = bucketsOf(spark, s"${name}_vectors")
+    assigned.select(col("vec_id"), col("v"), col("cid")).write.mode("append")
+      .bucketBy(nv, "vec_id").sortBy("vec_id")
+      .format("parquet").saveAsTable(s"${name}_vectors")
+  }
+
   /** Beam-search serve from the persisted tables — same algorithm as
     * [[AnnGraph.searchOn]] (AnnGraphSpec pins the equivalence against the
     * in-memory path on an identical corpus): IVF-guided entries from the
@@ -190,14 +238,31 @@ object AnnGraphIndex {
     * closed form as the in-memory tiers (q29/q51/q74/q85/q87/q97/q220/
     * q224). A broken bucketed layout, entry table, tombstone wiring, or
     * serve loop drops a plant and the hash mismatches. */
-  def indexGate(spark: SparkSession, dir: String): DataFrame = {
+  def indexGate(spark: SparkSession, dir: String): DataFrame =
+    plantedGate(spark, dir, "graft_graph_idx", extendPlants = false)
+
+  /** q226: the incremental-extend gate — build WITHOUT the plants, then
+    * [[extend]] with them, then serve: every plant must come back rank 1
+    * at sim 1.0 THROUGH the extended tables. This is the reachability
+    * claim the reverse edges exist for: a fresh vector is findable
+    * because its own insert-by-search edges were appended in both
+    * directions (the plant's top-1 neighbor is its corpus twin, so the
+    * twin's reverse edge leads the beam straight to the plant). A broken
+    * extend — edges one-directional, vectors unappended, stored-quantizer
+    * assignment wrong — drops plants and the hash mismatches. */
+  def extendGate(spark: SparkSession, dir: String): DataFrame =
+    plantedGate(spark, dir, "graft_graph_xidx", extendPlants = true)
+
+  private def plantedGate(spark: SparkSession, dir: String, name: String,
+      extendPlants: Boolean): DataFrame = {
     val e = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = e.filter(col("vec_id") < 10)
     val planted = q.select((col("vec_id") + 1000000L).as("vec_id"),
       expr("transform(v, x -> x * 2.0d)").as("v"))
-    build(e.unionByName(planted), "graft_graph_idx")
-    val topk = topKAgainst(spark, "graft_graph_idx",
+    if (extendPlants) { build(e, name); extend(planted, name) }
+    else build(e.unionByName(planted), name)
+    val topk = topKAgainst(spark, name,
       q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
     topk.groupBy(col("query_id"))
       .agg(min(when(col("neighbor_id") === col("query_id") + 1000000L,

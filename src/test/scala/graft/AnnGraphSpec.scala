@@ -121,6 +121,57 @@ class AnnGraphSpec extends SparkSpec {
       "staged generation not serving after swapIn")
   }
 
+  test("extend: fresh vectors reachable through appended reverse edges; duplicates never double-rank") {
+    import spark.implicits._
+    val name = "spec_graph_idx_ext"
+    AnnGraphIndex.build(vecs, name)
+    val qv3 = vecs.filter(col("vec_id") === 3L).collect()(0).getSeq[Double](1)
+    val plant = Seq((2000003L, qv3.map(_ * 2.0))).toDF("vec_id", "v")
+    AnnGraphIndex.extend(plant, name)
+    def top2 = AnnGraphIndex.topKAgainst(spark, name,
+      vecs.filter(col("vec_id") === 3L)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), k = 2)
+      .collect().sortBy(_.getAs[Int]("rn"))
+    val t = top2
+    assert(t(0).getAs[Long]("neighbor_id") == 2000003L &&
+      t(0).getAs[Double]("cos_sim") == 1.0,
+      s"extended plant not reachable: ${t.mkString(", ")}")
+    // crash-replay past the marker guard duplicates rows; the serve-side
+    // (query, neighbor) dedup must keep the plant to ONE top-k slot
+    AnnGraphIndex.extend(plant, name)
+    val t2 = top2
+    assert(t2(0).getAs[Long]("neighbor_id") == 2000003L &&
+      t2(1).getAs[Long]("neighbor_id") != 2000003L,
+      "duplicated extend rows occupied two top-k slots")
+  }
+
+  test("streaming maintenance: fresh vector served next batch; marker makes replay a no-op") {
+    import spark.implicits._
+    import graft.streaming.AnnGraphIndexStream
+    val name = "spec_graph_idx_stream"
+    AnnGraphIndex.build(vecs, name)
+    val tmp = java.nio.file.Files.createTempDirectory("graph_stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AnnGraphIndexStream.VecArrival]
+    val qv5 = vecs.filter(col("vec_id") === 5L).collect()(0).getSeq[Double](1)
+    in.addData(AnnGraphIndexStream.VecArrival(2000005L, qv5.map(_ * 2.0)))
+    val q = AnnGraphIndexStream.run(in.toDS(), name, tmp)
+      .option("checkpointLocation", s"$tmp/_cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val top = AnnGraphIndex.topKAgainst(spark, name,
+      vecs.filter(col("vec_id") === 5L)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), k = 1)
+      .collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 2000005L &&
+      top(0).getAs[Double]("cos_sim") == 1.0,
+      s"streamed vector not served: ${top.mkString(", ")}")
+    val before = spark.table(s"${name}_edges").count()
+    AnnGraphIndexStream.processBatch(spark, name,
+      Seq((2000005L, qv5.map(_ * 2.0))).toDF("vec_id", "v"), 0L, tmp)
+    assert(spark.table(s"${name}_edges").count() == before,
+      "marker-guarded replay appended again")
+  }
+
   test("persisted serving plan: frontier broadcasts into the bucketed edges scan") {
     val name = "spec_graph_idx_plan"
     AnnGraphIndex.build(vecs, name, k = 4, rounds = 0)
