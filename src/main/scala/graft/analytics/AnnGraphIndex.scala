@@ -65,12 +65,14 @@ object AnnGraphIndex {
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
 
+  /** The entries rewrite rides the staging-rename like every other table
+    * replacement here — a bare DROP-then-write would lose the table to a
+    * crash in the gap, and `_entries` is load-bearing for every serve
+    * (entry points) and every [[extend]] (the stored quantizer). */
   private def writeEntries(spark: SparkSession, name: String,
-      entries: DataFrame): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_entries")
-    ManagedPaths.clearStale(spark, s"${name}_entries")
-    entries.write.format("parquet").saveAsTable(s"${name}_entries")
-  }
+      entries: DataFrame): Unit =
+    Bucketed.replaceTable(spark, s"${name}_entries", staging =>
+      entries.write.format("parquet").saveAsTable(staging))
 
   /** DELETE vectors — merge-on-read: O(batch) log append, no table
     * touched; [[topKAgainst]] filters from the next query on, the

@@ -162,4 +162,50 @@ class CrashSweepSpec extends SparkSpec {
       assert(bm25Set(name) == refServed, "served BM25 drifted")
     }
   }
+
+  test("graph-index compact (purge) converges from EVERY crash prefix") {
+    import graft.analytics.AnnGraphIndex
+    val name = "swga_idx"
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 150).localCheckpoint()
+    val gone = vecs.filter(col("vec_id") >= 120).select(col("vec_id"))
+      .localCheckpoint()
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def serveSet(): Set[Seq[Any]] =
+      AnnGraphIndex.topKAgainst(spark, name, q, k = 3)
+        .collect().map(_.toSeq).toSet
+    // reference: compaction must not change a single served answer — the
+    // merge-on-read result BEFORE the purge is the contract (q47/q167
+    // no-answer-change pattern; a fresh retained build would retrain the
+    // quantizer and is deliberately NOT the reference)
+    dropAll("swga_")
+    AnnGraphIndex.build(vecs, name, k = 4, rounds = 1, numCentroids = 8,
+      buckets = 2)
+    AnnGraphIndex.delete(gone, name)
+    val refServed = serveSet()
+    def setup(): Unit = {
+      dropAll("swga_")
+      AnnGraphIndex.build(vecs, name, k = 4, rounds = 1, numCentroids = 8,
+        buckets = 2)
+      AnnGraphIndex.delete(gone, name)
+    }
+    sweep("graph compact")(setup _)(
+      () => AnnGraphIndex.compact(spark, name))(
+      () => AnnGraphIndex.compact(spark, name)) { k =>
+      assert(serveSet() == refServed, "served top-k drifted")
+      assert(!spark.catalog.tableExists(Tombstones.tableOf(name)),
+        "tombstone log not reset after recovered compact")
+      def rawIds(t: String, c: String): Set[Long] =
+        spark.read.parquet(spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString)
+          .select(col(c)).distinct().collect().map(_.getLong(0)).toSet
+      assert(rawIds(s"${name}_vectors", "vec_id").intersect(goneIds).isEmpty &&
+        rawIds(s"${name}_edges", "src").intersect(goneIds).isEmpty &&
+        rawIds(s"${name}_edges", "dst").intersect(goneIds).isEmpty,
+        "purged endpoints still at rest after recovery")
+    }
+  }
 }
