@@ -389,7 +389,8 @@ object SparkEntry {
       Similarity.lloydRefine(s, d)),
     "q224_graph_ann"               -> Accuracy.graphTopKGate _,
     "q225_graph_index"             -> AnnGraphIndex.indexGate _,
-    "q226_graph_index_extend"      -> AnnGraphIndex.extendGate _)
+    "q226_graph_index_extend"      -> AnnGraphIndex.extendGate _,
+    "q227_graph_index_audit"       -> AnnGraphIndex.auditGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1403,6 +1404,14 @@ object SparkEntry {
     // graph-index incremental extend: plants arrive AFTER the build and
     // must be reachable through the appended reverse edges
     "q226_graph_index_extend" -> PlantedTopKOracle,
+    // graph-index fsck after the full lifecycle (build + extend plants +
+    // delete plants + purge): the corpus count survives exactly, every
+    // invariant reads zero — the whole row is closed-form
+    "q227_graph_index_audit" ->
+      """SELECT count(*)::BIGINT AS n_vectors, 0::BIGINT AS orphan_endpoints,
+        |  0::BIGINT AS asym_edges, 0::BIGINT AS dup_edges,
+        |  0::BIGINT AS missing_reps
+        |FROM embeddings WHERE vec_id < 500""".stripMargin,
     "q51_ivf_topk" -> PlantedTopKOracle,
     "q74_pq_topk" -> PlantedTopKOracle,
     "q85_sq_topk" -> PlantedTopKOracle,

@@ -117,8 +117,12 @@ object AnnGraphIndex {
     val kept = Materialize(served.unionByName(intra)
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn"))
+    // dedupe the bidirectional union: an intra-batch MUTUAL pair (a picks
+    // b, b picks a) appears in kept both ways, so a bare union would
+    // append the same (src, dst) twice
     val both = kept.unionByName(
-      kept.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+        kept.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
     val ne = bucketsOf(spark, s"${name}_edges")
     both.write.mode("append").bucketBy(ne, "src").sortBy("src")
       .format("parquet").saveAsTable(s"${name}_edges")
@@ -240,6 +244,70 @@ object AnnGraphIndex {
     * closed form as the in-memory tiers (q29/q51/q74/q85/q87/q97/q220/
     * q224). A broken bucketed layout, entry table, tombstone wiring, or
     * serve loop drops a plant and the hash mismatches. */
+  /** Offline fsck for the graph surface — the [[IndexAudit]] discipline
+    * applied to the fourth persisted family. Full-scan invariants (audits
+    * are offline scans by design, like every fsck):
+    *  - `orphan_endpoints`: edges whose src or dst has no vectors row —
+    *    a torn extend (edges appended, vectors not) localizes here;
+    *  - `asym_edges`: edges whose reverse row is missing — build and
+    *    extend both write symmetrized, compact purges both directions,
+    *    so ANY asymmetry is corruption;
+    *  - `dup_edges`: (src, dst) stored more than once — the quantity an
+    *    at-least-once extend replay accrues (serving tolerates it; the
+    *    audit makes it visible so compaction can be scheduled);
+    *  - `missing_reps`: entry points whose rep vector is gone — a purge
+    *    that forgot to re-derive reps would strand serving.
+    * One row: (n_vectors, orphan_endpoints, asym_edges, dup_edges,
+    * missing_reps). */
+  def audit(spark: SparkSession, name: String): DataFrame = {
+    healedTables(spark, name)
+    val v = spark.table(s"${name}_vectors").select(col("vec_id"))
+    val e = spark.table(s"${name}_edges").select(col("src"), col("dst"))
+    val orphan = e.join(v.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+      .unionByName(
+        e.join(v.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")))
+    val asym = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_anti")
+    val dup = e.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val reps = spark.table(s"${name}_entries").select(col("rep").as("vec_id"))
+    val missingReps = reps.join(v, Seq("vec_id"), "left_anti")
+    v.agg(countDistinct(col("vec_id")).as("n_vectors"))
+      .crossJoin(orphan.agg(count(lit(1)).as("orphan_endpoints")))
+      .crossJoin(asym.agg(count(lit(1)).as("asym_edges")))
+      .crossJoin(dup.agg(count(lit(1)).as("dup_edges")))
+      .crossJoin(missingReps.agg(count(lit(1)).as("missing_reps")))
+  }
+
+  /** q227: the audit gate over the FULL lifecycle — build on the corpus,
+    * extend with plants, delete the plants, compact (physical purge),
+    * then audit: n_vectors must equal the corpus count exactly (plants
+    * arrived and were purged) and every invariant must read zero. The
+    * oracle states the whole row in closed form. A torn extend, a
+    * one-directional append, a purge that misses an endpoint or forgets
+    * the reps — each flips a column and the hash mismatches. */
+  def auditGate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_graph_aidx"
+    // bounded corpus slice (vec_id < 500, stated identically by the
+    // oracle): the gate's cost is its JOB COUNT (build + extend's
+    // insert-by-search + three staged rewrites + the fsck scans), not its
+    // data volume — slicing keeps the lifecycle exercise identical at
+    // every SF without making q227 the bench's dominant entry
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 500)
+    val planted = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v"))
+    build(e, name, rounds = 1)
+    extend(planted, name)
+    delete(planted.select(col("vec_id")), name)
+    compact(spark, name)
+    audit(spark, name)
+  }
+
   def indexGate(spark: SparkSession, dir: String): DataFrame =
     plantedGate(spark, dir, "graft_graph_idx", extendPlants = false)
 

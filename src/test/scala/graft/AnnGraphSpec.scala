@@ -172,6 +172,29 @@ class AnnGraphSpec extends SparkSpec {
       "marker-guarded replay appended again")
   }
 
+  test("audit: clean lifecycle reads all-zero; planted corruption is detected") {
+    import spark.implicits._
+    val name = "spec_graph_idx_audit"
+    AnnGraphIndex.build(vecs, name, k = 4, rounds = 0)
+    def auditRow = AnnGraphIndex.audit(spark, name).collect()(0)
+    val clean = auditRow
+    assert(Seq(1, 2, 3, 4).forall(i => clean.getLong(i) == 0L),
+      s"clean index audited dirty: $clean")
+    // plant corruption straight into the edges table: an edge with an
+    // unknown src, no reverse row, written twice
+    val poison = Seq((9999999L, 0L, 0.5), (9999999L, 0L, 0.5))
+      .toDF("src", "dst", "sim")
+    poison.write.mode("append").bucketBy(32, "src").sortBy("src")
+      .format("parquet").saveAsTable(s"${name}_edges")
+    val dirty = auditRow
+    assert(dirty.getAs[Long]("orphan_endpoints") >= 1,
+      s"orphan endpoint undetected: $dirty")
+    assert(dirty.getAs[Long]("asym_edges") >= 1,
+      s"asymmetric edge undetected: $dirty")
+    assert(dirty.getAs[Long]("dup_edges") >= 1,
+      s"duplicate edge undetected: $dirty")
+  }
+
   test("persisted serving plan: frontier broadcasts into the bucketed edges scan") {
     val name = "spec_graph_idx_plan"
     AnnGraphIndex.build(vecs, name, k = 4, rounds = 0)
