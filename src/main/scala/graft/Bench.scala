@@ -119,12 +119,19 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), "UTF-8")
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      val (qs, pr) = (root.get("queries"), root.get("probe"))
-      import scala.jdk.CollectionConverters._
-      qs.fieldNames().asScala.map { n =>
-        n -> (qs.get(n).asDouble(),
-          if (pr != null && pr.has(n)) pr.get(n).asDouble() else 0.0)
-      }.toMap
+      // cross-config comparisons are meaningless: a prior artifact from a
+      // different SF (or absent sf field) would flood flagged_regressions
+      // with "regressions" that are just the data-size change
+      val prevSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+      if (prevSf != sfDir) Map.empty[String, (Double, Double)]
+      else {
+        val (qs, pr) = (root.get("queries"), root.get("probe"))
+        import scala.jdk.CollectionConverters._
+        qs.fieldNames().asScala.map { n =>
+          n -> (qs.get(n).asDouble(),
+            if (pr != null && pr.has(n)) pr.get(n).asDouble() else 0.0)
+        }.toMap
+      }
     } catch { case _: Throwable => Map.empty }
 
     // The dedup family rides session-memoized shared intermediates (pair

@@ -56,8 +56,12 @@ object AnnGraph {
   def buildGraphOn(corpus: DataFrame, k: Int = 8, rounds: Int = 2,
       numCentroids: Int = 16): DataFrame = {
     val ids = corpus.select(col("vec_id"), col("v"))
-    buildGraphFromCells(Similarity.assignCellsOn(ids,
-      Similarity.trainCentroidsOn(ids, numCentroids)), k, rounds)
+    // materialize the assignment: buildGraphFromCells consumes the cells
+    // frame from several branches (count, cell pairs a/b, mix blockings)
+    // and Spark shares no subtrees — an un-cut lineage would re-run
+    // centroid training + assignment once per branch
+    buildGraphFromCells(Materialize(Similarity.assignCellsOn(ids,
+      Similarity.trainCentroidsOn(ids, numCentroids))), k, rounds)
   }
 
   /** The graph build proper, over an already cell-assigned corpus
@@ -90,11 +94,7 @@ object AnnGraph {
     var g = topKPerSrc(cellPairs.unionByName(mixPairs)
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim")), k)
     (1 to rounds).foreach { _ =>
-      val und = g.select(col("src"), col("dst"))
-        .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
-      val cand = und.as("g1").join(und.as("g2"), col("g1.dst") === col("g2.src"))
-        .select(col("g1.src").as("src"), col("g2.dst").as("dst"))
-        .filter(col("src") =!= col("dst"))
+      val cand = descentExpansion(g)
         .unionByName(g.select(col("src"), col("dst")))
         .distinct()
       val scored = cand
@@ -134,9 +134,14 @@ object AnnGraph {
     * point: this count must grow linearly with the corpus (N·(2k)² for
     * fixed k), never quadratically. */
   private[graft] def descentCandidatesOn(corpus: DataFrame, k: Int = 8,
-      numCentroids: Int = 16): DataFrame = {
-    val ids = corpus.select(col("vec_id"), col("v"))
-    val g = buildGraphOn(corpus, k, rounds = 0, numCentroids)
+      numCentroids: Int = 16): DataFrame =
+    descentExpansion(buildGraphOn(corpus, k, rounds = 0, numCentroids))
+
+  /** The NN-Descent candidate rule — symmetrize, then neighbor-of-
+    * neighbor — factored so the build loop and the ScaleRehearsal
+    * linearity instrumentation ([[descentCandidatesOn]]) can never
+    * desynchronize. */
+  private def descentExpansion(g: DataFrame): DataFrame = {
     val und = g.select(col("src"), col("dst"))
       .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
     und.as("g1").join(und.as("g2"), col("g1.dst") === col("g2.src"))

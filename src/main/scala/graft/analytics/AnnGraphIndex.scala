@@ -200,8 +200,13 @@ object AnnGraphIndex {
     val log = Tombstones.of(spark, name)
     def retained(df: DataFrame, idCol: String): DataFrame =
       Tombstones.filter(df, name, idCol)
+    // the rewrite also collapses duplicate (src, dst) rows — the quantity
+    // an at-least-once extend replay accrues (the audit's dup_edges
+    // column); compaction is the documented remedy, so it must actually
+    // remove them, not just re-write them
     val edges = Materialize(
-      retained(retained(spark.table(s"${name}_edges"), "src"), "dst"))
+      retained(retained(spark.table(s"${name}_edges"), "src"), "dst")
+        .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim")))
     val vectors = Materialize(retained(spark.table(s"${name}_vectors"), "vec_id"))
     val nb = bucketsOf(spark, s"${name}_edges")
     Bucketed.replaceTable(spark, s"${name}_edges", staging =>
@@ -225,9 +230,18 @@ object AnnGraphIndex {
   }
 
   /** Deploy a rebuilt generation over the live name — the q217 pattern;
-    * pending live deletions carry forward inside [[TableSwap.swapIn]]. */
-  def swapIn(spark: SparkSession, staging: String, live: String): Unit =
+    * pending live deletions carry forward inside [[TableSwap.swapIn]].
+    * Both generations heal FIRST: all three tables are replaceTable-
+    * managed, so a compact that died in a DROP→RENAME gap on the staging
+    * generation would otherwise read as "table absent" to TableSwap's
+    * skip-if-done suffix loop and deploy a MIXED generation (old edges
+    * against new vectors) with no error — the LexIndex.swapIn
+    * discipline. */
+  def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
+    healedTables(spark, staging)
+    healedTables(spark, live)
     TableSwap.swapIn(spark, staging, live, Suffixes)
+  }
 
   private def bucketsOf(spark: SparkSession, t: String): Int =
     spark.sessionState.catalog

@@ -742,8 +742,10 @@ object Similarity {
     (rounds, cents)
   }
 
-  def lloydRefineOn(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+  def lloydRefineOn(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"lloydRefineOn needs at least one round, got $iters")
     lloydLoop(lloydQuantize(vecs), k, iters)._1.reduce(_ unionByName _)
+  }
 
   /** The refreshed quantizer itself — final Lloyd centroids de-quantized
     * to the (cid, cv) shape the ANN family stores. The deployment half is

@@ -38,7 +38,11 @@ object SessionMemo {
     !spark.conf.getOption("spark.graft.pairgraph.cache").contains("false")
 
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    if (!enabled(spark)) build
+    // A/B mode means each CALLER pays its own cost once — not that every
+    // downstream branch of one caller re-runs the build (the pre-memo
+    // builders always materialized their shared frame before multi-branch
+    // consumption, e.g. DedupIndex.build's signature pass)
+    if (!enabled(spark)) Materialize(build)
     else {
       cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
       val k = (spark, key)
