@@ -163,6 +163,38 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("graph-index generation swap converges from EVERY crash prefix") {
+    import graft.analytics.AnnGraphIndex
+    val name = "swgs_live"; val stg = "swgs_stg"
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 120).localCheckpoint()
+    // the staged generation carries plants the live one lacks — the swap
+    // is only correct if ALL THREE tables deploy together (a mixed
+    // generation would lose either the plants' vectors or their edges)
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val planted = q.select((col("query_id") + 600000L).as("vec_id"),
+      expr("transform(qv, x -> x * 2.0d)").as("v")).localCheckpoint()
+    def top1(): Seq[(Long, Long, Double)] =
+      AnnGraphIndex.topKAgainst(spark, name, q, k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def setup(): Unit = {
+      dropAll("swgs_")
+      AnnGraphIndex.build(vecs, name, k = 4, rounds = 1, numCentroids = 8,
+        buckets = 2)
+      AnnGraphIndex.build(vecs.unionByName(planted), stg, k = 4, rounds = 1,
+        numCentroids = 8, buckets = 2)
+    }
+    sweep("graph swap")(setup _)(
+      () => AnnGraphIndex.swapIn(spark, stg, name))(
+      () => AnnGraphIndex.swapIn(spark, stg, name)) { k =>
+      val t = top1()
+      assert(t.forall { case (qid, n, s) => n == qid + 600000L && s == 1.0 },
+        s"staged generation not fully serving after recovery: $t")
+    }
+  }
+
   test("graph-index compact (purge) converges from EVERY crash prefix") {
     import graft.analytics.AnnGraphIndex
     val name = "swga_idx"
