@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.analytics.{AnnIndex, DedupIndex, LexIndex}
+import graft.analytics.{AnnGraphIndex, AnnIndex, DedupIndex, LexIndex}
 
 /** The STANDING deletion loop — what a GDPR/retention pipeline actually
   * runs: a stream of deletion requests fans out to every index the corpus
@@ -33,30 +33,36 @@ object RetentionStream {
 
   case class DeleteRequest(doc_id: Long)
 
-  /** One micro-batch: fan the request out to the three indexes. Purge
-    * every `purgeEvery` batches (0 = never — leave it to offline
+  /** One micro-batch: fan the request out to every maintained index
+    * (graph-index leg optional — round 10 added the fourth surface; its
+    * delete/compact obey the same fixed-point contract). Purge every
+    * `purgeEvery` batches (0 = never — leave it to offline
     * maintenance). */
   def processBatch(spark: SparkSession, batch: Dataset[DeleteRequest],
       batchId: Long, dedupName: String, lexName: String, annName: String,
-      purgeEvery: Int = 0): Unit = {
+      purgeEvery: Int = 0, graphName: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val ids = batch.toDF()
     DedupIndex.delete(ids.select(col("doc_id")), dedupName)
     LexIndex.delete(ids.select(col("doc_id")), lexName)
     AnnIndex.delete(ids.select(col("doc_id").as("vec_id")), annName)
+    graphName.foreach(g =>
+      AnnGraphIndex.delete(ids.select(col("doc_id").as("vec_id")), g))
     if (purgeEvery > 0 && (batchId + 1) % purgeEvery == 0) {
       DedupIndex.compact(spark, dedupName)
       LexIndex.compact(spark, lexName)
       AnnIndex.purgeTombstones(spark, annName)
+      graphName.foreach(g => AnnGraphIndex.compact(spark, g))
     }
   }
 
   /** The standing query: wire to `.option("checkpointLocation", …).start()`.
-    * All three indexes must exist before the stream starts. */
+    * Every named index must exist before the stream starts. */
   def run(reqs: Dataset[DeleteRequest], dedupName: String, lexName: String,
-      annName: String, purgeEvery: Int = 0): DataStreamWriter[DeleteRequest] =
+      annName: String, purgeEvery: Int = 0,
+      graphName: Option[String] = None): DataStreamWriter[DeleteRequest] =
     reqs.writeStream.foreachBatch { (batch: Dataset[DeleteRequest], batchId: Long) =>
       processBatch(batch.sparkSession, batch, batchId, dedupName, lexName,
-        annName, purgeEvery)
+        annName, purgeEvery, graphName)
     }
 }

@@ -195,6 +195,8 @@ class RetentionSpec extends SparkSpec {
     DedupIndex.build(corpus, "spec_rs_dd", buckets = 4)
     LexIndex.build(corpus, "spec_rs_lx", buckets = 4)
     AnnIndex.build(vecs, "spec_rs_an", numCentroids = 8)
+    graft.analytics.AnnGraphIndex.build(vecs, "spec_rs_gx", k = 4,
+      rounds = 1, numCentroids = 8, buckets = 4)
     def statsTotals(): (Long, Long) = {
       val r = spark.table("spec_rs_lx_stats")
         .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
@@ -206,11 +208,13 @@ class RetentionSpec extends SparkSpec {
     val b0 = docs.filter(col("cb") < 5).select("doc_id")
       .collect().map(_.getLong(0)).toSeq
     graft.streaming.RetentionStream.processBatch(spark, batchOf(b0), 0L,
-      "spec_rs_dd", "spec_rs_lx", "spec_rs_an")
+      "spec_rs_dd", "spec_rs_lx", "spec_rs_an",
+      graphName = Some("spec_rs_gx"))
     val t0 = statsTotals()
-    // replay the same batch — all three applies must be no-ops
+    // replay the same batch — all four applies must be no-ops
     graft.streaming.RetentionStream.processBatch(spark, batchOf(b0), 0L,
-      "spec_rs_dd", "spec_rs_lx", "spec_rs_an")
+      "spec_rs_dd", "spec_rs_lx", "spec_rs_an",
+      graphName = Some("spec_rs_gx"))
     assert(statsTotals() == t0, "replayed delete batch moved the stats")
 
     // crash window: batch 1's ids reach the lex tombstone log but the node
@@ -226,12 +230,14 @@ class RetentionSpec extends SparkSpec {
       "spec_rs_lx", "doc_id", payloadCols = Seq("dl"))
     val b1 = b1df.collect().map(_.getLong(0)).toSeq
     graft.streaming.RetentionStream.processBatch(spark, batchOf(b1), 1L,
-      "spec_rs_dd", "spec_rs_lx", "spec_rs_an")
+      "spec_rs_dd", "spec_rs_lx", "spec_rs_an",
+      graphName = Some("spec_rs_gx"))
     val b2 = docs.filter(col("cb") >= 8 && col("cb") < 10).select("doc_id")
       .collect().map(_.getLong(0)).toSeq
     // purgeEvery = 3, batchId 2 → this batch also runs the physical purges
     graft.streaming.RetentionStream.processBatch(spark, batchOf(b2), 2L,
-      "spec_rs_dd", "spec_rs_lx", "spec_rs_an", purgeEvery = 3)
+      "spec_rs_dd", "spec_rs_lx", "spec_rs_an", purgeEvery = 3,
+      graphName = Some("spec_rs_gx"))
     // post-purge: totals equal a from-scratch build on the retained corpus
     val retained = docs.filter(col("cb") >= 10).select("doc_id", "text")
     LexIndex.build(retained, "spec_rs_lx_ref", buckets = 4)
@@ -250,6 +256,13 @@ class RetentionSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(annIds.intersect(goneAll).isEmpty,
       "ann cells still hold tombstoned vectors after the cadence purge")
+    // the graph surface (round 10's fourth index) forgot too: both
+    // bucketed tables purged at rest, its log retired
+    assert(rawIds("spec_rs_gx_vectors", "vec_id").intersect(goneAll).isEmpty &&
+      rawIds("spec_rs_gx_edges", "src").intersect(goneAll).isEmpty &&
+      rawIds("spec_rs_gx_edges", "dst").intersect(goneAll).isEmpty,
+      "graph index still holds tombstoned endpoints after the cadence purge")
+    assert(!spark.catalog.tableExists(Tombstones.tableOf("spec_rs_gx")))
   }
 
   test("shard delete: only affected partitions rewritten; an emptied shard's partition is dropped") {
