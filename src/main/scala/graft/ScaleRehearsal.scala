@@ -322,6 +322,22 @@ object ScaleRehearsal {
       val (tServeMor, _) =
         time(analytics.LexIndex.bm25Against(spark, "reh_lex").count())
 
+      // round-10 graph index: the same delete-flatness claim for the
+      // fourth persisted surface — a FIXED deletion batch (base vec_ids
+      // < 100) against a per-scale rebuild, plus beam-search serve with
+      // the deletions pending. t_delete is one tombstone append
+      // (O(batch)); t_serve rides broadcast-frontier probes, so both must
+      // stay flat while t_build tracks the corpus.
+      val tGraphBuild = once(analytics.AnnGraphIndex.build(e, "reh_gidx",
+        rounds = 1, numCentroids = kGraphCents))
+      val gDelBatch = e.filter(col("vec_id") < 100).select(col("vec_id"))
+      val tGraphDelete = once(analytics.AnnGraphIndex.delete(gDelBatch, "reh_gidx"))
+      val (tGraphServe, _) = time(analytics.AnnGraphIndex.topKAgainst(
+        spark, "reh_gidx",
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+        k = 5).count())
+
       // q95 skew-cap evidence: the largest single join group under the
       // char-prefix-only blocking key (round ≤4) vs the composite key in
       // use — (first-3-tokens, ⌊len/30⌋) since round 9 (token-prefix
@@ -367,6 +383,8 @@ object ScaleRehearsal {
         s""""q224_graph_ann":$tGraphAnn},""" +
         s""""lex_delete":{"build":$tLexBuild,"delete":$tDelete,""" +
         s""""serve_mor":$tServeMor,"n_deleted":$nDeleted},""" +
+        s""""graph_index":{"build":$tGraphBuild,"delete":$tGraphDelete,""" +
+        s""""serve_mor":$tGraphServe},""" +
         s""""n_chunks":$nChunks,""" +
         s""""wf_max_window":{"source":$maxSourceWindow,"salted":$maxSaltedWindow},""" +
         s""""bm25_matched_postings":$nMatchedPost,""" +

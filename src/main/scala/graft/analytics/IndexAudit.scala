@@ -67,13 +67,24 @@ object IndexAudit {
     centroidsMemo(spark, dir); cellsMemo(spark, dir)
   }
 
+  /** With the memo OFF (A/B mode) the helpers hand back raw lazy frames;
+    * the buildFrom* sinks consume them from two branches each, so cut
+    * lineage here — with the memo ON the frames are already
+    * materialized and this is the identity. */
+  private def snap(spark: SparkSession, df: org.apache.spark.sql.DataFrame) =
+    if (spark.conf.getOption("spark.graft.pairgraph.cache").contains("false"))
+      graft.functions.Materialize(df)
+    else df
+
   private def buildTrio(spark: SparkSession, dir: String, prefix: String,
       buckets: Int): Unit = {
-    DedupIndex.buildFromSigs(sigsMemo(spark, dir), s"${prefix}_dd", buckets)
-    LexIndex.buildFrom(postingsMemo(spark, dir), dlMemo(spark, dir),
-      s"${prefix}_lx", buckets)
-    AnnIndex.buildFrom(gateVecs(spark, dir), centroidsMemo(spark, dir),
-      cellsMemo(spark, dir), s"${prefix}_an")
+    DedupIndex.buildFromSigs(snap(spark, sigsMemo(spark, dir)),
+      s"${prefix}_dd", buckets)
+    LexIndex.buildFrom(snap(spark, postingsMemo(spark, dir)),
+      snap(spark, dlMemo(spark, dir)), s"${prefix}_lx", buckets)
+    AnnIndex.buildFrom(gateVecs(spark, dir),
+      snap(spark, centroidsMemo(spark, dir)),
+      snap(spark, cellsMemo(spark, dir)), s"${prefix}_an")
   }
 
   def auditGate(spark: SparkSession, dir: String): DataFrame = {

@@ -38,11 +38,12 @@ object SessionMemo {
     !spark.conf.getOption("spark.graft.pairgraph.cache").contains("false")
 
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    // A/B mode means each CALLER pays its own cost once — not that every
-    // downstream branch of one caller re-runs the build (the pre-memo
-    // builders always materialized their shared frame before multi-branch
-    // consumption, e.g. DedupIndex.build's signature pass)
-    if (!enabled(spark)) Materialize(build)
+    // A/B mode returns the RAW lazy frame on purpose: plan-shape specs
+    // inspect the un-memoized lineage through this path, and a forced
+    // Materialize here would pin them to a checkpoint scan. Callers that
+    // consume a memoized frame from several branches must cut lineage
+    // themselves when the memo is off (IndexAudit.buildTrio does).
+    if (!enabled(spark)) build
     else {
       cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
       val k = (spark, key)
