@@ -122,8 +122,11 @@ object Bench {
       // cross-config comparisons are meaningless: a prior artifact from a
       // different SF (or absent sf field) would flood flagged_regressions
       // with "regressions" that are just the data-size change
+      def norm(p: String): String =
+        java.nio.file.Paths.get(p).normalize().toString
       val prevSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
-      if (prevSf != sfDir) Map.empty[String, (Double, Double)]
+      if (prevSf.isEmpty || norm(prevSf) != norm(sfDir))
+        Map.empty[String, (Double, Double)]
       else {
         val (qs, pr) = (root.get("queries"), root.get("probe"))
         import scala.jdk.CollectionConverters._

@@ -136,17 +136,21 @@ object AnnGraph {
   private[graft] def descentCandidatesOn(corpus: DataFrame, k: Int = 8,
       numCentroids: Int = 16): DataFrame =
     descentExpansion(buildGraphOn(corpus, k, rounds = 0, numCentroids))
+      .distinct()
 
   /** The NN-Descent candidate rule — symmetrize, then neighbor-of-
     * neighbor — factored so the build loop and the ScaleRehearsal
     * linearity instrumentation ([[descentCandidatesOn]]) can never
-    * desynchronize. */
+    * desynchronize. Deliberately NOT deduplicated here: the build loop
+    * unions the current edges and dedups ONCE (a second distinct would
+    * shuffle the family's largest intermediate twice per round);
+    * [[descentCandidatesOn]] adds its own for the exact count. */
   private def descentExpansion(g: DataFrame): DataFrame = {
     val und = g.select(col("src"), col("dst"))
       .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
     und.as("g1").join(und.as("g2"), col("g1.dst") === col("g2.src"))
       .select(col("g1.src").as("src"), col("g2.dst").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
   }
 
   private def topKPerSrc(edges: DataFrame, k: Int): DataFrame = {

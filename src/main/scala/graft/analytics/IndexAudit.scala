@@ -72,7 +72,7 @@ object IndexAudit {
     * lineage here — with the memo ON the frames are already
     * materialized and this is the identity. */
   private def snap(spark: SparkSession, df: org.apache.spark.sql.DataFrame) =
-    if (spark.conf.getOption("spark.graft.pairgraph.cache").contains("false"))
+    if (!graft.functions.SessionMemo.enabled(spark))
       graft.functions.Materialize(df)
     else df
 

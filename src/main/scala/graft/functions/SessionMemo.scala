@@ -34,7 +34,7 @@ object SessionMemo {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def enabled(spark: SparkSession): Boolean =
+  private[graft] def enabled(spark: SparkSession): Boolean =
     !spark.conf.getOption("spark.graft.pairgraph.cache").contains("false")
 
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =

@@ -35,6 +35,14 @@ object TableSwap {
 
   def swapIn(spark: SparkSession, staging: String, live: String,
       suffixes: Seq[String]): Unit = {
+    // Heal BOTH generations' tables first, for every family at once: any
+    // suffix table may be replaceTable-managed (a compact that died in
+    // its DROP→RENAME gap leaves the snapshot under `__staging` and the
+    // table reading as ABSENT), and the skip-if-done check below would
+    // then skip that suffix and deploy a MIXED generation silently.
+    // No-op for tables with no interrupted rename pending.
+    for (suffix <- suffixes; gen <- Seq(staging, live))
+      Bucketed.healInterruptedReplace(spark, gen + suffix)
     for (suffix <- suffixes) {
       val (s, l) = (staging + suffix, live + suffix)
       if (spark.catalog.tableExists(s)) {

@@ -190,7 +190,8 @@ class CrashSweepSpec extends SparkSpec {
       () => AnnGraphIndex.swapIn(spark, stg, name))(
       () => AnnGraphIndex.swapIn(spark, stg, name)) { k =>
       val t = top1()
-      assert(t.forall { case (qid, n, s) => n == qid + 600000L && s == 1.0 },
+      assert(t.size == 5 &&
+        t.forall { case (qid, n, s) => n == qid + 600000L && s == 1.0 },
         s"staged generation not fully serving after recovery: $t")
     }
   }
