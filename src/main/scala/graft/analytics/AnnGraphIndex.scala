@@ -229,6 +229,26 @@ object AnnGraphIndex {
     }
   }
 
+  /** Graph-quality RENORMALIZATION — the rebuild-and-deploy loop that
+    * [[extend]]'s scaladoc defers to (old nodes' degree grows past 2k as
+    * batches accrue; descent quality decays as the corpus shifts): rebuild
+    * the whole graph from the index's CURRENT vectors (tombstones
+    * excluded — over-deletion-safe like every rebuild; pending requests
+    * still carry across the swap) into a staging name while the live
+    * index keeps serving, then deploy with [[swapIn]]. The graph twin of
+    * [[AnnIndex.refreshQuantizer]]. */
+  def refresh(spark: SparkSession, name: String, k: Int = 8,
+      rounds: Int = 2, numCentroids: Int = 16): Unit = {
+    healedTables(spark, name)
+    val vecs = Materialize(Tombstones.filter(
+      spark.table(s"${name}_vectors").select(col("vec_id"), col("v")),
+      name, "vec_id"))
+    val staging = name + "__refresh"
+    val nb = bucketsOf(spark, s"${name}_edges")
+    build(vecs, staging, k, rounds, numCentroids, nb)
+    swapIn(spark, staging, name)
+  }
+
   /** Deploy a rebuilt generation over the live name — the q217 pattern;
     * pending live deletions carry forward inside [[TableSwap.swapIn]].
     * Both generations heal FIRST: all three tables are replaceTable-

@@ -172,6 +172,49 @@ class AnnGraphSpec extends SparkSpec {
       "marker-guarded replay appended again")
   }
 
+  test("refresh: rebuild from current vectors honors deletions; degree re-normalizes; serving intact") {
+    val name = "spec_graph_idx_refresh"
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val planted = q.select((col("query_id") + 700000L).as("vec_id"),
+      expr("transform(qv, x -> x * 2.0d)").as("v"))
+    AnnGraphIndex.build(vecs.unionByName(planted), name, k = 4)
+    // degree/shape drift: several insert-by-search extend batches
+    def extendBatch(b: Int) =
+      vecs.filter(col("vec_id") >= 400 && col("vec_id") < 410)
+        .select((col("vec_id") + lit(800000L + b * 1000L)).as("vec_id"), col("v"))
+    (0 until 3).foreach(b => AnnGraphIndex.extend(extendBatch(b), name, k = 4))
+    // a pending deletion at refresh time: the rebuild snapshot excludes it
+    AnnGraphIndex.delete(planted.select(col("vec_id")).filter(col("vec_id") === 700000L), name)
+    AnnGraphIndex.refresh(spark, name, k = 4)
+    // renormalization, stated exactly: the refreshed graph IS the
+    // canonical deterministic build over the retained vectors — the
+    // extend-accrued edge shape (inflated degrees, insert-by-search
+    // neighbor lists) is fully re-derived, not patched
+    val retained = (0 until 3).map(extendBatch)
+      .foldLeft(vecs.unionByName(planted))(_ unionByName _)
+      .filter(col("vec_id") =!= 700000L)
+    AnnGraphIndex.build(retained, s"${name}_ref", k = 4)
+    def edgeSet(t: String): Set[(Long, Long)] = spark.table(t)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(s"${name}_edges") == edgeSet(s"${name}_ref_edges"),
+      "refreshed graph differs from the canonical rebuild on retained vectors")
+    // deleted plant gone at rest AND unserved; the other four still serve
+    val atRest = spark.read.parquet(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_vectors"))
+        .location.toString)
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(!atRest.contains(700000L), "tombstoned vector survived the refresh rebuild")
+    val served = AnnGraphIndex.topKAgainst(spark, name, q, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(served.filter(_._1 != 0L).forall { case (qid, n, s) =>
+      n == qid + 700000L && s == 1.0 },
+      s"retained plants lost through the refresh: ${served.mkString(", ")}")
+    assert(served.find(_._1 == 0L).forall(_._2 != 700000L),
+      "deleted plant still served after refresh")
+  }
+
   test("audit: clean lifecycle reads all-zero; planted corruption is detected") {
     import spark.implicits._
     val name = "spec_graph_idx_audit"
