@@ -217,23 +217,34 @@ object Bench {
     // only when the probe can't explain it: ≥1.5× slower, ≥0.5 s absolute
     // now, and the query's probe NOT similarly elevated (an elevated probe
     // is the ambient-contention signature — those adjudicate themselves).
-    val vsPrev: Seq[(String, Double, Double)] = results.flatMap {
+    // A query whose PRIOR probe is missing/zero has no contention baseline
+    // at all — defaulting its probe ratio to 1.0 would read as "probe not
+    // elevated" and let a contention-caused slowdown be flagged as a code
+    // regression (round-10 ADVICE); those go under "unadjudicated" instead.
+    val vsPrev: Seq[(String, Double, Option[Double])] = results.flatMap {
       case (k, v, _, p, _) => prev.get(k).map { case (pv, pp) =>
-        (k, if (pv > 0) v / pv else 1.0, if (pp > 0) p / pp else 1.0)
+        (k, if (pv > 0) v / pv else 1.0,
+          if (pp > 0) Some(p / pp) else None)
       }
     }
+    def slowedNow(k: String, r: Double): Boolean =
+      r >= 1.5 && results.find(_._1 == k).exists(_._2 >= 0.5)
     val flaggedRegressions = vsPrev.collect {
-      case (k, r, probeR) if r >= 1.5 && probeR < 1.5 &&
-        results.find(_._1 == k).exists(_._2 >= 0.5) => k
+      case (k, r, Some(probeR)) if slowedNow(k, r) && probeR < 1.5 => k
+    }.sorted
+    val unadjudicated = vsPrev.collect {
+      case (k, r, None) if slowedNow(k, r) => k
     }.sorted
     val vsPrevJson = vsPrev.map { case (k, r, pr0) =>
-      s"\"" + k + "\":[" + r4(r) + "," + r4(pr0) + "]"
+      s"\"" + k + "\":[" + r4(r) + "," + pr0.map(r4(_).toString).getOrElse("null") + "]"
     }.mkString("{", ",", "}")
     val flaggedJson = flaggedRegressions.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    val unadjJson = unadjudicated.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
 
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$nFailed,"errors":$errJson,"probe":$probes,"spread":$spreads,"vs_prev":$vsPrevJson,"flagged_regressions":$flaggedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"failed":$nFailed,"errors":$errJson,"probe":$probes,"spread":$spreads,"vs_prev":$vsPrevJson,"flagged_regressions":$flaggedJson,"unadjudicated":$unadjJson}"""
     // full-precision artifact: on disk for the judge, and early on stdout
     // (anything printed BEFORE the final line is allowed to scroll out of
     // the driver's 2000-char tail)
@@ -276,7 +287,8 @@ object Bench {
       // flagged list capped at 8 (tail budget); the count is always true
       val fr = s""","flagged_regressions":${flaggedRegressions.take(8)
         .map(k => "\"" + shortNames(k) + "\"").mkString("[", ",", "]")}""" +
-        s""","n_flagged":${flaggedRegressions.length}"""
+        s""","n_flagged":${flaggedRegressions.length}""" +
+        (if (unadjudicated.nonEmpty) s""","n_unadj":${unadjudicated.length}""" else "")
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$m,"sf":"$sfDir","runs":$runs,"n_queries":${results.length},"failed":$nFailed$er$fr,"probe_med":${r4(probeMed)},"probe_max":${r4(probeMax)},"spread_max":${r4(spreadMax)},"detail":"bench_full.json"$om}"""
     }
 

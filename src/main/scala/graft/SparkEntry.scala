@@ -1407,10 +1407,15 @@ object SparkEntry {
     // graph-index fsck after the full lifecycle (build + extend plants +
     // delete plants + purge): the corpus count survives exactly, every
     // invariant reads zero — the whole row is closed-form
+    // degree columns gate as restored-booleans: every extend edge touches
+    // a purged plant, so the post-compact degree profile (max + exact p99)
+    // must equal the pre-extend baseline exactly — provably true, hence
+    // closed-form (the production audit carries the raw numbers)
     "q227_graph_index_audit" ->
       """SELECT count(*)::BIGINT AS n_vectors, 0::BIGINT AS orphan_endpoints,
         |  0::BIGINT AS asym_edges, 0::BIGINT AS dup_edges,
-        |  0::BIGINT AS missing_reps
+        |  0::BIGINT AS missing_reps,
+        |  true AS degree_restored, true AS p99_restored
         |FROM embeddings WHERE vec_id < 500""".stripMargin,
     "q51_ivf_topk" -> PlantedTopKOracle,
     "q74_pq_topk" -> PlantedTopKOracle,

@@ -105,14 +105,19 @@ object AnnGraphIndex {
     val cents = spark.table(s"${name}_entries")
       .select(col("cid"), col("cv"))
     val assigned = Materialize(Similarity.assignCellsOn(ids, cents))
-    val served = topKAgainst(spark, name,
+    // full-precision sims on BOTH legs (round-10 ADVICE): build/refresh
+    // store unrounded cosines, and compact's max(sim) dedup would silently
+    // prefer an unrounded weight over a rounded one for the same logical
+    // edge on near-ties — rounding belongs at the serving output boundary
+    // (topKAgainst's final select), never at rest
+    val served = topKRawAgainst(spark, name,
       ids.select(col("vec_id").as("query_id"), col("v").as("qv")), k)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
-        col("cos_sim").as("sim"))
+        col("sim"))
     val a = assigned.select(col("cid"), col("vec_id").as("src"), col("v").as("sv"))
     val b = assigned.select(col("cid"), col("vec_id").as("dst"), col("v").as("dv"))
     val intra = a.join(b, Seq("cid")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), round(cosine(col("sv"), col("dv")), 4).as("sim"))
+      .select(col("src"), col("dst"), cosine(col("sv"), col("dv")).as("sim"))
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
     val kept = Materialize(served.unionByName(intra)
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
@@ -141,7 +146,17 @@ object AnnGraphIndex {
     * drop out at the vector fetch (inner join through the filtered
     * table). */
   def topKAgainst(spark: SparkSession, name: String, queries: DataFrame,
-      k: Int, beam: Int = 32, hops: Int = 3, nprobe: Int = 2): DataFrame = {
+      k: Int, beam: Int = 32, hops: Int = 3, nprobe: Int = 2): DataFrame =
+    topKRawAgainst(spark, name, queries, k, beam, hops, nprobe)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"), col("rn"))
+
+  /** [[topKAgainst]] before the output-boundary rounding — [[extend]]
+    * consumes this so stored edge weights stay full-precision on every
+    * write path (build, refresh, extend). */
+  private def topKRawAgainst(spark: SparkSession, name: String,
+      queries: DataFrame, k: Int, beam: Int = 32, hops: Int = 3,
+      nprobe: Int = 2): DataFrame = {
     healedTables(spark, name)
     val q = Materialize(queries.select(col("query_id"), col("qv")))
     val vectors = Tombstones.filter(
@@ -161,7 +176,7 @@ object AnnGraphIndex {
     def topBeam(scored: DataFrame): DataFrame = Materialize(
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam).drop("rn"))
-    val seed = q.crossJoin(broadcast(spark.table(s"${name}_entries")))
+    val seed = q.crossJoin(broadcast(entryPoints(spark, name)))
       .select(col("query_id"), col("cid"), col("rep"),
         cosine(col("qv"), col("cv")).as("csim"))
       .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
@@ -175,8 +190,37 @@ object AnnGraphIndex {
     }
     bs.filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"), col("rn"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+  }
+
+  /** Per-query entry points — `_entries` as stored, unless deletions are
+    * pending: a cell rep awaiting deletion still EXISTS as an entry
+    * coordinate, but [[topKAgainst]] scores seeds through the
+    * tombstone-filtered vectors table, so a query whose every probed
+    * cell's rep is pending deletion would get ZERO seeds and return empty
+    * (not merely degraded) until compact re-derives reps (round-10
+    * ADVICE). With a non-empty log, reps are filtered against it and each
+    * orphaned cell falls back to its smallest RETAINED member — the same
+    * rule compact's re-derivation applies, just computed merge-on-read. A
+    * cell with no retained member drops out entirely (nothing to seed).
+    * The fallback scan is log-gated: with no pending deletions (the
+    * steady state) this is exactly the tiny `_entries` table. */
+  private def entryPoints(spark: SparkSession, name: String): DataFrame = {
+    val entries = spark.table(s"${name}_entries")
+    if (Tombstones.of(spark, name).isEmpty) entries
+    else {
+      val clean = Tombstones.filter(entries, name, "rep")
+      val orphaned = entries.join(clean.select(col("cid")), Seq("cid"), "left_anti")
+        .select(col("cid"), col("cv"))
+      val fallback = Tombstones.filter(
+          spark.table(s"${name}_vectors").select(col("cid"), col("vec_id")),
+          name, "vec_id")
+        .join(broadcast(orphaned.select(col("cid"))), Seq("cid"))
+        .groupBy(col("cid")).agg(min(col("vec_id")).as("rep"))
+        .join(broadcast(orphaned), Seq("cid"))
+        .select(col("cid"), col("cv"), col("rep"))
+      clean.unionByName(fallback)
+    }
   }
 
   /** One persisted-serving expansion hop, exposed for the plan pin: the
@@ -290,9 +334,15 @@ object AnnGraphIndex {
     *    at-least-once extend replay accrues (serving tolerates it; the
     *    audit makes it visible so compaction can be scheduled);
     *  - `missing_reps`: entry points whose rep vector is gone — a purge
-    *    that forgot to re-derive reps would strand serving.
+    *    that forgot to re-derive reps would strand serving;
+    *  - `max_degree` / `p99_degree`: the out-degree distribution of the
+    *    symmetrized graph (distinct neighbors per src — replay dups are
+    *    counted separately). [[extend]] grows old-node degree past the
+    *    build-time profile by design until rebuild; these columns make
+    *    the rebuild cadence SCHEDULABLE from the audit artifact instead
+    *    of discovered at serve-latency time (round-10 VERDICT item 6).
     * One row: (n_vectors, orphan_endpoints, asym_edges, dup_edges,
-    * missing_reps). */
+    * missing_reps, max_degree, p99_degree). */
   def audit(spark: SparkSession, name: String): DataFrame = {
     healedTables(spark, name)
     val v = spark.table(s"${name}_vectors").select(col("vec_id"))
@@ -308,20 +358,34 @@ object AnnGraphIndex {
       .filter(col("c") > 1)
     val reps = spark.table(s"${name}_entries").select(col("rep").as("vec_id"))
     val missingReps = reps.join(v, Seq("vec_id"), "left_anti")
+    // exact percentile (sort-based), not approx: the audit is an offline
+    // full scan anyway, and the q227 restored-check needs both sides of
+    // the comparison computed by the identical deterministic rule
+    val deg = e.groupBy(col("src")).agg(countDistinct(col("dst")).as("d"))
+      .agg(max(col("d")).as("max_degree"),
+        expr("cast(percentile(d, 0.99d) as double)").as("p99_degree"))
     v.agg(countDistinct(col("vec_id")).as("n_vectors"))
       .crossJoin(orphan.agg(count(lit(1)).as("orphan_endpoints")))
       .crossJoin(asym.agg(count(lit(1)).as("asym_edges")))
       .crossJoin(dup.agg(count(lit(1)).as("dup_edges")))
       .crossJoin(missingReps.agg(count(lit(1)).as("missing_reps")))
+      .crossJoin(deg)
   }
 
   /** q227: the audit gate over the FULL lifecycle — build on the corpus,
     * extend with plants, delete the plants, compact (physical purge),
     * then audit: n_vectors must equal the corpus count exactly (plants
     * arrived and were purged) and every invariant must read zero. The
-    * oracle states the whole row in closed form. A torn extend, a
+    * degree columns gate as RESTORED booleans: every extend-appended edge
+    * touches a plant (served pairs and intra-batch pairs are both
+    * batch-anchored) and every plant is purged, so the post-compact edge
+    * set provably equals the build edge set and the degree profile —
+    * max and exact p99 — must match the pre-extend baseline bit for bit;
+    * the raw degree numbers stay available on the production [[audit]].
+    * The oracle states the whole row in closed form. A torn extend, a
     * one-directional append, a purge that misses an endpoint or forgets
-    * the reps — each flips a column and the hash mismatches. */
+    * the reps, an extend edge that survived the purge — each flips a
+    * column and the hash mismatches. */
   def auditGate(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_graph_aidx"
     // bounded corpus slice (vec_id < 500, stated identically by the
@@ -336,10 +400,18 @@ object AnnGraphIndex {
       .select((col("vec_id") + 1000000L).as("vec_id"),
         expr("transform(v, x -> x * 2.0d)").as("v"))
     build(e, name, rounds = 1)
+    // baseline degree profile, snapshotted BEFORE the lifecycle mutates
+    // the tables (audit is lazy over the very tables compact rewrites)
+    val base = Materialize(audit(spark, name)
+      .select(col("max_degree").as("bmax"), col("p99_degree").as("bp99")))
     extend(planted, name)
     delete(planted.select(col("vec_id")), name)
     compact(spark, name)
-    audit(spark, name)
+    audit(spark, name).crossJoin(base)
+      .select(col("n_vectors"), col("orphan_endpoints"), col("asym_edges"),
+        col("dup_edges"), col("missing_reps"),
+        (col("max_degree") <=> col("bmax")).as("degree_restored"),
+        (col("p99_degree") <=> col("bp99")).as("p99_restored"))
   }
 
   def indexGate(spark: SparkSession, dir: String): DataFrame =

@@ -86,33 +86,60 @@ object Dedup {
   /** The PPJoin candidate stage of [[jaccardNearDup]], shared with the scale
     * instrumentation ([[jaccardCandidates]] / graft.ScaleRehearsal): prefix
     * slice → inverted-index self-join → distinct (a, b) pairs. */
-  private[graft] def jaccardCandidatesOn(docs: DataFrame, threshold: Double): DataFrame = {
-    // Per-doc prefix: the first ⌊n(1−t)⌋+1 shingles in the global hash
-    // order; rk is the 1-based position in the sorted set. Pure slice +
-    // posexplode — narrow, no shuffle.
-    val prefixes = docs
+  private[graft] def jaccardCandidatesOn(docs: DataFrame, threshold: Double): DataFrame =
+    // Inverted-index candidate pairs (a < b): both sides' prefixes from
+    // the same frame, PPJoin filters, id order dedups the orientation.
+    shinglePrefixes(docs, threshold).as("x")
+      .join(shinglePrefixes(docs, threshold).as("y"),
+        col("x.s") === col("y.s") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          ppjoinFilters(threshold))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Per-doc prefix rows of a (doc_id, sh) frame: the first ⌊n(1−t)⌋+1
+    * shingles in the global hash order; rk is the 1-based position in the
+    * sorted set. Pure slice + posexplode — narrow, no shuffle. This is
+    * also the row shape [[DedupIndex]] persists as its `_pfx` inverted
+    * prefix index, so incremental candidate discovery is the SAME rule as
+    * the batch self-join, by construction. */
+  private[analytics] def shinglePrefixes(docs: DataFrame, threshold: Double): DataFrame =
+    docs
       .select(col("doc_id"), size(col("sh")).as("n"),
         posexplode(slice(col("sh"), lit(1),
           (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int"))))
       .select(col("doc_id"), col("col").as("s"), col("n"),
         (col("pos") + 1).cast("int").as("rk"))
 
-    // Inverted-index candidate pairs (a < b) with PPJoin-style pruning:
-    //  - length filter: J ≥ t ⇒ t·|B| ≤ |A| (and symmetrically);
-    //  - positional filter: at the pair's first shared prefix token there are
-    //    no earlier common tokens, so overlap ≤ 1 + min(suffix lengths), which
-    //    must reach α = ⌈t/(1+t)·(|A|+|B|)⌉. Both prune without losing any
-    //    true pair; then exact verification on the full sets.
+  /** PPJoin pruning over two prefix-row aliases `x`/`y` joined on the
+    * shared shingle `s` — symmetric in x/y, so it serves both the batch
+    * self-join (with an id-order dedup) and the index's corpus×batch
+    * cross join (with least/greatest normalization):
+    *  - length filter: J ≥ t ⇒ t·|B| ≤ |A| (and symmetrically);
+    *  - positional filter: at the pair's first shared prefix token there are
+    *    no earlier common tokens, so overlap ≤ 1 + min(suffix lengths), which
+    *    must reach α = ⌈t/(1+t)·(|A|+|B|)⌉. Both prune without losing any
+    *    true pair; then exact verification on the full sets. */
+  private[analytics] def ppjoinFilters(threshold: Double): Column = {
     val tt = threshold / (1 + threshold)
-    prefixes.as("x").join(prefixes.as("y"),
-        col("x.s") === col("y.s") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          col("y.n") >= ceil(col("x.n") * threshold) &&
-          col("x.n") >= ceil(col("y.n") * threshold) &&
-          (lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk"))) >=
-            ceil((col("x.n") + col("y.n")) * tt))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    col("y.n") >= ceil(col("x.n") * threshold) &&
+      col("x.n") >= ceil(col("y.n") * threshold) &&
+      (lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk"))) >=
+        ceil((col("x.n") + col("y.n")) * tt)
+  }
+
+  /** Exact verification of candidate (a, b) pairs against full shingle
+    * sets: keep pairs whose 4-dp-rounded Jaccard reaches the threshold —
+    * the [[jaccardNearDup]] rule, reusable over any shingle source
+    * (the index's persisted `_shg` table, a batch's fresh shingles). */
+  private[analytics] def verifyJaccardPairs(cand: DataFrame,
+      shingles: DataFrame, threshold: Double): DataFrame = {
+    val sa = shingles.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+    val sb = shingles.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("jaccard", round(Sketches.jaccardSim(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Candidate pairs only (pre-verify) — the quantity whose growth decides

@@ -68,8 +68,10 @@ object DedupIndex {
   /** Append a new batch into the existing index — the bucket spec is read
     * from the catalog (whatever [[build]] chose), so the appended files
     * land in the established layout and every later [[nearDupsAgainst]]
-    * sees old + new corpus through the same exchange-free scans. */
-  def extend(docs: DataFrame, name: String): Unit = {
+    * sees old + new corpus through the same exchange-free scans. On a
+    * CLUSTERED index ([[buildClustered]]) the batch also merges into the
+    * persisted cluster map — see [[extendClusters]]. */
+  def extend(docs: DataFrame, name: String, threshold: Double = 0.6): Unit = {
     val spark = docs.sparkSession
     healedTables(spark, name)
     def bucketsOf(t: String): Int = DedupIndex.bucketsOf(spark, t)
@@ -79,6 +81,7 @@ object DedupIndex {
     Dedup.bandsOf(sigs).write.mode("append")
       .bucketBy(bucketsOf(s"${name}_bands"), "band_key")
       .sortBy("band_key").format("parquet").saveAsTable(s"${name}_bands")
+    if (isClustered(spark, name)) extendClusters(docs, name, threshold)
   }
 
   private def bucketsOf(spark: SparkSession, t: String): Int =

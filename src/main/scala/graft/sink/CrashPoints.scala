@@ -1,7 +1,5 @@
 package graft.sink
 
-import java.util.concurrent.atomic.AtomicLong
-
 /** Crash-point instrumentation for the retention state machine — the
   * mechanism behind CrashSweepSpec's every-prefix kill test.
   *
@@ -9,31 +7,63 @@ import java.util.concurrent.atomic.AtomicLong
   * [[reached]] right AFTER its side effect lands (a catalog op or a
   * completed table write — Spark's committer makes the write itself
   * all-or-nothing, so the seams BETWEEN operations are the real crash
-  * windows). In production the call is one atomic increment against an
-  * unreachable budget — never throws, no synchronization beyond the
-  * counter. A spec arms a budget of k: the first k points pass, the
+  * windows). A spec arms a budget of k: the first k points pass, the
   * (k+1)-th throws [[CrashPoints.CrashInjected]], simulating a process
   * death with exactly k durable operations completed. Sweeping k over
   * 0..N−1 (N from an unarmed rehearsal) kills the REAL code path at every
   * prefix — no hand-modeled step list to drift from the implementation.
+  *
+  * Thread scoping (round-10 ADVICE): the armed budget lives in an
+  * [[InheritableThreadLocal]], so only the ARMING thread (and threads it
+  * spawns after arming, which share the same mutable state object) can
+  * ever trip it. [[reached]] on any other thread — a production retention
+  * pass, a concurrently running suite under a parallel test runner, a
+  * streaming micro-batch thread started before the arm — is a no-op with
+  * no shared counter, no synchronization, no leak of an armed budget
+  * across unrelated code paths.
   */
 object CrashPoints {
 
   final class CrashInjected(val point: String)
     extends RuntimeException(s"injected crash at $point")
 
-  private val budget = new AtomicLong(Long.MaxValue)
-  private val hits = new AtomicLong(0L)
+  /** Mutable per-thread-tree state: child threads created after an arm
+    * inherit the REFERENCE, so a body that hands work to a thread it
+    * spawned still counts/crashes there (single-writer in practice — the
+    * sweep's body runs its durable ops sequentially). */
+  private final class State { var budget: Long = Long.MaxValue; var hits: Long = 0L }
 
-  /** Allow `n` points, then throw on the next. Resets the counter. */
-  private[graft] def arm(n: Long): Unit = { hits.set(0L); budget.set(n) }
+  private val state = new InheritableThreadLocal[State]
 
-  /** Back to production behavior (counter keeps counting, never throws). */
-  private[graft] def disarm(): Unit = { budget.set(Long.MaxValue); hits.set(0L) }
+  private def ensure(): State = {
+    var s = state.get()
+    if (s == null) { s = new State; state.set(s) }
+    s
+  }
 
-  /** Points reached since the last arm/disarm — the sweep's N. */
-  private[graft] def count: Long = hits.get()
+  /** Allow `n` points on THIS thread, then throw on the next. Resets the
+    * counter. */
+  private[graft] def arm(n: Long): Unit = {
+    val s = ensure(); s.hits = 0L; s.budget = n
+  }
 
-  def reached(point: String): Unit =
-    if (hits.incrementAndGet() > budget.get()) throw new CrashInjected(point)
+  /** Back to production behavior for this thread (counter keeps counting,
+    * never throws). */
+  private[graft] def disarm(): Unit = {
+    val s = ensure(); s.budget = Long.MaxValue; s.hits = 0L
+  }
+
+  /** Points reached on this thread since the last arm/disarm — the
+    * sweep's N. */
+  private[graft] def count: Long = {
+    val s = state.get(); if (s == null) 0L else s.hits
+  }
+
+  def reached(point: String): Unit = {
+    val s = state.get()
+    if (s != null) {
+      s.hits += 1L
+      if (s.hits > s.budget) throw new CrashInjected(point)
+    }
+  }
 }

@@ -49,8 +49,19 @@ object TableSwap {
         spark.sql(s"DROP TABLE IF EXISTS $l")
         CrashPoints.reached(s"swap.dropped$suffix")
         spark.sql(s"ALTER TABLE $s RENAME TO $l")
-        reanchorPartitions(spark, l)
         CrashPoints.reached(s"swap.renamed$suffix")
+        reanchorPartitions(spark, l)
+        CrashPoints.reached(s"swap.reanchored$suffix")
+      } else if (spark.catalog.tableExists(l)) {
+        // Re-run after a crash in the RENAME→re-anchor seam: the staging
+        // table is gone (renamed), so the skip-if-done branch above can't
+        // fire — but the live table may still carry the pre-rename
+        // partition locations, and a scan through them quietly reads zero
+        // rows. Re-anchoring an already-consistent table is an idempotent
+        // metadata no-op, so every re-run pays the O(#partitions) catalog
+        // pass instead of trusting that the seam never crashed (round-10
+        // ADVICE).
+        reanchorPartitions(spark, l)
       }
     }
     Tombstones.carryForward(spark, staging, live)

@@ -121,6 +121,28 @@ class AnnGraphSpec extends SparkSpec {
       "staged generation not serving after swapIn")
   }
 
+  test("serving survives tombstoned entry reps: fallback seeds from retained members") {
+    val name = "spec_graph_repdel"
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // plants never become reps (rep = min vec_id per cell; every cell with
+    // a plant also holds its small-id original), so deleting EVERY rep
+    // tombstones all entry points while keeping the plants retained — the
+    // exact zero-seed state the fallback exists for (round-10 ADVICE)
+    val planted = q.select((col("query_id") + 700000L).as("vec_id"),
+      expr("transform(qv, x -> x * 2.0d)").as("v"))
+    AnnGraphIndex.build(vecs.unionByName(planted), name)
+    val reps = spark.table(s"${name}_entries").select(col("rep").as("vec_id"))
+      .localCheckpoint()
+    AnnGraphIndex.delete(reps, name)
+    val top1 = AnnGraphIndex.topKAgainst(spark, name, q, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top1.length == 5,
+      s"queries lost their seeds entirely: ${top1.length}/5 answered")
+    assert(top1.forall { case (qid, n, s) => n == qid + 700000L && s == 1.0 },
+      s"plants lost after rep deletion: ${top1.mkString(", ")}")
+  }
+
   test("extend: fresh vectors reachable through appended reverse edges; duplicates never double-rank") {
     import spark.implicits._
     val name = "spec_graph_idx_ext"
@@ -143,6 +165,24 @@ class AnnGraphSpec extends SparkSpec {
     assert(t2(0).getAs[Long]("neighbor_id") == 2000003L &&
       t2(1).getAs[Long]("neighbor_id") != 2000003L,
       "duplicated extend rows occupied two top-k slots")
+  }
+
+  test("extend stores full-precision edge sims — rounding stays at the serving boundary") {
+    import spark.implicits._
+    val name = "spec_graph_fullprec"
+    AnnGraphIndex.build(vecs, name)
+    // a new vector deliberately NOT collinear with anything: its edge
+    // cosines carry long mantissas, so a 4-dp round at rest is detectable
+    val base = vecs.filter(col("vec_id") === 7L).collect()(0).getSeq[Double](1)
+    val shifted = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.3 else x }
+    AnnGraphIndex.extend(Seq((2000007L, shifted)).toDF("vec_id", "v"), name)
+    val stored = spark.table(s"${name}_edges")
+      .filter(col("src") === 2000007L)
+      .select(col("sim")).collect().map(_.getDouble(0))
+    assert(stored.nonEmpty, "extend appended no edges for the new vector")
+    assert(stored.exists(s => s != math.rint(s * 1e4) / 1e4),
+      s"extend stored only 4-dp-rounded sims — compact's max(sim) would " +
+        s"prefer build-path weights on near-ties: ${stored.take(5).mkString(", ")}")
   }
 
   test("streaming maintenance: fresh vector served next batch; marker makes replay a no-op") {
