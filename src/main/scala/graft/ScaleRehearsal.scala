@@ -338,6 +338,61 @@ object ScaleRehearsal {
           .select(col("vec_id").as("query_id"), col("v").as("qv")),
         k = 5).count())
 
+      // round-11: MEASURED recall@10 for the graph tier under corpus
+      // growth (round-10 VERDICT item 3) — beam/hops/nprobe are fixed
+      // serve defaults whose adequacy is measured here, not assumed; the
+      // brute-force reference excludes the pending-deleted batch exactly
+      // as the merge-on-read serve does.
+      val gQueries = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val gRetained = e.filter(col("vec_id") >= 100)
+      val brute10 = gRetained.crossJoin(broadcast(gQueries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.VectorOps.cosine(col("qv"), col("v")).as("sim"))
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallAt10(beam: Int, nprobe: Int): Double = {
+        val got = analytics.AnnGraphIndex.topKAgainst(spark, "reh_gidx",
+          gQueries, k = 10, beam = beam, nprobe = nprobe)
+          .select(col("query_id"), col("neighbor_id"))
+        math.rint(got.join(brute10, Seq("query_id", "neighbor_id")).count()
+          * 10000.0 / (10 * 10)) / 10000.0
+      }
+      val recall10 = recallAt10(beam = 32, nprobe = 2) // the serve defaults
+      // the knob curve: wider beam + more entry cells buy recall with
+      // serve cost linear in beam — the lever SCALING.md documents
+      val recall10Wide = recallAt10(beam = 64, nprobe = 4)
+
+      // round-11 cluster map (q228): the one-time CLUSTERED build tracks
+      // the corpus (its pair graph + CC are the q25/q37 curves above);
+      // the request path must not — extend merges a FIXED batch (verbatim
+      // copies of base bucket-<2 docs under fresh ids, so every doc pairs
+      // with its original) in O(batch edges) on top of the linear
+      // index-side prefix scan, and delete+repair relabels only the
+      // affected components of a FIXED deletion batch.
+      val tCluBuild = once(analytics.DedupIndex.buildClustered(
+        docsScaled, "reh_klx", buckets = 8))
+      val cluExtBatch = docsScaled
+        .filter(col("doc_id") < CopyIdStride &&
+          Sampling.contentBucket(col("text")) < 2)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+      val nCluBatch = cluExtBatch.count()
+      val tCluExtend = once(analytics.DedupIndex.extend(cluExtBatch, "reh_klx"))
+      val nCluMerged = analytics.DedupIndex.clusterMap(spark, "reh_klx")
+        .filter(col("doc_id") >= 900000000L && !col("is_canonical")).count()
+      val cluDelBatch = docsScaled
+        .filter(col("doc_id") < CopyIdStride &&
+          Sampling.contentBucket(col("text")) >= 2 &&
+          Sampling.contentBucket(col("text")) < 4)
+        .select(col("doc_id"))
+      val tCluDelete = once(analytics.DedupIndex.delete(cluDelBatch, "reh_klx"))
+      val (tCluRead, _) =
+        time(analytics.DedupIndex.clusterMap(spark, "reh_klx").count())
+
       // q95 skew-cap evidence: the largest single join group under the
       // char-prefix-only blocking key (round ≤4) vs the composite key in
       // use — (first-3-tokens, ⌊len/30⌋) since round 9 (token-prefix
@@ -384,7 +439,13 @@ object ScaleRehearsal {
         s""""lex_delete":{"build":$tLexBuild,"delete":$tDelete,""" +
         s""""serve_mor":$tServeMor,"n_deleted":$nDeleted},""" +
         s""""graph_index":{"build":$tGraphBuild,"delete":$tGraphDelete,""" +
-        s""""serve_mor":$tGraphServe},""" +
+        s""""serve_mor":$tGraphServe,"recall10":$recall10,""" +
+        s""""recall10_wide":$recall10Wide,""" +
+        s""""knobs":{"beam":32,"hops":3,"nprobe":2,"k":8,"rounds":1,""" +
+        s""""wide_beam":64,"wide_nprobe":4}},""" +
+        s""""cluster_index":{"build":$tCluBuild,"extend":$tCluExtend,""" +
+        s""""delete_repair":$tCluDelete,"read":$tCluRead,""" +
+        s""""n_ext_batch":$nCluBatch,"n_ext_merged":$nCluMerged},""" +
         s""""n_chunks":$nChunks,""" +
         s""""wf_max_window":{"source":$maxSourceWindow,"salted":$maxSaltedWindow},""" +
         s""""bm25_matched_postings":$nMatchedPost,""" +

@@ -34,12 +34,13 @@ object SparkEntry {
       |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 10""".stripMargin
 
   /** Shared shingle CTEs: per-doc DISTINCT word-3-gram sets (q25's
-    * statement; `[trimmed_text]` for docs under 3 tokens). Ends with
-    * `wsh(doc_id, s)`. */
-  private val ShingleCtes: String =
-    """wt AS (
-      |  SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt, regexp_extract_all(text, '\S+') AS toks
-      |  FROM documents),
+    * statement; `[trimmed_text]` for docs under 3 tokens) over `src` —
+    * the full documents table by default, a retained-subset CTE for
+    * q228. Ends with `wsh(doc_id, s)`. */
+  private def shingleCtesFrom(src: String): String =
+    s"""wt AS (
+      |  SELECT doc_id, regexp_replace(text, '^\\s+|\\s+$$', '', 'g') AS tt, regexp_extract_all(text, '\\S+') AS toks
+      |  FROM $src),
       |wsh AS (
       |  SELECT doc_id, list_distinct(
       |    CASE WHEN len(toks) >= 3
@@ -47,6 +48,8 @@ object SparkEntry {
       |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |         ELSE [tt] END) AS s
       |  FROM wt)""".stripMargin
+
+  private val ShingleCtes: String = shingleCtesFrom("documents")
 
   /** Exact Jaccard ≥ 0.6 pair graph over `wsh`, in the fast relational
     * form: unnest the distinct shingle sets and equi-join on the shingle
@@ -390,7 +393,8 @@ object SparkEntry {
     "q224_graph_ann"               -> Accuracy.graphTopKGate _,
     "q225_graph_index"             -> AnnGraphIndex.indexGate _,
     "q226_graph_index_extend"      -> AnnGraphIndex.extendGate _,
-    "q227_graph_index_audit"       -> AnnGraphIndex.auditGate _)
+    "q227_graph_index_audit"       -> AnnGraphIndex.auditGate _,
+    "q228_cluster_index"           -> DedupIndex.clusterGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1407,6 +1411,23 @@ object SparkEntry {
     // graph-index fsck after the full lifecycle (build + extend plants +
     // delete plants + purge): the corpus count survives exactly, every
     // invariant reads zero — the whole row is closed-form
+    // incremental cluster map ≡ from-scratch closure: the oracle replays
+    // q37's exact-Jaccard pair graph + min-label CC over the RETAINED
+    // corpus (the gate's bucket-<50 slice — build ∪ both extends — minus
+    // the deleted doc_id ≡ 7 mod 10) — the incrementally maintained table
+    // (versioned base ⊕ label map ⊕ split repair) must hash-match it
+    "q228_cluster_index" ->
+      ("WITH docs_r AS (SELECT doc_id, text FROM documents\n" +
+        "  WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 50\n" +
+        "    AND doc_id % 10 <> 7),\n" +
+        shingleCtesFrom("docs_r") + ",\n" + JaccardPairCtes + ",\n" +
+        "e AS (SELECT a, b FROM ej),\n" + minLabelCcCtes() +
+        """
+          |SELECT d.doc_id,
+          |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+          |  coalesce(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
+          |FROM docs_r d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin),
+
     // degree columns gate as restored-booleans: every extend edge touches
     // a purged plant, so the post-compact degree profile (max + exact p99)
     // must equal the pre-extend baseline exactly — provably true, hence

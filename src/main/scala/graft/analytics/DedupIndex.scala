@@ -53,17 +53,27 @@ object DedupIndex {
     * table (a doc's band rows are scattered across every band bucket — a
     * physical rewrite per request is exactly the wrong cost at 100 TB).
     * [[nearDupsAgainst]] anti-joins the log from the next query on; the
-    * physical purge rides the next [[compact]]. */
-  def delete(ids: DataFrame, name: String): Unit =
-    Tombstones.append(ids.select(org.apache.spark.sql.functions.col("doc_id")),
-      name, "doc_id")
+    * physical purge rides the next [[compact]]. On a CLUSTERED index the
+    * delete additionally repairs the persisted cluster map — a tombstone
+    * filter alone is WRONG for cluster ids, because removing a doc can
+    * split its component (it was the bridge) or orphan its label (it was
+    * the minimum); see [[repairClusters]]. */
+  def delete(ids: DataFrame, name: String, threshold: Double = 0.6): Unit = {
+    val spark = ids.sparkSession
+    Tombstones.append(ids.select(col("doc_id")), name, "doc_id")
+    if (isClustered(spark, name)) repairClusters(spark, name, threshold)
+  }
 
   /** Deploy a rebuilt generation over the live name — the q217 pattern for
     * the bucketed family: the bucket spec is table metadata and travels
     * with the rename, so the exchange-free probe plans survive the swap
-    * (RetentionSpec pins spec + answers). */
+    * (RetentionSpec pins spec + answers). The cluster-map suffixes ride
+    * the same swap when present (TableSwap skips absent staging tables —
+    * a clustered live index must therefore be replaced by a CLUSTERED
+    * staging build, or the old cluster tables keep serving). */
   def swapIn(spark: SparkSession, staging: String, live: String): Unit =
-    graft.sink.TableSwap.swapIn(spark, staging, live, Seq("_sigs", "_bands"))
+    graft.sink.TableSwap.swapIn(spark, staging, live,
+      Seq("_sigs", "_bands") ++ ClusterSuffixes)
 
   /** Append a new batch into the existing index — the bucket spec is read
     * from the catalog (whatever [[build]] chose), so the appended files
@@ -113,6 +123,7 @@ object DedupIndex {
     // path already merge-on-read-filtered the same rows
     for ((t, key) <- Seq((s"${name}_sigs", "doc_id"), (s"${name}_bands", "band_key")))
       Bucketed.compactBucketed(spark, t, key, Tombstones.filter(_, name, "doc_id"))
+    if (isClustered(spark, name)) compactClusters(spark, name)
     Tombstones.clear(spark, name)
   }
 
@@ -154,6 +165,342 @@ object DedupIndex {
       // by an at-least-once extend replay (DedupIndexStream's documented
       // trade) then cannot duplicate output pairs
       .distinct()
+  }
+
+  // ==================================================================
+  // Persisted incremental CLUSTER MAP (q228) — the last lifecycle verb
+  // the dedup family lacked (round-10 VERDICT item 1): consumers of
+  // cluster ids (keep-best, cluster stats, soft weights) previously
+  // re-ran connected components over the whole pair graph per call; a
+  // CLUSTERED index persists the map and maintains it incrementally.
+  //
+  // The pair rule is the EXACT word-trigram Jaccard of q25/q37 (prefix-
+  // filtered PPJoin — exhaustive, no false negatives), NOT the MinHash
+  // estimate: exactness is what makes "incremental ≡ from-scratch" a
+  // theorem (band collision would make the pair set sampling-dependent)
+  // and what lets the q228 DuckDB oracle recompute the closure over the
+  // retained corpus and hash-match the incrementally maintained table.
+  //
+  // Extra layout (all riding the family's verbs):
+  //  - `{name}_shg`      (doc_id, sh)        bucketed by doc_id — the
+  //    sorted shingle sets, the exact-verify source;
+  //  - `{name}_pfx`      (doc_id, s, n, rk)  bucketed by s — the PPJoin
+  //    inverted PREFIX index: a batch's prefix rows broadcast into this
+  //    scan, so incremental candidate discovery never self-joins the
+  //    corpus;
+  //  - `{name}_clusters` (doc_id, label, ver) bucketed by doc_id —
+  //    APPEND-ONLY versioned assignments: the current label of a doc is
+  //    its max-ver row (max_by over the bucketed scan — exchange-free),
+  //    so merges and split-repairs are O(rows touched), never a table
+  //    rewrite;
+  //  - `{name}_labelmap` (old_label, new_label) — tiny, replaceTable-
+  //    managed, path-compressed: a MERGE re-points whole components in
+  //    O(1) rows instead of re-appending every member.
+  //
+  // Maintenance algebra:
+  //  - extend: new edges = (corpus_pfx ⋈ broadcast batch_pfx) ∪ intra-
+  //    batch candidates, exact-verified; contract endpoints to their
+  //    current labels; CC over the LABEL graph (tiny — O(batch edges));
+  //    merged old roots become labelmap entries, batch docs append with
+  //    final labels.
+  //  - delete: a removed doc can SPLIT its component (bridge) or orphan
+  //    its label (minimum member) — [[repairClusters]] recomputes CC over
+  //    the retained members of affected components only and appends
+  //    fresh assignments; labelmap entries pointing at dissolved roots
+  //    are dropped (every member got a fresh row, so they are dead).
+  //  - compact: fold base ⊕ map ⊕ tombstones into a fresh ver-0 base,
+  //    purge `_shg`/`_pfx`, clear the map.
+  // ==================================================================
+
+  private val ClusterSuffixes = Seq("_shg", "_pfx", "_clusters", "_labelmap")
+
+  private def isClustered(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(s"${name}_clusters")
+
+  private def healedClusterTables(spark: SparkSession, name: String): Unit =
+    ClusterSuffixes.foreach(s => Bucketed.healInterruptedReplace(spark, name + s))
+
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Sketches.sortByHash(wordShingles(col("text"))).as("sh"))
+
+  /** [[build]] plus the cluster-map tables: shingle sets, the inverted
+    * prefix index, the from-scratch cluster base (exact pair graph + CC,
+    * the q37 computation persisted), and an empty label map. */
+  def buildClustered(docs: DataFrame, name: String, buckets: Int = 32,
+      threshold: Double = 0.6): Unit = {
+    val spark = docs.sparkSession
+    build(docs, name, buckets)
+    val shg = Materialize(shingledOf(docs))
+    Bucketed.writeBucketed(shg, s"${name}_shg", "doc_id", buckets)
+    Bucketed.writeBucketed(Dedup.shinglePrefixes(shg, threshold),
+      s"${name}_pfx", "s", buckets)
+    val pairs = Dedup.verifyJaccardPairs(
+      Dedup.jaccardCandidatesOn(shg, threshold)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+      shg, threshold).select(col("a"), col("b"))
+    val labels = Dedup.connectedComponents(pairs)
+    val base = docs.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"),
+        lit(0L).as("ver"))
+    Bucketed.writeBucketed(base, s"${name}_clusters", "doc_id", buckets)
+    writeLabelMap(spark, name, emptyLabelMap(spark))
+  }
+
+  /** The resolved cluster map — every retained doc with its canonical
+    * (minimum reachable) id: max-ver base assignment (exchange-free
+    * group-by on the bucketed scan) → label-map redirect (broadcast) →
+    * tombstone filter. Same output shape as the batch q37. */
+  def clusterMap(spark: SparkSession, name: String): DataFrame = {
+    healedClusterTables(spark, name)
+    val cur = spark.table(s"${name}_clusters")
+      .groupBy(col("doc_id")).agg(expr("max_by(label, ver)").as("lbl0"))
+    Tombstones.filter(applyLabelMap(spark, name, cur), name, "doc_id")
+      .select(col("doc_id"), col("lbl").as("canonical_id"),
+        (col("lbl") === col("doc_id")).as("is_canonical"))
+  }
+
+  private def applyLabelMap(spark: SparkSession, name: String,
+      base: DataFrame): DataFrame =
+    base.join(broadcast(spark.table(s"${name}_labelmap")),
+        col("lbl0") === col("old_label"), "left")
+      .select(col("doc_id"), coalesce(col("new_label"), col("lbl0")).as("lbl"))
+
+  /** Current labels of a SMALL id set — the O(endpoints) resolution the
+    * extend path uses (the semi-join prunes the bucketed base scan; no
+    * corpus-wide group-by on the request path). */
+  private def resolvedFor(spark: SparkSession, name: String,
+      ids: DataFrame): DataFrame =
+    applyLabelMap(spark, name,
+      spark.table(s"${name}_clusters")
+        .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(expr("max_by(label, ver)").as("lbl0")))
+
+  /** Incremental min-label merge of a new batch into the persisted map —
+    * O(batch edges): candidates from the persisted prefix index (batch
+    * side broadcast) plus the intra-batch self-join, exact-verified
+    * against `_shg` ∪ the batch's own shingles; then CC over the
+    * CONTRACTED label graph, so the iterative part never sees corpus
+    * rows. Replay-safe: re-found pairs contract to already-merged labels
+    * (no-op entries are filtered), re-appended batch rows are
+    * ver-shadowed duplicates. */
+  private def extendClusters(docs: DataFrame, name: String,
+      threshold: Double): Unit = {
+    val spark = docs.sparkSession
+    healedClusterTables(spark, name)
+    val batch = Materialize(shingledOf(docs))
+    val bp = Dedup.shinglePrefixes(batch, threshold)
+    val cp = Tombstones.filter(spark.table(s"${name}_pfx"), name, "doc_id")
+    val cross = cp.as("x").join(broadcast(bp).as("y"),
+        col("x.s") === col("y.s") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          Dedup.ppjoinFilters(threshold))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+    val intra = Dedup.jaccardCandidatesOn(batch, threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val cand = Materialize(cross.unionByName(intra).distinct())
+    val candIds = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val lookup = Materialize(batch.unionByName(
+        spark.table(s"${name}_shg")
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .dropDuplicates("doc_id"))
+    val edges = Materialize(
+      Dedup.verifyJaccardPairs(cand, lookup, threshold)
+        .select(col("a"), col("b")))
+    // the batch joins the corpus: its shingles and prefix rows append into
+    // the established bucket layouts BEFORE the map writes, so a crash
+    // leaves at worst a replayable batch (re-found pairs merge to already-
+    // merged labels), never a corpus the next extend can't pair against
+    batch.write.mode("append").bucketBy(bucketsOf(spark, s"${name}_shg"), "doc_id")
+      .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_shg")
+    bp.write.mode("append").bucketBy(bucketsOf(spark, s"${name}_pfx"), "s")
+      .sortBy("s").format("parquet").saveAsTable(s"${name}_pfx")
+    // contract: endpoint → current label (stored docs through base+map,
+    // fresh docs are their own label), then min-label union-find on the
+    // CONTRACTED label graph. Batch ids resolve through the SAME lookup —
+    // a replayed batch doc already has base rows, and appending it keyed
+    // on its own id instead of its stored label would shadow the earlier
+    // merge (at-least-once replay must be a label no-op).
+    val ends = edges.select(col("a").as("doc_id"))
+      .unionByName(edges.select(col("b").as("doc_id"))).distinct()
+    val stored = Materialize(resolvedFor(spark, name,
+      ends.unionByName(docs.select(col("doc_id"))).distinct()))
+    def curOf(ids: DataFrame): DataFrame =
+      ids.join(stored, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+    val endLbl = curOf(ends) // cheap: a join of two materialized frames
+    // The contracted graph is REQUEST-sized by construction (≤ one edge
+    // per verified batch pair, after same-label collapse), so its CC runs
+    // as a driver union-find — the iterative distributed CC pays 2+ jobs
+    // of fixed latency PER ROUND for a graph that fits in a page; this is
+    // the compactionPlan cardinality discipline (O(request) metadata on
+    // the driver, never corpus rows). Corpus-scale CC (buildClustered,
+    // repairClusters) stays distributed.
+    val lblPairs = edges
+      .join(endLbl.select(col("doc_id").as("a"), col("lbl").as("la")), "a")
+      .join(endLbl.select(col("doc_id").as("b"), col("lbl").as("lb")), "b")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val root = minLabelUnionFind(lblPairs)
+    val rootDf = broadcast(spark.createDataFrame(
+      root.toSeq.map { case (n, l) => (n, l) }).toDF("node", "label"))
+    // batch rows land with their FINAL labels (merge info is durable in
+    // the base even if the map rewrite below is lost to a crash — the
+    // replay re-derives the same entries)
+    val ver = lit(System.nanoTime())
+    val batchRows = curOf(docs.select(col("doc_id")))
+      .join(rootDf, col("lbl") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("lbl")).as("label"), ver.as("ver"))
+    appendClusterRows(spark, name, batchRows)
+    // merged OLD roots (labels some stored doc currently resolves to)
+    // become path-compressed map entries; existing entries re-point. A
+    // batch with no cross-label merges skips the map rewrite entirely —
+    // the standing-loop steady state pays only the appends.
+    val storedLblSet = stored.select(col("lbl")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val newEntries = root.toSeq.collect {
+      case (node, lbl) if node != lbl && storedLblSet(node) => (node, lbl)
+    }
+    if (newEntries.nonEmpty) {
+      val ne = broadcast(spark.createDataFrame(newEntries)
+        .toDF("old_label", "new_label"))
+      val om = spark.table(s"${name}_labelmap").as("m")
+      val composed = om
+        .join(ne.as("n"), col("m.new_label") === col("n.old_label"), "left")
+        .select(col("m.old_label"),
+          coalesce(col("n.new_label"), col("m.new_label")).as("new_label"))
+        .unionByName(ne)
+      writeLabelMap(spark, name, composed)
+    }
+  }
+
+  /** Min-label union-find over contracted label edges — node → component
+    * minimum, path-compressed. Driver-side on request-sized input (see
+    * [[extendClusters]]). */
+  private def minLabelUnionFind(edges: Array[(Long, Long)]): collection.Map[Long, Long] = {
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  /** Split/orphan repair after a delete: resolve the UNFILTERED map once
+    * (pending-deleted docs locate their components), recompute exact
+    * pairs + CC among the RETAINED members of affected components only,
+    * append fresh assignments, and drop map entries whose target root
+    * dissolved. O(affected components) rewrite on top of one narrow
+    * (doc_id, label, ver) scan; at a purge-cadence-bounded log size that
+    * scan is the cost floor of any label→members lookup without a
+    * secondary index. */
+  private def repairClusters(spark: SparkSession, name: String,
+      threshold: Double): Unit = {
+    healedClusterTables(spark, name)
+    Tombstones.of(spark, name).foreach { log =>
+      val all = Materialize(applyLabelMap(spark, name,
+        spark.table(s"${name}_clusters").groupBy(col("doc_id"))
+          .agg(expr("max_by(label, ver)").as("lbl0"))))
+      val affected = Materialize(
+        all.join(broadcast(log), all("doc_id") === log("id"), "left_semi")
+          .select(col("lbl")).distinct())
+      if (!affected.isEmpty) {
+        val members = all.join(broadcast(affected), Seq("lbl"), "left_semi")
+        val retained = Materialize(
+          Tombstones.filter(members.select(col("doc_id")), name, "doc_id"))
+        val mshg = Materialize(spark.table(s"${name}_shg")
+          .join(broadcast(retained), Seq("doc_id"), "left_semi"))
+        val pairs = Dedup.verifyJaccardPairs(
+          Dedup.jaccardCandidatesOn(mshg, threshold)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")),
+          mshg, threshold).select(col("a"), col("b"))
+        val cc = Dedup.connectedComponents(pairs)
+        val ver = lit(System.nanoTime())
+        val rows = retained
+          .join(cc, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("label"), ver.as("ver"))
+        appendClusterRows(spark, name, rows)
+        val om = spark.table(s"${name}_labelmap")
+        val cleaned = om.join(broadcast(affected),
+          om("new_label") === affected("lbl"), "left_anti")
+        writeLabelMap(spark, name, cleaned)
+      }
+    }
+  }
+
+  /** Purge + fold at compaction: `_shg`/`_pfx` drop tombstoned rows in
+    * layout; the resolved map (base ⊕ labelmap ⊕ tombstone filter)
+    * becomes the fresh ver-0 base; the label map clears. Runs BEFORE the
+    * family's Tombstones.clear — the fold must still see the log. */
+  private def compactClusters(spark: SparkSession, name: String): Unit = {
+    healedClusterTables(spark, name)
+    // the rewrite also collapses rows duplicated by at-least-once extend
+    // replays (read paths already tolerate them; compaction is the remedy)
+    Bucketed.compactBucketed(spark, s"${name}_shg", "doc_id",
+      df => Tombstones.filter(df, name, "doc_id").dropDuplicates("doc_id"))
+    Bucketed.compactBucketed(spark, s"${name}_pfx", "s",
+      df => Tombstones.filter(df, name, "doc_id").distinct())
+    val folded = Materialize(clusterMap(spark, name)
+      .select(col("doc_id"), col("canonical_id").as("label"), lit(0L).as("ver")))
+    val nb = bucketsOf(spark, s"${name}_clusters")
+    Bucketed.replaceTable(spark, s"${name}_clusters", staging =>
+      folded.repartition(nb, col("doc_id")).write.bucketBy(nb, "doc_id")
+        .sortBy("doc_id").format("parquet").saveAsTable(staging))
+    writeLabelMap(spark, name, emptyLabelMap(spark))
+  }
+
+  private def appendClusterRows(spark: SparkSession, name: String,
+      rows: DataFrame): Unit =
+    rows.write.mode("append").bucketBy(bucketsOf(spark, s"${name}_clusters"), "doc_id")
+      .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_clusters")
+
+  private def emptyLabelMap(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("old_label"), col("id").as("new_label"))
+
+  private def writeLabelMap(spark: SparkSession, name: String,
+      m: DataFrame): Unit =
+    Bucketed.replaceTable(spark, s"${name}_labelmap", staging =>
+      m.coalesce(1).write.format("parquet").saveAsTable(staging))
+
+  /** q228: the cluster-map gate — over the content-bucket-<50 corpus slice
+    * (the q227 cost discipline: the gate's price is its lifecycle JOB
+    * COUNT — a from-scratch build, two incremental merges, a split repair
+    * and nine table writes — not its data volume; the slice keeps every
+    * leg identical at any SF without making q228 the bench's dominant
+    * entry): build clustered on [20,50), extend TWICE ([10,20) then <10 —
+    * the three slices partition the gate corpus), then delete every
+    * doc_id ≡ 7 (mod 10), which exercises orphaned minima and splits. The
+    * output is the resolved map over the retained corpus; the DuckDB
+    * oracle recomputes the exact-Jaccard pair graph + min-label closure
+    * over the retained slice from scratch — incremental ≡ from-scratch,
+    * hash-matched. */
+  def clusterGate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_dedup_klx"
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+      .filter(col("cb") < 50)
+    buildClustered(docs.filter(col("cb") >= 20).select(col("doc_id"), col("text")),
+      name, buckets = 8)
+    extend(docs.filter(col("cb") >= 10 && col("cb") < 20)
+      .select(col("doc_id"), col("text")), name)
+    extend(docs.filter(col("cb") < 10).select(col("doc_id"), col("text")), name)
+    delete(docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")), name)
+    clusterMap(spark, name)
   }
 
   /** q160: the oracle gate, planted-recall form (q48/q49 pattern) gating

@@ -248,4 +248,96 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val sids = spark.read.parquet(s"$tmp2/b=0").select("doc_id").as[Long].collect().toSet
     assert(sids == Set(9200002L), s"survivor set through the stream: $sids")
   }
+
+  // ---- persisted incremental cluster map (q228) ----
+
+  private def smallDocs = Tables.documents(spark, sf("sf0.001"))
+    .select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+
+  private def cmapOf(name: String): Map[Long, Long] =
+    DedupIndex.clusterMap(spark, name).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cluster map: incremental merge across extends ≡ from-scratch CC on the union") {
+    val d = smallDocs
+    DedupIndex.buildClustered(
+      d.filter(col("cb") >= 30).select("doc_id", "text"), "spec_clx_eq", buckets = 4)
+    DedupIndex.extend(
+      d.filter(col("cb") < 30).select("doc_id", "text"), "spec_clx_eq")
+    DedupIndex.buildClustered(d.select("doc_id", "text"), "spec_clx_ref", buckets = 4)
+    val inc = cmapOf("spec_clx_eq")
+    val ref = cmapOf("spec_clx_ref")
+    assert(inc == ref, s"incremental map diverged from from-scratch: " +
+      s"${(inc.toSet -- ref.toSet).take(5)} vs ${(ref.toSet -- inc.toSet).take(5)}")
+  }
+
+  test("cluster map: replay is a label no-op; deleting a bridge splits; compact folds") {
+    import spark.implicits._
+    def toks(from: Int, to: Int) = (from to to).map(i => s"w$i").mkString(" ")
+    // a CHAIN by construction: trigram shingles S_i = (w_i w_i+1 w_i+2);
+    // A has S1..S10, B has S3..S12 (J(A,B)=8/12≈0.67), C has S5..S14
+    // (J(B,C)≈0.67, J(A,C)=6/14≈0.43 < 0.6) — B is the only bridge
+    val chain = Seq((9000001L, toks(1, 12)), (9000002L, toks(3, 14)),
+      (9000003L, toks(5, 16))).toDF("doc_id", "text").localCheckpoint()
+    val name = "spec_clx_chain"
+    val corpus = smallDocs.filter(col("doc_id") < 100).select("doc_id", "text")
+    DedupIndex.buildClustered(corpus, name, buckets = 4)
+    DedupIndex.extend(chain, name)
+    val m0 = cmapOf(name)
+    assert(Seq(9000001L, 9000002L, 9000003L).forall(m0(_) == 9000001L),
+      s"chain not merged: ${m0.filter(_._1 >= 9000000L)}")
+    // at-least-once replay: same batch again, map unchanged
+    DedupIndex.extend(chain, name)
+    assert(cmapOf(name) == m0, "replayed extend changed the cluster map")
+    // deleting the bridge must SPLIT the component — a tombstone filter
+    // over the old labels would leave C pointing at the vanished chain
+    DedupIndex.delete(Seq(9000002L).toDF("doc_id"), name)
+    val m1 = cmapOf(name)
+    assert(!m1.contains(9000002L), "deleted doc still mapped")
+    assert(m1(9000001L) == 9000001L && m1(9000003L) == 9000003L,
+      s"bridge delete did not split: ${m1.filter(_._1 >= 9000000L)}")
+    // compact folds base ⊕ map ⊕ tombstones: answers unchanged, label map
+    // cleared, deleted rows gone at rest
+    DedupIndex.compact(spark, name)
+    assert(cmapOf(name) == m1, "compaction changed cluster answers")
+    assert(spark.table(s"${name}_labelmap").isEmpty, "label map not folded")
+    val atRest = spark.read.parquet(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_clusters"))
+        .location.toString)
+      .select(col("doc_id")).as[Long].collect()
+    assert(!atRest.contains(9000002L), "deleted doc still at rest in clusters")
+    assert(atRest.length == atRest.distinct.length,
+      "fold left duplicate per-doc rows")
+  }
+
+  test("plan: cluster-map resolution never shuffles the bucketed base") {
+    // max_by rides the bucketed scan's HashPartitioning(doc_id); the label
+    // map and tombstone log join as broadcasts — at 100 TB the resolution
+    // is one exchange-free pass over the clusters table
+    val plan = DedupIndex.clusterMap(spark, "spec_clx_eq")
+      .queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(plan) {
+      case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"cluster-map read plan shuffles:\n${plan.toString.take(3000)}")
+  }
+
+  test("cluster map: deleting the canonical minimum relabels the survivors") {
+    import spark.implicits._
+    val name = "spec_clx_min"
+    // a synthetic isolated twin pair (unique vocabulary — no organic
+    // near-dup can join it): deleting the minimum member must move the
+    // canonical to the survivor, not leave it pointing at a tombstone
+    val text = (1 to 14).map(i => s"uniqtok$i").mkString(" ")
+    val pair = Seq((9000004L, text), (9000005L, text)).toDF("doc_id", "text")
+    val corpus = smallDocs.filter(col("doc_id") < 100).select("doc_id", "text")
+    DedupIndex.buildClustered(corpus.unionByName(pair), name, buckets = 4)
+    assert(cmapOf(name)(9000005L) == 9000004L,
+      "verbatim twin not clustered with its minimum")
+    DedupIndex.delete(Seq(9000004L).toDF("doc_id"), name)
+    val m = cmapOf(name)
+    assert(!m.contains(9000004L) && m(9000005L) == 9000005L,
+      s"orphaned label not repaired: ${m.get(9000005L)}")
+  }
 }
