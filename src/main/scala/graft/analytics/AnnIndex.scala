@@ -53,15 +53,25 @@ object AnnIndex {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       graft.sink.ManagedPaths.clearStale(spark, t)
     }
+    // crash points mark the durable seams for CrashSweepSpec's
+    // refreshQuantizer sweep (a build on a LIVE name is from-source and
+    // recoverable by re-running it; the refresh path only ever builds
+    // into its staging name, where any torn prefix is dropped and
+    // rebuilt by the re-run)
+    graft.sink.CrashPoints.reached("annbuild.cleared")
     centroids.write.format("parquet").saveAsTable(s"${name}_centroids")
+    graft.sink.CrashPoints.reached("annbuild.centroids")
     // every non-key input column rides into the cells table as payload
     // (cid last — it's the partition column), so attribute-FILTERED search
     // evaluates its predicate on the pruned scan itself, at rest
     assigned.write.format("parquet").partitionBy("cid")
       .saveAsTable(s"${name}_cells")
-    if (vecs.columns.contains("label"))
+    graft.sink.CrashPoints.reached("annbuild.cells")
+    if (vecs.columns.contains("label")) {
       labelMeansOn(vecs.select(col("label"), col("v")))
         .write.format("parquet").saveAsTable(s"${name}_label_stats")
+      graft.sink.CrashPoints.reached("annbuild.stats")
+    }
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
 
@@ -76,11 +86,22 @@ object AnnIndex {
     * inside TableSwap) — over-deletion-safe, like every other rebuild. */
   def refreshQuantizer(spark: SparkSession, name: String, k: Int = 32,
       iters: Int = 3): Unit = {
+    val staging = name + "__refresh"
+    // Resume-before-read: a PREVIOUS refresh that died mid-swap leaves
+    // either a staged generation half-deployed (some suffixes renamed,
+    // some not) or a renamed partitioned table whose catalog partition
+    // locations still point at the staging root — reading `_cells`
+    // through those serves zero rows, and a retrain from that read would
+    // deploy an EMPTY index. swapIn is idempotent (skip-if-done per
+    // suffix + unconditional re-anchor of live partitioned tables), so
+    // re-running it first finishes whatever the crash interrupted;
+    // CrashSweepSpec kills the refresh at every durable prefix and
+    // re-runs it as recovery.
+    swapIn(spark, staging, name)
     val vecs = Tombstones.filter(spark.table(s"${name}_cells"), name, "vec_id")
       .drop("cid")
     val cents = Similarity.lloydCentroidsOn(
       vecs.select(col("vec_id"), col("v")), k, iters)
-    val staging = name + "__refresh"
     buildFrom(vecs, cents, Similarity.assignCellsOn(vecs, cents), staging)
     swapIn(spark, staging, name)
   }
@@ -202,13 +223,17 @@ object AnnIndex {
     val snap = graft.functions.Materialize(
       Tombstones.filter(slice, name, "vec_id")
         .select(cells.columns.toIndexedSeq.map(col): _*).repartition(col("cid")))
+    graft.sink.CrashPoints.reached("anncompact.snapshotted")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // the dynamic overwrite commits per partition at job commit — one
+    // all-or-nothing durable op from the sweep's point of view
     try snap.write.mode("overwrite").insertInto(s"${name}_cells")
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    graft.sink.CrashPoints.reached("anncompact.rewritten")
   }
 
   /** Threshold-scoped compaction DRIVER — the piece that turns [[compact]]

@@ -163,6 +163,88 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("ann-index purge (physical rewrite of affected cells) converges from EVERY crash prefix") {
+    import graft.analytics.AnnIndex
+    val name = "swap_ann"
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 150).localCheckpoint()
+    val gone = vecs.filter(col("vec_id") >= 120).select(col("vec_id"))
+      .localCheckpoint()
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def serveSet(): Set[Seq[Any]] =
+      AnnIndex.topKAgainst(spark, name, q, k = 3)
+        .collect().map(_.toSeq).toSet
+    // reference: the purge must not change a single merge-on-read answer
+    dropAll(name)
+    AnnIndex.build(vecs, name, numCentroids = 8)
+    AnnIndex.delete(gone, name)
+    val refServed = serveSet()
+    def setup(): Unit = {
+      dropAll(name)
+      AnnIndex.build(vecs, name, numCentroids = 8)
+      AnnIndex.delete(gone, name)
+    }
+    sweep("ann purge")(setup _)(
+      () => AnnIndex.purgeTombstones(spark, name))(
+      () => AnnIndex.purgeTombstones(spark, name)) { k =>
+      assert(serveSet() == refServed, "served top-k drifted")
+      assert(!spark.catalog.tableExists(Tombstones.tableOf(name)),
+        "tombstone log not reset after recovered purge")
+      val rawIds = spark.read.parquet(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst
+            .TableIdentifier(s"${name}_cells")).location.toString)
+        .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(rawIds.intersect(goneIds).isEmpty,
+        "purged vectors still at rest after recovery")
+    }
+  }
+
+  test("ann-index quantizer refresh (retrain + staged build + swap) converges from EVERY crash prefix") {
+    import graft.analytics.AnnIndex
+    val name = "swrf_ann"; val ref = "swrfref"
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 150).localCheckpoint()
+    val gone = vecs.filter(col("vec_id") >= 140).select(col("vec_id"))
+      .localCheckpoint()
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // reference: a from-scratch refresh on a twin index — integer-lattice
+    // Lloyd is deterministic on the same retained vector set, so the
+    // recovered index must equal it cell-for-cell (the pending deletion
+    // is excluded from the rebuild snapshot on both)
+    dropAll("swrf")
+    AnnIndex.build(vecs, ref, numCentroids = 8)
+    AnnIndex.delete(gone, ref)
+    AnnIndex.refreshQuantizer(spark, ref, k = 8, iters = 2)
+    def cellsOf(n: String): Map[Long, Long] =
+      spark.table(s"${n}_cells").select(col("vec_id"), col("cid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def served(n: String): Set[Seq[Any]] =
+      AnnIndex.topKAgainst(spark, n, q, k = 3).collect().map(_.toSeq).toSet
+    val refCells = cellsOf(ref)
+    val refServed = served(ref)
+    def setup(): Unit = {
+      dropAll(name)
+      AnnIndex.build(vecs, name, numCentroids = 8)
+      AnnIndex.delete(gone, name)
+    }
+    // this sweep's prefixes include the RENAME→re-anchor seam on the
+    // PARTITIONED cells table (round-10 ADVICE): a recovery that read the
+    // stale partition locations would retrain on zero rows and deploy an
+    // empty index — refreshQuantizer's resume-before-read closes it
+    sweep("ann refresh")(setup _)(
+      () => AnnIndex.refreshQuantizer(spark, name, k = 8, iters = 2))(
+      () => AnnIndex.refreshQuantizer(spark, name, k = 8, iters = 2)) { k =>
+      assert(cellsOf(name) == refCells,
+        "recovered cell assignments differ from the from-scratch refresh")
+      assert(served(name) == refServed, "served top-k drifted after recovery")
+    }
+  }
+
   test("graph-index generation swap converges from EVERY crash prefix") {
     import graft.analytics.AnnGraphIndex
     val name = "swgs_live"; val stg = "swgs_stg"
