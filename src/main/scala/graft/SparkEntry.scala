@@ -3898,7 +3898,7 @@ object SparkEntry {
         |    (ascii(substring(md5(text), 1, 1)) * 256
         |     + ascii(substring(md5(text), 2, 1))) % 100 AS cb,
         |    len(regexp_extract_all(text, '\S+')) AS n_tok
-        |  FROM documents)
+        |  FROM documents WHERE doc_id % 5 < 2)
         |SELECT 'ann_cells' AS surface,
         |  (SELECT count(*) FROM g WHERE cb < 15
         |     AND doc_id IN (SELECT vec_id FROM embeddings))::BIGINT AS n_before,

@@ -65,7 +65,20 @@ object IndexAudit {
   def warmGateInputs(spark: SparkSession, dir: String): Unit = {
     sigsMemo(spark, dir); postingsMemo(spark, dir); dlMemo(spark, dir)
     centroidsMemo(spark, dir); cellsMemo(spark, dir)
+    pristineTrio(spark, dir)
   }
+
+  /** q212's audited trio, built ONCE per session (round-10 VERDICT item
+    * 4 extends the shared-input rule to the whole pristine build: q212
+    * only READS these tables, so independent-build semantics are not
+    * what it tests — q216 still builds its own mutable copy). The memo
+    * holds a marker frame; the side effect is the build. Bench charges
+    * it in q00_shared_build; run alone, the first q212 call pays it. */
+  private def pristineTrio(spark: SparkSession, dir: String): Unit =
+    graft.functions.SessionMemo(spark, s"indexgate.trio:$dir") {
+      buildTrio(spark, dir, "graft_audit", buckets = 8)
+      spark.range(1).toDF("built")
+    }
 
   /** With the memo OFF (A/B mode) the helpers hand back raw lazy frames;
     * the buildFrom* sinks consume them from two branches each, so cut
@@ -76,21 +89,54 @@ object IndexAudit {
       graft.functions.Materialize(df)
     else df
 
+  /** `slice` (key-column → predicate) restricts a build to an id-defined
+    * corpus subset WITHOUT forking the session-shared input memos: the
+    * filter sits on top of the materialized frames. q216 builds its
+    * mutable trio over a deterministic 40% slice (doc_id % 5 < 2) — the
+    * forget verbs are identical on any slice, and an id rule (unlike a
+    * content-hash rule) stays computable on every id-keyed frame. The
+    * quantizer deliberately stays full-corpus (a slice's index reusing a
+    * corpus-trained quantizer is the production shape anyway). */
   private def buildTrio(spark: SparkSession, dir: String, prefix: String,
-      buckets: Int): Unit = {
-    DedupIndex.buildFromSigs(snap(spark, sigsMemo(spark, dir)),
-      s"${prefix}_dd", buckets)
-    LexIndex.buildFrom(snap(spark, postingsMemo(spark, dir)),
-      snap(spark, dlMemo(spark, dir)), s"${prefix}_lx", buckets)
-    AnnIndex.buildFrom(gateVecs(spark, dir),
-      snap(spark, centroidsMemo(spark, dir)),
-      snap(spark, cellsMemo(spark, dir)), s"${prefix}_an")
+      buckets: Int,
+      slice: Option[String => org.apache.spark.sql.Column] = None): Unit = {
+    def sl(df: DataFrame, key: String): DataFrame =
+      slice.map(p => df.filter(p(key))).getOrElse(df)
+    // memo frames resolve BEFORE the fan-out (SessionMemo's build is not
+    // re-entrant across threads for the same key), then the three
+    // families' table writes run concurrently — disjoint tables
+    val sigs = snap(spark, sl(sigsMemo(spark, dir), "doc_id"))
+    val postings = snap(spark, sl(postingsMemo(spark, dir), "doc_id"))
+    val dl = snap(spark, sl(dlMemo(spark, dir), "doc_id"))
+    val cents = snap(spark, centroidsMemo(spark, dir))
+    val cells = snap(spark, sl(cellsMemo(spark, dir), "vec_id"))
+    val vecs = sl(gateVecs(spark, dir), "vec_id")
+    inParallel(Seq(
+      () => DedupIndex.buildFromSigs(sigs, s"${prefix}_dd", buckets),
+      () => LexIndex.buildFrom(postings, dl, s"${prefix}_lx", buckets),
+      () => AnnIndex.buildFrom(vecs, cents, cells, s"${prefix}_an")))
+  }
+
+  /** Fan independent per-family maintenance legs onto their own driver
+    * threads (fresh pool per call — threads are created on the CALLER's
+    * thread, so an armed CrashPoints budget would be inherited by design,
+    * and production threads stay a no-op). Spark's scheduler interleaves
+    * the three families' jobs across the same executors. */
+  private def inParallel(bodies: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        bodies.map(b => scala.concurrent.Future(b()))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
   }
 
   def auditGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = gateDocs(spark, dir)
     val vecs = gateVecs(spark, dir)
-    buildTrio(spark, dir, "graft_audit", buckets = 8)
+    pristineTrio(spark, dir)
     audit(spark, docs, vecs, "graft_audit_dd", "graft_audit_lx",
       "graft_audit_an")
   }
@@ -107,62 +153,73 @@ object IndexAudit {
     * personal data). The raw-table scans bypass the merge-on-read filters
     * on purpose: this report is about bytes at rest, not query answers. */
   def forgetGate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = gateDocs(spark, dir)
     // fresh MUTABLE copies from the shared inputs: this gate deletes,
     // purges and drops logs — none of which can be allowed to reach the
-    // q212 copies (hence separate tables, shared compute only)
-    buildTrio(spark, dir, "graft_forget", buckets = 4)
+    // q212 copies (hence separate tables, shared compute only). The
+    // corpus is the deterministic doc_id % 5 < 2 slice (the q227/q228
+    // cost discipline — the forget verbs are identical on any slice)
+    val docs = gateDocs(spark, dir).filter(col("doc_id") % 5 < 2)
+    buildTrio(spark, dir, "graft_forget", buckets = 4,
+      slice = Some(k => col(k) % 5 < 2))
     val gone = graft.functions.Materialize(
       docs.filter(Sampling.contentBucket(col("text")) < 15).select(col("doc_id")))
-    DedupIndex.delete(gone, "graft_forget_dd")
-    LexIndex.delete(gone, "graft_forget_lx")
-    AnnIndex.delete(gone.select(col("doc_id").as("vec_id")), "graft_forget_an")
-    val before = Map(
-      "dedup_sigs" -> held(spark, "graft_forget_dd_sigs", "doc_id", gone),
-      "dedup_bands" -> held(spark, "graft_forget_dd_bands", "doc_id", gone),
-      "lex_postings" -> held(spark, "graft_forget_lx_postings", "doc_id", gone),
-      "lex_dl" -> held(spark, "graft_forget_lx_dl", "doc_id", gone),
-      "ann_cells" -> held(spark, "graft_forget_an_cells", "vec_id",
-        gone.select(col("doc_id").as("vec_id"))))
-    DedupIndex.compact(spark, "graft_forget_dd")
-    LexIndex.compact(spark, "graft_forget_lx")
-    AnnIndex.purgeTombstones(spark, "graft_forget_an")
+    // the three families are INDEPENDENT surfaces (disjoint tables,
+    // separate tombstone logs): their request legs and purge legs fan out
+    // on driver threads exactly as a production compliance job would —
+    // the gate's wall was otherwise ~30 back-to-back driver-synchronous
+    // jobs whose latency, not volume, set the cost (a corpus slice
+    // changed nothing)
+    inParallel(Seq(
+      () => DedupIndex.delete(gone, "graft_forget_dd"),
+      () => LexIndex.delete(gone, "graft_forget_lx"),
+      () => AnnIndex.delete(gone.select(col("doc_id").as("vec_id")),
+        "graft_forget_an")))
+    val surfaces = Seq(
+      ("dedup_sigs", "graft_forget_dd_sigs", "doc_id"),
+      ("dedup_bands", "graft_forget_dd_bands", "doc_id"),
+      ("lex_postings", "graft_forget_lx_postings", "doc_id"),
+      ("lex_dl", "graft_forget_lx_dl", "doc_id"),
+      ("ann_cells", "graft_forget_an_cells", "vec_id"))
+    val before = heldAll(spark, surfaces, gone)
+    inParallel(Seq(
+      () => DedupIndex.compact(spark, "graft_forget_dd"),
+      () => LexIndex.compact(spark, "graft_forget_lx"),
+      () => AnnIndex.purgeTombstones(spark, "graft_forget_an")))
+    val remaining = heldAll(spark, surfaces, gone)
     val logsGone =
       !spark.catalog.tableExists(graft.sink.Tombstones.tableOf("graft_forget_dd")) &&
       !spark.catalog.tableExists(graft.sink.Tombstones.tableOf("graft_forget_lx")) &&
       !spark.catalog.tableExists(graft.sink.Tombstones.tableOf("graft_forget_an"))
     import spark.implicits._
-    before.toSeq.map { case (surface, nBefore) =>
-      val key = if (surface == "ann_cells") "vec_id" else "doc_id"
-      val ids = if (surface == "ann_cells")
-        gone.select(col("doc_id").as("vec_id")) else gone
-      val remaining = held(spark, s"graft_forget_${tableOf(surface)}", key, ids)
-      (surface, nBefore, remaining, remaining == 0L, logsGone)
+    surfaces.map { case (surface, _, _) =>
+      val (nBefore, nLeft) = (before(surface), remaining(surface))
+      (surface, nBefore, nLeft, nLeft == 0L, logsGone)
     }.toDF("surface", "n_before", "n_remaining", "forgotten", "log_cleared")
       .orderBy(col("surface"))
   }
 
-  private def tableOf(surface: String): String = surface match {
-    case "dedup_sigs" => "dd_sigs"
-    case "dedup_bands" => "dd_bands"
-    case "lex_postings" => "lx_postings"
-    case "lex_dl" => "lx_dl"
-    case "ann_cells" => "an_cells"
-  }
-
-  /** Distinct ids of `ids` physically present in `table` — a raw scan of
-    * the managed location, deliberately NOT `spark.table` (the report must
-    * see bytes at rest, not the merge-on-read view). */
-  private def held(spark: SparkSession, table: String, key: String,
-      ids: DataFrame): Long = {
-    val loc = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
-    // semi-join BEFORE distinct: the broadcast hash filter prunes inside
-    // the scan stage, so the distinct shuffles only the matching rows
-    // (the deletion batch's share), never the whole surface
-    spark.read.parquet(loc.toString).select(col(key))
-      .join(org.apache.spark.sql.functions.broadcast(ids), Seq(key), "left_semi")
-      .distinct().count()
+  /** Distinct ids of `gone` physically present per surface — raw scans of
+    * the managed locations, deliberately NOT `spark.table` (the report
+    * must see bytes at rest, not the merge-on-read view). All five
+    * surfaces count in ONE union-all job (they were one count job EACH
+    * until round 11 — ten sequential scans of driver latency for a
+    * five-row report): each leg semi-joins the broadcast deletion batch
+    * BEFORE the distinct, so the shuffle carries only the batch's share
+    * of each surface, never whole tables. */
+  private def heldAll(spark: SparkSession,
+      surfaces: Seq[(String, String, String)], gone: DataFrame): Map[String, Long] = {
+    val legs = surfaces.map { case (surface, table, key) =>
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+      spark.read.parquet(loc.toString).select(col(key).as("k"))
+        .join(org.apache.spark.sql.functions.broadcast(
+          gone.select(col("doc_id").as("k"))), Seq("k"), "left_semi")
+        .select(lit(surface).as("surface"), col("k"))
+    }
+    val counted = legs.reduce(_ unionByName _)
+      .groupBy(col("surface")).agg(countDistinct(col("k")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    surfaces.map { case (s, _, _) => s -> counted.getOrElse(s, 0L) }.toMap
   }
 
   /** The audit itself, over already-built indexes (callable against live
