@@ -88,9 +88,11 @@ object DedupIndex {
     val sigs = Materialize(sigsOf(docs))
     sigs.write.mode("append").bucketBy(bucketsOf(s"${name}_sigs"), "doc_id")
       .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_sigs")
+    graft.sink.CrashPoints.reached("dedupext.sigs")
     Dedup.bandsOf(sigs).write.mode("append")
       .bucketBy(bucketsOf(s"${name}_bands"), "band_key")
       .sortBy("band_key").format("parquet").saveAsTable(s"${name}_bands")
+    graft.sink.CrashPoints.reached("dedupext.bands")
     if (isClustered(spark, name)) extendClusters(docs, name, threshold)
   }
 
@@ -317,8 +319,10 @@ object DedupIndex {
     // merged labels), never a corpus the next extend can't pair against
     batch.write.mode("append").bucketBy(bucketsOf(spark, s"${name}_shg"), "doc_id")
       .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_shg")
+    graft.sink.CrashPoints.reached("cluext.shg")
     bp.write.mode("append").bucketBy(bucketsOf(spark, s"${name}_pfx"), "s")
       .sortBy("s").format("parquet").saveAsTable(s"${name}_pfx")
+    graft.sink.CrashPoints.reached("cluext.pfx")
     // contract: endpoint → current label (stored docs through base+map,
     // fresh docs are their own label), then min-label union-find on the
     // CONTRACTED label graph. Batch ids resolve through the SAME lookup —
@@ -358,6 +362,7 @@ object DedupIndex {
       .select(col("doc_id"),
         coalesce(col("label"), col("lbl")).as("label"), ver.as("ver"))
     appendClusterRows(spark, name, batchRows)
+    graft.sink.CrashPoints.reached("cluext.clusters")
     // merged OLD roots (labels some stored doc currently resolves to)
     // become path-compressed map entries; existing entries re-point. A
     // batch with no cross-label merges skips the map rewrite entirely —
@@ -435,6 +440,7 @@ object DedupIndex {
           .select(col("doc_id"),
             coalesce(col("label"), col("doc_id")).as("label"), ver.as("ver"))
         appendClusterRows(spark, name, rows)
+        graft.sink.CrashPoints.reached("clurepair.appended")
         val om = spark.table(s"${name}_labelmap")
         val cleaned = om.join(broadcast(affected),
           om("new_label") === affected("lbl"), "left_anti")

@@ -163,6 +163,75 @@ class CrashSweepSpec extends SparkSpec {
     }
   }
 
+  test("clustered extend (merge into the persisted cluster map) converges from EVERY crash prefix") {
+    val name = "swcx_idx"; val ref = "swcxref"
+    // small slices: the sweep replays build+extend once per prefix, so
+    // corpus size multiplies directly into suite wall-clock
+    val base = corpus.filter(col("doc_id") < 60).select("doc_id", "text")
+    val batch = corpus.filter(col("doc_id") >= 60 && col("doc_id") < 80)
+      .select("doc_id", "text").localCheckpoint()
+    def cmap(n: String): Map[Long, Long] =
+      DedupIndex.clusterMap(spark, n).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: a from-scratch CLUSTERED build on the union corpus
+    dropAll("swcx")
+    DedupIndex.buildClustered(base.unionByName(batch), ref, buckets = 2)
+    val refMap = cmap(ref)
+    def setup(): Unit = {
+      dropAll(name)
+      DedupIndex.buildClustered(base, name, buckets = 2)
+    }
+    // recovery for a torn extend is REPLAYING the batch (the
+    // DedupIndexStream at-least-once contract) — every prefix must land
+    // on the same resolved map as the from-scratch build
+    sweep("clustered extend")(setup _)(
+      () => DedupIndex.extend(batch, name))(
+      () => DedupIndex.extend(batch, name)) { k =>
+      assert(cmap(name) == refMap,
+        "recovered cluster map differs from the from-scratch build")
+    }
+  }
+
+  test("clustered delete (split/orphan repair) converges from EVERY crash prefix") {
+    import spark.implicits._
+    val name = "swcd_idx"; val ref = "swcdref"
+    def toks(from: Int, to: Int) = (from to to).map(i => s"cw$i").mkString(" ")
+    // the 3-doc bridge chain (DedupIndexSpec's construction): deleting B
+    // must SPLIT {A, C} — precisely the state a tombstone filter cannot
+    // reach, so every crash prefix must still converge to the split
+    val chain = Seq((8000001L, toks(1, 12)), (8000002L, toks(3, 14)),
+      (8000003L, toks(5, 16)), (8000005L, toks(21, 32)))
+      .toDF("doc_id", "text").localCheckpoint()
+    val base = corpus.filter(col("doc_id") < 40).select("doc_id", "text")
+      .unionByName(chain).localCheckpoint()
+    // the extend merges a SMALLER id into 8000005's cluster, so the label
+    // map carries a live entry (8000005 → 7000000); deleting 8000005 then
+    // dissolves that root — the repair's map-cleanup branch is in the
+    // swept sequence, not just the relabel
+    val batch = Seq((7000000L, toks(21, 32))).toDF("doc_id", "text")
+      .localCheckpoint()
+    val gone = Seq(8000002L, 8000005L).toDF("doc_id").localCheckpoint()
+    def cmap(n: String): Map[Long, Long] =
+      DedupIndex.clusterMap(spark, n).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dropAll("swcd")
+    DedupIndex.buildClustered(
+      base.unionByName(batch).filter(!col("doc_id").isin(8000002L, 8000005L)),
+      ref, buckets = 2)
+    val refMap = cmap(ref)
+    def setup(): Unit = {
+      dropAll(name)
+      DedupIndex.buildClustered(base, name, buckets = 2)
+      DedupIndex.extend(batch, name)
+    }
+    sweep("clustered delete")(setup _)(
+      () => DedupIndex.delete(gone, name))(
+      () => DedupIndex.delete(gone, name)) { k =>
+      assert(cmap(name) == refMap,
+        "recovered cluster map differs from a build on the retained corpus")
+    }
+  }
+
   test("ann-index purge (physical rewrite of affected cells) converges from EVERY crash prefix") {
     import graft.analytics.AnnIndex
     val name = "swap_ann"

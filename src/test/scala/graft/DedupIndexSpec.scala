@@ -323,6 +323,38 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"cluster-map read plan shuffles:\n${plan.toString.take(3000)}")
   }
 
+  test("cluster map: the standing loop maintains clusters; swap deploys a clustered generation") {
+    import spark.implicits._
+    import graft.streaming.DedupIndexStream
+    val name = "spec_clx_loop"
+    val corpus = smallDocs.filter(col("doc_id") < 80).select("doc_id", "text")
+    DedupIndex.buildClustered(corpus, name, buckets = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("clx_loop").toString
+    // an intra-batch NEAR-dup pair with unique vocabulary: both survive
+    // the loop's exact dedup and the index probe (neither matches the
+    // corpus), and the cluster leg of the loop's extend must merge them
+    val t1 = (1 to 14).map(i => s"lv$i").mkString(" ")
+    val t2 = t1 + " lv15"
+    val b0 = Seq((9100001L, t1), (9100002L, t2)).toDF("doc_id", "text")
+    DedupIndexStream.processBatch(spark, name, b0, 0L, tmp)
+    val m = cmapOf(name)
+    assert(m(9100001L) == 9100001L && m(9100002L) == 9100001L,
+      s"standing loop did not merge the intra-batch near-dup pair: " +
+        s"${m.filter(_._1 >= 9100000L)}")
+    // marker-guarded replay: a no-op for the cluster map too
+    DedupIndexStream.processBatch(spark, name, b0, 0L, tmp)
+    assert(cmapOf(name) == m, "marker-guarded replay changed the cluster map")
+    // generation swap: a clustered staging build (with one extra twin)
+    // deploys all six suffix tables through the live name
+    val twin = Seq((9100003L, t1)).toDF("doc_id", "text")
+    DedupIndex.buildClustered(
+      corpus.unionByName(b0).unionByName(twin), s"${name}_v2", buckets = 4)
+    DedupIndex.swapIn(spark, s"${name}_v2", name)
+    val m2 = cmapOf(name)
+    assert(m2(9100003L) == 9100001L && m2(9100002L) == 9100001L,
+      s"swapped generation's cluster map not serving: ${m2.get(9100003L)}")
+  }
+
   test("cluster map: deleting the canonical minimum relabels the survivors") {
     import spark.implicits._
     val name = "spec_clx_min"
