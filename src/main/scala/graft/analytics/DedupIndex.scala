@@ -390,10 +390,14 @@ object DedupIndex {
     * [[extendClusters]]). */
   private def minLabelUnionFind(edges: Array[(Long, Long)]): collection.Map[Long, Long] = {
     val parent = collection.mutable.Map.empty[Long, Long]
+    // iterative find with full path compression (a recursive find would
+    // track chain length on the stack — batch-sized, but unbounded)
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     for ((a, b) <- edges) {
       val (ra, rb) = (find(a), find(b))
