@@ -490,9 +490,12 @@ object DedupIndex {
   /** q228: the cluster-map gate — over the content-bucket-<50 corpus slice
     * (the q227 cost discipline: the gate's price is its lifecycle JOB
     * COUNT — a from-scratch build, two incremental merges, a split repair
-    * and nine table writes — not its data volume; the slice keeps every
-    * leg identical at any SF without making q228 the bench's dominant
-    * entry): build clustered on [20,50), extend TWICE ([10,20) then <10 —
+    * and ~20 sequential table writes/actions — not its data volume; the
+    * slice halves the volume but the wall is latency-bound. Measured
+    * per-leg at sf0.1, steady-state: build ≈3.8 s, each extend ≈3.4 s
+    * [sigs/bands 0.7 + candidates/verify ~1.5 + three appends ~1.3 +
+    * label merge/map <0.5], delete+repair ≈2.1 s, resolved read 0.2 s):
+    * build clustered on [20,50), extend TWICE ([10,20) then <10 —
     * the three slices partition the gate corpus), then delete every
     * doc_id ≡ 7 (mod 10), which exercises orphaned minima and splits. The
     * output is the resolved map over the retained corpus; the DuckDB
