@@ -394,7 +394,8 @@ object SparkEntry {
     "q225_graph_index"             -> AnnGraphIndex.indexGate _,
     "q226_graph_index_extend"      -> AnnGraphIndex.extendGate _,
     "q227_graph_index_audit"       -> AnnGraphIndex.auditGate _,
-    "q228_cluster_index"           -> DedupIndex.clusterGate _)
+    "q228_cluster_index"           -> DedupIndex.clusterGate _,
+    "q229_cluster_audit"           -> DedupIndex.clusterAuditGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1427,6 +1428,17 @@ object SparkEntry {
           |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
           |  coalesce(c.canonical_id, d.doc_id) = d.doc_id AS is_canonical
           |FROM docs_r d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin),
+
+    // cluster-surface fsck over a clean lifecycle: n_docs is the retained
+    // slice stated from the bucket + id formulas; every invariant reads
+    // zero closed-form (the corruption-detection half is spec-pinned)
+    "q229_cluster_audit" ->
+      """SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS missing_shingles,
+        |  0::BIGINT AS missing_prefixes, 0::BIGINT AS orphan_assignments,
+        |  0::BIGINT AS open_canonicals, 0::BIGINT AS dangling_map
+        |FROM documents
+        |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 20
+        |  AND doc_id % 7 <> 2""".stripMargin,
 
     // degree columns gate as restored-booleans: every extend edge touches
     // a purged plant, so the post-compact degree profile (max + exact p99)

@@ -487,6 +487,73 @@ object DedupIndex {
     Bucketed.replaceTable(spark, s"${name}_labelmap", staging =>
       m.coalesce(1).write.format("parquet").saveAsTable(staging))
 
+  /** Offline fsck for the cluster surface — the [[IndexAudit]]/
+    * [[AnnGraphIndex.audit]] discipline applied to the cluster-map
+    * tables. Full-scan invariants (audits are offline scans by design):
+    *  - `missing_shingles` / `missing_prefixes`: retained assigned docs
+    *    with no `_shg` / `_pfx` rows — a torn extend (clusters appended,
+    *    shingles or prefixes not) localizes here; every doc shingles to
+    *    ≥1 element (the `[trimmed_text]` fallback), so ≥1 prefix row is
+    *    owed per doc;
+    *  - `orphan_assignments`: `_clusters` docs absent from `_shg` — the
+    *    reverse tear;
+    *  - `open_canonicals`: resolved canonicals that are not retained
+    *    self-canonical docs — the map must be CLOSED (every canonical is
+    *    itself a member mapping to itself); a repair that forgot a
+    *    member, a stale label-map entry, or a tombstoned minimum still
+    *    serving as a label all flip this;
+    *  - `dangling_map`: label-map entries whose target is not a current
+    *    root — compressed chains and repair cleanup make every live
+    *    entry point at a root, so any exception is corruption or a
+    *    missed cleanup.
+    * One row: (n_docs, missing_shingles, missing_prefixes,
+    * orphan_assignments, open_canonicals, dangling_map). */
+  def clusterAudit(spark: SparkSession, name: String): DataFrame = {
+    healedClusterTables(spark, name)
+    val m = Materialize(clusterMap(spark, name))
+    val docs = m.select(col("doc_id"))
+    val shg = spark.table(s"${name}_shg").select(col("doc_id")).distinct()
+    val pfx = spark.table(s"${name}_pfx").select(col("doc_id")).distinct()
+    val missShg = docs.join(shg, Seq("doc_id"), "left_anti")
+    val missPfx = docs.join(pfx, Seq("doc_id"), "left_anti")
+    val orphan = Tombstones.filter(shg, name, "doc_id")
+      .join(docs, Seq("doc_id"), "left_anti")
+    val roots = m.filter(col("is_canonical")).select(col("doc_id").as("r"))
+    val openCanon = m.select(col("canonical_id").as("r")).distinct()
+      .join(roots, Seq("r"), "left_anti")
+    val dangling = spark.table(s"${name}_labelmap")
+      .select(col("new_label").as("r")).distinct()
+      .join(roots, Seq("r"), "left_anti")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(missShg.agg(count(lit(1)).as("missing_shingles")))
+      .crossJoin(missPfx.agg(count(lit(1)).as("missing_prefixes")))
+      .crossJoin(orphan.agg(count(lit(1)).as("orphan_assignments")))
+      .crossJoin(openCanon.agg(count(lit(1)).as("open_canonicals")))
+      .crossJoin(dangling.agg(count(lit(1)).as("dangling_map")))
+  }
+
+  /** q229: the cluster-surface audit gate — build clustered on a SMALL
+    * bucket slice, delete every doc_id ≡ 2 mod 7 (exercising the split/
+    * orphan repair and the label-map cleanup in-gate), then
+    * [[clusterAudit]]: n_docs must equal the retained slice exactly and
+    * every invariant must read zero; the oracle states the whole row in
+    * closed form. The extend leg is deliberately NOT in this gate — q228
+    * already pays the full incremental lifecycle and the audit's
+    * tear-detection columns scan identically either way (their
+    * corruption-detection half is spec-pinned); a repair that forgot a
+    * member, a stale label-map entry, a canonical that stopped being a
+    * retained self-member — each flips a column and the hash
+    * mismatches. */
+  def clusterAuditGate(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_dedup_kla"
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
+      Sampling.contentBucket(col("text")).as("cb"))
+      .filter(col("cb") < 20)
+    buildClustered(docs.select(col("doc_id"), col("text")), name, buckets = 4)
+    delete(docs.filter(col("doc_id") % 7 === 2).select(col("doc_id")), name)
+    clusterAudit(spark, name)
+  }
+
   /** q228: the cluster-map gate — over the content-bucket-<50 corpus slice
     * (the q227 cost discipline: the gate's price is its lifecycle JOB
     * COUNT — a from-scratch build, two incremental merges, a split repair

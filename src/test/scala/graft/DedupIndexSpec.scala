@@ -355,6 +355,33 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"swapped generation's cluster map not serving: ${m2.get(9100003L)}")
   }
 
+  test("cluster audit: clean lifecycle reads all-zero; planted corruption is detected") {
+    import spark.implicits._
+    val name = "spec_clx_audit"
+    val d = smallDocs
+    DedupIndex.buildClustered(
+      d.filter(col("cb") >= 30).select("doc_id", "text"), name, buckets = 4)
+    DedupIndex.extend(
+      d.filter(col("cb") < 30 && col("doc_id") < 120).select("doc_id", "text"), name)
+    DedupIndex.delete(
+      d.filter(col("doc_id") % 11 === 3).select("doc_id"), name)
+    def auditRow = DedupIndex.clusterAudit(spark, name).collect()(0)
+    val clean = auditRow
+    assert((1 to 5).forall(i => clean.getLong(i) == 0L),
+      s"clean clustered index audited dirty: $clean")
+    // plant corruption: a label-map entry pointing at a non-root, and a
+    // cluster assignment for a doc with no shingles behind it
+    Seq((clean.getLong(0) + 777L, 999999999L)).toDF("old_label", "new_label")
+      .write.mode("append").format("parquet").saveAsTable(s"${name}_labelmap")
+    Seq((888888888L, 888888888L, 0L)).toDF("doc_id", "label", "ver")
+      .write.mode("append").bucketBy(4, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${name}_clusters")
+    val dirty = auditRow
+    assert(dirty.getAs[Long]("dangling_map") >= 1, s"dangling map entry undetected: $dirty")
+    assert(dirty.getAs[Long]("missing_shingles") >= 1,
+      s"assignment without shingles undetected: $dirty")
+  }
+
   test("cluster map: deleting the canonical minimum relabels the survivors") {
     import spark.implicits._
     val name = "spec_clx_min"
