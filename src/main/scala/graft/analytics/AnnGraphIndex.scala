@@ -358,12 +358,7 @@ object AnnGraphIndex {
       .filter(col("c") > 1)
     val reps = spark.table(s"${name}_entries").select(col("rep").as("vec_id"))
     val missingReps = reps.join(v, Seq("vec_id"), "left_anti")
-    // exact percentile (sort-based), not approx: the audit is an offline
-    // full scan anyway, and the q227 restored-check needs both sides of
-    // the comparison computed by the identical deterministic rule
-    val deg = e.groupBy(col("src")).agg(countDistinct(col("dst")).as("d"))
-      .agg(max(col("d")).as("max_degree"),
-        expr("cast(percentile(d, 0.99d) as double)").as("p99_degree"))
+    val deg = degreeProfile(spark, name)
     v.agg(countDistinct(col("vec_id")).as("n_vectors"))
       .crossJoin(orphan.agg(count(lit(1)).as("orphan_endpoints")))
       .crossJoin(asym.agg(count(lit(1)).as("asym_edges")))
@@ -371,6 +366,19 @@ object AnnGraphIndex {
       .crossJoin(missingReps.agg(count(lit(1)).as("missing_reps")))
       .crossJoin(deg)
   }
+
+  /** The degree distribution of the symmetrized stored graph — exact
+    * percentile (sort-based), not approx: the audit is an offline full
+    * scan anyway, and the q227 restored-check needs both sides of the
+    * comparison computed by the identical deterministic rule. Shared by
+    * [[audit]] and the gate's pre-extend baseline (which needs ONLY this
+    * profile — running the full invariant scans twice was a third of the
+    * gate's cost). */
+  private def degreeProfile(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_edges").select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(countDistinct(col("dst")).as("d"))
+      .agg(max(col("d")).as("max_degree"),
+        expr("cast(percentile(d, 0.99d) as double)").as("p99_degree"))
 
   /** q227: the audit gate over the FULL lifecycle — build on the corpus,
     * extend with plants, delete the plants, compact (physical purge),
@@ -401,8 +409,8 @@ object AnnGraphIndex {
         expr("transform(v, x -> x * 2.0d)").as("v"))
     build(e, name, rounds = 1)
     // baseline degree profile, snapshotted BEFORE the lifecycle mutates
-    // the tables (audit is lazy over the very tables compact rewrites)
-    val base = Materialize(audit(spark, name)
+    // the tables (the plan is lazy over the very tables compact rewrites)
+    val base = Materialize(degreeProfile(spark, name)
       .select(col("max_degree").as("bmax"), col("p99_degree").as("bp99")))
     extend(planted, name)
     delete(planted.select(col("vec_id")), name)
