@@ -362,10 +362,24 @@ object ScaleRehearsal {
         math.rint(got.join(brute10, Seq("query_id", "neighbor_id")).count()
           * 10000.0 / (10 * 10)) / 10000.0
       }
-      val recall10 = recallAt10(beam = 32, nprobe = 2) // the serve defaults
+      val recall10 = recallAt10(beam = 32, nprobe = 2) // the narrow point
       // the knob curve: wider beam + more entry cells buy recall with
       // serve cost linear in beam — the lever SCALING.md documents
       val recall10Wide = recallAt10(beam = 64, nprobe = 4)
+      // round-12: the DENSITY-ADAPTIVE default (round-11 VERDICT item 3) —
+      // no manual knobs; the serve resolves its operating point from the
+      // stored mean-kth-neighbor-sim diagnostic, so the sparse regime
+      // (1×–2×) must reach the wide point's recall on its own
+      val recall10Auto = {
+        val got = analytics.AnnGraphIndex.topKAgainst(spark, "reh_gidx",
+          gQueries, k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        math.rint(got.join(brute10, Seq("query_id", "neighbor_id")).count()
+          * 10000.0 / (10 * 10)) / 10000.0
+      }
+      val gDensity = graft.sink.TableProps
+        .get(spark, "reh_gidx_entries", "graft.density")
+        .map(_.toDouble).getOrElse(-1.0)
 
       // round-11 cluster map (q228): the one-time CLUSTERED build tracks
       // the corpus (its pair graph + CC are the q25/q37 curves above);
@@ -392,6 +406,30 @@ object ScaleRehearsal {
       val tCluDelete = once(analytics.DedupIndex.delete(cluDelBatch, "reh_klx"))
       val (tCluRead, _) =
         time(analytics.DedupIndex.clusterMap(spark, "reh_klx").count())
+
+      // round-12: partition-pruned probe I/O (round-11 VERDICT item 2) —
+      // a SINGLE-doc probe against the persisted band table must read only
+      // the partitions its ~16 band keys hash into, at EVERY corpus scale:
+      // files_read is the scan's own metric (dynamic pruning already
+      // applied), files_total the table's physical layout. A probe whose
+      // I/O tracked the corpus would read ~files_total here.
+      val (bandsFilesRead, bandsFilesTotal) = {
+        val oneDoc = docsScaled.filter(col("doc_id") === 0L)
+          .select((col("doc_id") + 777000000L).as("doc_id"), col("text"))
+        val probe = analytics.DedupIndex.nearDupsAgainst(
+          spark, "reh_klx", oneDoc, 0.5)
+        probe.count() // execute so AQE + dynamic pruning finalize
+        val helper = new org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanHelper {}
+        val read = helper.collectWithSubqueries(
+            probe.queryExecution.executedPlan) {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.toString.contains("reh_klx_bands") => s
+          }.map(_.metrics("numFiles").value).sum
+        val total = spark.table("reh_klx_bands")
+          .select(col("_metadata.file_path")).distinct().count()
+        (read, total)
+      }
 
       // q95 skew-cap evidence: the largest single join group under the
       // char-prefix-only blocking key (round ≤4) vs the composite key in
@@ -440,12 +478,16 @@ object ScaleRehearsal {
         s""""serve_mor":$tServeMor,"n_deleted":$nDeleted},""" +
         s""""graph_index":{"build":$tGraphBuild,"delete":$tGraphDelete,""" +
         s""""serve_mor":$tGraphServe,"recall10":$recall10,""" +
-        s""""recall10_wide":$recall10Wide,""" +
+        s""""recall10_wide":$recall10Wide,"recall10_auto":$recall10Auto,""" +
+        s""""density":$gDensity,""" +
         s""""knobs":{"beam":32,"hops":3,"nprobe":2,"k":8,"rounds":1,""" +
-        s""""wide_beam":64,"wide_nprobe":4}},""" +
+        s""""wide_beam":64,"wide_nprobe":4,""" +
+        s""""sparse_density":${analytics.AnnGraphIndex.SparseDensity}}},""" +
         s""""cluster_index":{"build":$tCluBuild,"extend":$tCluExtend,""" +
         s""""delete_repair":$tCluDelete,"read":$tCluRead,""" +
-        s""""n_ext_batch":$nCluBatch,"n_ext_merged":$nCluMerged},""" +
+        s""""n_ext_batch":$nCluBatch,"n_ext_merged":$nCluMerged,""" +
+        s""""bands_probe":{"files_read":$bandsFilesRead,""" +
+        s""""files_total":$bandsFilesTotal}},""" +
         s""""n_chunks":$nChunks,""" +
         s""""wf_max_window":{"source":$maxSourceWindow,"salted":$maxSaltedWindow},""" +
         s""""bm25_matched_postings":$nMatchedPost,""" +

@@ -1434,7 +1434,7 @@ object SparkEntry {
     // zero closed-form (the corruption-detection half is spec-pinned)
     "q229_cluster_audit" ->
       """SELECT count(*)::BIGINT AS n_docs, 0::BIGINT AS missing_shingles,
-        |  0::BIGINT AS missing_prefixes, 0::BIGINT AS orphan_assignments,
+        |  0::BIGINT AS missing_prefixes, 0::BIGINT AS unassigned_docs,
         |  0::BIGINT AS open_canonicals, 0::BIGINT AS dangling_map
         |FROM documents
         |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 20
@@ -3901,32 +3901,46 @@ object SparkEntry {
       """SELECT vec_id AS query_id, true AS found
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
-    // the compliance report: n_before stated from the corpus (a delete
-    // that silently targeted nothing cannot pass), zero rows at rest
-    // after the purges, logs themselves gone
+    // the compliance report over all FIVE persisted families (12
+    // surfaces): n_before stated from the corpus wherever the surface is
+    // structural (a delete that silently targeted nothing cannot pass),
+    // NULL on the two reference surfaces whose held_before boolean
+    // carries the proof instead (graph_entries: doc/vec 0 — the slice
+    // minimum, hence a cell rep — is in the deletion set by
+    // construction; clu_labelmap: structurally empty in this
+    // build-then-delete lifecycle, populated-case spec-pinned); zero
+    // rows at rest after the purges, logs themselves gone
     "q216_forget_audit" ->
       """WITH g AS (
         |  SELECT doc_id,
         |    (ascii(substring(md5(text), 1, 1)) * 256
         |     + ascii(substring(md5(text), 2, 1))) % 100 AS cb,
         |    len(regexp_extract_all(text, '\S+')) AS n_tok
-        |  FROM documents WHERE doc_id % 5 < 2)
-        |SELECT 'ann_cells' AS surface,
-        |  (SELECT count(*) FROM g WHERE cb < 15
-        |     AND doc_id IN (SELECT vec_id FROM embeddings))::BIGINT AS n_before,
-        |  0::BIGINT AS n_remaining, true AS forgotten, true AS log_cleared
-        |UNION ALL
-        |SELECT 'dedup_bands', (SELECT count(*) FROM g WHERE cb < 15)::BIGINT,
-        |  0::BIGINT, true, true
-        |UNION ALL
-        |SELECT 'dedup_sigs', (SELECT count(*) FROM g WHERE cb < 15)::BIGINT,
-        |  0::BIGINT, true, true
-        |UNION ALL
-        |SELECT 'lex_dl', (SELECT count(*) FROM g WHERE cb < 15 AND n_tok >= 1)::BIGINT,
-        |  0::BIGINT, true, true
-        |UNION ALL
-        |SELECT 'lex_postings', (SELECT count(*) FROM g WHERE cb < 15 AND n_tok >= 1)::BIGINT,
-        |  0::BIGINT, true, true""".stripMargin,
+        |  FROM documents WHERE doc_id % 5 < 2),
+        |gone AS (SELECT doc_id, n_tok FROM g WHERE cb < 15 OR doc_id = 0),
+        |n AS (SELECT
+        |  (SELECT count(*) FROM gone)::BIGINT AS nd,
+        |  (SELECT count(*) FROM gone WHERE n_tok >= 1)::BIGINT AS nt,
+        |  (SELECT count(*) FROM gone WHERE doc_id IN
+        |     (SELECT vec_id FROM embeddings WHERE vec_id % 5 < 2))::BIGINT AS nv,
+        |  (SELECT count(*) FROM gone WHERE doc_id IN
+        |     (SELECT vec_id FROM embeddings
+        |      WHERE vec_id % 5 < 2 AND vec_id < 1250))::BIGINT AS ng)
+        |SELECT * FROM (
+        |  SELECT 'ann_cells' AS surface, nv AS n_before, true AS held_before,
+        |    0::BIGINT AS n_remaining, true AS forgotten, true AS log_cleared FROM n
+        |  UNION ALL SELECT 'clu_clusters', nd, true, 0, true, true FROM n
+        |  UNION ALL SELECT 'clu_labelmap', NULL::BIGINT, false, 0, true, true FROM n
+        |  UNION ALL SELECT 'clu_pfx', nd, true, 0, true, true FROM n
+        |  UNION ALL SELECT 'clu_shg', nd, true, 0, true, true FROM n
+        |  UNION ALL SELECT 'dedup_bands', nd, true, 0, true, true FROM n
+        |  UNION ALL SELECT 'dedup_sigs', nd, true, 0, true, true FROM n
+        |  UNION ALL SELECT 'graph_edges', ng, true, 0, true, true FROM n
+        |  UNION ALL SELECT 'graph_entries', NULL::BIGINT, true, 0, true, true FROM n
+        |  UNION ALL SELECT 'graph_vectors', ng, true, 0, true, true FROM n
+        |  UNION ALL SELECT 'lex_dl', nt, true, 0, true, true FROM n
+        |  UNION ALL SELECT 'lex_postings', nt, true, 0, true, true FROM n
+        |) ORDER BY surface""".stripMargin,
 
     // index fsck: every reconciliation and invariant must hold on a
     // freshly built trio — the engine computes the verdicts, the oracle

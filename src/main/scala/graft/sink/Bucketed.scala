@@ -149,5 +149,96 @@ object Bucketed {
       snap.write.bucketBy(n, key).sortBy(key).format("parquet")
         .saveAsTable(staging))
   }
+
+  // ==================================================================
+  // PARTITIONED index tables — the layout behind dynamically
+  // partition-pruned probes (the AnnIndex `_cells` pattern generalized):
+  // a hash-derived partition column turns a broadcast probe batch into a
+  // runtime partition filter on the scan, so a daily batch reads only the
+  // slices its keys hash into instead of the whole 100 TB table.
+  // ==================================================================
+
+  /** Create (or replace) a hash-partitioned index table. `partCol` must
+    * already be on `df` (derived from the probe key, e.g.
+    * `pmod(xxhash64(key), parts)` — the SAME derivation the probe side
+    * applies at query time); the modulus is stamped as the `graft.parts`
+    * table property so probes and appends read it from the catalog
+    * instead of trusting callers to agree ([[TableProps]]). The
+    * `repartition(partCol)` gives exactly one file per partition per
+    * write. */
+  def writePartitioned(df: DataFrame, table: String, partCol: String,
+      parts: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    ManagedPaths.clearStale(spark, table)
+    df.repartition(col(partCol)).write.mode("overwrite")
+      .format("parquet").partitionBy(partCol).saveAsTable(table)
+    TableProps.set(spark, table, PartsProp -> parts.toString)
+  }
+
+  /** The stored partition modulus of a [[writePartitioned]] table. */
+  def partsOf(spark: SparkSession, table: String): Int =
+    TableProps.required(spark, table, PartsProp).toInt
+
+  val PartsProp = "graft.parts"
+
+  /** Append a batch into an existing partitioned index table, one file
+    * per touched partition (`partCol` must already be derived with the
+    * stored modulus — see [[partsOf]]). */
+  def appendPartitioned(df: DataFrame, table: String, partCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(col(partCol)).write.mode("append")
+      .format("parquet").partitionBy(partCol).saveAsTable(table)
+  }
+
+  /** In-layout compaction of a partitioned index table — the
+    * [[graft.analytics.AnnIndex.compact]] discipline shared: snapshot
+    * through Materialize (the read must not race its own overwrite),
+    * rewrite every partition present in the snapshot to ONE file via
+    * DYNAMIC partition overwrite (commits at job commit — all-or-nothing
+    * from the sweep's point of view), then explicitly drop partitions the
+    * `transform` EMPTIED (a partition whose every row was tombstoned
+    * produces no snapshot rows, so the dynamic overwrite never touches it
+    * and its at-rest bytes would survive the purge). Each step is
+    * idempotent, so a crash anywhere replays into the same end state; no
+    * rename is involved, so partition locations never strand. */
+  def compactPartitioned(spark: SparkSession, table: String, partCol: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    import org.apache.spark.sql.functions.col
+    val t = spark.table(table)
+    val snap = graft.functions.Materialize(
+      transform(t).select(t.columns.toIndexedSeq.map(col): _*)
+        .repartition(col(partCol)))
+    CrashPoints.reached("pcompact.snapshotted")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try snap.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    CrashPoints.reached("pcompact.rewritten")
+    val kept = snap.select(col(partCol)).distinct().collect()
+      .map(_.get(0).toString).toSet
+    val cat = spark.sessionState.catalog
+    val ti = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val emptied = cat.listPartitions(ti)
+      .filterNot(p => kept(p.spec(partCol)))
+    if (emptied.nonEmpty) {
+      // catalog drop first, then the at-rest bytes (the in-memory catalog's
+      // drop does not purge managed files); both idempotent under replay
+      cat.dropPartitions(ti, emptied.map(_.spec), ignoreIfNotExists = true,
+        purge = false, retainData = true)
+      val root = new org.apache.hadoop.fs.Path(cat.getTableMetadata(ti).location)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { p =>
+        val dir = new org.apache.hadoop.fs.Path(root,
+          s"$partCol=${p.spec(partCol)}")
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+    }
+    CrashPoints.reached("pcompact.dropped")
+  }
 }
 

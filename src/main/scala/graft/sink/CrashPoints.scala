@@ -29,9 +29,16 @@ object CrashPoints {
 
   /** Mutable per-thread-tree state: child threads created after an arm
     * inherit the REFERENCE, so a body that hands work to a thread it
-    * spawned still counts/crashes there (single-writer in practice — the
-    * sweep's body runs its durable ops sequentially). */
-  private final class State { var budget: Long = Long.MaxValue; var hits: Long = 0L }
+    * spawned still counts/crashes there. `hits` is an AtomicLong because
+    * swept verbs DO fan durable ops onto driver threads (IndexAudit
+    * .inParallel under buildTrio/forgetGate, DedupIndex.extend's disjoint
+    * appends): an unsynchronized read-modify-write could lose concurrent
+    * increments, making the sweep's N and the injected crash prefix
+    * nondeterministic (round-11 ADVICE). One CAS on a test-only path. */
+  private final class State {
+    @volatile var budget: Long = Long.MaxValue
+    val hits = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
 
   private val state = new InheritableThreadLocal[State]
 
@@ -44,26 +51,25 @@ object CrashPoints {
   /** Allow `n` points on THIS thread, then throw on the next. Resets the
     * counter. */
   private[graft] def arm(n: Long): Unit = {
-    val s = ensure(); s.hits = 0L; s.budget = n
+    val s = ensure(); s.hits.set(0L); s.budget = n
   }
 
   /** Back to production behavior for this thread (counter keeps counting,
     * never throws). */
   private[graft] def disarm(): Unit = {
-    val s = ensure(); s.budget = Long.MaxValue; s.hits = 0L
+    val s = ensure(); s.budget = Long.MaxValue; s.hits.set(0L)
   }
 
   /** Points reached on this thread since the last arm/disarm — the
     * sweep's N. */
   private[graft] def count: Long = {
-    val s = state.get(); if (s == null) 0L else s.hits
+    val s = state.get(); if (s == null) 0L else s.hits.get()
   }
 
   def reached(point: String): Unit = {
     val s = state.get()
     if (s != null) {
-      s.hits += 1L
-      if (s.hits > s.budget) throw new CrashInjected(point)
+      if (s.hits.incrementAndGet() > s.budget) throw new CrashInjected(point)
     }
   }
 }

@@ -72,7 +72,11 @@ class AnnGraphSpec extends SparkSpec {
     val q = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     AnnGraphIndex.build(vecs, name)
-    val persisted = AnnGraphIndex.topKAgainst(spark, name, q, k = 5)
+    // explicit knobs: this pins ALGORITHM equivalence against the
+    // in-memory path's fixed defaults — the persisted serve's own
+    // defaults are density-adaptive and may resolve wider
+    val persisted = AnnGraphIndex.topKAgainst(spark, name, q, k = 5,
+        beam = 32, nprobe = 2)
       .collect().map(_.toSeq).toSet
     val inMemory = AnnGraph.graphTopKOn(vecs, q, k = 5)
       .collect().map(_.toSeq).toSet
@@ -276,6 +280,52 @@ class AnnGraphSpec extends SparkSpec {
       s"asymmetric edge undetected: $dirty")
     assert(dirty.getAs[Long]("dup_edges") >= 1,
       s"duplicate edge undetected: $dirty")
+  }
+
+  test("degree cap: many small extends stay serveable; compact bounds max_degree at the stored cap") {
+    import spark.implicits._
+    val name = "spec_graph_idx_cap"
+    val k = 2
+    // small corpus slice so the build's own hub ceiling (which anchors the
+    // cap — see AnnGraphIndex CapProp) stays low enough for the extends
+    // below to provably exceed it
+    val small = vecs.filter(col("vec_id") < 60)
+    AnnGraphIndex.build(small, name, k = k, rounds = 1, numCentroids = 8,
+      buckets = 4)
+    val cap = AnnGraphIndex.storedCap(spark, name)
+    assert(cap >= 3 * k && cap < 1000, s"stored cap not anchored: $cap")
+    // many single-vector extends, every plant a scaled copy of vector 7:
+    // each insert-by-search appends a reverse edge onto node 7, pushing
+    // its stored degree past the cap (the round-11 q227 finding — extend
+    // never prunes old nodes' lists)
+    val t = small.filter(col("vec_id") === 7L)
+    (0 until (cap + 5)).foreach { i =>
+      AnnGraphIndex.extend(t.select((col("vec_id") + lit(3000000L + i)).as("vec_id"),
+        expr("transform(v, x -> x * 2.0d)").as("v")), name)
+    }
+    def degreeOf(id: Long): Long = spark.table(s"${name}_edges")
+      .filter(col("src") === id).select(col("dst")).distinct().count()
+    val inflated = degreeOf(7L)
+    assert(inflated > cap, s"extends did not inflate node 7 past cap=$cap — vacuous: $inflated")
+    // BETWEEN compacts serving still works (the hop applies the stored
+    // cap merge-on-read, so the frontier fan-out is bounded) and the
+    // twin is found at rank 1 sim 1.0 — cap keeps TOP-by-sim, and the
+    // plant↔twin edges sit at exactly 1.0
+    val q7 = t.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val top = AnnGraphIndex.topKAgainst(spark, name, q7, k = 1)
+      .collect()
+    assert(top.length == 1 && top(0).getDouble(2) == 1.0,
+      s"capped serve lost the planted twin: ${top.mkString}")
+    // compact enforces the cap PHYSICALLY (symmetric drop — the audit's
+    // asym_edges must stay 0) without any pending deletions
+    AnnGraphIndex.compact(spark, name)
+    assert(degreeOf(7L) <= cap,
+      s"compact left node 7 over the degree cap $cap: ${degreeOf(7L)}")
+    val a = AnnGraphIndex.audit(spark, name).collect()(0)
+    assert(a.getAs[Long]("asym_edges") == 0L,
+      s"physical cap broke stored symmetry: $a")
+    assert(a.getAs[Long]("max_degree") <= cap,
+      s"audit max_degree above cap after compact: $a")
   }
 
   test("persisted serving plan: frontier broadcasts into the bucketed edges scan") {

@@ -82,37 +82,63 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.forall(r => r.getLong(0) - r.getLong(1) == 10000000L))
   }
 
-  test("compaction: one file per bucket, bucket spec preserved, answers unchanged") {
+  test("compaction: one file per bucket/partition, specs preserved, answers unchanged") {
+    import scala.jdk.CollectionConverters._
     val a = docs.filter(col("cb") >= 50).select("doc_id", "text")
     val b = docs.filter(col("cb") >= 30 && col("cb") < 50).select("doc_id", "text")
     val c = docs.filter(col("cb") >= 10 && col("cb") < 30).select("doc_id", "text")
     val batch = docs.filter(col("cb") < 10).select("doc_id", "text")
-    DedupIndex.build(a, "spec_idx_cmp", buckets = 4)
+    DedupIndex.build(a, "spec_idx_cmp", buckets = 4, parts = 8)
     DedupIndex.extend(b, "spec_idx_cmp")
     DedupIndex.extend(c, "spec_idx_cmp")
     def files(t: String): Int = {
+      // recursive — _bands keeps its files under pb=v partition dirs
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(t)).location
-      new java.io.File(loc).listFiles().count(_.getName.endsWith(".parquet"))
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(loc))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
     }
     val before = (files("spec_idx_cmp_sigs"), files("spec_idx_cmp_bands"))
     info(s"files before compaction: $before")
-    assert(before._1 > 4 && before._2 > 4,
+    assert(before._1 > 4 && before._2 > 8,
       s"extends produced no small files — test is vacuous: $before")
     val baseline = DedupIndex.nearDupsAgainst(spark, "spec_idx_cmp", batch)
       .collect().map(_.toSeq).toSet
 
     DedupIndex.compact(spark, "spec_idx_cmp")
-    assert(files("spec_idx_cmp_sigs") == 4 && files("spec_idx_cmp_bands") == 4,
-      s"expected exactly one file per bucket after compaction: " +
-        s"${(files("spec_idx_cmp_sigs"), files("spec_idx_cmp_bands"))}")
-    // the bucket spec survives, so the probe plan stays exchange-free
+    val nParts = spark.table("spec_idx_cmp_bands")
+      .select(col("pb")).distinct().count().toInt
+    assert(files("spec_idx_cmp_sigs") == 4 &&
+      files("spec_idx_cmp_bands") == nParts,
+      s"expected one file per bucket/partition after compaction: " +
+        s"${(files("spec_idx_cmp_sigs"), files("spec_idx_cmp_bands"))} vs (4, $nParts)")
+    // the bucket spec survives, so the probe plan stays exchange-free;
+    // the partition modulus property survives, so later probes/extends
+    // derive pb with the same hash slice
     val cat = spark.sql("DESCRIBE EXTENDED spec_idx_cmp_sigs")
       .filter(col("col_name") === "Num Buckets").collect()
     assert(cat.length == 1 && cat(0).getString(1).trim == "4")
+    assert(graft.sink.Bucketed.partsOf(spark, "spec_idx_cmp_bands") == 8,
+      "compaction lost the partition-modulus property")
     val after = DedupIndex.nearDupsAgainst(spark, "spec_idx_cmp", batch)
       .collect().map(_.toSeq).toSet
     assert(after == baseline, "compaction changed an answer")
+  }
+
+  test("plan: the bands probe scan is dynamically partition-pruned by the batch") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val corpus = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    val batch = docs.filter(col("cb") < 3).select("doc_id", "text")
+    DedupIndex.build(corpus, "spec_idx_dpp", buckets = 4, parts = 64)
+    val q = DedupIndex.nearDupsAgainst(spark, "spec_idx_dpp", batch)
+    q.count() // execute so AQE + DPP finalize
+    val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case s: FileSourceScanExec if s.toString.contains("spec_idx_dpp_bands") => s
+    }
+    assert(scans.nonEmpty, "bands scan not found")
+    assert(scans.exists(_.toString.contains("dynamicpruning")),
+      s"bands scan lacks a dynamic pruning filter:\n${scans.map(_.toString).mkString}")
   }
 
   test("streaming auto-compaction: every Nth batch rewrites to one file per bucket") {
@@ -129,13 +155,19 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     DedupIndexStream.processBatch(spark, "spec_idx_auto",
       fresh.drop(10).toSeq.toDF("doc_id", "text"), 1L, tmp, compactEvery = 2)
     def files(t: String): Int = {
+      import scala.jdk.CollectionConverters._
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(t)).location
-      new java.io.File(loc).listFiles().count(_.getName.endsWith(".parquet"))
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(loc))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
     }
-    assert(files("spec_idx_auto_sigs") == 4 && files("spec_idx_auto_bands") == 4,
-      s"batch 1 (compactEvery=2) must leave one file per bucket: " +
-        s"${(files("spec_idx_auto_sigs"), files("spec_idx_auto_bands"))}")
+    val nParts = spark.table("spec_idx_auto_bands")
+      .select(col("pb")).distinct().count().toInt
+    assert(files("spec_idx_auto_sigs") == 4 &&
+      files("spec_idx_auto_bands") == nParts,
+      s"batch 1 (compactEvery=2) must leave one file per bucket/partition: " +
+        s"${(files("spec_idx_auto_sigs"), files("spec_idx_auto_bands"))} vs (4, $nParts)")
     // the compacted index still catches a copy of a streamed survivor
     val b2 = Seq((9300001L, fresh(3)._2)).toDF("doc_id", "text")
     DedupIndexStream.processBatch(spark, "spec_idx_auto", b2, 2L, tmp, compactEvery = 2)
@@ -380,6 +412,140 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(dirty.getAs[Long]("dangling_map") >= 1, s"dangling map entry undetected: $dirty")
     assert(dirty.getAs[Long]("missing_shingles") >= 1,
       s"assignment without shingles undetected: $dirty")
+  }
+
+  test("cluster threshold is persisted with the index and governs extend + repair") {
+    import spark.implicits._
+    def toks(from: Int, to: Int) = (from to to).map(i => s"thr$i").mkString(" ")
+    // A/B word-trigram Jaccard = 8/12 ≈ 0.667: mergeable at the default
+    // 0.6, NOT at 0.8 — the round-11 ADVICE bug was extend silently
+    // merging at 0.6 whatever the build threshold
+    val a = Seq((9000011L, toks(1, 12))).toDF("doc_id", "text")
+    val b = Seq((9000012L, toks(3, 14))).toDF("doc_id", "text")
+    val name = "spec_clx_thr"
+    val corpus = smallDocs.filter(col("doc_id") < 60).select("doc_id", "text")
+    DedupIndex.buildClustered(corpus.unionByName(a), name, buckets = 4,
+      threshold = 0.8)
+    DedupIndex.extend(b, name)
+    val m = cmapOf(name)
+    assert(m(9000012L) == 9000012L,
+      s"extend merged a 0.667 pair on a threshold-0.8 index: ${m.get(9000012L)}")
+    // the property survives compaction (the _clusters fold replaces the
+    // table; the staging stamp must ride the rename)
+    DedupIndex.compact(spark, name)
+    assert(DedupIndex.storedThreshold(spark, name) == 0.8,
+      "compaction lost the persisted threshold")
+    // and a repair after a delete reclusters at the STORED threshold: the
+    // 0.667 pair must stay split through the affected-component recompute
+    DedupIndex.delete(corpus.limit(1).select("doc_id"), name)
+    assert(cmapOf(name)(9000012L) == 9000012L,
+      "repair reclustered at the wrong threshold")
+  }
+
+  test("swap: a non-clustered staging build demotes a clustered live index") {
+    import spark.implicits._
+    val name = "spec_clx_demote"
+    val corpus = smallDocs.filter(col("doc_id") < 60).select("doc_id", "text")
+    DedupIndex.buildClustered(corpus, name, buckets = 4)
+    assert(spark.catalog.tableExists(s"${name}_clusters"))
+    // rebuild WITHOUT clustering and deploy: the stale cluster map must
+    // not keep serving the previous generation's corpus (round-11 ADVICE)
+    DedupIndex.build(corpus, s"${name}_v2", buckets = 4)
+    DedupIndex.swapIn(spark, s"${name}_v2", name)
+    assert(!spark.catalog.tableExists(s"${name}_clusters"),
+      "stale cluster tables survived a non-clustered deploy")
+    assert(!spark.catalog.tableExists(s"${name}_labelmap"))
+    // the demoted index still serves the probe path
+    val batch = smallDocs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+      .select("doc_id", "text")
+    DedupIndex.nearDupsAgainst(spark, name, batch).count() // must not throw
+  }
+
+  test("clustered standing loop: 3 micro-batches + replay ≡ from-scratch build on the survivors") {
+    import spark.implicits._
+    import graft.streaming.DedupIndexStream
+    // round-11 VERDICT item 5: drive the MemoryStream loop over a
+    // CLUSTERED index across ≥3 micro-batches (cross-batch near-dup, an
+    // exact re-delivery, a replay) and pin the resolved map against a
+    // from-scratch buildClustered over base + survivors.
+    val name = "spec_clx_loop3"
+    def toks(p: String, from: Int, to: Int) =
+      (from to to).map(i => s"$p$i").mkString(" ")
+    val base = smallDocs.filter(col("doc_id") < 60).select("doc_id", "text")
+    DedupIndex.buildClustered(base, name, buckets = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("clx_loop3").toString
+    // b0: an intra-batch near-dup pair (merged by the loop's extend)
+    val a1 = toks("sl", 1, 14); val a2 = a1 + " sl15"
+    val b0 = Seq((9300001L, a1), (9300002L, a2)).toDF("doc_id", "text")
+    // b1: a CROSS-batch near-dup of a b0 survivor — trigram J ≈ 0.71
+    // (merge at 0.6) but MinHash est ≈ 0.7 < the loop's 0.9 probe
+    // threshold, so it SURVIVES the dedup and must still join the cluster
+    val b1 = Seq((9300003L, toks("sl", 3, 16))).toDF("doc_id", "text")
+    // b2: a novel doc + an exact copy of a b0 survivor (dropped by probe)
+    val b2 = Seq((9300004L, toks("zq", 1, 14)), (9300005L, a1))
+      .toDF("doc_id", "text")
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DedupIndexStream.DocArrival]
+    val q = DedupIndexStream.run(in.toDS(), name, tmp)
+      .option("checkpointLocation", s"$tmp/_cp").start()
+    try {
+      for (b <- Seq(b0, b1, b2)) {
+        in.addData(b.collect().map(r =>
+          DedupIndexStream.DocArrival(r.getLong(0), r.getString(1))).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val m = cmapOf(name)
+    assert(m(9300002L) == 9300001L && m(9300003L) == 9300001L,
+      s"cross-batch cluster merges missing: ${m.filter(_._1 >= 9300000L)}")
+    assert(!m.contains(9300005L), "exact re-delivery survived the probe")
+    // replay a committed micro-batch directly — marker-guarded no-op
+    DedupIndexStream.processBatch(spark, name, b1, 1L, tmp)
+    assert(cmapOf(name) == m, "replayed micro-batch changed the cluster map")
+    // ground truth: from-scratch clustered build over base + survivors
+    val survivors = (0 to 2).map(b => spark.read.parquet(s"$tmp/b=$b"))
+      .reduce(_ unionByName _)
+    DedupIndex.buildClustered(base.unionByName(survivors),
+      "spec_clx_loop3_ref", buckets = 4)
+    assert(m == cmapOf("spec_clx_loop3_ref"),
+      "standing-loop map diverged from the from-scratch build")
+  }
+
+  test("forgetting the cluster surface: a doc's label-map references clear on delete, all tables at rest on compact") {
+    import spark.implicits._
+    // the q216 reference-surface story, spec-pinned on an ENGINEERED merge
+    // (the gate's build-then-delete lifecycle never populates the map):
+    // extending with a SMALLER id re-points a stored root, so the map
+    // holds (old_root → new_label); deleting the old root must drop its
+    // entries at repair time (merge-on-read), and compaction must leave
+    // no trace of any deleted id in any cluster table at rest.
+    val name = "spec_clx_forget"
+    def toks(from: Int, to: Int) = (from to to).map(i => s"fm$i").mkString(" ")
+    val pairText = toks(21, 32)
+    val corpus = smallDocs.filter(col("doc_id") < 50).select("doc_id", "text")
+      .unionByName(Seq((8100005L, pairText)).toDF("doc_id", "text"))
+    DedupIndex.buildClustered(corpus, name, buckets = 4)
+    DedupIndex.extend(Seq((7100000L, pairText)).toDF("doc_id", "text"), name)
+    def rawIds(suffix: String, cols: Seq[String]): Set[Long] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name + suffix)).location
+      val df = spark.read.parquet(loc.toString)
+      cols.flatMap(c => df.select(col(c)).collect().map(_.getLong(0))).toSet
+    }
+    assert(rawIds("_labelmap", Seq("old_label", "new_label"))
+        == Set(8100005L, 7100000L),
+      "engineered merge did not populate the label map — test is vacuous")
+    DedupIndex.delete(Seq(8100005L).toDF("doc_id"), name)
+    assert(!rawIds("_labelmap", Seq("old_label", "new_label")).contains(8100005L),
+      "deleted doc still referenced by the label map after repair")
+    DedupIndex.delete(Seq(7100000L).toDF("doc_id"), name)
+    DedupIndex.compact(spark, name)
+    for (s <- Seq("_shg", "_clusters"); id <- Seq(8100005L, 7100000L))
+      assert(!rawIds(s, Seq("doc_id")).contains(id),
+        s"deleted doc $id still at rest in $s after compact")
+    assert(rawIds("_labelmap", Seq("old_label", "new_label")).isEmpty,
+      "label map not cleared by the compaction fold")
   }
 
   test("cluster map: deleting the canonical minimum relabels the survivors") {

@@ -21,11 +21,18 @@ class RetentionSpec extends SparkSpec {
     .select(col("doc_id"), col("text"),
       Sampling.contentBucket(col("text")).as("cb"))
 
+  import scala.jdk.CollectionConverters._
+
   private def tableFiles(table: String): Set[String] = {
+    // recursive: partitioned index tables (dedup _bands since round 12)
+    // keep their files under partCol=v subdirectories
     val loc = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table)).location
-    new java.io.File(loc).listFiles().map(_.getName)
-      .filter(_.endsWith(".parquet")).toSet
+    val root = java.nio.file.Paths.get(loc)
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toSet
+    finally s.close()
   }
 
   private def rawIds(table: String, idCol: String): Set[Long] = {
