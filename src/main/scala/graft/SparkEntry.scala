@@ -3916,16 +3916,16 @@ object SparkEntry {
         |    (ascii(substring(md5(text), 1, 1)) * 256
         |     + ascii(substring(md5(text), 2, 1))) % 100 AS cb,
         |    len(regexp_extract_all(text, '\S+')) AS n_tok
-        |  FROM documents WHERE doc_id % 5 < 2),
+        |  FROM documents WHERE doc_id % 10 < 2),
         |gone AS (SELECT doc_id, n_tok FROM g WHERE cb < 15 OR doc_id = 0),
         |n AS (SELECT
         |  (SELECT count(*) FROM gone)::BIGINT AS nd,
         |  (SELECT count(*) FROM gone WHERE n_tok >= 1)::BIGINT AS nt,
         |  (SELECT count(*) FROM gone WHERE doc_id IN
-        |     (SELECT vec_id FROM embeddings WHERE vec_id % 5 < 2))::BIGINT AS nv,
+        |     (SELECT vec_id FROM embeddings WHERE vec_id % 10 < 2))::BIGINT AS nv,
         |  (SELECT count(*) FROM gone WHERE doc_id IN
         |     (SELECT vec_id FROM embeddings
-        |      WHERE vec_id % 5 < 2 AND vec_id < 1250))::BIGINT AS ng)
+        |      WHERE vec_id % 10 < 2 AND vec_id < 1250))::BIGINT AS ng)
         |SELECT * FROM (
         |  SELECT 'ann_cells' AS surface, nv AS n_before, true AS held_before,
         |    0::BIGINT AS n_remaining, true AS forgotten, true AS log_cleared FROM n

@@ -69,6 +69,12 @@ object AnnGraphIndex {
   private val KProp = "graft.k"
   private val CapProp = "graft.cap"
   private val DensityProp = "graft.density"
+  // graft.overcap: whether any node MAY exceed the cap at rest — set true
+  // by every extend (it appends reverse edges without pruning), cleared
+  // by build/compact (they enforce the cap physically). Serving applies
+  // its merge-on-read cap window ONLY while this is true, so steady-state
+  // (post-maintenance) hops pay zero extra shuffle for the bound.
+  private val OvercapProp = "graft.overcap"
 
   /** The density boundary between the serve operating points — set from
     * the measured rehearsal curve (sparse 1×–2× vs dense 5×+ regimes;
@@ -110,31 +116,31 @@ object AnnGraphIndex {
     Bucketed.writeBucketed(und, s"${name}_edges", "src", buckets)
     Bucketed.writeBucketed(cells.select(col("vec_id"), col("v"), col("cid")),
       s"${name}_vectors", "vec_id", buckets)
-    val density = densityOn(und, k)
-    val maxDeg = und.groupBy(col("src"))
-      .agg(countDistinct(col("dst")).as("d"))
-      .agg(max(col("d"))).collect()(0)
-    val cap = math.max(3 * k,
-      if (maxDeg.isNullAt(0)) 0 else maxDeg.getLong(0).toInt)
+    val (density, maxDeg) = profileOn(und, k)
+    val cap = math.max(3 * k, maxDeg)
     writeEntries(spark, name,
       cents.join(cells.groupBy(col("cid")).agg(min(col("vec_id")).as("rep")),
         Seq("cid")),
       props = Seq(KProp -> k.toString, CapProp -> cap.toString,
-        DensityProp -> density.toString))
+        DensityProp -> density.toString, OvercapProp -> "false"))
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
 
-  /** Mean k-th-neighbor similarity over the stored symmetrized edges: per
-    * src the min of its top-k sims (the k-th, or the weakest present when
-    * degree < k), averaged over srcs. One window + one aggregate — an
-    * offline maintenance cost, 6-dp rounded for a stable stored knob. */
-  private def densityOn(edges: DataFrame, k: Int): Double = {
+  /** One-pass build profile over the stored symmetrized edges: the mean
+    * k-th-neighbor similarity (per src the min of its top-k sims — the
+    * k-th, or the weakest present when degree < k — averaged over srcs;
+    * the adaptive-knob diagnostic, 6-dp rounded for a stable stored knob)
+    * and the max distinct out-degree (the cap anchor). One window + one
+    * aggregate job — an offline maintenance cost. */
+  private def profileOn(edges: DataFrame, k: Int): (Double, Int) = {
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
     val r = edges.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .groupBy(col("src")).agg(min(col("sim")).as("ks"))
-      .agg(avg(col("ks"))).collect()(0)
-    if (r.isNullAt(0)) 0.0 else math.rint(r.getDouble(0) * 1e6) / 1e6
+      .groupBy(col("src")).agg(
+        min(when(col("rn") <= k, col("sim"))).as("ks"),
+        countDistinct(col("dst")).as("d"))
+      .agg(avg(col("ks")).as("density"), max(col("d")).as("maxd")).collect()(0)
+    if (r.isNullAt(0)) (0.0, 0)
+    else (math.rint(r.getDouble(0) * 1e6) / 1e6, r.getLong(1).toInt)
   }
 
   /** The entries rewrite rides the staging-rename like every other table
@@ -181,6 +187,12 @@ object AnnGraphIndex {
     // index — the TableProps discipline: a graph built at any k is
     // extended at its own width, not a caller default
     val kk = if (k > 0) k else storedInt(spark, name, KProp, 8)
+    // flag BEFORE the appends (conservative under a crash: an unchanged
+    // graph served with the cap window is a little latency, the reverse —
+    // over-cap rows served uncapped — is the unbounded fan-out the flag
+    // exists to prevent); build/compact clear it when they enforce the
+    // cap physically
+    TableProps.set(spark, s"${name}_entries", OvercapProp -> "true")
     val ids = Materialize(newVecs.select(col("vec_id"), col("v")))
     val cents = spark.table(s"${name}_entries")
       .select(col("cid"), col("cv"))
@@ -254,8 +266,15 @@ object AnnGraphIndex {
     val nprobe = if (nprobe0 > 0) nprobe0 else if (sparse) WideNprobe else DefaultNprobe
     // serve-side degree cap (round-11 VERDICT item 4): each expanded
     // node's list is cut to its top-cap by sim merge-on-read, so hop cost
-    // stays bounded between compacts even after many extends
-    val cap = storedInt(spark, name, CapProp, Int.MaxValue)
+    // stays bounded between compacts even after many extends. Engaged
+    // ONLY while extends may have pushed a node over (OvercapProp) — on a
+    // freshly built/compacted graph the bound already holds at rest and
+    // the hop pays no window
+    val cap =
+      if (TableProps.get(spark, s"${name}_entries", OvercapProp)
+          .contains("true"))
+        storedInt(spark, name, CapProp, Int.MaxValue)
+      else Int.MaxValue
     val q = Materialize(queries.select(col("query_id"), col("qv")))
     val vectors = Tombstones.filter(
       spark.table(s"${name}_vectors")
@@ -387,18 +406,22 @@ object AnnGraphIndex {
       }
     val vectors = Materialize(retained(spark.table(s"${name}_vectors"), "vec_id"))
     val nb = bucketsOf(spark, s"${name}_edges")
-    Bucketed.replaceTable(spark, s"${name}_edges", staging =>
-      edges.repartition(nb, col("src")).write.bucketBy(nb, "src")
-        .sortBy("src").format("parquet").saveAsTable(staging))
     val nv = bucketsOf(spark, s"${name}_vectors")
-    Bucketed.replaceTable(spark, s"${name}_vectors", staging =>
-      vectors.repartition(nv, col("vec_id")).write.bucketBy(nv, "vec_id")
-        .sortBy("vec_id").format("parquet").saveAsTable(staging))
-    // the density diagnostic is a maintenance-time quantity: recompute it
-    // from the rewritten edge set (the materialized frame — identical to
-    // the new table's content) so the adaptive serve knobs track the
-    // post-purge graph
-    val density = densityOn(edges, k)
+    // density is a maintenance-time quantity: recompute from the rewritten
+    // edge set (the materialized frame — identical to the new table's
+    // content) so the adaptive serve knobs track the post-purge graph.
+    // Three independent legs (edges rewrite, vectors rewrite, the density
+    // aggregate) fan out on driver threads — disjoint tables, both inputs
+    // already materialized (the graft.functions.Par discipline).
+    var density = 0.0
+    graft.functions.Par.inParallel(Seq(
+      () => Bucketed.replaceTable(spark, s"${name}_edges", staging =>
+        edges.repartition(nb, col("src")).write.bucketBy(nb, "src")
+          .sortBy("src").format("parquet").saveAsTable(staging)),
+      () => Bucketed.replaceTable(spark, s"${name}_vectors", staging =>
+        vectors.repartition(nv, col("vec_id")).write.bucketBy(nv, "vec_id")
+          .sortBy("vec_id").format("parquet").saveAsTable(staging)),
+      () => density = profileOn(edges, k)._1))
     if (log.isDefined) {
       // snapshot BEFORE writeEntries drops the table the plan reads from
       // (the drop-then-write self-reference trap — lazy plans must not
@@ -409,12 +432,13 @@ object AnnGraphIndex {
         Seq("cid")))
       writeEntries(spark, name, newEntries,
         props = Seq(KProp -> k.toString, CapProp -> capv.toString,
-          DensityProp -> density.toString))
+          DensityProp -> density.toString, OvercapProp -> "false"))
       Tombstones.clear(spark, name)
     } else
-      // no entries rewrite — a plain catalog ALTER refreshes the knob
+      // no entries rewrite — a plain catalog ALTER refreshes the knobs
+      // (the cap now holds at rest, so serving drops its window)
       TableProps.set(spark, s"${name}_entries",
-        DensityProp -> density.toString)
+        DensityProp -> density.toString, OvercapProp -> "false")
   }
 
   /** Graph-quality RENORMALIZATION — the rebuild-and-deploy loop that

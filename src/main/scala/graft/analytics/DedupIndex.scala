@@ -191,16 +191,22 @@ object DedupIndex {
     * answers-unchanged + file-count collapse + preserved bucket spec. */
   def compact(spark: SparkSession, name: String): Unit = {
     healedTables(spark, name)
-    // the physical purge point: the rewrite drops tombstoned rows from both
-    // tables, then the log resets — answers unchanged, because every read
-    // path already merge-on-read-filtered the same rows. The bands table
-    // compacts IN LAYOUT (one file per partition, emptied partitions
-    // dropped at rest — [[Bucketed.compactPartitioned]]).
-    Bucketed.compactBucketed(spark, s"${name}_sigs", "doc_id",
-      Tombstones.filter(_, name, "doc_id"))
-    Bucketed.compactPartitioned(spark, s"${name}_bands", "pb",
-      Tombstones.filter(_, name, "doc_id"))
-    if (isClustered(spark, name)) compactClusters(spark, name)
+    // the physical purge point: the rewrite drops tombstoned rows from
+    // every table, then the log resets — answers unchanged, because every
+    // read path already merge-on-read-filtered the same rows. The bands
+    // (and pfx) tables compact IN LAYOUT (one file per partition, emptied
+    // partitions dropped at rest — [[Bucketed.compactPartitioned]]). Up
+    // to five independent table rewrites fan out on driver threads
+    // ([[graft.functions.Par]] — they were the gate wall's longest serial
+    // chain); the log clears only after ALL legs land (fail-slow), so a
+    // crash anywhere leaves the log intact and the re-run converges.
+    val legs: Seq[() => Unit] = Seq(
+      () => Bucketed.compactBucketed(spark, s"${name}_sigs", "doc_id",
+        Tombstones.filter(_, name, "doc_id")),
+      () => Bucketed.compactPartitioned(spark, s"${name}_bands", "pb",
+        Tombstones.filter(_, name, "doc_id"))) ++
+      (if (isClustered(spark, name)) clusterCompactLegs(spark, name) else Nil)
+    graft.functions.Par.inParallel(legs)
     Tombstones.clear(spark, name)
   }
 
@@ -594,7 +600,8 @@ object DedupIndex {
     * layout; the resolved map (base ⊕ labelmap ⊕ tombstone filter)
     * becomes the fresh ver-0 base; the label map clears. Runs BEFORE the
     * family's Tombstones.clear — the fold must still see the log. */
-  private def compactClusters(spark: SparkSession, name: String): Unit = {
+  private def clusterCompactLegs(spark: SparkSession,
+      name: String): Seq[() => Unit] = {
     healedClusterTables(spark, name)
     // the fold below REPLACES _clusters (fresh staging table, no
     // properties): read the persisted threshold first and stamp it on the
@@ -602,21 +609,27 @@ object DedupIndex {
     // there is no seam where _clusters exists property-less (a crash
     // replay re-runs compact, which must be able to read the threshold)
     val threshold = storedThreshold(spark, name)
-    // the rewrite also collapses rows duplicated by at-least-once extend
-    // replays (read paths already tolerate them; compaction is the remedy)
-    Bucketed.compactBucketed(spark, s"${name}_shg", "doc_id",
-      df => Tombstones.filter(df, name, "doc_id").dropDuplicates("doc_id"))
-    Bucketed.compactPartitioned(spark, s"${name}_pfx", "ps",
-      df => Tombstones.filter(df, name, "doc_id").distinct())
-    val folded = Materialize(clusterMap(spark, name)
-      .select(col("doc_id"), col("canonical_id").as("label"), lit(0L).as("ver")))
-    val nb = bucketsOf(spark, s"${name}_clusters")
-    Bucketed.replaceTable(spark, s"${name}_clusters", { staging =>
-      folded.repartition(nb, col("doc_id")).write.bucketBy(nb, "doc_id")
-        .sortBy("doc_id").format("parquet").saveAsTable(staging)
-      TableProps.set(spark, staging, ThresholdProp -> threshold.toString)
-    })
-    writeLabelMap(spark, name, emptyLabelMap(spark))
+    Seq(
+      // the rewrites also collapse rows duplicated by at-least-once extend
+      // replays (read paths already tolerate them; compaction is the remedy)
+      () => Bucketed.compactBucketed(spark, s"${name}_shg", "doc_id",
+        df => Tombstones.filter(df, name, "doc_id").dropDuplicates("doc_id")),
+      () => Bucketed.compactPartitioned(spark, s"${name}_pfx", "ps",
+        df => Tombstones.filter(df, name, "doc_id").distinct()),
+      () => {
+        // the fold reads only _clusters ⊕ _labelmap ⊕ the log — disjoint
+        // from the shingle/prefix rewrites, so it rides its own leg
+        val folded = Materialize(clusterMap(spark, name)
+          .select(col("doc_id"), col("canonical_id").as("label"),
+            lit(0L).as("ver")))
+        val nb = bucketsOf(spark, s"${name}_clusters")
+        Bucketed.replaceTable(spark, s"${name}_clusters", { staging =>
+          folded.repartition(nb, col("doc_id")).write.bucketBy(nb, "doc_id")
+            .sortBy("doc_id").format("parquet").saveAsTable(staging)
+          TableProps.set(spark, staging, ThresholdProp -> threshold.toString)
+        })
+        writeLabelMap(spark, name, emptyLabelMap(spark))
+      })
   }
 
   private def appendClusterRows(spark: SparkSession, name: String,

@@ -92,7 +92,7 @@ object IndexAudit {
   /** `slice` (key-column → predicate) restricts a build to an id-defined
     * corpus subset WITHOUT forking the session-shared input memos: the
     * filter sits on top of the materialized frames. q216 builds its
-    * mutable trio over a deterministic 40% slice (doc_id % 5 < 2) — the
+    * mutable trio over a deterministic 20% slice (doc_id % 10 < 2) — the
     * forget verbs are identical on any slice, and an id rule (unlike a
     * content-hash rule) stays computable on every id-keyed frame. The
     * quantizer deliberately stays full-corpus (a slice's index reusing a
@@ -127,9 +127,12 @@ object IndexAudit {
             graft.analytics.TextStats.wordShingles(
               org.apache.spark.sql.functions.col("text")).as("w"))),
         s"${prefix}_dd", buckets, threshold = 0.6, parts = buckets * 2))
+    // rounds = 0 (cell-blocked init only): the forget gate tests at-rest
+    // deletion, not graph quality — NN-Descent refinement is the cost of
+    // a quality gate (q224-q227), not a compliance gate
     val graphLeg: Seq[() => Unit] = graphVecs.toSeq.map(gv =>
-      () => AnnGraphIndex.build(gv, s"${prefix}_gx", k = 8, rounds = 1,
-        numCentroids = 8, buckets = 4))
+      () => AnnGraphIndex.build(gv, s"${prefix}_gx", k = 8, rounds = 0,
+        numCentroids = 4, buckets = 4))
     inParallel(Seq(
       () => DedupIndex.buildFromSigs(sigs, s"${prefix}_dd", buckets,
         parts = buckets * 2),
@@ -187,11 +190,11 @@ object IndexAudit {
     // cost discipline — the forget verbs are identical on any slice);
     // the graph family's vector slice is additionally bounded
     // (vec_id < 1250): its build pays NN-Descent, a gate-local cost
-    val docs = gateDocs(spark, dir).filter(col("doc_id") % 5 < 2)
+    val docs = gateDocs(spark, dir).filter(col("doc_id") % 10 < 2)
     val gvecs = gateVecs(spark, dir)
-      .filter(col("vec_id") % 5 < 2 && col("vec_id") < 1250)
+      .filter(col("vec_id") % 10 < 2 && col("vec_id") < 1250)
     buildTrio(spark, dir, "graft_forget", buckets = 4,
-      slice = Some(k => col(k) % 5 < 2), clustered = true,
+      slice = Some(k => col(k) % 10 < 2), clustered = true,
       graphVecs = Some(gvecs))
     val gone = graft.functions.Materialize(
       docs.filter(Sampling.contentBucket(col("text")) < 15 ||
@@ -203,13 +206,6 @@ object IndexAudit {
     // gate's wall is otherwise back-to-back driver-synchronous jobs whose
     // latency, not volume, sets the cost. The dedup leg's delete also
     // repairs the cluster map (split/orphan semantics ride the delete).
-    inParallel(Seq(
-      () => DedupIndex.delete(gone, "graft_forget_dd"),
-      () => LexIndex.delete(gone, "graft_forget_lx"),
-      () => AnnIndex.delete(gone.select(col("doc_id").as("vec_id")),
-        "graft_forget_an"),
-      () => AnnGraphIndex.delete(gone.select(col("doc_id").as("vec_id")),
-        "graft_forget_gx")))
     def byId(idCol: String): DataFrame => DataFrame =
       df => df.select(col(idCol).as("k"))
     def byBoth(a: String, b: String): DataFrame => DataFrame =
@@ -228,7 +224,21 @@ object IndexAudit {
       ("graph_vectors", "graft_forget_gx_vectors", byId("vec_id")),
       ("lex_dl", "graft_forget_lx_dl", byId("doc_id")),
       ("lex_postings", "graft_forget_lx_postings", byId("doc_id")))
-    val before = heldAll(spark, surfaces, gone)
+    // the before-counts leg rides WITH the delete legs: deletes are
+    // tombstone appends (no index table touched) plus the cluster repair,
+    // whose appends only add rows for RETAINED docs — no surface's
+    // gone-id presence changes between pre-delete and pre-purge in this
+    // lifecycle, so "rows at rest before the purge" is measurable
+    // concurrently (one fewer serial phase in a latency-bound gate)
+    var before: Map[String, Long] = Map.empty
+    inParallel(Seq(
+      () => DedupIndex.delete(gone, "graft_forget_dd"),
+      () => LexIndex.delete(gone, "graft_forget_lx"),
+      () => AnnIndex.delete(gone.select(col("doc_id").as("vec_id")),
+        "graft_forget_an"),
+      () => AnnGraphIndex.delete(gone.select(col("doc_id").as("vec_id")),
+        "graft_forget_gx"),
+      () => before = heldAll(spark, surfaces, gone)))
     inParallel(Seq(
       () => DedupIndex.compact(spark, "graft_forget_dd"),
       () => LexIndex.compact(spark, "graft_forget_lx"),
