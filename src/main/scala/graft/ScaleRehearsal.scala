@@ -418,7 +418,10 @@ object ScaleRehearsal {
           .select((col("doc_id") + 777000000L).as("doc_id"), col("text"))
         val probe = analytics.DedupIndex.nearDupsAgainst(
           spark, "reh_klx", oneDoc, 0.5)
-        probe.count() // execute so AQE + dynamic pruning finalize
+        // collect(), not count(): count() plans a SEPARATE QueryExecution,
+        // leaving this frame's own plan (whose scan metrics we read)
+        // unexecuted — its numFiles would read 0
+        probe.collect()
         val helper = new org.apache.spark.sql.execution.adaptive
           .AdaptiveSparkPlanHelper {}
         val read = helper.collectWithSubqueries(

@@ -314,6 +314,24 @@ object DedupIndex {
     * round-11 ADVICE bug (silent maintenance at the wrong setting). */
   private val ThresholdProp = "graft.cluster.threshold"
 
+  /** Monotonic assignment-version counter, persisted as a `_clusters`
+    * table property and BUMPED BEFORE each append — two writes can never
+    * share a version (round-11 watch item: `System.nanoTime()` stamps
+    * were correct under max_by resolution but could theoretically tie
+    * within one tick). A crash after the bump just leaves a gap; a
+    * replayed extend bumps again, so its re-derived rows shadow the torn
+    * attempt's with identical values. Maintenance per index is
+    * single-writer (the streaming loops run one micro-batch at a time),
+    * so the read-bump-set is not racy in practice.  */
+  private val VerProp = "graft.cluster.ver"
+
+  private def nextVer(spark: SparkSession, name: String): Long = {
+    val t = s"${name}_clusters"
+    val v = TableProps.get(spark, t, VerProp).map(_.toLong).getOrElse(0L) + 1L
+    TableProps.set(spark, t, VerProp -> v.toString)
+    v
+  }
+
   private[graft] def storedThreshold(spark: SparkSession, name: String): Double =
     TableProps.required(spark, s"${name}_clusters", ThresholdProp).toDouble
 
@@ -373,7 +391,7 @@ object DedupIndex {
             lit(0L).as("ver"))
         Bucketed.writeBucketed(base, s"${name}_clusters", "doc_id", buckets)
         TableProps.set(spark, s"${name}_clusters",
-          ThresholdProp -> threshold.toString)
+          ThresholdProp -> threshold.toString, VerProp -> "0")
         writeLabelMap(spark, name, emptyLabelMap(spark))
       }))
   }
@@ -499,7 +517,7 @@ object DedupIndex {
     // batch rows land with their FINAL labels (merge info is durable in
     // the base even if the map rewrite below is lost to a crash — the
     // replay re-derives the same entries)
-    val ver = lit(System.nanoTime())
+    val ver = lit(nextVer(spark, name))
     val batchRows = curOf(docs.select(col("doc_id")))
       .join(rootDf, col("lbl") === col("node"), "left")
       .select(col("doc_id"),
@@ -581,7 +599,7 @@ object DedupIndex {
             .select(col("doc_a").as("a"), col("doc_b").as("b")),
           mshg, threshold).select(col("a"), col("b"))
         val cc = Dedup.connectedComponents(pairs)
-        val ver = lit(System.nanoTime())
+        val ver = lit(nextVer(spark, name))
         val rows = retained
           .join(cc, col("doc_id") === col("node"), "left")
           .select(col("doc_id"),
@@ -626,7 +644,8 @@ object DedupIndex {
         Bucketed.replaceTable(spark, s"${name}_clusters", { staging =>
           folded.repartition(nb, col("doc_id")).write.bucketBy(nb, "doc_id")
             .sortBy("doc_id").format("parquet").saveAsTable(staging)
-          TableProps.set(spark, staging, ThresholdProp -> threshold.toString)
+          TableProps.set(spark, staging,
+            ThresholdProp -> threshold.toString, VerProp -> "0")
         })
         writeLabelMap(spark, name, emptyLabelMap(spark))
       })

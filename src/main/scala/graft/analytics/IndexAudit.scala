@@ -229,7 +229,12 @@ object IndexAudit {
     // whose appends only add rows for RETAINED docs — no surface's
     // gone-id presence changes between pre-delete and pre-purge in this
     // lifecycle, so "rows at rest before the purge" is measurable
-    // concurrently (one fewer serial phase in a latency-bound gate)
+    // concurrently (one fewer serial phase in a latency-bound gate).
+    // EXCEPT the label map: the repair REPLACES `_labelmap`
+    // (drop → rename), so a concurrent raw read can hit the swap window
+    // (found live as a transient TABLE_NOT_FOUND under load) — its count
+    // runs after the fan-out, one tiny read
+    val overlapped = surfaces.filterNot(_._1 == "clu_labelmap")
     var before: Map[String, Long] = Map.empty
     inParallel(Seq(
       () => DedupIndex.delete(gone, "graft_forget_dd"),
@@ -238,7 +243,8 @@ object IndexAudit {
         "graft_forget_an"),
       () => AnnGraphIndex.delete(gone.select(col("doc_id").as("vec_id")),
         "graft_forget_gx"),
-      () => before = heldAll(spark, surfaces, gone)))
+      () => before = heldAll(spark, overlapped, gone)))
+    before ++= heldAll(spark, surfaces.filter(_._1 == "clu_labelmap"), gone)
     inParallel(Seq(
       () => DedupIndex.compact(spark, "graft_forget_dd"),
       () => LexIndex.compact(spark, "graft_forget_lx"),
