@@ -32,6 +32,7 @@ object BenchOne {
         spark.conf.set(k.trim, v.trim)
       })
     names.foreach { name =>
+      graft.functions.PhaseTimer.arm()
       val t0 = System.nanoTime()
       val ok = try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -40,6 +41,12 @@ object BenchOne {
       } catch { case e: Throwable => System.err.println(s"$name FAILED: $e"); false }
       val status = if (ok) "ok" else "FAILED"
       println(f"BENCHONE $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $status")
+      // per-leg attribution where the verb under test records phases
+      // (PhaseTimer is a no-op in Bench/production — armed only here)
+      val legs = graft.functions.PhaseTimer.drain()
+      if (legs.nonEmpty)
+        println("BENCHONE   legs: " + legs.toSeq.sortBy(-_._2)
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
     }
     spark.stop()
   }

@@ -388,14 +388,29 @@ object ScaleRehearsal {
       // with its original) in O(batch edges) on top of the linear
       // index-side prefix scan, and delete+repair relabels only the
       // affected components of a FIXED deletion batch.
-      val tCluBuild = once(analytics.DedupIndex.buildClustered(
-        docsScaled, "reh_klx", buckets = 8))
+      // the grid is DERIVED at build (round-12 VERDICT item 2): a small
+      // rows-per-slice target here makes the derivation actually vary
+      // with scale in a measured run (the 4M production default never
+      // leaves the 64-floor at rehearsal sizes), so the bands_probe row
+      // below proves probe I/O stays O(batch keys) at a non-default grid
+      spark.conf.set("spark.graft.dedup.rows.per.slice", "20000")
+      val tCluBuild =
+        try once(analytics.DedupIndex.buildClustered(
+          docsScaled, "reh_klx", buckets = 8))
+        finally spark.conf.unset("spark.graft.dedup.rows.per.slice")
+      val cluParts = graft.sink.Bucketed.partsOf(spark, "reh_klx_bands")
       val cluExtBatch = docsScaled
         .filter(col("doc_id") < CopyIdStride &&
           Sampling.contentBucket(col("text")) < 2)
         .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
       val nCluBatch = cluExtBatch.count()
+      // per-leg attribution (round-12 VERDICT item 3): which extend leg
+      // grows past 20×? Armed around the timed run only.
+      graft.functions.PhaseTimer.arm()
       val tCluExtend = once(analytics.DedupIndex.extend(cluExtBatch, "reh_klx"))
+      val cluLegs = graft.functions.PhaseTimer.drain()
+      val cluLegsJson = cluLegs.toSeq.sortBy(_._1).map { case (kk, v) =>
+        s""""$kk":${math.rint(v * 1e4) / 1e4}""" }.mkString("{", ",", "}")
       val nCluMerged = analytics.DedupIndex.clusterMap(spark, "reh_klx")
         .filter(col("doc_id") >= 900000000L && !col("is_canonical")).count()
       val cluDelBatch = docsScaled
@@ -487,10 +502,11 @@ object ScaleRehearsal {
         s""""wide_beam":64,"wide_nprobe":4,""" +
         s""""sparse_density":${analytics.AnnGraphIndex.SparseDensity}}},""" +
         s""""cluster_index":{"build":$tCluBuild,"extend":$tCluExtend,""" +
+        s""""extend_legs":$cluLegsJson,""" +
         s""""delete_repair":$tCluDelete,"read":$tCluRead,""" +
         s""""n_ext_batch":$nCluBatch,"n_ext_merged":$nCluMerged,""" +
         s""""bands_probe":{"files_read":$bandsFilesRead,""" +
-        s""""files_total":$bandsFilesTotal}},""" +
+        s""""files_total":$bandsFilesTotal,"derived_parts":$cluParts}},""" +
         s""""n_chunks":$nChunks,""" +
         s""""wf_max_window":{"source":$maxSourceWindow,"salted":$maxSaltedWindow},""" +
         s""""bm25_matched_postings":$nMatchedPost,""" +

@@ -69,6 +69,17 @@ object AnnGraphIndex {
   private val KProp = "graft.k"
   private val CapProp = "graft.cap"
   private val DensityProp = "graft.density"
+  // graft.cents: the centroid-grid size behind the stored cells — edges
+  // depend on it (cells seed NN-Descent), so a refresh that rebuilt at a
+  // different grid would silently change the graph shape. Persisted at
+  // build, re-stamped by compact, resolved by refresh.
+  private val CentsProp = "graft.cents"
+  // graft.nvec: the stored vector count — the size half of the exact-serve
+  // fallback decision (see topKRawAgainst). Exact at build/refresh/compact;
+  // extend adds its batch size after the appends (a crash in the gap
+  // undercounts, an at-least-once replay overcounts exactly as the table
+  // itself does — both bounded, both healed by the next compact).
+  private val NvecProp = "graft.nvec"
   // graft.overcap: whether any node MAY exceed the cap at rest — set true
   // by every extend (it appends reverse edges without pruning), cleared
   // by build/compact (they enforce the cap physically). Serving applies
@@ -81,9 +92,19 @@ object AnnGraphIndex {
     * SCALING.md records the measured values either side). */
   private[graft] val SparseDensity = 0.35
   private val DefaultBeam = 32
-  private val WideBeam = 64
+  private[graft] val WideBeam = 64
   private val DefaultNprobe = 2
-  private val WideNprobe = 4
+  private[graft] val WideNprobe = 4
+
+  /** The exact-serve boundary (round-12 VERDICT item 1): a SPARSE graph
+    * under this many vectors serves by brute-force projected cosine —
+    * the regime where beam search's recall floor lives (measured 0.28–0.40
+    * recall@10 at rehearsal 1×–2× even at the wide operating point) is
+    * exactly the regime where an exact scan costs milliseconds (≤ 50k
+    * cosines per query, one broadcast + one pass over a table that fits
+    * in a single executor's cache). Overridable per session via
+    * `spark.graft.graph.exact.max`; 0 disables. */
+  private[graft] val ExactServeMax = 50000L
 
   private def storedInt(spark: SparkSession, name: String, prop: String,
       fallback: Int): Int =
@@ -122,7 +143,9 @@ object AnnGraphIndex {
       cents.join(cells.groupBy(col("cid")).agg(min(col("vec_id")).as("rep")),
         Seq("cid")),
       props = Seq(KProp -> k.toString, CapProp -> cap.toString,
-        DensityProp -> density.toString, OvercapProp -> "false"))
+        DensityProp -> density.toString, OvercapProp -> "false",
+        CentsProp -> numCentroids.toString,
+        NvecProp -> cells.count().toString))
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
 
@@ -227,6 +250,12 @@ object AnnGraphIndex {
     assigned.select(col("vec_id"), col("v"), col("cid")).write.mode("append")
       .bucketBy(nv, "vec_id").sortBy("vec_id")
       .format("parquet").saveAsTable(s"${name}_vectors")
+    // count AFTER the appends (a crash in the gap undercounts — the
+    // conservative direction for the exact-serve boundary is irrelevant
+    // at ±1 batch, and compact re-derives the exact value)
+    TableProps.set(spark, s"${name}_entries", NvecProp ->
+      (TableProps.get(spark, s"${name}_entries", NvecProp)
+        .map(_.toLong).getOrElse(0L) + ids.count()).toString)
   }
 
   /** Beam-search serve from the persisted tables — same algorithm as
@@ -253,6 +282,23 @@ object AnnGraphIndex {
   /** [[topKAgainst]] before the output-boundary rounding — [[extend]]
     * consumes this so stored edge weights stay full-precision on every
     * write path (build, refresh, extend). */
+  /** The exact-fallback decision, read ENTIRELY from stored props (the
+    * TableProps discipline — two callers of the same index must agree):
+    * sparse regime (stored density below the boundary) AND small corpus
+    * (stored vector count at or under the exact boundary). Engaged only
+    * in AUTO mode — explicit beam/nprobe always get the beam algorithm
+    * (the rehearsal's knob curve and the persisted≡in-memory spec depend
+    * on that). */
+  private[graft] def wouldServeExact(spark: SparkSession, name: String): Boolean = {
+    val sparse = TableProps.get(spark, s"${name}_entries", DensityProp)
+      .exists(_.toDouble < SparseDensity)
+    val nvec = TableProps.get(spark, s"${name}_entries", NvecProp)
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    val exactMax = spark.conf.getOption("spark.graft.graph.exact.max")
+      .map(_.toLong).getOrElse(ExactServeMax)
+    sparse && nvec <= exactMax
+  }
+
   private def topKRawAgainst(spark: SparkSession, name: String,
       queries: DataFrame, k: Int, beam0: Int = 0, hops: Int = 3,
       nprobe0: Int = 0): DataFrame = {
@@ -264,6 +310,7 @@ object AnnGraphIndex {
       .exists(_.toDouble < SparseDensity)
     val beam = if (beam0 > 0) beam0 else if (sparse) WideBeam else DefaultBeam
     val nprobe = if (nprobe0 > 0) nprobe0 else if (sparse) WideNprobe else DefaultNprobe
+    val exact = beam0 <= 0 && nprobe0 <= 0 && wouldServeExact(spark, name)
     // serve-side degree cap (round-11 VERDICT item 4): each expanded
     // node's list is cut to its top-cap by sim merge-on-read, so hop cost
     // stays bounded between compacts even after many extends. Engaged
@@ -293,21 +340,39 @@ object AnnGraphIndex {
     def topBeam(scored: DataFrame): DataFrame = Materialize(
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam).drop("rn"))
-    val seed = q.crossJoin(broadcast(entryPoints(spark, name)))
-      .select(col("query_id"), col("cid"), col("rep"),
-        cosine(col("qv"), col("cv")).as("csim"))
-      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("rep").as("neighbor_id"))
-    var bs = topBeam(score(seed))
-    (1 to hops).foreach { _ =>
-      val expanded = expandHopAgainst(spark, name, bs, cap)
-      bs = topBeam(bs.unionByName(score(expanded))
+    if (exact) {
+      // EXACT fallback (round-12 VERDICT item 1): the sparse+small regime
+      // is where the beam's recall floor lives and where brute force is
+      // cheap — one broadcast of the queries, one pass over the (small)
+      // vectors table, no hops, no edges. Tombstones drop out through the
+      // same filtered `vectors` frame; duplicate rows from an
+      // at-least-once extend replay collapse in the (query, neighbor)
+      // groupBy exactly as the beam path's hop-loop dedup does.
+      vectors.crossJoin(broadcast(q))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("nv")).as("sim"))
+        .filter(col("query_id") =!= col("neighbor_id"))
         .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(max(col("sim")).as("sim")))
+        .agg(max(col("sim")).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
+    } else {
+      val seed = q.crossJoin(broadcast(entryPoints(spark, name)))
+        .select(col("query_id"), col("cid"), col("rep"),
+          cosine(col("qv"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("rep").as("neighbor_id"))
+      var bs = topBeam(score(seed))
+      (1 to hops).foreach { _ =>
+        val expanded = expandHopAgainst(spark, name, bs, cap)
+        bs = topBeam(bs.unionByName(score(expanded))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(max(col("sim")).as("sim")))
+      }
+      bs.filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
     }
-    bs.filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rn"))
   }
 
   /** Per-query entry points — `_entries` as stored, unless deletions are
@@ -432,13 +497,18 @@ object AnnGraphIndex {
         Seq("cid")))
       writeEntries(spark, name, newEntries,
         props = Seq(KProp -> k.toString, CapProp -> capv.toString,
-          DensityProp -> density.toString, OvercapProp -> "false"))
+          DensityProp -> density.toString, OvercapProp -> "false",
+          CentsProp -> storedInt(spark, name, CentsProp, 16).toString,
+          NvecProp -> vectors.count().toString))
       Tombstones.clear(spark, name)
     } else
       // no entries rewrite — a plain catalog ALTER refreshes the knobs
-      // (the cap now holds at rest, so serving drops its window)
+      // (the cap now holds at rest, so serving drops its window); the
+      // vector count re-derives exactly (replay-duplicated extend rows
+      // collapse in the rewrite above)
       TableProps.set(spark, s"${name}_entries",
-        DensityProp -> density.toString, OvercapProp -> "false")
+        DensityProp -> density.toString, OvercapProp -> "false",
+        NvecProp -> vectors.count().toString)
   }
 
   /** Graph-quality RENORMALIZATION — the rebuild-and-deploy loop that
@@ -449,15 +519,23 @@ object AnnGraphIndex {
     * still carry across the swap) into a staging name while the live
     * index keeps serving, then deploy with [[swapIn]]. The graph twin of
     * [[AnnIndex.refreshQuantizer]]. */
-  def refresh(spark: SparkSession, name: String, k: Int = 8,
-      rounds: Int = 2, numCentroids: Int = 16): Unit = {
+  def refresh(spark: SparkSession, name: String, k: Int = -1,
+      rounds: Int = 2, numCentroids: Int = -1): Unit = {
     healedTables(spark, name)
+    // knobs resolve from the LIVE generation, not caller defaults — a
+    // graph built at k=16 refreshed with a bare refresh() must come back
+    // at k=16, not silently rebuilt at 8 (the extend/delete/repair KProp
+    // discipline). Explicit positive values still win; the centroid count
+    // is the entries table's own cardinality.
+    val kk = if (k > 0) k else storedInt(spark, name, KProp, 8)
+    val nc = if (numCentroids > 0) numCentroids
+             else storedInt(spark, name, CentsProp, 16)
     val vecs = Materialize(Tombstones.filter(
       spark.table(s"${name}_vectors").select(col("vec_id"), col("v")),
       name, "vec_id"))
     val staging = name + "__refresh"
     val nb = bucketsOf(spark, s"${name}_edges")
-    build(vecs, staging, k, rounds, numCentroids, nb)
+    build(vecs, staging, kk, rounds, nc, nb)
     swapIn(spark, staging, name)
   }
 
@@ -614,8 +692,16 @@ object AnnGraphIndex {
       expr("transform(v, x -> x * 2.0d)").as("v"))
     if (extendPlants) { build(e, name); extend(planted, name) }
     else build(e.unionByName(planted), name)
+    // EXPLICIT wide knobs: this gate exists to prove plants are reachable
+    // THROUGH THE STORED EDGES (reverse-edge append, bucketed layout,
+    // tombstone wiring) — the auto exact-serve fallback for sparse+small
+    // graphs would find the plants without touching an edge and make the
+    // gate vacuous. (64, 4) is what auto resolved here before the
+    // fallback existed (sf≤0.1 embeddings are sparse), so the oracle
+    // rows are bit-identical.
     val topk = topKAgainst(spark, name,
-      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5,
+      beam = WideBeam, nprobe = WideNprobe)
     topk.groupBy(col("query_id"))
       .agg(min(when(col("neighbor_id") === col("query_id") + 1000000L,
           col("rn"))).as("rk"),

@@ -224,15 +224,13 @@ object AnnIndex {
       Tombstones.filter(slice, name, "vec_id")
         .select(cells.columns.toIndexedSeq.map(col): _*).repartition(col("cid")))
     graft.sink.CrashPoints.reached("anncompact.snapshotted")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // the dynamic overwrite commits per partition at job commit — one
-    // all-or-nothing durable op from the sweep's point of view
-    try snap.write.mode("overwrite").insertInto(s"${name}_cells")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // all-or-nothing durable op from the sweep's point of view. The mode
+    // is conf-isolated per call (graft.sink.DynamicOverwrite): a session
+    // set/restore racing a concurrent sibling would flip a cid-scoped
+    // pass to STATIC mid-flight and truncate every unselected cell's
+    // rows with no crash.
+    graft.sink.DynamicOverwrite.insertInto(snap, s"${name}_cells")
     graft.sink.CrashPoints.reached("anncompact.rewritten")
   }
 

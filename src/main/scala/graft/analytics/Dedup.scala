@@ -355,7 +355,7 @@ object Dedup {
   }
 
   private val MinhashPerms = 64
-  private val NumBands     = 16 // 16 bands × 4 rows: P(catch) ≈ 1 at jaccard 0.6+
+  private[analytics] val NumBands = 16 // 16 bands × 4 rows: P(catch) ≈ 1 at jaccard 0.6+
 
   /** 64-slot MinHash signature — the codegen'd Catalyst expression
     * (graft.functions.Sketches.MinHashSignature): each shingle hashed once,

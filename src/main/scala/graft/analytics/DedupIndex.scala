@@ -60,22 +60,48 @@ object DedupIndex {
 
   /** Build (or rebuild) the index over a corpus of (doc_id, text).
     * `parts` sizes the band table's partition grid — the probe-pruning
-    * granularity (a probe reads ≤ its distinct key-hash slices): at
-    * warehouse scale thousands; locally 64 keeps file counts sane. */
+    * granularity (a probe reads ≤ its distinct key-hash slices). ≤ 0
+    * (the default) DERIVES it from the corpus at build time via
+    * [[derivedParts]] — nothing should hand-size a knob the build can
+    * measure (round-12 VERDICT: a 100 TB build at a fixed 64 puts ~1.5 TB
+    * in every probe slice). `estThreshold` is the MinHash verify gate
+    * [[nearDupsAgainst]] applies by default — persisted with the index so
+    * two callers probing the same corpus get the same dedup semantics. */
   def build(docs: DataFrame, name: String, buckets: Int = 32,
-      parts: Int = 64): Unit =
-    buildFromSigs(Materialize(sigsOf(docs)), name, buckets, parts)
+      parts: Int = -1, estThreshold: Double = 0.5): Unit =
+    buildFromSigs(Materialize(sigsOf(docs)), name, buckets, parts, estThreshold)
 
   /** [[build]] from a precomputed signature frame — lets the q212/q216
     * gate twins share ONE memoized signature pass where independent-build
     * semantics are not the thing under test (round-9 VERDICT item 4). */
   private[analytics] def buildFromSigs(sigs: DataFrame, name: String,
-      buckets: Int, parts: Int = 64): Unit = {
+      buckets: Int, parts: Int = -1, estThreshold: Double = 0.5): Unit = {
+    val spark = sigs.sparkSession
+    val p = sizedParts(spark, sigs, parts)
     Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)
-    Bucketed.writePartitioned(withPb(Dedup.bandsOf(sigs), parts),
-      s"${name}_bands", "pb", parts)
-    Tombstones.clear(sigs.sparkSession, name) // a rebuild has nothing to forget
+    Bucketed.writePartitioned(withPb(Dedup.bandsOf(sigs), p),
+      s"${name}_bands", "pb", p)
+    TableProps.set(spark, s"${name}_bands", EstProp -> estThreshold.toString)
+    Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
+
+  /** Partition-grid auto-sizing: target ≤ `spark.graft.dedup.rows.per.slice`
+    * band rows per probe slice (default 4M ≈ a few hundred MB of band
+    * rows — one task's comfortable read), clamped to [64, 32768]. The
+    * floor keeps local/test layouts at the historical grid (file counts
+    * sane at sf≤0.1); the ceiling bounds catalog metadata. The input is a
+    * COUNT of the materialized signature frame × the band constant — no
+    * extra scan of anything un-checkpointed. */
+  private[graft] def derivedParts(spark: SparkSession, bandRows: Long): Int = {
+    val target = spark.conf.getOption("spark.graft.dedup.rows.per.slice")
+      .map(_.toLong).getOrElse(4L << 20)
+    math.max(64L, math.min(32768L,
+      (bandRows + target - 1) / target)).toInt
+  }
+
+  private def sizedParts(spark: SparkSession, sigs: DataFrame, parts: Int): Int =
+    if (parts > 0) parts
+    else derivedParts(spark, sigs.count() * Dedup.NumBands)
 
   /** DELETE docs from the index — merge-on-read ([[graft.sink.Tombstones]]):
     * the request appends its ids to the log and touches neither index
@@ -129,7 +155,16 @@ object DedupIndex {
     * (round-11 ADVICE: a clustered index built at any other threshold was
     * silently extended at 0.6, with batch prefixes inconsistent with the
     * stored `_pfx` rows and merges the build would never make). */
-  def extend(docs: DataFrame, name: String): Unit = {
+  def extend(docs: DataFrame, name: String): Unit =
+    extendImpl(docs, None, name)
+
+  /** [[extend]] from a precomputed (doc_id, w) shingle frame for the SAME
+    * docs — the q228 gate's three lifecycle slices share one corpus scan
+    * (each separate extend re-scans the full documents source just to
+    * content-bucket-filter it). Semantics identical: `rawIn` must be
+    * exactly what extend would have computed. */
+  private[analytics] def extendImpl(docs: DataFrame, rawIn: Option[DataFrame],
+      name: String): Unit = {
     val spark = docs.sparkSession
     healedTables(spark, name)
     def bucketsOf(t: String): Int = DedupIndex.bucketsOf(spark, t)
@@ -137,34 +172,39 @@ object DedupIndex {
     // and the cluster leg (they consumed two separate wordShingles scans
     // before — round-11 VERDICT item 6); the plain index skips the extra
     // materialization of raw shingle arrays.
-    val raw =
+    import graft.functions.PhaseTimer.timed
+    val raw = timed("ext.shingle") {
       if (isClustered(spark, name))
-        Some(Materialize(docs.select(col("doc_id"),
-          wordShingles(col("text")).as("w"))))
+        Some(rawIn.getOrElse(Materialize(docs.select(col("doc_id"),
+          wordShingles(col("text")).as("w")))))
       else None
-    val sigs = Materialize(raw match {
+    }
+    val sigs = timed("ext.sigs")(Materialize(raw match {
       case Some(r) => r.select(col("doc_id"),
         Dedup.minhashSignature(col("w")).as("mhs"))
       case None => sigsOf(docs)
-    })
-    // disjoint tables — the two appends fan out on driver threads
-    // ([[graft.functions.Par]]): their relative order carries no crash
-    // contract (recovery for ANY torn prefix is replaying the batch;
-    // duplicate index rows are tolerated by every read path)
-    graft.functions.Par.inParallel(Seq(
-      () => {
+    }))
+    // disjoint SURFACES — the two signature-family appends AND the whole
+    // cluster-surface leg fan out on driver threads
+    // ([[graft.functions.Par]]): the cluster leg reads/writes only
+    // `_shg`/`_pfx`/`_clusters`/`_labelmap`, never `_sigs`/`_bands`, and
+    // the relative order carries no crash contract (recovery for ANY torn
+    // prefix is replaying the batch; duplicate index rows are tolerated by
+    // every read path; extendClusters' own append-before-map-write
+    // ordering is internal to its leg and preserved)
+    timed("ext.append")(graft.functions.Par.inParallel(Seq(
+      () => timed("ext.append.sigs") {
         sigs.write.mode("append").bucketBy(bucketsOf(s"${name}_sigs"), "doc_id")
           .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_sigs")
         graft.sink.CrashPoints.reached("dedupext.sigs")
       },
-      () => {
+      () => timed("ext.append.bands") {
         Bucketed.appendPartitioned(
           withPb(Dedup.bandsOf(sigs), Bucketed.partsOf(spark, s"${name}_bands")),
           s"${name}_bands", "pb")
         graft.sink.CrashPoints.reached("dedupext.bands")
-      }))
-    raw.foreach(r =>
-      extendClusters(docs, r, name, storedThreshold(spark, name)))
+      }) ++ raw.toSeq.map(r => () =>
+        extendClusters(docs, r, name, storedThreshold(spark, name)))))
   }
 
   private def bucketsOf(spark: SparkSession, t: String): Int =
@@ -235,11 +275,17 @@ object DedupIndex {
 
   /** Verified near-dups of a new (doc_id, text) batch against the indexed
     * corpus: band-collision candidates, then signature-agreement estimate
-    * ≥ `estThreshold` — same verify rule as the batch [[Dedup.minhashLsh]],
-    * so incremental ≡ recompute restricted to (corpus × batch) pairs
-    * (DedupIndexSpec pins the equivalence). */
+    * ≥ the verify threshold — same verify rule as the batch
+    * [[Dedup.minhashLsh]], so incremental ≡ recompute restricted to
+    * (corpus × batch) pairs (DedupIndexSpec pins the equivalence).
+    * `estThreshold` < 0 (the default) resolves from the property [[build]]
+    * persisted with the index — two callers probing the same corpus must
+    * get the same dedup semantics unless one EXPLICITLY overrides (the
+    * cluster-threshold discipline applied to the estimate gate,
+    * round-12 VERDICT item 6). */
   def nearDupsAgainst(spark: SparkSession, name: String, newDocs: DataFrame,
-      estThreshold: Double = 0.5): DataFrame = {
+      estThreshold: Double = -1.0): DataFrame = {
+    val est = if (estThreshold >= 0) estThreshold else storedEst(spark, name)
     val newSigs = Materialize(sigsOf(newDocs))
     val cand = candidatesAgainst(spark, name, newSigs)
     spark.table(s"${name}_sigs")
@@ -248,7 +294,7 @@ object DedupIndex {
       .join(broadcast(newSigs.select(col("doc_id").as("new_id"),
         col("mhs").as("mhs_n"))), "new_id")
       .withColumn("est_jaccard", Dedup.estJaccard(col("mhs_c"), col("mhs_n")))
-      .filter(col("est_jaccard") >= estThreshold)
+      .filter(col("est_jaccard") >= est)
       .select(col("corpus_id"), col("new_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
       // distinct on the (small) verified pair set: an index row duplicated
@@ -313,6 +359,16 @@ object DedupIndex {
     * reads IT — a caller-supplied threshold on a clustered index is the
     * round-11 ADVICE bug (silent maintenance at the wrong setting). */
   private val ThresholdProp = "graft.cluster.threshold"
+  // the MinHash verify gate's default — on `_bands` (the LSH surface it
+  // gates; compaction there is in-place, so the property needs no
+  // re-stamp seam, and it rides generation renames like graft.parts)
+  private val EstProp = "graft.est.threshold"
+
+  /** The persisted default verify threshold; 0.5 for indexes predating
+    * the property (the historical call-site default). */
+  private[graft] def storedEst(spark: SparkSession, name: String): Double =
+    TableProps.get(spark, s"${name}_bands", EstProp)
+      .map(_.toDouble).getOrElse(0.5)
 
   /** Monotonic assignment-version counter, persisted as a `_clusters`
     * table property and BUMPED BEFORE each append — two writes can never
@@ -345,20 +401,30 @@ object DedupIndex {
     * prefix index, the from-scratch cluster base (exact pair graph + CC,
     * the q37 computation persisted), and an empty label map. */
   def buildClustered(docs: DataFrame, name: String, buckets: Int = 32,
-      threshold: Double = 0.6, parts: Int = 64): Unit = {
-    val spark = docs.sparkSession
+      threshold: Double = 0.6, parts: Int = -1,
+      estThreshold: Double = 0.5): Unit =
     // ONE shingling pass feeds the signature leg AND the cluster leg
     // (build + buildClustered's extra tables shingled the corpus twice
-    // before — round-11 VERDICT item 6); the three legs below write
-    // disjoint tables and fan out on driver threads. A torn build's
-    // recovery is re-running it (from-source, like every build).
-    val raw = Materialize(docs.select(col("doc_id"),
-      wordShingles(col("text")).as("w")))
+    // before — round-11 VERDICT item 6). A torn build's recovery is
+    // re-running it (from-source, like every build).
+    buildClusteredFromRaw(Materialize(docs.select(col("doc_id"),
+      wordShingles(col("text")).as("w"))), name, buckets, threshold,
+      parts, estThreshold)
+
+  /** [[buildClustered]] from a precomputed (doc_id, w) shingle frame —
+    * the q228 discipline: gate lifecycles that slice one corpus three
+    * ways share one scan. */
+  private[analytics] def buildClusteredFromRaw(raw: DataFrame, name: String,
+      buckets: Int, threshold: Double = 0.6, parts: Int = -1,
+      estThreshold: Double = 0.5): Unit = {
+    val spark = raw.sparkSession
     val sigs = Materialize(raw.select(col("doc_id"),
       Dedup.minhashSignature(col("w")).as("mhs")))
+    // derive the grid ONCE so both families share one modulus
+    val p = sizedParts(spark, sigs, parts)
     graft.functions.Par.inParallel(Seq(
-      () => buildFromSigs(sigs, name, buckets, parts),
-      () => buildClusterTables(raw, name, buckets, threshold, parts)))
+      () => buildFromSigs(sigs, name, buckets, p, estThreshold),
+      () => buildClusterTables(raw, name, buckets, threshold, p)))
   }
 
   /** The cluster-surface half of [[buildClustered]] — callable on its own
@@ -439,8 +505,9 @@ object DedupIndex {
     healedClusterTables(spark, name)
     // `raw` is extend's already-materialized (doc_id, w) shingle pass —
     // sorting it is a narrow map, not a second corpus-text scan
-    val batch = Materialize(raw.select(col("doc_id"),
-      graft.functions.Sketches.sortByHash(col("w")).as("sh")))
+    import graft.functions.PhaseTimer.timed
+    val batch = timed("cluext.shingle")(Materialize(raw.select(col("doc_id"),
+      graft.functions.Sketches.sortByHash(col("w")).as("sh"))))
     val parts = Bucketed.partsOf(spark, s"${name}_pfx")
     val bp = withPs(Dedup.shinglePrefixes(batch, threshold), parts)
     val bpProbe = dppEligible(bp, "ps")
@@ -459,41 +526,61 @@ object DedupIndex {
         greatest(col("cdoc"), col("bdoc")).as("b"))
     val intra = Dedup.jaccardCandidatesOn(batch, threshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val cand = Materialize(cross.unionByName(intra).distinct())
-    val candIds = cand.select(col("a").as("doc_id"))
-      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-    val lookup = Materialize(batch.unionByName(
-        spark.table(s"${name}_shg")
-          .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-      .dropDuplicates("doc_id"))
-    val edges = Materialize(
-      Dedup.verifyJaccardPairs(cand, lookup, threshold)
-        .select(col("a"), col("b")))
-    // the batch joins the corpus: its shingles and prefix rows append into
-    // the established bucket layouts BEFORE the map writes, so a crash
-    // leaves at worst a replayable batch (re-found pairs merge to already-
-    // merged labels), never a corpus the next extend can't pair against
+    val cand = timed("cluext.probe")(
+      Materialize(cross.unionByName(intra).distinct()))
+    // Two independent legs fan out from here (latency, not volume, is the
+    // extend request's cost — every step below is a small driver-
+    // synchronous job):
+    //  - the APPENDS: the batch's shingles and prefix rows land in the
+    //    established bucket layouts BEFORE the map writes below, so a
+    //    crash leaves at worst a replayable batch (re-found pairs merge
+    //    to already-merged labels), never a corpus the next extend can't
+    //    pair against — the contract only orders appends BEFORE map
+    //    writes, not against the read-only verify/resolve chain;
+    //  - the VERIFY/RESOLVE chain: lookup → exact-verify → stored-label
+    //    resolution, all reads. The lookup is order-insensitive to the
+    //    concurrent shg append: it unions the batch in explicitly and
+    //    dropDuplicates on doc_id, so seeing the appended batch rows (or
+    //    not) yields the same frame.
+    var edgesV: DataFrame = null
+    var storedV: DataFrame = null
     graft.functions.Par.inParallel(Seq(
+      () => timed("cluext.append")(graft.functions.Par.inParallel(Seq(
+        () => timed("cluext.append.shg") {
+          batch.write.mode("append")
+            .bucketBy(bucketsOf(spark, s"${name}_shg"), "doc_id")
+            .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_shg")
+          graft.sink.CrashPoints.reached("cluext.shg")
+        },
+        () => timed("cluext.append.pfx") {
+          Bucketed.appendPartitioned(bp, s"${name}_pfx", "ps")
+          graft.sink.CrashPoints.reached("cluext.pfx")
+        }))),
       () => {
-        batch.write.mode("append")
-          .bucketBy(bucketsOf(spark, s"${name}_shg"), "doc_id")
-          .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_shg")
-        graft.sink.CrashPoints.reached("cluext.shg")
-      },
-      () => {
-        Bucketed.appendPartitioned(bp, s"${name}_pfx", "ps")
-        graft.sink.CrashPoints.reached("cluext.pfx")
+        val candIds = cand.select(col("a").as("doc_id"))
+          .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+        val lookup = timed("cluext.lookup")(Materialize(batch.unionByName(
+            spark.table(s"${name}_shg")
+              .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+          .dropDuplicates("doc_id")))
+        edgesV = timed("cluext.verify")(Materialize(
+          Dedup.verifyJaccardPairs(cand, lookup, threshold)
+            .select(col("a"), col("b"))))
+        // contract inputs: endpoint → current label (stored docs through
+        // base+map, fresh docs their own label). Batch ids resolve through
+        // the SAME lookup — a replayed batch doc already has base rows,
+        // and appending it keyed on its own id instead of its stored label
+        // would shadow the earlier merge (at-least-once replay must be a
+        // label no-op).
+        val ends = edgesV.select(col("a").as("doc_id"))
+          .unionByName(edgesV.select(col("b").as("doc_id"))).distinct()
+        storedV = timed("cluext.resolve")(Materialize(resolvedFor(spark,
+          name, ends.unionByName(docs.select(col("doc_id"))).distinct())))
       }))
-    // contract: endpoint → current label (stored docs through base+map,
-    // fresh docs are their own label), then min-label union-find on the
-    // CONTRACTED label graph. Batch ids resolve through the SAME lookup —
-    // a replayed batch doc already has base rows, and appending it keyed
-    // on its own id instead of its stored label would shadow the earlier
-    // merge (at-least-once replay must be a label no-op).
+    val edges = edgesV
+    val stored = storedV
     val ends = edges.select(col("a").as("doc_id"))
       .unionByName(edges.select(col("b").as("doc_id"))).distinct()
-    val stored = Materialize(resolvedFor(spark, name,
-      ends.unionByName(docs.select(col("doc_id"))).distinct()))
     def curOf(ids: DataFrame): DataFrame =
       ids.join(stored, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
@@ -505,12 +592,12 @@ object DedupIndex {
     // the compactionPlan cardinality discipline (O(request) metadata on
     // the driver, never corpus rows). Corpus-scale CC (buildClustered,
     // repairClusters) stays distributed.
-    val lblPairs = edges
+    val lblPairs = timed("cluext.contract")(edges
       .join(endLbl.select(col("doc_id").as("a"), col("lbl").as("la")), "a")
       .join(endLbl.select(col("doc_id").as("b"), col("lbl").as("lb")), "b")
       .filter(col("la") =!= col("lb"))
       .select(col("la"), col("lb")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
     val root = minLabelUnionFind(lblPairs)
     val rootDf = broadcast(spark.createDataFrame(
       root.toSeq.map { case (n, l) => (n, l) }).toDF("node", "label"))
@@ -522,27 +609,29 @@ object DedupIndex {
       .join(rootDf, col("lbl") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("lbl")).as("label"), ver.as("ver"))
-    appendClusterRows(spark, name, batchRows)
+    timed("cluext.rows")(appendClusterRows(spark, name, batchRows))
     graft.sink.CrashPoints.reached("cluext.clusters")
     // merged OLD roots (labels some stored doc currently resolves to)
     // become path-compressed map entries; existing entries re-point. A
     // batch with no cross-label merges skips the map rewrite entirely —
     // the standing-loop steady state pays only the appends.
-    val storedLblSet = stored.select(col("lbl")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val newEntries = root.toSeq.collect {
-      case (node, lbl) if node != lbl && storedLblSet(node) => (node, lbl)
-    }
-    if (newEntries.nonEmpty) {
-      val ne = broadcast(spark.createDataFrame(newEntries)
-        .toDF("old_label", "new_label"))
-      val om = spark.table(s"${name}_labelmap").as("m")
-      val composed = om
-        .join(ne.as("n"), col("m.new_label") === col("n.old_label"), "left")
-        .select(col("m.old_label"),
-          coalesce(col("n.new_label"), col("m.new_label")).as("new_label"))
-        .unionByName(ne)
-      writeLabelMap(spark, name, composed)
+    timed("cluext.labelmap") {
+      val storedLblSet = stored.select(col("lbl")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val newEntries = root.toSeq.collect {
+        case (node, lbl) if node != lbl && storedLblSet(node) => (node, lbl)
+      }
+      if (newEntries.nonEmpty) {
+        val ne = broadcast(spark.createDataFrame(newEntries)
+          .toDF("old_label", "new_label"))
+        val om = spark.table(s"${name}_labelmap").as("m")
+        val composed = om
+          .join(ne.as("n"), col("m.new_label") === col("n.old_label"), "left")
+          .select(col("m.old_label"),
+            coalesce(col("n.new_label"), col("m.new_label")).as("new_label"))
+          .unionByName(ne)
+        writeLabelMap(spark, name, composed)
+      }
     }
   }
 
@@ -594,11 +683,25 @@ object DedupIndex {
           Tombstones.filter(members.select(col("doc_id")), name, "doc_id"))
         val mshg = Materialize(spark.table(s"${name}_shg")
           .join(broadcast(retained), Seq("doc_id"), "left_semi"))
-        val pairs = Dedup.verifyJaccardPairs(
+        val pairs = Materialize(Dedup.verifyJaccardPairs(
           Dedup.jaccardCandidatesOn(mshg, threshold)
             .select(col("doc_a").as("a"), col("doc_b").as("b")),
-          mshg, threshold).select(col("a"), col("b"))
-        val cc = Dedup.connectedComponents(pairs)
+          mshg, threshold).select(col("a"), col("b")))
+        // CC sizing (the extendClusters cardinality discipline): the pair
+        // set is the affected components' INTERNAL near-dup pairs —
+        // request-adjacent, not corpus-sized, in every lifecycle this
+        // repair serves. When it provably fits a driver page, union-find
+        // beats the iterative distributed CC (2+ fixed-latency jobs per
+        // round for a graph that fits in memory); the distributed form
+        // stays as the guard for a pathological giant component.
+        val nPairs = pairs.count()
+        val cc =
+          if (nPairs <= 100000L) {
+            val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+            val root = minLabelUnionFind(edges)
+            broadcast(spark.createDataFrame(
+              root.toSeq.map { case (n, l) => (n, l) }).toDF("node", "label"))
+          } else Dedup.connectedComponents(pairs)
         val ver = lit(nextVer(spark, name))
         val rows = retained
           .join(cc, col("doc_id") === col("node"), "left")
@@ -749,16 +852,33 @@ object DedupIndex {
     * over the retained slice from scratch — incremental ≡ from-scratch,
     * hash-matched. */
   def clusterGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PhaseTimer.timed
     val name = "graft_dedup_klx"
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
-      Sampling.contentBucket(col("text")).as("cb"))
+    // ONE corpus scan: each lifecycle slice used to re-scan the documents
+    // source (contentBucket is computed, not pushable — three full text
+    // scans + hash passes for three disjoint slices). The shared frame
+    // carries cb so the slices are cheap filters over the checkpoint;
+    // build/extend math is IDENTICAL (extendImpl consumes exactly the
+    // (doc_id, w) frame extend would have computed).
+    val shared = Materialize(documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        Sampling.contentBucket(col("text")).as("cb"))
       .filter(col("cb") < 50)
-    buildClustered(docs.filter(col("cb") >= 20).select(col("doc_id"), col("text")),
-      name, buckets = 8, parts = 16)
-    extend(docs.filter(col("cb") >= 10 && col("cb") < 20)
-      .select(col("doc_id"), col("text")), name)
-    extend(docs.filter(col("cb") < 10).select(col("doc_id"), col("text")), name)
-    delete(docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")), name)
+      .select(col("doc_id"), col("text"), col("cb"),
+        TextStats.wordShingles(col("text")).as("w")))
+    def slice(p: org.apache.spark.sql.Column) = shared.filter(p)
+    timed("q228.build")(buildClusteredFromRaw(
+      slice(col("cb") >= 20).select(col("doc_id"), col("w")),
+      name, buckets = 8, parts = 16))
+    timed("q228.ext1")(extendImpl(
+      slice(col("cb") >= 10 && col("cb") < 20).select(col("doc_id"), col("text")),
+      Some(slice(col("cb") >= 10 && col("cb") < 20).select(col("doc_id"), col("w"))),
+      name))
+    timed("q228.ext2")(extendImpl(
+      slice(col("cb") < 10).select(col("doc_id"), col("text")),
+      Some(slice(col("cb") < 10).select(col("doc_id"), col("w"))), name))
+    timed("q228.delete")(
+      delete(slice(col("doc_id") % 10 === 7).select(col("doc_id")), name))
     clusterMap(spark, name)
   }
 

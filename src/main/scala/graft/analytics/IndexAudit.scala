@@ -101,7 +101,19 @@ object IndexAudit {
       buckets: Int,
       slice: Option[String => org.apache.spark.sql.Column] = None,
       clustered: Boolean = false,
-      graphVecs: Option[DataFrame] = None): Unit = {
+      graphVecs: Option[DataFrame] = None): Unit =
+    inParallel(trioLegs(spark, dir, prefix, buckets, slice, clustered,
+      graphVecs).flatMap(_._2).toSeq)
+
+  /** The trio's build work as PER-FAMILY leg groups — [[buildTrio]] fans
+    * them all behind one barrier (q212's pristine build), while q216's
+    * forget gate threads each family's build into that family's own
+    * delete→purge→count pipeline (no global build barrier). */
+  private def trioLegs(spark: SparkSession, dir: String, prefix: String,
+      buckets: Int,
+      slice: Option[String => org.apache.spark.sql.Column] = None,
+      clustered: Boolean = false,
+      graphVecs: Option[DataFrame] = None): Map[String, Seq[() => Unit]] = {
     def sl(df: DataFrame, key: String): DataFrame =
       slice.map(p => df.filter(p(key))).getOrElse(df)
     // memo frames resolve BEFORE the fan-out (SessionMemo's build is not
@@ -133,12 +145,17 @@ object IndexAudit {
     val graphLeg: Seq[() => Unit] = graphVecs.toSeq.map(gv =>
       () => AnnGraphIndex.build(gv, s"${prefix}_gx", k = 8, rounds = 0,
         numCentroids = 4, buckets = 4))
-    inParallel(Seq(
-      () => DedupIndex.buildFromSigs(sigs, s"${prefix}_dd", buckets,
-        parts = buckets * 2),
-      () => LexIndex.buildFrom(postings, dl, s"${prefix}_lx", buckets),
-      () => AnnIndex.buildFrom(vecs, cents, cells, s"${prefix}_an"))
-      ++ cluLeg ++ graphLeg)
+    import graft.functions.PhaseTimer.timed
+    Map(
+      "dd" -> (Seq(
+        () => timed("trio.dd")(DedupIndex.buildFromSigs(sigs,
+          s"${prefix}_dd", buckets, parts = buckets * 2)))
+        ++ cluLeg.map(l => () => timed("trio.clu")(l()))),
+      "lx" -> Seq(() => timed("trio.lx")(
+        LexIndex.buildFrom(postings, dl, s"${prefix}_lx", buckets))),
+      "an" -> Seq(() => timed("trio.an")(
+        AnnIndex.buildFrom(vecs, cents, cells, s"${prefix}_an"))),
+      "gx" -> graphLeg.map(l => () => timed("trio.gx")(l())))
   }
 
   /** Fan independent per-family maintenance legs onto their own driver
@@ -193,7 +210,7 @@ object IndexAudit {
     val docs = gateDocs(spark, dir).filter(col("doc_id") % 10 < 2)
     val gvecs = gateVecs(spark, dir)
       .filter(col("vec_id") % 10 < 2 && col("vec_id") < 1250)
-    buildTrio(spark, dir, "graft_forget", buckets = 4,
+    val buildLegs = trioLegs(spark, dir, "graft_forget", buckets = 4,
       slice = Some(k => col(k) % 10 < 2), clustered = true,
       graphVecs = Some(gvecs))
     val gone = graft.functions.Materialize(
@@ -224,33 +241,80 @@ object IndexAudit {
       ("graph_vectors", "graft_forget_gx_vectors", byId("vec_id")),
       ("lex_dl", "graft_forget_lx_dl", byId("doc_id")),
       ("lex_postings", "graft_forget_lx_postings", byId("doc_id")))
-    // the before-counts leg rides WITH the delete legs: deletes are
-    // tombstone appends (no index table touched) plus the cluster repair,
-    // whose appends only add rows for RETAINED docs — no surface's
-    // gone-id presence changes between pre-delete and pre-purge in this
-    // lifecycle, so "rows at rest before the purge" is measurable
-    // concurrently (one fewer serial phase in a latency-bound gate).
-    // EXCEPT the label map: the repair REPLACES `_labelmap`
-    // (drop → rename), so a concurrent raw read can hit the swap window
-    // (found live as a transient TABLE_NOT_FOUND under load) — its count
-    // runs after the fan-out, one tiny read
+    // PER-FAMILY pipelines instead of global delete→purge barriers
+    // (round-12 VERDICT item 4 — the gate is latency-bound, and a global
+    // barrier makes every family wait for the slowest family TWICE):
+    // each family runs delete → purge → its own remaining-counts on one
+    // driver thread, gated only by the dependencies the semantics
+    // actually have:
+    //  - the before-counts leg rides WITH the deletes (tombstone appends
+    //    plus a cluster repair that only adds rows for RETAINED docs — no
+    //    surface's gone-id presence changes before the purges), but every
+    //    PURGE must wait for it (a purge removes the bytes being counted);
+    //  - the label map is the exception (round-12 finding: the repair
+    //    REPLACES `_labelmap`, so a concurrent raw read can hit the
+    //    drop→rename window — a transient TABLE_NOT_FOUND under load):
+    //    its count runs after the dedup family's delete, and only the
+    //    dedup purge waits for it;
+    //  - remaining-counts are per-family, right after that family's
+    //    purge — four small concurrent union jobs instead of a fifth
+    //    serial phase (each still one job over its own surfaces).
+    // Latches count down in `finally` so a failing leg can never deadlock
+    // the others (Par is fail-slow; a leg that proceeds past a failed
+    // dependency fails on its own and the first failure rethrows).
     val overlapped = surfaces.filterNot(_._1 == "clu_labelmap")
-    var before: Map[String, Long] = Map.empty
+    val buildsDone = new java.util.concurrent.CountDownLatch(4)
+    val countsDone = new java.util.concurrent.CountDownLatch(1)
+    val ddDeleteDone = new java.util.concurrent.CountDownLatch(1)
+    val labelmapDone = new java.util.concurrent.CountDownLatch(1)
+    val beforeRef = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Long])
+    val lmRef = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Long])
+    val remainRef = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    import graft.functions.PhaseTimer.timed
+    def family(fam: String, del: () => Unit, purge: () => Unit,
+        isDd: Boolean): () => Unit = () => timed(s"q216.fam.$fam") {
+      // the family's own BUILD heads its pipeline (no global build
+      // barrier — only the before-counts leg needs every table to exist)
+      try inParallel(buildLegs(fam)) finally buildsDone.countDown()
+      try del() finally if (isDd) ddDeleteDone.countDown()
+      countsDone.await()
+      if (isDd) labelmapDone.await()
+      purge()
+      val famSurfaces = surfaces.filter(_._2.startsWith(s"graft_forget_$fam"))
+      heldAll(spark, famSurfaces, gone).foreach { case (k, v) =>
+        remainRef.put(k, v) }
+    }
     inParallel(Seq(
-      () => DedupIndex.delete(gone, "graft_forget_dd"),
-      () => LexIndex.delete(gone, "graft_forget_lx"),
-      () => AnnIndex.delete(gone.select(col("doc_id").as("vec_id")),
-        "graft_forget_an"),
-      () => AnnGraphIndex.delete(gone.select(col("doc_id").as("vec_id")),
-        "graft_forget_gx"),
-      () => before = heldAll(spark, overlapped, gone)))
-    before ++= heldAll(spark, surfaces.filter(_._1 == "clu_labelmap"), gone)
-    inParallel(Seq(
-      () => DedupIndex.compact(spark, "graft_forget_dd"),
-      () => LexIndex.compact(spark, "graft_forget_lx"),
-      () => AnnIndex.purgeTombstones(spark, "graft_forget_an"),
-      () => AnnGraphIndex.compact(spark, "graft_forget_gx")))
-    val remaining = heldAll(spark, surfaces, gone)
+      family("dd", () => DedupIndex.delete(gone, "graft_forget_dd"),
+        () => DedupIndex.compact(spark, "graft_forget_dd"), isDd = true),
+      family("lx", () => LexIndex.delete(gone, "graft_forget_lx"),
+        () => LexIndex.compact(spark, "graft_forget_lx"), isDd = false),
+      family("an", () => AnnIndex.delete(
+          gone.select(col("doc_id").as("vec_id")), "graft_forget_an"),
+        () => AnnIndex.purgeTombstones(spark, "graft_forget_an"),
+        isDd = false),
+      family("gx", () => AnnGraphIndex.delete(
+          gone.select(col("doc_id").as("vec_id")), "graft_forget_gx"),
+        () => AnnGraphIndex.compact(spark, "graft_forget_gx"), isDd = false),
+      () => timed("q216.counts") {
+        // raw-location scans need every family's tables to exist first
+        buildsDone.await()
+        try beforeRef.set(heldAll(spark, overlapped, gone))
+        finally countsDone.countDown()
+      },
+      () => timed("q216.lmcount") {
+        ddDeleteDone.await()
+        try lmRef.set(heldAll(spark,
+          surfaces.filter(_._1 == "clu_labelmap"), gone))
+        finally labelmapDone.countDown()
+      }))
+    val before: Map[String, Long] = beforeRef.get ++ lmRef.get
+    val remaining: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      remainRef.asScala.toMap
+    }
     val logsGone = Seq("dd", "lx", "an", "gx").forall(f =>
       !spark.catalog.tableExists(
         graft.sink.Tombstones.tableOf(s"graft_forget_$f")))

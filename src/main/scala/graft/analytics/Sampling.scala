@@ -667,13 +667,9 @@ object Sampling {
         .join(broadcast(gone.select(col("doc_id"))), Seq("doc_id"), "left_anti")
         .select(cols.toIndexedSeq.map(col): _*)
         .repartition(col("shard_id")))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try snap.write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // conf-isolated dynamic overwrite — a session set/restore dance races
+    // concurrent legs (see graft.sink.DynamicOverwrite)
+    graft.sink.DynamicOverwrite.insertInto(snap, table)
     val present = snap.select(col("shard_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     val emptied = affected.collect().map(_.getLong(0)).filterNot(present)

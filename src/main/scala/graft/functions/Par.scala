@@ -28,14 +28,19 @@ object Par {
     if (bodies.size <= 1) bodies.foreach(_())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
-      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
-        val done = scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(
-            bodies.map(b => scala.concurrent.Future(scala.util.Try(b())))),
-          scala.concurrent.duration.Duration.Inf)
-        done.collectFirst { case scala.util.Failure(e) => throw e }
+        // Manual try/catch per leg: Future/Try only capture NonFatal, so a
+        // fatal leg error (OutOfMemoryError, StackOverflowError) would kill
+        // the pool thread without completing its Future and the Inf await
+        // below would hang the caller forever. Materializing EVERY
+        // Throwable keeps the fail-slow contract even for fatal errors.
+        val done = bodies.map { b =>
+          pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+            def call(): Option[Throwable] =
+              try { b(); None } catch { case t: Throwable => Some(t) }
+          })
+        }
+        done.flatMap(_.get()).headOption.foreach(e => throw e)
       } finally pool.shutdown()
     }
 }

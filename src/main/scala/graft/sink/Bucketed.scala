@@ -211,13 +211,11 @@ object Bucketed {
       transform(t).select(t.columns.toIndexedSeq.map(col): _*)
         .repartition(col(partCol)))
     CrashPoints.reached("pcompact.snapshotted")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try snap.write.mode("overwrite").insertInto(table)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // conf-isolated dynamic overwrite: concurrent Par legs (DedupIndex
+    // .compact fans _bands/_pfx through here while the forget gate fans
+    // AnnIndex.compact) would race a session-level set/restore dance —
+    // see DynamicOverwrite's scaladoc for the truncation window.
+    DynamicOverwrite.insertInto(snap, table)
     CrashPoints.reached("pcompact.rewritten")
     val kept = snap.select(col(partCol)).distinct().collect()
       .map(_.get(0).toString).toSet

@@ -55,7 +55,7 @@ object DedupIndexStream {
     * like the ANN twin it is answer-preserving and idempotent, so it
     * carries no marker and a crash-replay that re-compacts is harmless. */
   def processBatch(spark: SparkSession, name: String, batch: DataFrame,
-      batchId: Long, survivorsDir: String, estThreshold: Double = 0.9,
+      batchId: Long, survivorsDir: String, estThreshold: Double = -1.0,
       compactEvery: Int = 0): Unit = {
     val markerPath = new Path(s"$survivorsDir/_committed/b=$batchId")
     val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -101,7 +101,7 @@ object DedupIndexStream {
     * The index at `name` must exist ([[DedupIndex.build]], possibly on an
     * empty corpus) before the stream starts. */
   def run(docs: Dataset[DocArrival], name: String, survivorsDir: String,
-      estThreshold: Double = 0.9, compactEvery: Int = 0): DataStreamWriter[DocArrival] =
+      estThreshold: Double = -1.0, compactEvery: Int = 0): DataStreamWriter[DocArrival] =
     docs.writeStream.foreachBatch { (batch: Dataset[DocArrival], batchId: Long) =>
       processBatch(batch.sparkSession, name, batch.toDF(), batchId,
         survivorsDir, estThreshold, compactEvery)

@@ -139,7 +139,9 @@ class AnnGraphSpec extends SparkSpec {
     val reps = spark.table(s"${name}_entries").select(col("rep").as("vec_id"))
       .localCheckpoint()
     AnnGraphIndex.delete(reps, name)
-    val top1 = AnnGraphIndex.topKAgainst(spark, name, q, k = 1)
+    // explicit knobs: entry-rep fallback is a BEAM-path mechanism — the
+    // auto exact-serve fallback (sparse+small) would bypass seeds entirely
+    val top1 = AnnGraphIndex.topKAgainst(spark, name, q, k = 1, beam = 64, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(top1.length == 5,
       s"queries lost their seeds entirely: ${top1.length}/5 answered")
@@ -154,9 +156,12 @@ class AnnGraphSpec extends SparkSpec {
     val qv3 = vecs.filter(col("vec_id") === 3L).collect()(0).getSeq[Double](1)
     val plant = Seq((2000003L, qv3.map(_ * 2.0))).toDF("vec_id", "v")
     AnnGraphIndex.extend(plant, name)
+    // explicit knobs: this test pins reachability THROUGH THE EDGES —
+    // the auto exact fallback would find the plant without touching one
     def top2 = AnnGraphIndex.topKAgainst(spark, name,
       vecs.filter(col("vec_id") === 3L)
-        .select(col("vec_id").as("query_id"), col("v").as("qv")), k = 2)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), k = 2,
+      beam = 64, nprobe = 4)
       .collect().sortBy(_.getAs[Int]("rn"))
     val t = top2
     assert(t(0).getAs[Long]("neighbor_id") == 2000003L &&
@@ -230,7 +235,11 @@ class AnnGraphSpec extends SparkSpec {
     (0 until 3).foreach(b => AnnGraphIndex.extend(extendBatch(b), name, k = 4))
     // a pending deletion at refresh time: the rebuild snapshot excludes it
     AnnGraphIndex.delete(planted.select(col("vec_id")).filter(col("vec_id") === 700000L), name)
-    AnnGraphIndex.refresh(spark, name, k = 4)
+    // bare refresh: k (and the centroid grid) must resolve from the
+    // STORED graft.k/graft.cents properties — the index was built at
+    // k=4, so a caller-default rebuild at k=8 would fail the canonical
+    // k=4 equality below (the round-12 KProp discipline, extended)
+    AnnGraphIndex.refresh(spark, name)
     // renormalization, stated exactly: the refreshed graph IS the
     // canonical deterministic build over the retained vectors — the
     // extend-accrued edge shape (inflated degrees, insert-by-search
@@ -312,7 +321,9 @@ class AnnGraphSpec extends SparkSpec {
     // twin is found at rank 1 sim 1.0 — cap keeps TOP-by-sim, and the
     // plant↔twin edges sit at exactly 1.0
     val q7 = t.select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val top = AnnGraphIndex.topKAgainst(spark, name, q7, k = 1)
+    // explicit knobs: the capped HOP is the thing under test
+    val top = AnnGraphIndex.topKAgainst(spark, name, q7, k = 1,
+      beam = 64, nprobe = 4)
       .collect()
     assert(top.length == 1 && top(0).getDouble(2) == 1.0,
       s"capped serve lost the planted twin: ${top.mkString}")
@@ -339,5 +350,108 @@ class AnnGraphSpec extends SparkSpec {
       "frontier must broadcast into the edges probe:\n" + plan.take(3000))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning(src"),
       "the edges table must stream, never shuffle:\n" + plan.take(3000))
+  }
+
+  test("sparse+small regime: auto serve is EXACT (recall 1.0); explicit knobs keep the beam") {
+    val name = "spec_graph_exact"
+    // sf0.001 isotropic embeddings are the adversarial sparse case (the
+    // recall test above documents the beam's 0.5 floor on them) — exactly
+    // the regime the round-12 fallback exists for
+    AnnGraphIndex.build(vecs, name, rounds = 1)
+    val density = graft.sink.TableProps
+      .get(spark, s"${name}_entries", "graft.density").get.toDouble
+    assert(density < AnnGraphIndex.SparseDensity,
+      s"corpus not sparse — test premise broken: $density")
+    assert(graft.sink.TableProps.get(spark, s"${name}_entries", "graft.nvec")
+      .get.toLong == vecs.count(), "stored vector count wrong at build")
+    assert(AnnGraphIndex.wouldServeExact(spark, name),
+      "sparse+small index did not choose the exact fallback")
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // auto serve ≡ brute force, rank for rank — not "recall ≥ x": the
+    // fallback IS the exact computation
+    val brute = vecs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorOps.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rn"))
+      .collect().map(_.toSeq).toSet
+    val auto = AnnGraphIndex.topKAgainst(spark, name, q, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rn"))
+      .collect().map(_.toSeq).toSet
+    assert(auto == brute, "auto serve in the sparse+small regime is not exact")
+    // explicit knobs always run the beam algorithm (the rehearsal's knob
+    // curve and the persisted≡in-memory spec depend on it): on this
+    // corpus the beam provably misses some of the exact set
+    val beam = AnnGraphIndex.topKAgainst(spark, name, q, k = 10,
+        beam = 32, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rn"))
+      .collect().map(_.toSeq).toSet
+    assert(beam != auto, "explicit knobs did not disable the exact fallback")
+    // the boundary itself is a stored-prop decision, overridable per
+    // session: max 0 disables the fallback outright
+    spark.conf.set("spark.graft.graph.exact.max", "0")
+    try assert(!AnnGraphIndex.wouldServeExact(spark, name),
+      "exact.max=0 did not disable the fallback")
+    finally spark.conf.unset("spark.graft.graph.exact.max")
+    // the count property tracks extends and re-derives exactly at compact
+    import spark.implicits._
+    val n0 = vecs.count()
+    AnnGraphIndex.extend(Seq((8000001L, (1 to 8).map(_.toDouble).toArray))
+      .toDF("vec_id", "v"), name)
+    assert(graft.sink.TableProps.get(spark, s"${name}_entries", "graft.nvec")
+      .get.toLong == n0 + 1, "extend did not advance the stored count")
+    AnnGraphIndex.delete(Seq(8000001L).toDF("vec_id"), name)
+    AnnGraphIndex.compact(spark, name)
+    assert(graft.sink.TableProps.get(spark, s"${name}_entries", "graft.nvec")
+      .get.toLong == n0, "compact did not re-derive the exact count")
+  }
+
+  test("dense regime: auto knobs resolve NARROW and serve ≡ explicit narrow (no fallback)") {
+    import spark.implicits._
+    val name = "spec_graph_dense"
+    // synthetically DENSE corpus (round-12 VERDICT item 7: every rehearsed
+    // scale sits below the 0.35 boundary, so the narrow auto path had
+    // never fired in a measured run): near-parallel vectors — ones(8) plus
+    // one perturbed dimension — give pairwise cosine ≈ 0.973, so the
+    // stored mean-kth-neighbor diagnostic lands far above the boundary
+    val dense = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        if (d == i % 8) 1.0 + 0.5 * (1.0 + (i / 8).toDouble / 16.0) else 1.0))
+    }.toDF("vec_id", "v")
+    val q = dense.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val planted = q.select((col("query_id") + 600000L).as("vec_id"),
+      expr("transform(qv, x -> x * 2.0d)").as("v"))
+    AnnGraphIndex.build(dense.unionByName(planted), name,
+      numCentroids = 4, buckets = 4)
+    val density = graft.sink.TableProps
+      .get(spark, s"${name}_entries", "graft.density").get.toDouble
+    assert(density > AnnGraphIndex.SparseDensity,
+      s"constructed corpus not dense — test premise broken: $density")
+    assert(!AnnGraphIndex.wouldServeExact(spark, name),
+      "dense index must not take the exact fallback")
+    // auto ≡ explicit narrow, row for row — the narrow operating point is
+    // what the stored diagnostic selects in the dense regime
+    val auto = AnnGraphIndex.topKAgainst(spark, name, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    val narrow = AnnGraphIndex.topKAgainst(spark, name, q, k = 5,
+        beam = 32, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(auto == narrow, "dense auto knobs did not resolve to the narrow point")
+    // and recall holds ≈ the narrow point's own level (the item is that
+    // auto picks narrow and recall doesn't collapse — near-parallel
+    // vectors are tie-heavy, so the narrow beam may miss a plant the same
+    // way the explicit narrow point does; auto ≡ narrow above pins that
+    // they miss IDENTICALLY): ≥ 4 of 5 planted twins at rank 1, sim 1.0
+    val top1 = AnnGraphIndex.topKAgainst(spark, name, q, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hit = top1.count { case (qid, n, s) => n == qid + 600000L && s == 1.0 }
+    assert(top1.length == 5 && hit >= 4,
+      s"dense-regime auto recall collapsed ($hit/5): ${top1.mkString(", ")}")
   }
 }

@@ -244,6 +244,30 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(compacted == baseline, "compaction changed an answer")
   }
 
+  test("cid-scoped compact stays dynamic regardless of the session overwrite mode") {
+    // the round-12 ADVICE data-loss window: dynamic mode used to be a
+    // session-conf set/restore dance, so a concurrent sibling's restore
+    // landing mid-compact downgraded the overwrite to STATIC — truncating
+    // every UNSELECTED cell. The mode now rides the DataFrameWriter, which
+    // takes precedence over the session conf; pin that by forcing the
+    // session conf to the hostile value and compacting one cell.
+    AnnIndex.build(vecs.filter(col("vec_id") % 2 === 0), "spec_ann_stat", numCentroids = 8)
+    AnnIndex.extend(vecs.filter(col("vec_id") % 6 === 1), "spec_ann_stat")
+    val rowsBefore = spark.table("spec_ann_stat_cells").count()
+    val cids = spark.table("spec_ann_stat_cells").select(col("cid"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(cids.length >= 2, s"need >=2 cells for the truncation pin: ${cids.toSeq}")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try AnnIndex.compact(spark, "spec_ann_stat", Some(Seq(cids.head)))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(spark.table("spec_ann_stat_cells").count() == rowsBefore,
+      "scoped compact under a static session conf truncated unselected cells")
+  }
+
   test("threshold driver: plan matches the physical layout; only over-threshold cells rewritten") {
     AnnIndex.build(vecs.filter(col("vec_id") % 2 === 0), "spec_ann_thr", numCentroids = 8)
     for (r <- Seq(1, 3, 5))

@@ -32,6 +32,63 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(inc == full, s"incremental ${inc.size} pairs vs recompute ${full.size}")
   }
 
+  test("derived partition grid: parts sizes from the corpus; answers unchanged vs fixed grid") {
+    import spark.implicits._
+    val corpus = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    val batch  = docs.filter(col("cb") < 10).select("doc_id", "text")
+    // clamp boundaries of the pure derivation first
+    assert(DedupIndex.derivedParts(spark, 0L) == 64, "floor")
+    assert(DedupIndex.derivedParts(spark, Long.MaxValue / 2) == 32768, "ceiling")
+    // a tiny rows-per-slice target forces the derivation OFF the 64-floor
+    // at spec scale — the layout the 100 TB scaladoc promises, exercised
+    spark.conf.set("spark.graft.dedup.rows.per.slice", "100")
+    try DedupIndex.build(corpus, "spec_idx_grid", buckets = 4)
+    finally spark.conf.unset("spark.graft.dedup.rows.per.slice")
+    val derived = graft.sink.Bucketed.partsOf(spark, "spec_idx_grid_bands")
+    val expected = math.max(64L, math.min(32768L,
+      (corpus.count() * 16 + 99) / 100)).toInt
+    assert(derived == expected && derived != 64,
+      s"derived grid $derived (expected $expected, non-default)")
+    // the non-default grid changes LAYOUT only: probe answers must match a
+    // fixed-64 build of the same corpus exactly
+    DedupIndex.build(corpus, "spec_idx_grid64", buckets = 4, parts = 64)
+    val a = DedupIndex.nearDupsAgainst(spark, "spec_idx_grid", batch, 0.5)
+      .collect().map(_.toSeq).toSet
+    val b = DedupIndex.nearDupsAgainst(spark, "spec_idx_grid64", batch, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, s"grid=$derived answers diverge from grid=64")
+  }
+
+  test("verify threshold is a build-time property: bare probes read it, explicit wins") {
+    import spark.implicits._
+    // 20 distinct words → 18 trigram shingles; the batch twin appends 10
+    // words → 28 shingles sharing 18: exact J ≈ 0.64, so the MinHash
+    // estimate lands far from both gates below (deterministic — the
+    // signature is hash-derived, no randomness)
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val twin = words + " " + (1 to 10).map(i => s"x$i").mkString(" ")
+    val corpus = Seq((1L, words)).toDF("doc_id", "text")
+    val batch = Seq((100L, twin)).toDF("doc_id", "text")
+    // built STRICT: the bare probe must apply 0.95 and reject the pair —
+    // the pre-round-13 behavior (hardcoded 0.5 default) would return it
+    DedupIndex.build(corpus, "spec_idx_est_hi", buckets = 4, estThreshold = 0.95)
+    assert(DedupIndex.nearDupsAgainst(spark, "spec_idx_est_hi", batch).count() == 0,
+      "bare probe ignored the persisted 0.95 verify threshold")
+    // explicit always wins over the stored value
+    assert(DedupIndex.nearDupsAgainst(spark, "spec_idx_est_hi", batch, 0.3).count() == 1,
+      "explicit threshold did not override the stored one")
+    // built LAX: the streaming loop's bare probe must read 0.3 and dedup
+    // the twin — the old hardcoded 0.9 stream default would keep it
+    DedupIndex.build(corpus, "spec_idx_est_lo", buckets = 4, estThreshold = 0.3)
+    val tmp = java.nio.file.Files.createTempDirectory("spec_est_stream").toString
+    streaming.DedupIndexStream.processBatch(spark, "spec_idx_est_lo",
+      batch, 0L, tmp)
+    val survivors = spark.read.parquet(s"$tmp/b=0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(100L),
+      "stream bare probe ignored the persisted lax threshold")
+  }
+
   test("extend appends into the same layout; build(A)+extend(B) ≡ build(A∪B)") {
     val a = docs.filter(col("cb") >= 50).select("doc_id", "text")
     val b = docs.filter(col("cb") >= 10 && col("cb") < 50).select("doc_id", "text")
@@ -236,7 +293,8 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     import graft.streaming.DedupIndexStream
     val tmp = java.nio.file.Files.createTempDirectory("didx_stream").toString
     val base = docs.filter(col("cb") >= 50).select("doc_id", "text")
-    DedupIndex.build(base, "spec_idx_loop", buckets = 4)
+    // the loop's verify gate is a BUILD-time knob now: 0.9 rides the index
+    DedupIndex.build(base, "spec_idx_loop", buckets = 4, estThreshold = 0.9)
 
     // batch 0: fresh docs + an exact copy of an indexed doc + an intra-batch pair
     val indexedDoc = base.orderBy(col("doc_id")).limit(1).collect()(0)
@@ -472,7 +530,8 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     def toks(p: String, from: Int, to: Int) =
       (from to to).map(i => s"$p$i").mkString(" ")
     val base = smallDocs.filter(col("doc_id") < 60).select("doc_id", "text")
-    DedupIndex.buildClustered(base, name, buckets = 4)
+    // the 0.9 probe threshold is persisted with the index (build-time knob)
+    DedupIndex.buildClustered(base, name, buckets = 4, estThreshold = 0.9)
     val tmp = java.nio.file.Files.createTempDirectory("clx_loop3").toString
     // b0: an intra-batch near-dup pair (merged by the loop's extend)
     val a1 = toks("sl", 1, 14); val a2 = a1 + " sl15"
