@@ -47,6 +47,11 @@ object DedupIndexStream {
 
   /** One micro-batch of the loop — exposed for direct testing.
     *
+    * `estThreshold` < 0 (the default) resolves from the verify-threshold
+    * property [[DedupIndex.build]] persisted with the index — the loop
+    * dedups at the gate the index was BUILT for, not a caller default
+    * (round-12 VERDICT item 6); an explicit value still wins.
+    *
     * `compactEvery` > 0 runs [[DedupIndex.compact]] after every Nth
     * batch's commit: each extend appends one file per touched bucket, so
     * a standing loop otherwise accretes files without bound. The dedup
