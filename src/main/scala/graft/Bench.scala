@@ -151,19 +151,28 @@ object Bench {
       val err =
         try {
           // SessionMemo materializes eagerly — constructing the frames
-          // builds the shared tables for every later consumer
-          graft.analytics.Dedup.nearDupPairs(spark, sfDir)
-          graft.analytics.Relational.fuzzyNearDup(spark, sfDir)
-          graft.analytics.Dedup.dedupCorpus(spark, sfDir)
-          graft.analytics.Dedup.ensembleDedup(spark, sfDir)
-          graft.analytics.Graph.warmSharedEdges(spark, sfDir)
-          // probe training (q163/q187) and the BPE merge + word-piece
-          // tables (q164/q165/q188) — memo builds are eager
-          graft.analytics.QualityProbe.trainedScores(spark, sfDir)
-          graft.analytics.BpeInduction.tokenCounts(spark, sfDir)
-          // the q212/q216 shared index-build inputs (sigs, postings/dl,
-          // centroids + cells) — round-10, same visibility rule
-          graft.analytics.IndexAudit.warmGateInputs(spark, sfDir)
+          // builds the shared tables for every later consumer. Two
+          // dependency-ordered WAVES, each fanned on driver threads
+          // (distinct memo keys never collide; a same-key race would
+          // merely build twice and keep the first): wave 1 is the
+          // independent roots, wave 2 the consumers (dedupCorpus and the
+          // ensemble CC both read the wave-1 pair graphs from the memo;
+          // the pristine trio reads the wave-1 gate inputs).
+          graft.functions.Par.inParallel(Seq(
+            () => graft.analytics.Dedup.nearDupPairs(spark, sfDir),
+            () => graft.analytics.Relational.fuzzyNearDup(spark, sfDir),
+            () => graft.analytics.Graph.warmSharedEdges(spark, sfDir),
+            // probe training (q163/q187) and the BPE merge + word-piece
+            // tables (q164/q165/q188) — memo builds are eager
+            () => graft.analytics.QualityProbe.trainedScores(spark, sfDir),
+            () => graft.analytics.BpeInduction.tokenCounts(spark, sfDir),
+            // the q212/q216 shared index-build inputs (sigs, postings/dl,
+            // centroids + cells) — round-10, same visibility rule
+            () => graft.analytics.IndexAudit.warmSharedInputs(spark, sfDir)))
+          graft.functions.Par.inParallel(Seq(
+            () => graft.analytics.Dedup.dedupCorpus(spark, sfDir),
+            () => graft.analytics.Dedup.ensembleDedup(spark, sfDir),
+            () => graft.analytics.IndexAudit.warmPristineTrio(spark, sfDir)))
           None
         } catch {
           case e: Throwable =>

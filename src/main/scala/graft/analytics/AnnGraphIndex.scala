@@ -119,9 +119,12 @@ object AnnGraphIndex {
   def build(vecs: DataFrame, name: String, k: Int = 8, rounds: Int = 2,
       numCentroids: Int = 16, buckets: Int = 32): Unit = {
     val spark = vecs.sparkSession
+    import graft.functions.PhaseTimer.timed
     val ids = vecs.select(col("vec_id"), col("v"))
-    val cents = Materialize(Similarity.trainCentroidsOn(ids, numCentroids))
-    val cells = Materialize(Similarity.assignCellsOn(ids, cents))
+    val cents = timed("gxbuild.cents")(
+      Materialize(Similarity.trainCentroidsOn(ids, numCentroids)))
+    val cells = timed("gxbuild.cells")(
+      Materialize(Similarity.assignCellsOn(ids, cents)))
     val g = AnnGraph.buildGraphFromCells(cells, k, rounds)
     // materialized once: the symmetrized graph feeds the table write AND
     // the density aggregate (deriving either from the lazy frame would
@@ -131,13 +134,15 @@ object AnnGraphIndex {
     // micro-batch's foreachBatch) does not invalidate another session's
     // cache — this session would then serve from a stale file listing
     // (found live by AnnGraphSpec's streaming test).
-    val und = Materialize(g.unionByName(
+    val und = timed("gxbuild.descent")(Materialize(g.unionByName(
         g.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
-      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim")))
-    Bucketed.writeBucketed(und, s"${name}_edges", "src", buckets)
-    Bucketed.writeBucketed(cells.select(col("vec_id"), col("v"), col("cid")),
-      s"${name}_vectors", "vec_id", buckets)
-    val (density, maxDeg) = profileOn(und, k)
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))))
+    timed("gxbuild.writes") {
+      Bucketed.writeBucketed(und, s"${name}_edges", "src", buckets)
+      Bucketed.writeBucketed(cells.select(col("vec_id"), col("v"), col("cid")),
+        s"${name}_vectors", "vec_id", buckets)
+    }
+    val (density, maxDeg) = timed("gxbuild.profile")(profileOn(und, k))
     val cap = math.max(3 * k, maxDeg)
     writeEntries(spark, name,
       cents.join(cells.groupBy(col("cid")).agg(min(col("vec_id")).as("rep")),

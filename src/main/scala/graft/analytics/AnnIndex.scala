@@ -395,12 +395,16 @@ object AnnIndex {
     val live = "graft_ann_live"
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    build(e, live, numCentroids = 8) // stale generation: no plants
     val q = e.filter(col("vec_id") < 10)
     val current = e.unionByName(
       q.select((col("vec_id") + 1000000L).as("vec_id"),
         expr("transform(v, x -> x * 2.0d)").as("v")))
-    build(current, s"${live}_stg", numCentroids = 16) // retrained generation
+    // the stale and retrained generations are DISJOINT table sets — the
+    // two builds fan on driver threads (production builds staging while
+    // live serves; the graft.functions.Par discipline)
+    graft.functions.Par.inParallel(Seq(
+      () => build(e, live, numCentroids = 8), // stale generation: no plants
+      () => build(current, s"${live}_stg", numCentroids = 16))) // retrained
     swapIn(spark, s"${live}_stg", live)
     val top = topKAgainst(spark, live,
       q.select(col("vec_id").as("query_id"), col("v").as("qv")), k = 5)

@@ -60,13 +60,29 @@ object IndexAudit {
     graft.functions.SessionMemo(spark, s"indexgate.cells:$dir")(
       Similarity.assignCellsOn(gateVecs(spark, dir), centroidsMemo(spark, dir)))
 
+  /** Eagerly build the shared gate INPUT memos — independent computations
+    * (signatures, postings, doc lengths, centroids→cells) fanned on
+    * driver threads; distinct SessionMemo keys, so concurrent builds
+    * never collide (the cells leg builds centroids first on its own
+    * thread — same-thread recursion, allowed). */
+  def warmSharedInputs(spark: SparkSession, dir: String): Unit =
+    graft.functions.Par.inParallel(Seq(
+      () => sigsMemo(spark, dir),
+      () => postingsMemo(spark, dir),
+      () => dlMemo(spark, dir),
+      () => cellsMemo(spark, dir)))
+
   /** Eagerly build the shared gate inputs — Bench calls this inside
     * q00_shared_build so the shared cost stays visible in the total. */
   def warmGateInputs(spark: SparkSession, dir: String): Unit = {
-    sigsMemo(spark, dir); postingsMemo(spark, dir); dlMemo(spark, dir)
-    centroidsMemo(spark, dir); cellsMemo(spark, dir)
+    warmSharedInputs(spark, dir)
     pristineTrio(spark, dir)
   }
+
+  /** The q212 pristine build alone — for callers that warmed the inputs
+    * themselves (Bench's fanned q00). */
+  def warmPristineTrio(spark: SparkSession, dir: String): Unit =
+    pristineTrio(spark, dir)
 
   /** q212's audited trio, built ONCE per session (round-10 VERDICT item
     * 4 extends the shared-input rule to the whole pristine build: q212

@@ -446,8 +446,13 @@ object LexIndex {
     val stg = name + "_stg"
     val d = documents(spark, dir).select(col("doc_id"), col("text"),
       Sampling.contentBucket(col("text")).as("cb"))
-    build(d.filter(col("cb") >= 30).select("doc_id", "text"), name, buckets = 8)
-    build(d.select("doc_id", "text"), stg, buckets = 8)
+    // the live and staging generations are DISJOINT table sets — the two
+    // builds fan on driver threads (the graft.functions.Par discipline;
+    // production builds a staging generation while the live one serves)
+    graft.functions.Par.inParallel(Seq(
+      () => build(d.filter(col("cb") >= 30).select("doc_id", "text"),
+        name, buckets = 8),
+      () => build(d.select("doc_id", "text"), stg, buckets = 8)))
     delete(d.filter(col("cb") < 10).select(col("doc_id")), name)
     swapIn(spark, stg, name)
     bm25Against(spark, name)
