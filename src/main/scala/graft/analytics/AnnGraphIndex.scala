@@ -327,7 +327,9 @@ object AnnGraphIndex {
           .contains("true"))
         storedInt(spark, name, CapProp, Int.MaxValue)
       else Int.MaxValue
-    val q = Materialize(queries.select(col("query_id"), col("qv")))
+    import graft.functions.PhaseTimer.timed
+    val q = timed("gxserve.q")(
+      Materialize(queries.select(col("query_id"), col("qv"))))
     val vectors = Tombstones.filter(
       spark.table(s"${name}_vectors")
         .select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
@@ -367,12 +369,12 @@ object AnnGraphIndex {
           cosine(col("qv"), col("cv")).as("csim"))
         .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobe)
         .select(col("query_id"), col("rep").as("neighbor_id"))
-      var bs = topBeam(score(seed))
-      (1 to hops).foreach { _ =>
+      var bs = timed("gxserve.seed")(topBeam(score(seed)))
+      (1 to hops).foreach { h =>
         val expanded = expandHopAgainst(spark, name, bs, cap)
-        bs = topBeam(bs.unionByName(score(expanded))
+        bs = timed(s"gxserve.hop$h")(topBeam(bs.unionByName(score(expanded))
           .groupBy(col("query_id"), col("neighbor_id"))
-          .agg(max(col("sim")).as("sim")))
+          .agg(max(col("sim")).as("sim"))))
       }
       bs.filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
