@@ -395,7 +395,8 @@ object SparkEntry {
     "q226_graph_index_extend"      -> AnnGraphIndex.extendGate _,
     "q227_graph_index_audit"       -> AnnGraphIndex.auditGate _,
     "q228_cluster_index"           -> DedupIndex.clusterGate _,
-    "q229_cluster_audit"           -> DedupIndex.clusterAuditGate _)
+    "q229_cluster_audit"           -> DedupIndex.clusterAuditGate _,
+    "q230_targeted_compaction"     -> DedupIndex.targetedCompactionGate _)
 
   // NOTE on numbering: there is deliberately no q19 — the slot was retired
   // during round 1 (its candidate operator was folded into q16's chain) and
@@ -1930,6 +1931,15 @@ object SparkEntry {
     // the q160 gate re-run through compacted index tables — compaction
     // must not change a single answer (q47/q167 pattern)
     "q171_dedup_index_compaction" ->
+      """SELECT doc_id + 10000000 AS new_id, doc_id AS orig_id, true AS found
+        |FROM documents
+        |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 >= 10
+        |  AND (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 < 30""".stripMargin,
+
+    // the q160 gate re-run through a THRESHOLD-SCOPED targeted pass —
+    // rewriting only the over-threshold band slices must not change a
+    // single answer (the slice scoping itself is spec-pinned)
+    "q230_targeted_compaction" ->
       """SELECT doc_id + 10000000 AS new_id, doc_id AS orig_id, true AS found
         |FROM documents
         |WHERE (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 100 >= 10

@@ -250,6 +250,54 @@ object DedupIndex {
     Tombstones.clear(spark, name)
   }
 
+  /** Targeted compaction POLICY for the partitioned surfaces — the
+    * [[AnnIndex.compactOverThreshold]] discipline applied to `_bands`
+    * (and `_pfx` on a clustered index): read each partition's physical
+    * file count from `_metadata` provenance, rewrite ONLY the slices
+    * whose count exceeds `threshold`, leave the other 99% of a 100 TB
+    * index unread. This is the standing maintenance verb a daily-ingest
+    * loop actually wants — each [[extend]] appends one file per touched
+    * slice, and a FULL [[compact]] (which also rewrites the bucketed
+    * `_sigs`/`_shg`/`_clusters` tables) is a much bigger hammer than the
+    * small-file pathology needs.
+    *
+    * Tombstoned rows are purged from the slices the pass REWRITES and
+    * only those; the log is deliberately NOT cleared (unselected slices
+    * still hold their rows at rest, masked by merge-on-read — exactly
+    * [[AnnIndex.compact]]'s cid-scoped contract; the full [[compact]]
+    * remains the log-retiring purge point). Returns the decision plan it
+    * acted on: (table, part, n_files, needs_compaction). */
+  def compactOverThreshold(spark: SparkSession, name: String,
+      threshold: Int): DataFrame = {
+    healedTables(spark, name)
+    val tables = Seq(s"${name}_bands" -> "pb") ++
+      (if (isClustered(spark, name)) Seq(s"${name}_pfx" -> "ps") else Nil)
+    val plans = tables.map { case (table, partCol) =>
+      // snapshot the plan BEFORE acting on it — the `_metadata` scan is
+      // lazy and would re-list the rewritten layout
+      val rows = Bucketed.partitionedCompactionPlan(
+        spark, table, partCol, threshold).collect()
+      val over = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSeq
+      (table, partCol, rows, over)
+    }
+    // the selected rewrites are disjoint tables — fan on driver threads.
+    // Per-table transforms mirror [[compact]]'s legs exactly: bands purge
+    // tombstones; prefixes additionally collapse replay duplicates.
+    graft.functions.Par.inParallel(plans.collect {
+      case (table, partCol, _, over) if over.nonEmpty => () =>
+        Bucketed.compactPartitioned(spark, table, partCol,
+          df =>
+            if (partCol == "ps") Tombstones.filter(df, name, "doc_id").distinct()
+            else Tombstones.filter(df, name, "doc_id"),
+          only = Some(over))
+    })
+    import spark.implicits._
+    plans.flatMap { case (table, _, rows, _) =>
+      rows.map(r => (table.stripPrefix(name + "_"),
+        r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    }.toDF("table", "part", "n_files", "needs_compaction")
+  }
+
   /** Candidate (corpus_id, new_id) pairs: the batch's band keys probed into
     * the persisted band table. Batch side broadcast; index side a
     * partition-PRUNED scan — the probe's `pb` values (derived with the
@@ -940,8 +988,20 @@ object DedupIndex {
         col("found_mor"), col("found_purged"))
   }
 
+  /** q230: the q171 pattern through a THRESHOLD-scoped targeted pass —
+    * build + extend leave one extra file per touched band slice, then
+    * [[compactOverThreshold]] rewrites exactly the over-threshold slices
+    * (threshold 1 — any slice the extend touched) and the planted probe
+    * must answer identically to q160/q171 (targeted maintenance is
+    * answer-preserving by the same merge-on-read argument; the
+    * slice-scoping itself is pinned in DedupIndexSpec). */
+  def targetedCompactionGate(spark: SparkSession, dir: String): DataFrame =
+    incrementalGateImpl(spark, dir, "graft_dedup_tidx",
+      compactFirst = false, targeted = true)
+
   private def incrementalGateImpl(spark: SparkSession, dir: String,
-      name: String, compactFirst: Boolean): DataFrame = {
+      name: String, compactFirst: Boolean,
+      targeted: Boolean = false): DataFrame = {
     val Stride = 10000000L
     val docs = documents(spark, dir).select(col("doc_id"), col("text"),
       Sampling.contentBucket(col("text")).as("cb"))
@@ -950,6 +1010,7 @@ object DedupIndex {
     extend(docs.filter(col("cb") >= 10 && col("cb") < 20)
       .select(col("doc_id"), col("text")), name)
     if (compactFirst) compact(spark, name)
+    if (targeted) compactOverThreshold(spark, name, threshold = 1)
     val planted = docs.filter(col("cb") >= 10 && col("cb") < 30)
       .select((col("doc_id") + lit(Stride)).as("doc_id"), col("text"))
     val batch = docs.filter(col("cb") < 10).select(col("doc_id"), col("text"))

@@ -177,6 +177,21 @@ object Bucketed {
     TableProps.set(spark, table, PartsProp -> parts.toString)
   }
 
+  /** Per-partition physical file counts from `_metadata` provenance —
+    * the scan itself reports the layout, no filesystem walk (the
+    * [[graft.analytics.AnnIndex.compactionPlan]] discipline for
+    * [[writePartitioned]] tables): the decision input of a targeted
+    * compaction policy. O(#partitions) driver metadata. */
+  def partitionedCompactionPlan(spark: SparkSession, table: String,
+      partCol: String, threshold: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    spark.table(table)
+      .select(col(partCol).as("part"), col("_metadata.file_path").as("fp"))
+      .groupBy(col("part"))
+      .agg(countDistinct(col("fp")).as("n_files"))
+      .withColumn("needs_compaction", col("n_files") > threshold)
+  }
+
   /** The stored partition modulus of a [[writePartitioned]] table. */
   def partsOf(spark: SparkSession, table: String): Int =
     TableProps.required(spark, table, PartsProp).toInt
@@ -204,11 +219,20 @@ object Bucketed {
     * idempotent, so a crash anywhere replays into the same end state; no
     * rename is involved, so partition locations never strand. */
   def compactPartitioned(spark: SparkSession, table: String, partCol: String,
-      transform: DataFrame => DataFrame = identity): Unit = {
+      transform: DataFrame => DataFrame = identity,
+      only: Option[Seq[Long]] = None): Unit = {
     import org.apache.spark.sql.functions.col
-    val t = spark.table(table)
+    val t0 = spark.table(table)
+    // `only` scopes the pass to chosen partition values (the AnnIndex
+    // cid-scoping production shape: compact the slices today's ingest
+    // touched, leave the other 99% of a 100 TB table unread) — static
+    // partition pruning on the read, dynamic overwrite on the write, and
+    // the emptied-partition drop below restricted to the SELECTED set
+    // (an unselected partition is absent from the snapshot by
+    // construction, not emptied).
+    val t = only.map(vs => t0.filter(col(partCol).isin(vs: _*))).getOrElse(t0)
     val snap = graft.functions.Materialize(
-      transform(t).select(t.columns.toIndexedSeq.map(col): _*)
+      transform(t).select(t0.columns.toIndexedSeq.map(col): _*)
         .repartition(col(partCol)))
     CrashPoints.reached("pcompact.snapshotted")
     // conf-isolated dynamic overwrite: concurrent Par legs (DedupIndex
@@ -219,9 +243,11 @@ object Bucketed {
     CrashPoints.reached("pcompact.rewritten")
     val kept = snap.select(col(partCol)).distinct().collect()
       .map(_.get(0).toString).toSet
+    val selected = only.map(_.map(_.toString).toSet)
     val cat = spark.sessionState.catalog
     val ti = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val emptied = cat.listPartitions(ti)
+      .filter(p => selected.forall(_(p.spec(partCol))))
       .filterNot(p => kept(p.spec(partCol)))
     if (emptied.nonEmpty) {
       // catalog drop first, then the at-rest bytes (the in-memory catalog's

@@ -89,6 +89,66 @@ class DedupIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "stream bare probe ignored the persisted lax threshold")
   }
 
+  test("targeted compaction: only over-threshold slices rewritten; answers unchanged; log retained") {
+    import spark.implicits._
+    val name = "spec_idx_tc"
+    val corpus = docs.filter(col("cb") >= 10).select("doc_id", "text")
+    DedupIndex.build(corpus, name, buckets = 4, parts = 64)
+    // one SINGLE-doc extend: its ~16 band keys land in ≤16 of 64 slices,
+    // so the layout has a clear touched/untouched split
+    val src = corpus.orderBy(col("doc_id")).limit(2).collect()
+    DedupIndex.extend(Seq((9500001L, src(0).getString(1)))
+      .toDF("doc_id", "text"), name)
+    def files(): Map[String, Set[String]] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_bands")).location
+      new java.io.File(loc).listFiles().filter(_.getName.startsWith("pb="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet).toMap
+    }
+    val before = files()
+    val touched = before.filter(_._2.size > 1).keySet
+    val untouched = before.filter(_._2.size == 1).keySet
+    assert(touched.nonEmpty && untouched.nonEmpty,
+      s"layout has no touched/untouched split — vacuous: ${before.view.mapValues(_.size).toMap}")
+    // two pending deletions: the extended copy's TWIN (its band rows all
+    // live in touched slices — fully purgeable by the targeted pass) and
+    // an unrelated doc (most of its rows live in untouched slices — they
+    // must SURVIVE at rest, masked by the retained log)
+    DedupIndex.delete(Seq(src(0).getLong(0), src(1).getLong(0))
+      .toDF("doc_id"), name)
+    val probe = Seq((9600001L, src(1).getString(1))).toDF("doc_id", "text")
+    val answersBefore = DedupIndex.nearDupsAgainst(spark, name, probe, 0.5)
+      .collect().map(_.toSeq).toSet
+    val plan = DedupIndex.compactOverThreshold(spark, name, threshold = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(plan.forall(_._1 == "bands"), "non-clustered index planned a pfx pass")
+    assert(plan.filter(_._4).map(p => s"pb=${p._2}").toSet == touched,
+      "the plan's selection does not match the physical over-threshold slices")
+    val after = files()
+    touched.foreach(d => assert(after(d).size == 1, s"selected slice $d not compacted"))
+    untouched.foreach(d => assert(after(d) == before(d),
+      s"unselected slice $d was rewritten"))
+    // answers unchanged through the targeted pass
+    val answersAfter = DedupIndex.nearDupsAgainst(spark, name, probe, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(answersAfter == answersBefore, "targeted compaction changed an answer")
+    // purge semantics: the twin-adjacent doc's rows are gone from the
+    // rewritten slices; the unrelated doc keeps rows at rest in untouched
+    // slices; the log is NOT cleared (full compact remains the purge point)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_bands")).location
+    val atRest = spark.read.parquet(loc.toString)
+      .filter(col("doc_id").isin(src(0).getLong(0), src(1).getLong(0)))
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(!atRest.contains(src(0).getLong(0)),
+      "tombstoned rows survived in rewritten slices")
+    assert(atRest.contains(src(1).getLong(0)),
+      "targeted pass purged slices it should not have read")
+    assert(graft.sink.Tombstones.of(spark, name).isDefined,
+      "targeted pass cleared the tombstone log")
+  }
+
   test("extend appends into the same layout; build(A)+extend(B) ≡ build(A∪B)") {
     val a = docs.filter(col("cb") >= 50).select("doc_id", "text")
     val b = docs.filter(col("cb") >= 10 && col("cb") < 50).select("doc_id", "text")
