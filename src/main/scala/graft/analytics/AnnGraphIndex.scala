@@ -207,7 +207,15 @@ object AnnGraphIndex {
     * Replay safety (the DedupIndexStream discipline): a crash between
     * this append and its stream marker can duplicate rows; serving
     * tolerates duplicates (the hop-loop groupBy dedups (query, neighbor)
-    * before every rank), so at-least-once replay degrades nothing. */
+    * before every rank), so at-least-once replay degrades nothing.
+    *
+    * CONCURRENCY CONTRACT: extends of ONE index must be serialized by the
+    * caller (the streaming twin's foreachBatch already is). The
+    * `graft.nvec` bump is a read-modify-write table-property update —
+    * concurrent extends would lose counts (bounded: ±the lost batches,
+    * healed exactly at the next compact/refresh), and concurrent bucketed
+    * appends have no cross-writer ordering guarantee anyway. Extends of
+    * DIFFERENT indexes are free to run in parallel (disjoint tables). */
   def extend(newVecs: DataFrame, name: String, k: Int = 0): Unit = {
     val spark = newVecs.sparkSession
     healedTables(spark, name)
@@ -257,10 +265,19 @@ object AnnGraphIndex {
       .format("parquet").saveAsTable(s"${name}_vectors")
     // count AFTER the appends (a crash in the gap undercounts — the
     // conservative direction for the exact-serve boundary is irrelevant
-    // at ±1 batch, and compact re-derives the exact value)
-    TableProps.set(spark, s"${name}_entries", NvecProp ->
-      (TableProps.get(spark, s"${name}_entries", NvecProp)
-        .map(_.toLong).getOrElse(0L) + ids.count()).toString)
+    // at ±1 batch, and compact re-derives the exact value). A PRE-EXISTING
+    // index without the property (built before graft.nvec existed) must
+    // NOT seed from 0: nvec ≈ batch size would wrongly satisfy the
+    // exact-serve boundary on a large sparse legacy index and auto serve
+    // would brute-force the full vectors table per query until the next
+    // compact — derive the exact count from the table instead (extend
+    // already pays driver-synchronous jobs; the post-append count includes
+    // this batch, so nothing is added on top).
+    val nvec = TableProps.get(spark, s"${name}_entries", NvecProp) match {
+      case Some(n) => n.toLong + ids.count()
+      case None => spark.table(s"${name}_vectors").count()
+    }
+    TableProps.set(spark, s"${name}_entries", NvecProp -> nvec.toString)
   }
 
   /** Beam-search serve from the persisted tables — same algorithm as

@@ -164,8 +164,14 @@ object IndexAudit {
     import graft.functions.PhaseTimer.timed
     Map(
       "dd" -> (Seq(
-        () => timed("trio.dd")(DedupIndex.buildFromSigs(sigs,
-          s"${prefix}_dd", buckets, parts = buckets * 2)))
+        () => timed("trio.dd") {
+          DedupIndex.buildFromSigs(sigs,
+            s"${prefix}_dd", buckets, parts = buckets * 2)
+          // named fault-injection seam for the forget-gate deadlock
+          // regression (a dd BUILD failure must fail the gate, not hang
+          // its lmcount leg); production no-op like every reached()
+          graft.sink.CrashPoints.reached("trio.dd.built")
+        })
         ++ cluLeg.map(l => () => timed("trio.clu")(l()))),
       "lx" -> Seq(() => timed("trio.lx")(
         LexIndex.buildFrom(postings, dl, s"${prefix}_lx", buckets))),
@@ -292,9 +298,15 @@ object IndexAudit {
     def family(fam: String, del: () => Unit, purge: () => Unit,
         isDd: Boolean): () => Unit = () => timed(s"q216.fam.$fam") {
       // the family's own BUILD heads its pipeline (no global build
-      // barrier — only the before-counts leg needs every table to exist)
-      try inParallel(buildLegs(fam)) finally buildsDone.countDown()
-      try del() finally if (isDd) ddDeleteDone.countDown()
+      // barrier — only the before-counts leg needs every table to exist).
+      // ddDeleteDone's finally covers the WHOLE build→delete prefix: a
+      // build failure that never reaches del() must still release the
+      // lmcount leg, or a failed dd build deadlocks the gate (the other
+      // latches only guard legs that already own them in finally).
+      try {
+        try inParallel(buildLegs(fam)) finally buildsDone.countDown()
+        del()
+      } finally if (isDd) ddDeleteDone.countDown()
       countsDone.await()
       if (isDd) labelmapDone.await()
       purge()

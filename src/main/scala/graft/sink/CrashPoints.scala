@@ -37,6 +37,12 @@ object CrashPoints {
     * nondeterministic (round-11 ADVICE). One CAS on a test-only path. */
   private final class State {
     @volatile var budget: Long = Long.MaxValue
+    // named-point injection ([[armAt]]) — independent of the budget sweep:
+    // a fault that must land in ONE SPECIFIC leg of a fanned verb (the
+    // forget-gate deadlock regression needs the dd family's build to fail,
+    // not whichever leg reaches a point first) can't be expressed as a
+    // count prefix, whose ordering across Par threads is nondeterministic.
+    @volatile var at: String = null
     val hits = new java.util.concurrent.atomic.AtomicLong(0L)
   }
 
@@ -54,10 +60,15 @@ object CrashPoints {
     val s = ensure(); s.hits.set(0L); s.budget = n
   }
 
+  /** Throw at the FIRST occurrence of the NAMED point on this thread tree
+    * (and only it) — targeted fault injection for fanned verbs where the
+    * budget sweep's count ordering is nondeterministic across legs. */
+  private[graft] def armAt(point: String): Unit = { ensure().at = point }
+
   /** Back to production behavior for this thread (counter keeps counting,
     * never throws). */
   private[graft] def disarm(): Unit = {
-    val s = ensure(); s.budget = Long.MaxValue; s.hits.set(0L)
+    val s = ensure(); s.budget = Long.MaxValue; s.hits.set(0L); s.at = null
   }
 
   /** Points reached on this thread since the last arm/disarm — the
@@ -69,6 +80,7 @@ object CrashPoints {
   def reached(point: String): Unit = {
     val s = state.get()
     if (s != null) {
+      if (s.at != null && s.at == point) throw new CrashInjected(point)
       if (s.hits.incrementAndGet() > s.budget) throw new CrashInjected(point)
     }
   }

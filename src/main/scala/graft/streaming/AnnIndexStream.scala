@@ -37,28 +37,43 @@ object AnnIndexStream {
     * order of driver state as the batchId itself. Compaction carries no
     * marker of its own: it is answer-preserving and idempotent, so a
     * crash-replay that re-compacts is harmless (the extend marker still
-    * guards the state-changing append). */
+    * guards the state-changing append).
+    *
+    * `targetedEvery` > 0 instead drives the cadence by MEASURED layout
+    * ([[AnnIndex.compactOverThreshold]] at `fileThreshold` files/cell,
+    * the [[DedupIndexStream]] discipline): touched-cid scoping rewrites
+    * every cell this batch touched even at 2 files, while the threshold
+    * mode reads the per-cell file counts from `_metadata` provenance and
+    * rewrites only cells that actually accreted — the right verb when
+    * batches spray a few vectors over many cells. A batch where both
+    * cadences fire runs only the touched-cid pass (its scope is a strict
+    * superset of this batch's contribution and it purges tombstones for
+    * the touched cells). */
   def processBatch(spark: SparkSession, name: String, batch: DataFrame,
-      batchId: Long, markerDir: String, compactEvery: Int = 0): Unit = {
+      batchId: Long, markerDir: String, compactEvery: Int = 0,
+      targetedEvery: Int = 0, fileThreshold: Int = 4): Unit = {
     val markerPath = new Path(s"$markerDir/b=$batchId")
     val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(markerPath)) return
     val vecs = batch.select(col("vec_id"), col("v"))
     AnnIndex.extend(vecs, name)
     fs.create(markerPath, true).close()
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+    val touchedDue = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+    if (touchedDue) {
       val touched = graft.analytics.Similarity
         .assignCellsOn(vecs, spark.table(s"${name}_centroids"))
         .select(col("cid")).distinct().collect().map(_.getLong(0))
       if (touched.nonEmpty) AnnIndex.compact(spark, name, Some(touched.toSeq))
-    }
+    } else if (targetedEvery > 0 && (batchId + 1) % targetedEvery == 0)
+      AnnIndex.compactOverThreshold(spark, name, fileThreshold)
   }
 
   /** The standing query: wire to `.option("checkpointLocation", …).start()`. */
   def run(vecs: Dataset[VecArrival], name: String, markerDir: String,
-      compactEvery: Int = 0): DataStreamWriter[VecArrival] =
+      compactEvery: Int = 0, targetedEvery: Int = 0,
+      fileThreshold: Int = 4): DataStreamWriter[VecArrival] =
     vecs.writeStream.foreachBatch { (batch: Dataset[VecArrival], batchId: Long) =>
       processBatch(batch.sparkSession, name, batch.toDF(), batchId, markerDir,
-        compactEvery)
+        compactEvery, targetedEvery, fileThreshold)
     }
 }

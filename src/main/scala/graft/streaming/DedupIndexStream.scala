@@ -52,16 +52,29 @@ object DedupIndexStream {
     * dedups at the gate the index was BUILT for, not a caller default
     * (round-12 VERDICT item 6); an explicit value still wins.
     *
-    * `compactEvery` > 0 runs [[DedupIndex.compact]] after every Nth
-    * batch's commit: each extend appends one file per touched bucket, so
-    * a standing loop otherwise accretes files without bound. The dedup
-    * index's tables are bucketed (not partitioned), so compaction is a
-    * full rewrite — N sizes the amortization (rewrite cost / N batches);
-    * like the ANN twin it is answer-preserving and idempotent, so it
-    * carries no marker and a crash-replay that re-compacts is harmless. */
+    * `compactEvery` > 0 runs the FULL [[DedupIndex.compact]] after every
+    * Nth batch's commit — the log-retiring purge point: every table
+    * rewritten (bucketed `_sigs` included), tombstoned rows physically
+    * gone, log cleared. Answer-preserving and idempotent, so it carries
+    * no marker and a crash-replay that re-compacts is harmless.
+    *
+    * `targetedEvery` > 0 runs [[DedupIndex.compactOverThreshold]] (at
+    * `fileThreshold` files per slice) on ITS cadence — the standing
+    * maintenance verb a daily-ingest loop actually wants: each extend
+    * appends one file per touched partition of `_bands` (and `_pfx` on a
+    * clustered index), and the targeted pass rewrites ONLY the slices
+    * whose physical file count exceeded the threshold, leaving the other
+    * 99% of a warehouse-scale table unread. Tombstones are purged from
+    * the rewritten slices only and the LOG IS RETAINED (unselected slices
+    * still hold their rows at rest, masked by merge-on-read) — the full
+    * compact above remains the purge point, demoted to a coarser cadence.
+    * Run both: `targetedEvery` small (bounded probe I/O between full
+    * passes), `compactEvery` a multiple of it (a batch where both fire
+    * skips the targeted pass — the full rewrite subsumes it). */
   def processBatch(spark: SparkSession, name: String, batch: DataFrame,
       batchId: Long, survivorsDir: String, estThreshold: Double = -1.0,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0, targetedEvery: Int = 0,
+      fileThreshold: Int = 4): Unit = {
     val markerPath = new Path(s"$survivorsDir/_committed/b=$batchId")
     val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(markerPath)) return // fully committed — replay is a no-op
@@ -98,17 +111,32 @@ object DedupIndexStream {
       }
     DedupIndex.extend(survivors, name)
     fs.create(markerPath, true).close()
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      DedupIndex.compact(spark, name)
+    val fullDue = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+    if (fullDue) DedupIndex.compact(spark, name)
+    else if (targetedEvery > 0 && (batchId + 1) % targetedEvery == 0)
+      DedupIndex.compactOverThreshold(spark, name, fileThreshold)
   }
 
   /** The standing query: wire to `.option("checkpointLocation", …).start()`.
     * The index at `name` must exist ([[DedupIndex.build]], possibly on an
-    * empty corpus) before the stream starts. */
+    * empty corpus) before the stream starts.
+    *
+    * MIGRATION NOTE (round-12 threshold resolution): with the default
+    * `estThreshold = -1`, the loop's effective verify gate is the
+    * `graft.est.threshold` property persisted at build time — which is
+    * **0.5** for an index created by a bare `DedupIndex.build()` (the
+    * batch-probe default), NOT the 0.9 this stream used as its own default
+    * before round 12. An unmigrated caller pointing the stream at a
+    * bare-built index therefore now classifies pairs with est_jaccard in
+    * [0.5, 0.9) as dups and DROPS those docs from survivors — a
+    * data-affecting shift. Callers that want the old behavior must either
+    * build the index with `estThreshold = 0.9` or pass 0.9 here
+    * explicitly; an explicit value always wins over the stored one. */
   def run(docs: Dataset[DocArrival], name: String, survivorsDir: String,
-      estThreshold: Double = -1.0, compactEvery: Int = 0): DataStreamWriter[DocArrival] =
+      estThreshold: Double = -1.0, compactEvery: Int = 0,
+      targetedEvery: Int = 0, fileThreshold: Int = 4): DataStreamWriter[DocArrival] =
     docs.writeStream.foreachBatch { (batch: Dataset[DocArrival], batchId: Long) =>
       processBatch(batch.sparkSession, name, batch.toDF(), batchId,
-        survivorsDir, estThreshold, compactEvery)
+        survivorsDir, estThreshold, compactEvery, targetedEvery, fileThreshold)
     }
 }

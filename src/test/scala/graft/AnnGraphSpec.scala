@@ -409,6 +409,24 @@ class AnnGraphSpec extends SparkSpec {
     AnnGraphIndex.compact(spark, name)
     assert(graft.sink.TableProps.get(spark, s"${name}_entries", "graft.nvec")
       .get.toLong == n0, "compact did not re-derive the exact count")
+    // two SEQUENTIAL extends stay exact — the verb's contract is
+    // single-writer (concurrent extends of one index are the caller's
+    // bug), not single-use: repeated serialized bumps must accumulate
+    def vecOf(id: Long) = (id, (1 to 8).map(d => (d + id % 7).toDouble).toArray)
+    AnnGraphIndex.extend(Seq(vecOf(8000002L), vecOf(8000003L))
+      .toDF("vec_id", "v"), name)
+    AnnGraphIndex.extend(Seq(vecOf(8000004L)).toDF("vec_id", "v"), name)
+    assert(graft.sink.TableProps.get(spark, s"${name}_entries", "graft.nvec")
+      .get.toLong == n0 + 3, "sequential extends lost a count bump")
+    // a LEGACY index (built before graft.nvec existed) must seed the
+    // property from the table's own count, never 0: a batch-sized seed on
+    // a large sparse index would wrongly satisfy the exact-serve boundary
+    // and auto serve would brute-force the whole table per query
+    spark.sql(s"ALTER TABLE ${name}_entries UNSET TBLPROPERTIES ('graft.nvec')")
+    AnnGraphIndex.extend(Seq(vecOf(8000005L)).toDF("vec_id", "v"), name)
+    assert(graft.sink.TableProps.get(spark, s"${name}_entries", "graft.nvec")
+      .get.toLong == spark.table(s"${name}_vectors").count(),
+      "legacy-index extend did not seed graft.nvec from the table count")
   }
 
   test("dense regime: auto knobs resolve NARROW and serve ≡ explicit narrow (no fallback)") {

@@ -168,6 +168,53 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"self-duplicate lookup through the auto-compacted index: ${top.mkString}")
   }
 
+  test("streaming targeted cadence: threshold mode rewrites only accreted cells; answers preserved") {
+    import spark.implicits._
+    import graft.streaming.AnnIndexStream
+    AnnIndex.build(vecs.filter(col("vec_id") % 2 === 0), "spec_ann_tgt", numCentroids = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("ann_tgt").toString
+    val odd = vecs.filter(col("vec_id") % 2 === 1).limit(8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def cellFiles(): Map[Long, Set[String]] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("spec_ann_tgt_cells")).location
+      new java.io.File(loc).listFiles().filter(_.getName.startsWith("cid="))
+        .map(d => d.getName.stripPrefix("cid=").toLong ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.getName).toSet).toMap
+    }
+    // batch 0 appends only; batch 1 fires the threshold pass, which reads
+    // the MEASURED layout — every cell the two small batches accreted past
+    // 1 file collapses, cells neither batch touched keep their exact files
+    AnnIndexStream.processBatch(spark, "spec_ann_tgt",
+      odd.take(4).toSeq.toDF("vec_id", "v"), 0L, tmp,
+      targetedEvery = 2, fileThreshold = 1)
+    val mid = cellFiles()
+    val accreted = mid.filter(_._2.size > 1).keySet
+    val untouched = mid.filter(_._2.size == 1).keySet
+    assert(accreted.nonEmpty && untouched.nonEmpty,
+      s"no accreted/untouched split — vacuous: ${mid.view.mapValues(_.size).toMap}")
+    AnnIndexStream.processBatch(spark, "spec_ann_tgt",
+      odd.drop(4).toSeq.toDF("vec_id", "v"), 1L, tmp,
+      targetedEvery = 2, fileThreshold = 1)
+    val after = cellFiles()
+    assert(after.values.forall(_.size == 1),
+      s"threshold pass left accreted cells: ${after.view.mapValues(_.size).toMap}")
+    val touchedByB1 = graft.analytics.Similarity
+      .assignCellsOn(odd.drop(4).toSeq.toDF("vec_id", "v"),
+        spark.table("spec_ann_tgt_centroids"))
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSet
+    (untouched -- touchedByB1).foreach { cid =>
+      assert(after(cid) == mid(cid), s"cell $cid rewritten though under threshold")
+    }
+    // every streamed vector still retrievable through the compacted layout
+    val (qid, qv) = odd.head
+    val top = AnnIndex.topKAgainst(spark, "spec_ann_tgt",
+      Seq((qid + 5000000L, qv)).toDF("query_id", "qv"), k = 1).collect()
+    assert(top.length == 1 && top(0).getAs[Double]("cos_sim") == 1.0,
+      s"self-duplicate lookup through the targeted-compacted index: ${top.mkString}")
+  }
+
   test("q166 lifecycle: drift flips rebuild; retrain+rebuild restores keep and recall") {
     import spark.implicits._
     val lab = Tables.embeddings(spark, sf("sf0.01"))
@@ -248,9 +295,12 @@ class AnnIndexSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the round-12 ADVICE data-loss window: dynamic mode used to be a
     // session-conf set/restore dance, so a concurrent sibling's restore
     // landing mid-compact downgraded the overwrite to STATIC — truncating
-    // every UNSELECTED cell. The mode now rides the DataFrameWriter, which
-    // takes precedence over the session conf; pin that by forcing the
-    // session conf to the hostile value and compacting one cell.
+    // every UNSELECTED cell. The write now runs in a conf-isolated CLONED
+    // session whose own conf is dynamic (graft.sink.DynamicOverwrite — a
+    // per-writer .option never reaches the V1 insertInto path, which is
+    // why the session conf must be isolated rather than overridden); pin
+    // that by forcing the hostile value on THIS session's conf and
+    // compacting one cell: the clone never consults it.
     AnnIndex.build(vecs.filter(col("vec_id") % 2 === 0), "spec_ann_stat", numCentroids = 8)
     AnnIndex.extend(vecs.filter(col("vec_id") % 6 === 1), "spec_ann_stat")
     val rowsBefore = spark.table("spec_ann_stat_cells").count()

@@ -670,6 +670,34 @@ class RetentionSpec extends SparkSpec {
       s"torn extend must localize to the postings surface: $v")
   }
 
+  test("forget gate: a dd-family BUILD failure fails the gate instead of deadlocking it") {
+    // the round-13 ADVICE deadlock: ddDeleteDone used to count down only in
+    // del()'s finally, which is never entered when the dd family's build
+    // throws — the lmcount leg then awaited forever and fail-slow Par hung
+    // the whole gate. The named injection lands the fault exactly there
+    // (after the dd build's durable writes, before del()); the fixed latch
+    // discipline must surface the failure as a thrown gate, bounded time.
+    graft.sink.CrashPoints.armAt("trio.dd.built")
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      try { IndexAudit.forgetGate(spark, sf("sf0.001")); () }
+      catch { case e: Throwable => err.set(e) }
+      finally done.countDown()
+    })
+    t.setDaemon(true) // a regression must fail the assert, not wedge sbt
+    t.start()
+    try
+      assert(done.await(300, java.util.concurrent.TimeUnit.SECONDS),
+        "forget gate deadlocked on a dd-family build failure (lmcount latch)")
+    finally graft.sink.CrashPoints.disarm()
+    def hasInjected(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[graft.sink.CrashPoints.CrashInjected] ||
+        hasInjected(e.getCause))
+    assert(hasInjected(err.get),
+      s"gate must rethrow the dd build failure, got: ${err.get}")
+  }
+
   test("lex swap: a crash between the _dl and _stats renames recovers by re-running swapIn") {
     // round-9 ADVICE (medium): in this window the staging dl is already
     // renamed onto the live name, so a re-run's re-anchor used to throw
