@@ -381,6 +381,56 @@ object ScaleRehearsal {
         .get(spark, "reh_gidx_entries", "graft.density")
         .map(_.toDouble).getOrElse(-1.0)
 
+      // round-13 VERDICT item 6: a MEASURED dense-regime row. Every
+      // organic rehearsal scale stores density < 0.35 (isotropic
+      // embeddings), so the narrow auto operating point had never fired in
+      // a recorded run — only in the synthetic spec. Fixed-size dense
+      // corpus (8 jittered near-copies of 250 base vectors — pairwise
+      // cosine ≈ 1, so the stored mean-kth-neighbor diagnostic crosses the
+      // boundary), scale-independent by construction: the row proves the
+      // stored-props decision, not a growth curve.
+      val denseBase = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .filter(col("vec_id") < 250)
+      val denseVecs = (1 to 8).foldLeft(denseBase) { (acc, j) =>
+        acc.unionByName(denseBase.select(
+          (col("vec_id") + lit(j * 1000000L)).as("vec_id"),
+          expr(s"transform(v, (x, i) -> x + if(i = 0, ${j}e-3, 0d))").as("v")))
+      }
+      val tDenseBuild = once(analytics.AnnGraphIndex.build(denseVecs,
+        "reh_gidx_dense", rounds = 1, numCentroids = 8, buckets = 8))
+      val denseDensity = graft.sink.TableProps
+        .get(spark, "reh_gidx_dense_entries", "graft.density")
+        .map(_.toDouble).getOrElse(-1.0)
+      val denseExact = analytics.AnnGraphIndex.wouldServeExact(
+        spark, "reh_gidx_dense")
+      val denseQ = denseBase.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val denseBrute10 = denseVecs.crossJoin(broadcast(denseQ))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.VectorOps.cosine(col("qv"), col("v")).as("sim"))
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("neighbor_id"))
+      def denseServe(beam: Int, nprobe: Int): Set[(Long, Long)] =
+        analytics.AnnGraphIndex.topKAgainst(spark, "reh_gidx_dense", denseQ,
+            k = 10, beam = beam, nprobe = nprobe)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val denseAuto = analytics.AnnGraphIndex.topKAgainst(spark,
+          "reh_gidx_dense", denseQ, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val denseAutoIsNarrow = denseAuto == denseServe(32, 2)
+      val denseRecallAuto = {
+        val brute = denseBrute10.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        math.rint(denseAuto.count(brute) * 10000.0 / brute.size) / 10000.0
+      }
+
       // round-11 cluster map (q228): the one-time CLUSTERED build tracks
       // the corpus (its pair graph + CC are the q25/q37 curves above);
       // the request path must not — extend merges a FIXED batch (verbatim
@@ -394,10 +444,16 @@ object ScaleRehearsal {
       // leaves the 64-floor at rehearsal sizes), so the bands_probe row
       // below proves probe I/O stays O(batch keys) at a non-default grid
       spark.conf.set("spark.graft.dedup.rows.per.slice", "20000")
+      // per-leg attribution for the BUILD too (round-13 VERDICT item 1:
+      // 9.9 s at 20× → 41.1 s at 50×, 4.2× wall for 2.5× data — which leg?)
+      graft.functions.PhaseTimer.arm()
       val tCluBuild =
         try once(analytics.DedupIndex.buildClustered(
           docsScaled, "reh_klx", buckets = 8))
         finally spark.conf.unset("spark.graft.dedup.rows.per.slice")
+      val bldLegs = graft.functions.PhaseTimer.drain()
+      val bldLegsJson = bldLegs.toSeq.sortBy(_._1).map { case (kk, v) =>
+        s""""$kk":${math.rint(v * 1e4) / 1e4}""" }.mkString("{", ",", "}")
       val cluParts = graft.sink.Bucketed.partsOf(spark, "reh_klx_bands")
       val cluExtBatch = docsScaled
         .filter(col("doc_id") < CopyIdStride &&
@@ -421,6 +477,33 @@ object ScaleRehearsal {
       val tCluDelete = once(analytics.DedupIndex.delete(cluDelBatch, "reh_klx"))
       val (tCluRead, _) =
         time(analytics.DedupIndex.clusterMap(spark, "reh_klx").count())
+
+      // round-13 VERDICT item 2: the partitioned APPEND's driver-serial
+      // per-partition commit renames are O(min(batch keys, parts)) —
+      // documented but never measured above 200 parts. Ladder the SAME
+      // fixed batch into band grids forced to 256/1024/4096 slices
+      // (explicit parts — the derivation is not under test) and record the
+      // extend wall, its bands-append leg, and the touched-slice count the
+      // bound predicts. The claim under test is corpus-INDEPENDENCE of the
+      // append path, so the ladder runs once, at the smallest scale.
+      val hpAppendJson =
+        if (s != scales.min) "[]"
+        else Seq(256, 1024, 4096).map { p =>
+          analytics.DedupIndex.build(docsScaled, "reh_hp", buckets = 8,
+            parts = p)
+          val touched = analytics.Dedup.bandsOf(cluExtBatch
+              .select(col("doc_id"), analytics.Dedup.minhashSignature(
+                TextStats.wordShingles(col("text"))).as("mhs")))
+            .select(pmod(xxhash64(col("band"), col("band_key")),
+              lit(p.toLong)).as("pb")).distinct().count()
+          graft.functions.PhaseTimer.arm()
+          val tExt = once(analytics.DedupIndex.extend(cluExtBatch, "reh_hp"))
+          val legs = graft.functions.PhaseTimer.drain()
+          val bandsLeg = math.rint(
+            legs.getOrElse("ext.append.bands", 0.0) * 1e4) / 1e4
+          s"""{"parts":$p,"touched":$touched,"extend":$tExt,""" +
+            s""""append_bands":$bandsLeg}"""
+        }.mkString("[", ",", "]")
 
       // round-12: partition-pruned probe I/O (round-11 VERDICT item 2) —
       // a SINGLE-doc probe against the persisted band table must read only
@@ -501,12 +584,17 @@ object ScaleRehearsal {
         s""""knobs":{"beam":32,"hops":3,"nprobe":2,"k":8,"rounds":1,""" +
         s""""wide_beam":64,"wide_nprobe":4,""" +
         s""""sparse_density":${analytics.AnnGraphIndex.SparseDensity}}},""" +
+        s""""graph_dense":{"build":$tDenseBuild,"density":$denseDensity,""" +
+        s""""would_serve_exact":$denseExact,""" +
+        s""""auto_is_narrow":$denseAutoIsNarrow,""" +
+        s""""recall10_auto":$denseRecallAuto},""" +
         s""""cluster_index":{"build":$tCluBuild,"extend":$tCluExtend,""" +
-        s""""extend_legs":$cluLegsJson,""" +
+        s""""build_legs":$bldLegsJson,"extend_legs":$cluLegsJson,""" +
         s""""delete_repair":$tCluDelete,"read":$tCluRead,""" +
         s""""n_ext_batch":$nCluBatch,"n_ext_merged":$nCluMerged,""" +
         s""""bands_probe":{"files_read":$bandsFilesRead,""" +
-        s""""files_total":$bandsFilesTotal,"derived_parts":$cluParts}},""" +
+        s""""files_total":$bandsFilesTotal,"derived_parts":$cluParts},""" +
+        s""""hp_append":$hpAppendJson},""" +
         s""""n_chunks":$nChunks,""" +
         s""""wf_max_window":{"source":$maxSourceWindow,"salted":$maxSaltedWindow},""" +
         s""""bm25_matched_postings":$nMatchedPost,""" +
@@ -521,7 +609,14 @@ object ScaleRehearsal {
       line
     }
 
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING_REHEARSAL.json"),
+    // SPARK_GRAFT_OUT lets the per-scale-JVM runner (tools/run_rehearsal.sh)
+    // collect one file per scale and merge — round 14: growth curves must
+    // measure the CODE, not the harness's accumulated session state (the
+    // 50× clustered build read 41 s after five prior scales in one JVM,
+    // 20.6 s in its own JVM — localCheckpoint blocks and GC pressure
+    // accumulate across scales and inflate every shuffle-heavy entry).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "SCALING_REHEARSAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       ("[" + lines.mkString(",\n") + "]\n").getBytes("UTF-8"))
     spark.stop()
   }

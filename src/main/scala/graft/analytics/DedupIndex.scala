@@ -76,11 +76,14 @@ object DedupIndex {
     * semantics are not the thing under test (round-9 VERDICT item 4). */
   private[analytics] def buildFromSigs(sigs: DataFrame, name: String,
       buckets: Int, parts: Int = -1, estThreshold: Double = 0.5): Unit = {
+    import graft.functions.PhaseTimer.timed
     val spark = sigs.sparkSession
     val p = sizedParts(spark, sigs, parts)
-    Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)
-    Bucketed.writePartitioned(withPb(Dedup.bandsOf(sigs), p),
-      s"${name}_bands", "pb", p)
+    timed("clubld.sigs.write")(
+      Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets))
+    timed("clubld.bands.write")(
+      Bucketed.writePartitioned(withPb(Dedup.bandsOf(sigs), p),
+        s"${name}_bands", "pb", p))
     TableProps.set(spark, s"${name}_bands", EstProp -> estThreshold.toString)
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
@@ -465,9 +468,10 @@ object DedupIndex {
   private[analytics] def buildClusteredFromRaw(raw: DataFrame, name: String,
       buckets: Int, threshold: Double = 0.6, parts: Int = -1,
       estThreshold: Double = 0.5): Unit = {
+    import graft.functions.PhaseTimer.timed
     val spark = raw.sparkSession
-    val sigs = Materialize(raw.select(col("doc_id"),
-      Dedup.minhashSignature(col("w")).as("mhs")))
+    val sigs = timed("clubld.sigs")(Materialize(raw.select(col("doc_id"),
+      Dedup.minhashSignature(col("w")).as("mhs"))))
     // derive the grid ONCE so both families share one modulus
     val p = sizedParts(spark, sigs, parts)
     graft.functions.Par.inParallel(Seq(
@@ -482,28 +486,36 @@ object DedupIndex {
     * frame; its two legs write disjoint tables and fan out. */
   private[analytics] def buildClusterTables(raw: DataFrame, name: String,
       buckets: Int, threshold: Double, parts: Int): Unit = {
+    import graft.functions.PhaseTimer.timed
     val spark = raw.sparkSession
-    val shg = Materialize(raw.select(col("doc_id"),
-      graft.functions.Sketches.sortByHash(col("w")).as("sh")))
+    val shg = timed("clubld.shg")(Materialize(raw.select(col("doc_id"),
+      graft.functions.Sketches.sortByHash(col("w")).as("sh"))))
     graft.functions.Par.inParallel(Seq(
       () => {
-        Bucketed.writeBucketed(shg, s"${name}_shg", "doc_id", buckets)
-        Bucketed.writePartitioned(
+        timed("clubld.shg.write")(
+          Bucketed.writeBucketed(shg, s"${name}_shg", "doc_id", buckets))
+        timed("clubld.pfx.write")(Bucketed.writePartitioned(
           withPs(Dedup.shinglePrefixes(shg, threshold), parts),
-          s"${name}_pfx", "ps", parts)
+          s"${name}_pfx", "ps", parts))
       },
       () => {
-        val pairs = Dedup.verifyJaccardPairs(
-          Dedup.jaccardCandidatesOn(shg, threshold)
-            .select(col("doc_a").as("a"), col("doc_b").as("b")),
-          shg, threshold).select(col("a"), col("b"))
-        val labels = Dedup.connectedComponents(pairs)
+        // pairs materialized HERE (not lazily inside CC) so the rehearsal's
+        // leg attribution separates candidate+verify volume from the CC
+        // iterations; CC's own input Materialize then snapshots a
+        // checkpointed frame (a no-op scan, not a second verify pass)
+        val pairs = timed("clubld.verify")(Materialize(
+          Dedup.verifyJaccardPairs(
+            Dedup.jaccardCandidatesOn(shg, threshold)
+              .select(col("doc_a").as("a"), col("doc_b").as("b")),
+            shg, threshold).select(col("a"), col("b"))))
+        val labels = timed("clubld.cc")(Dedup.connectedComponents(pairs))
         val base = shg.select(col("doc_id"))
           .join(labels, col("doc_id") === col("node"), "left")
           .select(col("doc_id"),
             coalesce(col("label"), col("doc_id")).as("label"),
             lit(0L).as("ver"))
-        Bucketed.writeBucketed(base, s"${name}_clusters", "doc_id", buckets)
+        timed("clubld.base.write")(
+          Bucketed.writeBucketed(base, s"${name}_clusters", "doc_id", buckets))
         TableProps.set(spark, s"${name}_clusters",
           ThresholdProp -> threshold.toString, VerProp -> "0")
         writeLabelMap(spark, name, emptyLabelMap(spark))

@@ -163,16 +163,24 @@ object Bucketed {
     * `pmod(xxhash64(key), parts)` — the SAME derivation the probe side
     * applies at query time); the modulus is stamped as the `graft.parts`
     * table property so probes and appends read it from the catalog
-    * instead of trusting callers to agree ([[TableProps]]). The
-    * `repartition(partCol)` gives exactly one file per partition per
-    * write. */
+    * instead of trusting callers to agree ([[TableProps]]).
+    *
+    * Write width = ONE TASK PER SLICE (round-14: the wall of a dynamic
+    * partitioned write is per-FILE task-side cost — parquet open/close,
+    * task setup/commit — and `repartition(partCol)` at the session's
+    * default shuffle width bunches dozens of slices into each task, which
+    * writes their files SEQUENTIALLY; AppendProbe measured 23 s → 7.6 s on
+    * a 1958-slice append by widening. NOT the job-commit renames — the v2
+    * committer measured identical). `repartition(parts, partCol)` keeps
+    * the one-file-per-slice layout and parallelizes the per-file cost; a
+    * build populates ~every slice, so `parts` is the natural width. */
   def writePartitioned(df: DataFrame, table: String, partCol: String,
       parts: Int): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     ManagedPaths.clearStale(spark, table)
-    df.repartition(col(partCol)).write.mode("overwrite")
+    df.repartition(parts, col(partCol)).write.mode("overwrite")
       .format("parquet").partitionBy(partCol).saveAsTable(table)
     TableProps.set(spark, table, PartsProp -> parts.toString)
   }
@@ -200,10 +208,20 @@ object Bucketed {
 
   /** Append a batch into an existing partitioned index table, one file
     * per touched partition (`partCol` must already be derived with the
-    * stored modulus — see [[partsOf]]). */
+    * stored modulus — see [[partsOf]]).
+    *
+    * Width = one task per TOUCHED slice (see [[writePartitioned]] — the
+    * round-14 measured fix; at a warehouse-scale grid a batch's band keys
+    * touch O(min(batch keys, parts)) slices, and the old session-width
+    * bunching serialized ~dozens of per-file costs per task: 3.6/12/25 s
+    * at 256/1024/4096 parts for one fixed batch, ~13 ms per slice, all of
+    * it task-side). The batch is materialized once — the distinct-count
+    * decides the width, the write reuses the snapshot. */
   def appendPartitioned(df: DataFrame, table: String, partCol: String): Unit = {
     import org.apache.spark.sql.functions.col
-    df.repartition(col(partCol)).write.mode("append")
+    val snap = graft.functions.Materialize(df)
+    val touched = snap.select(col(partCol)).distinct().count().toInt.max(1)
+    snap.repartition(touched, col(partCol)).write.mode("append")
       .format("parquet").partitionBy(partCol).saveAsTable(table)
   }
 
@@ -231,9 +249,13 @@ object Bucketed {
     // (an unselected partition is absent from the snapshot by
     // construction, not emptied).
     val t = only.map(vs => t0.filter(col(partCol).isin(vs: _*))).getOrElse(t0)
-    val snap = graft.functions.Materialize(
-      transform(t).select(t0.columns.toIndexedSeq.map(col): _*)
-        .repartition(col(partCol)))
+    val snap0 = graft.functions.Materialize(
+      transform(t).select(t0.columns.toIndexedSeq.map(col): _*))
+    // one task per rewritten slice (the round-14 write-width fix — see
+    // [[writePartitioned]]); the width comes from the snapshot itself, so
+    // a threshold-scoped pass stays exactly as wide as its selection
+    val width = snap0.select(col(partCol)).distinct().count().toInt.max(1)
+    val snap = snap0.repartition(width, col(partCol))
     CrashPoints.reached("pcompact.snapshotted")
     // conf-isolated dynamic overwrite: concurrent Par legs (DedupIndex
     // .compact fans _bands/_pfx through here while the forget gate fans
