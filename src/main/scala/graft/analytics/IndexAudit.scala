@@ -52,7 +52,9 @@ object IndexAudit {
       LexIndex.postingsOf(gateDocs(spark, dir)))
   private def dlMemo(spark: SparkSession, dir: String): DataFrame =
     graft.functions.SessionMemo(spark, s"indexgate.dl:$dir")(
-      LexIndex.dlOf(gateDocs(spark, dir)))
+      // derived from the postings memo (dl = Σ tf per doc, value-identical
+      // to dlOf) — the shared inputs then pay ONE tokenize pass, not two
+      LexIndex.dlFromPostings(postingsMemo(spark, dir)))
   private def centroidsMemo(spark: SparkSession, dir: String): DataFrame =
     graft.functions.SessionMemo(spark, s"indexgate.centroids:$dir")(
       Similarity.trainCentroidsOn(gateVecs(spark, dir), numCentroids = 8))
@@ -68,8 +70,9 @@ object IndexAudit {
   def warmSharedInputs(spark: SparkSession, dir: String): Unit =
     graft.functions.Par.inParallel(Seq(
       () => sigsMemo(spark, dir),
-      () => postingsMemo(spark, dir),
-      () => dlMemo(spark, dir),
+      // dl now derives from postings — build them on ONE leg, in order,
+      // so the two threads never race the postings memo key
+      () => { postingsMemo(spark, dir); dlMemo(spark, dir) },
       () => cellsMemo(spark, dir)))
 
   /** Eagerly build the shared gate inputs — Bench calls this inside

@@ -40,21 +40,45 @@ object LexIndex {
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
 
-  /** Build (or rebuild) the index over a corpus of (doc_id, text). */
-  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit =
-    buildFrom(postingsOf(docs), Materialize(dlOf(docs)), name, buckets)
+  /** Doc lengths derived from an already-computed postings frame: a doc's
+    * length IS the sum of its term frequencies (dl = Σ tf, by definition of
+    * both aggregates over the same token explode), so a caller holding
+    * postings never needs [[dlOf]]'s second tokenize pass over the corpus —
+    * at warehouse scale the explode over every document is the build's
+    * dominant scan, and this halves it (guide §1.2: remove whole passes
+    * before tuning anything inside one). Value-identical to [[dlOf]]:
+    * ties out row-for-row on any corpus (spec-pinned). */
+  private[graft] def dlFromPostings(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+  /** Build (or rebuild) the index over a corpus of (doc_id, text) — ONE
+    * tokenize pass: postings materialize once, dl derives from them
+    * ([[dlFromPostings]]) instead of re-exploding the corpus. */
+  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val postings = Materialize(postingsOf(docs))
+    buildFrom(postings, Materialize(dlFromPostings(postings)), name, buckets)
+  }
 
   /** [[build]] from precomputed postings/dl frames — the q212/q216
     * shared-input path ([[DedupIndex.buildFromSigs]]'s twin). */
   private[analytics] def buildFrom(postings: DataFrame, dl: DataFrame,
       name: String, buckets: Int): Unit = {
     val spark = dl.sparkSession
-    Bucketed.writeBucketed(postings, s"${name}_postings", "term", buckets)
-    Bucketed.writeBucketed(dl, s"${name}_dl", "doc_id", buckets)
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_stats")
-    graft.sink.ManagedPaths.clearStale(spark, s"${name}_stats")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
+    // the three tables are disjoint — the big postings write and the
+    // dl→stats chain fan on driver threads (guide §2.6: independent jobs
+    // overlap so the build costs ~max(leg), not Σ(leg); a build crash
+    // anywhere is recovered by re-running the build, same as before)
+    graft.functions.Par.inParallel(Seq(
+      () => Bucketed.writeBucketed(postings, s"${name}_postings", "term",
+        buckets),
+      () => {
+        Bucketed.writeBucketed(dl, s"${name}_dl", "doc_id", buckets)
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_stats")
+        graft.sink.ManagedPaths.clearStale(spark, s"${name}_stats")
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${name}_stats")
+      }))
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
 
@@ -297,13 +321,26 @@ object LexIndex {
     dlOf(docs).agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
 
-  /** Append a batch of NEW documents into the existing layout. */
+  /** Append a batch of NEW documents into the existing layout — ONE
+    * tokenize pass over the batch (the old shape tokenized it three
+    * times: postings, dl, stats delta); dl and the delta derive from the
+    * materialized postings ([[dlFromPostings]]). Append order (postings,
+    * dl, stats) is unchanged. The marker-guarded streaming twin
+    * (LexIndexStream) keeps the standalone append verbs: each of its
+    * appends must be independently replayable against its own marker. */
   def extend(docs: DataFrame, name: String): Unit = {
-    healedTables(docs.sparkSession, name)
-    val d = Materialize(docs.select(col("doc_id"), col("text")))
-    appendPostings(d, name)
-    appendDl(d, name)
-    appendStatsDelta(d, name)
+    val spark = docs.sparkSession
+    healedTables(spark, name)
+    val postings = Materialize(postingsOf(docs.select(col("doc_id"), col("text"))))
+    val dl = Materialize(dlFromPostings(postings))
+    postings.write.mode("append")
+      .bucketBy(bucketsOf(spark, s"${name}_postings"), "term")
+      .sortBy("term").format("parquet").saveAsTable(s"${name}_postings")
+    dl.write.mode("append")
+      .bucketBy(bucketsOf(spark, s"${name}_dl"), "doc_id")
+      .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_dl")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
   }
 
   /** BM25 top-k served FROM the index: same formula, constants, rounding,
@@ -378,10 +415,15 @@ object LexIndex {
     // ([[healStats]]), and an unfolded stats table already sums to the
     // right totals. Each rewrite runs staging-then-rename
     // ([[Bucketed.replaceTable]]), so no window can destroy a table.
-    Bucketed.compactBucketed(spark, s"${name}_postings", "term",
-      Tombstones.filter(_, name, "doc_id"))
-    Bucketed.compactBucketed(spark, s"${name}_dl", "doc_id",
-      Tombstones.filter(_, name, "doc_id"))
+    // the two purges rewrite DISJOINT tables and both precede the log
+    // reset — fan them on driver threads (guide §2.6); each rewrite is
+    // individually staging-then-rename crash-safe, and any crash prefix
+    // of {both, one, neither} heals exactly as it did sequentially
+    graft.functions.Par.inParallel(Seq(
+      () => Bucketed.compactBucketed(spark, s"${name}_postings", "term",
+        Tombstones.filter(_, name, "doc_id")),
+      () => Bucketed.compactBucketed(spark, s"${name}_dl", "doc_id",
+        Tombstones.filter(_, name, "doc_id"))))
     Tombstones.clear(spark, name)
     val t = s"${name}_stats"
     val folded = Materialize(spark.table(t)

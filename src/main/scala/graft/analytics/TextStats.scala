@@ -444,14 +444,25 @@ object TextStats {
     }
     val toks = documents(spark, dir)
       .select(explode(tokens(col("text"))).as("term"))
-    val cells = toks
-      .select(col("term"), explode(sequence(lit(0), lit(d - 1))).as("r"))
-      .select(col("r"), cellOf(col("r"), col("term")).as("b"))
-    val sketch = cells.groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    // Exact per-term counts FIRST (one tokenize pass, materialized once) —
+    // the CMS counters then derive from the vocabulary-sized aggregate:
+    // a cell's counter is by definition Σ occurrences of the terms hashing
+    // into it, i.e. Σ n_exact over those terms. Value-identical to
+    // counting exploded (r, b) cells per occurrence, but the corpus is
+    // tokenized ONCE (not twice), the md5 evaluates d·|vocab| times
+    // instead of d·N (N = token stream length), and the sketch aggregate
+    // shuffles vocabulary-sized rows instead of stream-sized ones
+    // (guide §2.3: aggregate before you shuffle).
+    val exact = graft.functions.Materialize(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact")))
+    val cells = exact
+      .select(col("term"), col("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col("r"), cellOf(col("r"), col("term")).as("b"), col("n_exact"))
+    val sketch = cells.groupBy(col("r"), col("b")).agg(sum(col("n_exact")).as("cnt"))
     // every CMS row's counters sum to the stream length N — read n_total
     // off row 0 of the (tiny) sketch instead of re-scanning the corpus
     val total = sketch.filter(col("r") === 0).agg(sum(col("cnt")).as("n_total"))
-    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
     exact
       .select(col("term"), col("n_exact"),
         explode(sequence(lit(0), lit(d - 1))).as("r"))

@@ -24,6 +24,14 @@ class LexIndexSpec extends SparkSpec {
       == rows(TextStats.bm25On(corpus, qterms, 10)))
   }
 
+  test("dl derived from postings equals the direct tokenize pass (dl = Σ tf)") {
+    // the round-14 single-tokenize build/extend path rides on this
+    // identity — a drift here would silently shift every BM25 score
+    val corpus = docs.select("doc_id", "text")
+    assert(rows(LexIndex.dlFromPostings(LexIndex.postingsOf(corpus)))
+      == rows(LexIndex.dlOf(corpus)))
+  }
+
   test("build(A)+extend(B) ≡ build(A∪B): postings, lengths, and stats deltas all merge") {
     val a = docs.filter(col("cb") >= 40).select("doc_id", "text")
     val b = docs.filter(col("cb") < 40).select("doc_id", "text")
