@@ -97,9 +97,16 @@ object AnnGraph {
       val cand = descentExpansion(g)
         .unionByName(g.select(col("src"), col("dst")))
         .distinct()
+      // dst-vector join FIRST, src-vector join LAST: when the corpus is
+      // too big to broadcast (sort-merge/shuffled-hash at warehouse
+      // scale), the final join leaves the candidates hash-partitioned by
+      // src — exactly the partitioning topKPerSrc's window needs, so the
+      // per-round plan drops one Exchange (guide §2.4: operations keyed
+      // the same way share one exchange). Result-identical: join order
+      // over equi-keys is commutative.
       val scored = cand
-        .join(ids.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
         .join(ids.select(col("vec_id").as("dst"), col("v").as("dv")), Seq("dst"))
+        .join(ids.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
         .select(col("src"), col("dst"), cosine(col("sv"), col("dv")).as("sim"))
       g = topKPerSrc(scored, k)
     }

@@ -137,12 +137,24 @@ object AnnGraphIndex {
     val und = timed("gxbuild.descent")(Materialize(g.unionByName(
         g.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))))
+    // four independent legs fan on driver threads (the [[compact]]
+    // discipline, guide §2.6): the two bucketed writes hit disjoint
+    // tables, and the profile window + the nvec count read already-
+    // materialized frames — the build pays ~max(leg) instead of their
+    // sum. The entries write stays after the barrier (it needs the
+    // profile's cap/density).
+    var prof: (Double, Int) = (0.0, 0)
+    var nvec = 0L
     timed("gxbuild.writes") {
-      Bucketed.writeBucketed(und, s"${name}_edges", "src", buckets)
-      Bucketed.writeBucketed(cells.select(col("vec_id"), col("v"), col("cid")),
-        s"${name}_vectors", "vec_id", buckets)
+      graft.functions.Par.inParallel(Seq(
+        () => Bucketed.writeBucketed(und, s"${name}_edges", "src", buckets),
+        () => Bucketed.writeBucketed(
+          cells.select(col("vec_id"), col("v"), col("cid")),
+          s"${name}_vectors", "vec_id", buckets),
+        () => prof = profileOn(und, k),
+        () => nvec = cells.count()))
     }
-    val (density, maxDeg) = timed("gxbuild.profile")(profileOn(und, k))
+    val (density, maxDeg) = prof
     val cap = math.max(3 * k, maxDeg)
     writeEntries(spark, name,
       cents.join(cells.groupBy(col("cid")).agg(min(col("vec_id")).as("rep")),
@@ -150,7 +162,7 @@ object AnnGraphIndex {
       props = Seq(KProp -> k.toString, CapProp -> cap.toString,
         DensityProp -> density.toString, OvercapProp -> "false",
         CentsProp -> numCentroids.toString,
-        NvecProp -> cells.count().toString))
+        NvecProp -> nvec.toString))
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
 
@@ -257,12 +269,17 @@ object AnnGraphIndex {
         kept.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
     val ne = bucketsOf(spark, s"${name}_edges")
-    both.write.mode("append").bucketBy(ne, "src").sortBy("src")
-      .format("parquet").saveAsTable(s"${name}_edges")
     val nv = bucketsOf(spark, s"${name}_vectors")
-    assigned.select(col("vec_id"), col("v"), col("cid")).write.mode("append")
-      .bucketBy(nv, "vec_id").sortBy("vec_id")
-      .format("parquet").saveAsTable(s"${name}_vectors")
+    // the two appends hit disjoint tables and both read materialized
+    // frames (kept / assigned) — fan on driver threads (guide §2.6); the
+    // nvec property update stays strictly after both appends, so the
+    // crash-gap story (undercount, healed at compact) is unchanged
+    graft.functions.Par.inParallel(Seq(
+      () => both.write.mode("append").bucketBy(ne, "src").sortBy("src")
+        .format("parquet").saveAsTable(s"${name}_edges"),
+      () => assigned.select(col("vec_id"), col("v"), col("cid")).write
+        .mode("append").bucketBy(nv, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(s"${name}_vectors")))
     // count AFTER the appends (a crash in the gap undercounts — the
     // conservative direction for the exact-serve boundary is irrelevant
     // at ±1 batch, and compact re-derives the exact value). A PRE-EXISTING

@@ -79,11 +79,14 @@ object DedupIndex {
     import graft.functions.PhaseTimer.timed
     val spark = sigs.sparkSession
     val p = sizedParts(spark, sigs, parts)
-    timed("clubld.sigs.write")(
-      Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets))
-    timed("clubld.bands.write")(
-      Bucketed.writePartitioned(withPb(Dedup.bandsOf(sigs), p),
-        s"${name}_bands", "pb", p))
+    // disjoint tables, both reading the materialized signature frame —
+    // fan the two writes on driver threads (guide §2.6)
+    graft.functions.Par.inParallel(Seq(
+      () => timed("clubld.sigs.write")(
+        Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)),
+      () => timed("clubld.bands.write")(
+        Bucketed.writePartitioned(withPb(Dedup.bandsOf(sigs), p),
+          s"${name}_bands", "pb", p))))
     TableProps.set(spark, s"${name}_bands", EstProp -> estThreshold.toString)
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
