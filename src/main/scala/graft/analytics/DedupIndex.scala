@@ -891,9 +891,11 @@ object DedupIndex {
     * mismatches. */
   def clusterAuditGate(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_dedup_kla"
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
-      Sampling.contentBucket(col("text")).as("cb"))
-      .filter(col("cb") < 20)
+    // one corpus scan + content-bucket pass shared by the clustered build
+    // and the delete slice (the q228 discipline)
+    val docs = Materialize(documents(spark, dir).select(col("doc_id"),
+      col("text"), Sampling.contentBucket(col("text")).as("cb"))
+      .filter(col("cb") < 20))
     buildClustered(docs.select(col("doc_id"), col("text")), name, buckets = 4, parts = 8)
     delete(docs.filter(col("doc_id") % 7 === 2).select(col("doc_id")), name)
     clusterAudit(spark, name)
@@ -982,8 +984,11 @@ object DedupIndex {
   def deleteGate(spark: SparkSession, dir: String): DataFrame = {
     val Stride = 10000000L
     val name = "graft_dedup_didx"
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
-      Sampling.contentBucket(col("text")).as("cb"))
+    // ONE corpus scan + content-bucket pass shared by the build corpus,
+    // the delete slice, and the planted frame (the q228/incrementalGate
+    // discipline)
+    val docs = Materialize(documents(spark, dir).select(col("doc_id"),
+      col("text"), Sampling.contentBucket(col("text")).as("cb")))
     build(docs.select(col("doc_id"), col("text")), name, buckets = 8, parts = 8)
     delete(docs.filter(col("cb") < 20).select(col("doc_id")), name)
     val planted = Materialize(docs.filter(col("cb") < 40)
@@ -1018,8 +1023,14 @@ object DedupIndex {
       name: String, compactFirst: Boolean,
       targeted: Boolean = false): DataFrame = {
     val Stride = 10000000L
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
-      Sampling.contentBucket(col("text")).as("cb"))
+    // ONE corpus scan (the q228 discipline): the gate slices this frame
+    // five ways — build corpus, extend batch, planted copies (which the
+    // lazy output plan consumes twice more), organic probe half — and
+    // every un-materialized consumer re-read the documents source and
+    // re-hashed every text into its content bucket. Slices are now
+    // filters over the checkpoint; build/extend/probe math is untouched.
+    val docs = Materialize(documents(spark, dir).select(col("doc_id"),
+      col("text"), Sampling.contentBucket(col("text")).as("cb")))
     build(docs.filter(col("cb") >= 20).select(col("doc_id"), col("text")),
       name, buckets = 8, parts = 16)
     extend(docs.filter(col("cb") >= 10 && col("cb") < 20)

@@ -458,8 +458,11 @@ object LexIndex {
     * are what make avgdl match bit-for-bit). */
   def deleteGate(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_lex_didx"
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
-      Sampling.contentBucket(col("text")).as("cb"))
+    // one corpus scan + content-bucket hash pass shared by the build and
+    // the delete slice (the q228 discipline — un-materialized, each
+    // consumer re-reads the source and re-hashes every text)
+    val docs = Materialize(documents(spark, dir).select(col("doc_id"),
+      col("text"), Sampling.contentBucket(col("text")).as("cb")))
     build(docs.select(col("doc_id"), col("text")), name, buckets = 8)
     delete(docs.filter(col("cb") < 10).select(col("doc_id")), name)
     val mor = Materialize(bm25Against(spark, name))
@@ -486,8 +489,10 @@ object LexIndex {
   def swapGate(spark: SparkSession, dir: String): DataFrame = {
     val name = "graft_lex_sidx"
     val stg = name + "_stg"
-    val d = documents(spark, dir).select(col("doc_id"), col("text"),
-      Sampling.contentBucket(col("text")).as("cb"))
+    // one corpus scan + hash pass shared by both generation builds and
+    // the delete slice (three consumers — the q228 discipline)
+    val d = Materialize(documents(spark, dir).select(col("doc_id"),
+      col("text"), Sampling.contentBucket(col("text")).as("cb")))
     // the live and staging generations are DISJOINT table sets — the two
     // builds fan on driver threads (the graft.functions.Par discipline;
     // production builds a staging generation while the live one serves)
@@ -502,8 +507,10 @@ object LexIndex {
 
   private def indexGateImpl(spark: SparkSession, dir: String, name: String,
       compactFirst: Boolean): DataFrame = {
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"),
-      Sampling.contentBucket(col("text")).as("cb"))
+    // one corpus scan + hash pass shared by the build corpus and the
+    // extend batch (the q228 discipline)
+    val docs = Materialize(documents(spark, dir).select(col("doc_id"),
+      col("text"), Sampling.contentBucket(col("text")).as("cb")))
     build(docs.filter(col("cb") >= 10).select(col("doc_id"), col("text")),
       name, buckets = 8)
     extend(docs.filter(col("cb") < 10).select(col("doc_id"), col("text")), name)
