@@ -148,6 +148,14 @@ object Bench {
     val sharedBuild: Seq[(String, Double, Option[String], Double, Double)] = {
       val probeSec = probe()
       val t0 = System.nanoTime()
+      // per-leg wall clocks, printed as an EARLY stdout line (only the
+      // final compact line is driver contract) — the attribution that
+      // says which leg bounds each wave's wall
+      val legSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+      def leg(n: String)(body: => Unit): () => Unit = () => {
+        val t = System.nanoTime()
+        try body finally legSecs.put(n, (System.nanoTime() - t) / 1e9)
+      }
       val err =
         try {
           // SessionMemo materializes eagerly — constructing the frames
@@ -159,20 +167,23 @@ object Bench {
           // ensemble CC both read the wave-1 pair graphs from the memo;
           // the pristine trio reads the wave-1 gate inputs).
           graft.functions.Par.inParallel(Seq(
-            () => graft.analytics.Dedup.nearDupPairs(spark, sfDir),
-            () => graft.analytics.Relational.fuzzyNearDup(spark, sfDir),
-            () => graft.analytics.Graph.warmSharedEdges(spark, sfDir),
+            leg("pairs")(graft.analytics.Dedup.nearDupPairs(spark, sfDir)),
+            leg("fuzzy")(graft.analytics.Relational.fuzzyNearDup(spark, sfDir)),
+            leg("edges")(graft.analytics.Graph.warmSharedEdges(spark, sfDir)),
             // probe training (q163/q187) and the BPE merge + word-piece
             // tables (q164/q165/q188) — memo builds are eager
-            () => graft.analytics.QualityProbe.trainedScores(spark, sfDir),
-            () => graft.analytics.BpeInduction.tokenCounts(spark, sfDir),
+            leg("probe")(graft.analytics.QualityProbe.trainedScores(spark, sfDir)),
+            leg("bpe")(graft.analytics.BpeInduction.tokenCounts(spark, sfDir)),
             // the q212/q216 shared index-build inputs (sigs, postings/dl,
             // centroids + cells) — round-10, same visibility rule
-            () => graft.analytics.IndexAudit.warmSharedInputs(spark, sfDir)))
+            leg("gateins")(graft.analytics.IndexAudit.warmSharedInputs(spark, sfDir))))
           graft.functions.Par.inParallel(Seq(
-            () => graft.analytics.Dedup.dedupCorpus(spark, sfDir),
-            () => graft.analytics.Dedup.ensembleDedup(spark, sfDir),
-            () => graft.analytics.IndexAudit.warmPristineTrio(spark, sfDir)))
+            leg("corpus")(graft.analytics.Dedup.dedupCorpus(spark, sfDir)),
+            leg("ensemble")(graft.analytics.Dedup.ensembleDedup(spark, sfDir)),
+            leg("trio")(graft.analytics.IndexAudit.warmPristineTrio(spark, sfDir))))
+          import scala.jdk.CollectionConverters._
+          println("q00-legs " + legSecs.asScala.toSeq.sortBy(-_._2)
+            .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
           None
         } catch {
           case e: Throwable =>

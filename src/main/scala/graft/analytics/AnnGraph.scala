@@ -69,6 +69,7 @@ object AnnGraph {
     * and reuses them for both the build init and the query entry points. */
   private[graft] def buildGraphFromCells(cells: DataFrame, k: Int,
       rounds: Int): DataFrame = {
+    import graft.functions.PhaseTimer.timed
     val ids = cells.select(col("vec_id"), col("v"))
     val a = cells.select(col("cid"), col("vec_id").as("src"), col("v").as("sv"))
     val b = cells.select(col("cid"), col("vec_id").as("dst"), col("v").as("dv"))
@@ -82,7 +83,7 @@ object AnnGraph {
     // the mix blocks are what let the fixpoint merge candidates across
     // cells (AnnGraphSpec pins that rounds genuinely improve nodes).
     // Linear: ~3·N pairs per blocking, no global ordering, no window.
-    val m = math.max(1L, cells.count() / 4)
+    val m = math.max(1L, timed("gxdescent.count")(cells.count()) / 4)
     val mixPairs = (1 to 2).map { r =>
       val blk = ids.select(pmod(hash(col("vec_id"), lit(r)), lit(m)).as("blk"),
         col("vec_id"), col("v"))
@@ -91,9 +92,9 @@ object AnnGraph {
       x.join(y, Seq("blk")).filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), cosine(col("sv"), col("dv")).as("sim"))
     }.reduce(_ unionByName _)
-    var g = topKPerSrc(cellPairs.unionByName(mixPairs)
-      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim")), k)
-    (1 to rounds).foreach { _ =>
+    var g = timed("gxdescent.init")(topKPerSrc(cellPairs.unionByName(mixPairs)
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim")), k))
+    (1 to rounds).foreach { r =>
       val cand = descentExpansion(g)
         .unionByName(g.select(col("src"), col("dst")))
         .distinct()
@@ -108,7 +109,7 @@ object AnnGraph {
         .join(ids.select(col("vec_id").as("dst"), col("v").as("dv")), Seq("dst"))
         .join(ids.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
         .select(col("src"), col("dst"), cosine(col("sv"), col("dv")).as("sim"))
-      g = topKPerSrc(scored, k)
+      g = timed(s"gxdescent.round$r")(topKPerSrc(scored, k))
     }
     g
   }

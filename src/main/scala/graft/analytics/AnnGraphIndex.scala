@@ -115,9 +115,15 @@ object AnnGraphIndex {
   private[graft] def storedCap(spark: SparkSession, name: String): Int =
     storedInt(spark, name, CapProp, Int.MaxValue)
 
-  /** Build (or rebuild) the index over a corpus of (vec_id, v). */
+  /** Build (or rebuild) the index over a corpus of (vec_id, v).
+    * `buckets` ≤ 0 (the default) DERIVES the table width from the corpus
+    * ([[Bucketed.derivedBuckets]] — the dedup grid's auto-sizing applied
+    * to the bucketed families): a fixed 32 puts terabytes per bucket file
+    * at warehouse scale and 32 near-empty files on a gate-sized corpus.
+    * [[refresh]] passes the LIVE generation's width through, and
+    * extend/compact always read the width from the catalog. */
   def build(vecs: DataFrame, name: String, k: Int = 8, rounds: Int = 2,
-      numCentroids: Int = 16, buckets: Int = 32): Unit = {
+      numCentroids: Int = 16, buckets: Int = -1): Unit = {
     val spark = vecs.sparkSession
     import graft.functions.PhaseTimer.timed
     val ids = vecs.select(col("vec_id"), col("v"))
@@ -125,6 +131,12 @@ object AnnGraphIndex {
       Materialize(Similarity.trainCentroidsOn(ids, numCentroids)))
     val cells = timed("gxbuild.cells")(
       Materialize(Similarity.assignCellsOn(ids, cents)))
+    // the exact vector count was a fanned leg of the write barrier below;
+    // the derived width needs it BEFORE the writes, and a count on the
+    // materialized cells frame is one cheap job either way
+    val nvec = timed("gxbuild.count")(cells.count())
+    val width =
+      if (buckets > 0) buckets else Bucketed.derivedBuckets(spark, nvec)
     val g = AnnGraph.buildGraphFromCells(cells, k, rounds)
     // materialized once: the symmetrized graph feeds the table write AND
     // the density aggregate (deriving either from the lazy frame would
@@ -137,22 +149,19 @@ object AnnGraphIndex {
     val und = timed("gxbuild.descent")(Materialize(g.unionByName(
         g.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))))
-    // four independent legs fan on driver threads (the [[compact]]
+    // three independent legs fan on driver threads (the [[compact]]
     // discipline, guide §2.6): the two bucketed writes hit disjoint
-    // tables, and the profile window + the nvec count read already-
-    // materialized frames — the build pays ~max(leg) instead of their
-    // sum. The entries write stays after the barrier (it needs the
-    // profile's cap/density).
+    // tables, and the profile window reads an already-materialized
+    // frame — the build pays ~max(leg) instead of their sum. The entries
+    // write stays after the barrier (it needs the profile's cap/density).
     var prof: (Double, Int) = (0.0, 0)
-    var nvec = 0L
     timed("gxbuild.writes") {
       graft.functions.Par.inParallel(Seq(
-        () => Bucketed.writeBucketed(und, s"${name}_edges", "src", buckets),
+        () => Bucketed.writeBucketed(und, s"${name}_edges", "src", width),
         () => Bucketed.writeBucketed(
           cells.select(col("vec_id"), col("v"), col("cid")),
-          s"${name}_vectors", "vec_id", buckets),
-        () => prof = profileOn(und, k),
-        () => nvec = cells.count()))
+          s"${name}_vectors", "vec_id", width),
+        () => prof = profileOn(und, k)))
     }
     val (density, maxDeg) = prof
     val cap = math.max(3 * k, maxDeg)

@@ -64,10 +64,12 @@ object DedupIndex {
     * (the default) DERIVES it from the corpus at build time via
     * [[derivedParts]] — nothing should hand-size a knob the build can
     * measure (round-12 VERDICT: a 100 TB build at a fixed 64 puts ~1.5 TB
-    * in every probe slice). `estThreshold` is the MinHash verify gate
+    * in every probe slice); `buckets` ≤ 0 derives the bucketed tables'
+    * width the same way ([[Bucketed.derivedBuckets]], round 14).
+    * `estThreshold` is the MinHash verify gate
     * [[nearDupsAgainst]] applies by default — persisted with the index so
     * two callers probing the same corpus get the same dedup semantics. */
-  def build(docs: DataFrame, name: String, buckets: Int = 32,
+  def build(docs: DataFrame, name: String, buckets: Int = -1,
       parts: Int = -1, estThreshold: Double = 0.5): Unit =
     buildFromSigs(Materialize(sigsOf(docs)), name, buckets, parts, estThreshold)
 
@@ -78,12 +80,17 @@ object DedupIndex {
       buckets: Int, parts: Int = -1, estThreshold: Double = 0.5): Unit = {
     import graft.functions.PhaseTimer.timed
     val spark = sigs.sparkSession
-    val p = sizedParts(spark, sigs, parts)
+    // ONE count of the materialized frame feeds both derived widths
+    // (buckets ≤ 0 auto-sizes like the parts grid — [[Bucketed
+    // .derivedBuckets]]; a fixed 32 is wrong at both scale extremes)
+    val nSigs = if (parts > 0 && buckets > 0) 0L else sigs.count()
+    val p = if (parts > 0) parts else derivedParts(spark, nSigs * Dedup.NumBands)
+    val b = if (buckets > 0) buckets else Bucketed.derivedBuckets(spark, nSigs)
     // disjoint tables, both reading the materialized signature frame —
     // fan the two writes on driver threads (guide §2.6)
     graft.functions.Par.inParallel(Seq(
       () => timed("clubld.sigs.write")(
-        Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", buckets)),
+        Bucketed.writeBucketed(sigs, s"${name}_sigs", "doc_id", b)),
       () => timed("clubld.bands.write")(
         Bucketed.writePartitioned(withPb(Dedup.bandsOf(sigs), p),
           s"${name}_bands", "pb", p))))
@@ -104,10 +111,6 @@ object DedupIndex {
     math.max(64L, math.min(32768L,
       (bandRows + target - 1) / target)).toInt
   }
-
-  private def sizedParts(spark: SparkSession, sigs: DataFrame, parts: Int): Int =
-    if (parts > 0) parts
-    else derivedParts(spark, sigs.count() * Dedup.NumBands)
 
   /** DELETE docs from the index — merge-on-read ([[graft.sink.Tombstones]]):
     * the request appends its ids to the log and touches neither index
@@ -454,7 +457,7 @@ object DedupIndex {
   /** [[build]] plus the cluster-map tables: shingle sets, the inverted
     * prefix index, the from-scratch cluster base (exact pair graph + CC,
     * the q37 computation persisted), and an empty label map. */
-  def buildClustered(docs: DataFrame, name: String, buckets: Int = 32,
+  def buildClustered(docs: DataFrame, name: String, buckets: Int = -1,
       threshold: Double = 0.6, parts: Int = -1,
       estThreshold: Double = 0.5): Unit =
     // ONE shingling pass feeds the signature leg AND the cluster leg
@@ -475,11 +478,14 @@ object DedupIndex {
     val spark = raw.sparkSession
     val sigs = timed("clubld.sigs")(Materialize(raw.select(col("doc_id"),
       Dedup.minhashSignature(col("w")).as("mhs"))))
-    // derive the grid ONCE so both families share one modulus
-    val p = sizedParts(spark, sigs, parts)
+    // ONE count derives the grid AND the bucket width so all four tables
+    // of both families share one modulus / one width
+    val n = if (parts > 0 && buckets > 0) 0L else sigs.count()
+    val p = if (parts > 0) parts else derivedParts(spark, n * Dedup.NumBands)
+    val b = if (buckets > 0) buckets else Bucketed.derivedBuckets(spark, n)
     graft.functions.Par.inParallel(Seq(
-      () => buildFromSigs(sigs, name, buckets, p, estThreshold),
-      () => buildClusterTables(raw, name, buckets, threshold, p)))
+      () => buildFromSigs(sigs, name, b, p, estThreshold),
+      () => buildClusterTables(raw, name, b, threshold, p)))
   }
 
   /** The cluster-surface half of [[buildClustered]] — callable on its own

@@ -53,10 +53,17 @@ object LexIndex {
 
   /** Build (or rebuild) the index over a corpus of (doc_id, text) — ONE
     * tokenize pass: postings materialize once, dl derives from them
-    * ([[dlFromPostings]]) instead of re-exploding the corpus. */
-  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
+    * ([[dlFromPostings]]) instead of re-exploding the corpus. `buckets`
+    * ≤ 0 (the default) derives the width from the postings cardinality
+    * ([[Bucketed.derivedBuckets]] — auto-sizing, not a fixed 32 that is
+    * wrong at both scale extremes); extends and probes read the width
+    * from the catalog either way. */
+  def build(docs: DataFrame, name: String, buckets: Int = -1): Unit = {
     val postings = Materialize(postingsOf(docs))
-    buildFrom(postings, Materialize(dlFromPostings(postings)), name, buckets)
+    val b =
+      if (buckets > 0) buckets
+      else Bucketed.derivedBuckets(docs.sparkSession, postings.count())
+    buildFrom(postings, Materialize(dlFromPostings(postings)), name, b)
   }
 
   /** [[build]] from precomputed postings/dl frames — the q212/q216

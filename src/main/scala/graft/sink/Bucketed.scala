@@ -17,6 +17,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
+  /** Bucket-count auto-sizing — the [[graft.analytics.DedupIndex]]
+    * `derivedParts` discipline applied to the bucketed families: target
+    * ≤ `spark.graft.rows.per.bucket` rows per bucket (default 1M — a few
+    * hundred MB for the widest rows here, one task's comfortable write),
+    * clamped to [8, 4096]. A fixed default width is wrong at BOTH ends:
+    * 32 buckets over a warehouse-scale corpus puts terabytes in every
+    * bucket file (one writer task each), and 32 buckets over a gate-sized
+    * corpus pays 32 file opens per scan of a table that fits in one. The
+    * input is a count of an already-materialized frame — no extra source
+    * scan. Probes/appends/compacts always read the width from the catalog
+    * (`bucketSpec`), so a derived build changes nothing downstream. */
+  def derivedBuckets(spark: SparkSession, rows: Long): Int = {
+    val target = spark.conf.getOption("spark.graft.rows.per.bucket")
+      .map(_.toLong).getOrElse(1L << 20)
+    math.max(8L, math.min(4096L, (rows + target - 1) / target)).toInt
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")

@@ -280,7 +280,12 @@ class AnnGraphSpec extends SparkSpec {
     // unknown src, no reverse row, written twice
     val poison = Seq((9999999L, 0L, 0.5), (9999999L, 0L, 0.5))
       .toDF("src", "dst", "sim")
-    poison.write.mode("append").bucketBy(32, "src").sortBy("src")
+    // append at the table's OWN width (derived at build since round 14 —
+    // a hard-coded 32 no longer matches)
+    val nb = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${name}_edges")).bucketSpec.get.numBuckets
+    poison.write.mode("append").bucketBy(nb, "src").sortBy("src")
       .format("parquet").saveAsTable(s"${name}_edges")
     val dirty = auditRow
     assert(dirty.getAs[Long]("orphan_endpoints") >= 1,
