@@ -159,28 +159,36 @@ object Bench {
       val err =
         try {
           // SessionMemo materializes eagerly — constructing the frames
-          // builds the shared tables for every later consumer. Two
-          // dependency-ordered WAVES, each fanned on driver threads
-          // (distinct memo keys never collide; a same-key race would
-          // merely build twice and keep the first): wave 1 is the
-          // independent roots, wave 2 the consumers (dedupCorpus and the
-          // ensemble CC both read the wave-1 pair graphs from the memo;
-          // the pristine trio reads the wave-1 gate inputs).
+          // builds the shared tables for every later consumer. ONE fan of
+          // dependency-CHAINED legs (round 14; distinct memo keys never
+          // collide — a same-key race would merely build twice and keep
+          // the first): each consumer starts the moment ITS inputs exist
+          // instead of behind a global wave barrier (the old two-wave
+          // shape held dedupCorpus — a 2 s leg — behind the 6 s BPE leg
+          // it doesn't read). Chains: {pairs, fuzzy} → {dedupCorpus,
+          // ensemble CC}; gate inputs → pristine trio; BPE, the probe
+          // and the co-purchase edges are free-standing.
           graft.functions.Par.inParallel(Seq(
-            leg("pairs")(graft.analytics.Dedup.nearDupPairs(spark, sfDir)),
-            leg("fuzzy")(graft.analytics.Relational.fuzzyNearDup(spark, sfDir)),
-            leg("edges")(graft.analytics.Graph.warmSharedEdges(spark, sfDir)),
             // probe training (q163/q187) and the BPE merge + word-piece
             // tables (q164/q165/q188) — memo builds are eager
-            leg("probe")(graft.analytics.QualityProbe.trainedScores(spark, sfDir)),
             leg("bpe")(graft.analytics.BpeInduction.tokenCounts(spark, sfDir)),
+            leg("probe")(graft.analytics.QualityProbe.trainedScores(spark, sfDir)),
+            leg("edges")(graft.analytics.Graph.warmSharedEdges(spark, sfDir)),
+            () => {
+              graft.functions.Par.inParallel(Seq(
+                leg("pairs")(graft.analytics.Dedup.nearDupPairs(spark, sfDir)),
+                leg("fuzzy")(graft.analytics.Relational.fuzzyNearDup(spark, sfDir))))
+              graft.functions.Par.inParallel(Seq(
+                leg("corpus")(graft.analytics.Dedup.dedupCorpus(spark, sfDir)),
+                leg("ensemble")(graft.analytics.Dedup.ensembleDedup(spark, sfDir))))
+            },
             // the q212/q216 shared index-build inputs (sigs, postings/dl,
-            // centroids + cells) — round-10, same visibility rule
-            leg("gateins")(graft.analytics.IndexAudit.warmSharedInputs(spark, sfDir))))
-          graft.functions.Par.inParallel(Seq(
-            leg("corpus")(graft.analytics.Dedup.dedupCorpus(spark, sfDir)),
-            leg("ensemble")(graft.analytics.Dedup.ensembleDedup(spark, sfDir)),
-            leg("trio")(graft.analytics.IndexAudit.warmPristineTrio(spark, sfDir))))
+            // centroids + cells) — round-10, same visibility rule; the
+            // pristine trio consumes them directly
+            () => {
+              leg("gateins")(graft.analytics.IndexAudit.warmSharedInputs(spark, sfDir))()
+              leg("trio")(graft.analytics.IndexAudit.warmPristineTrio(spark, sfDir))()
+            }))
           import scala.jdk.CollectionConverters._
           println("q00-legs " + legSecs.asScala.toSeq.sortBy(-_._2)
             .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))

@@ -92,11 +92,24 @@ object AnnGraph {
       x.join(y, Seq("blk")).filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), cosine(col("sv"), col("dv")).as("sim"))
     }.reduce(_ unionByName _)
+    // ONE exchange for the dedup aggregate AND the top-k window: hashing
+    // by src alone satisfies the (src, dst) aggregate's clustering (equal
+    // pairs colocate) and is exactly the window's required distribution,
+    // so the plan drops the second Exchange (guide §2.4). Same rows, same
+    // results — only the partitioning key of the intermediate changes.
     var g = timed("gxdescent.init")(topKPerSrc(cellPairs.unionByName(mixPairs)
+      .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim")), k))
     (1 to rounds).foreach { r =>
+      // repartition on src BEFORE the dedup: hash(src) satisfies the
+      // distinct's (src, dst) clustering, survives the broadcast-regime
+      // vector joins below, and is the top-k window's required
+      // distribution — one exchange where the bare distinct paid two
+      // (guide §2.4; at sort-merge scale the dst join re-shuffles either
+      // way, so this is never worse)
       val cand = descentExpansion(g)
         .unionByName(g.select(col("src"), col("dst")))
+        .repartition(col("src"))
         .distinct()
       // dst-vector join FIRST, src-vector join LAST: when the corpus is
       // too big to broadcast (sort-merge/shuffled-hash at warehouse
@@ -200,7 +213,10 @@ object AnnGraph {
         cosine(col("qv"), col("nv")).as("sim"))
     var bs = topBeam(score(entrySeeds.select(col("query_id"), col("neighbor_id"))))
     (1 to hops).foreach { _ =>
+      // repartition on the window key: one exchange serves the dedup
+      // aggregate and the beam window (see buildGraphFromCells)
       bs = topBeam(bs.unionByName(score(expandHop(und, bs)))
+        .repartition(col("query_id"))
         .groupBy(col("query_id"), col("neighbor_id"))
         .agg(max(col("sim")).as("sim")))
     }

@@ -268,25 +268,40 @@ object AnnGraphIndex {
     val intra = a.join(b, Seq("cid")).filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), cosine(col("sv"), col("dv")).as("sim"))
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
+    // one exchange for the dedup aggregate AND the top-k window (hash by
+    // src satisfies both — guide §2.4, the serve-hop discipline)
     val kept = Materialize(served.unionByName(intra)
+      .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= kk).drop("rn"))
     // dedupe the bidirectional union: an intra-batch MUTUAL pair (a picks
     // b, b picks a) appears in kept both ways, so a bare union would
     // append the same (src, dst) twice
-    val both = kept.unionByName(
-        kept.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
-      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
     val ne = bucketsOf(spark, s"${name}_edges")
     val nv = bucketsOf(spark, s"${name}_vectors")
-    // the two appends hit disjoint tables and both read materialized
-    // frames (kept / assigned) — fan on driver threads (guide §2.6); the
-    // nvec property update stays strictly after both appends, so the
-    // crash-gap story (undercount, healed at compact) is unchanged
+    // grid-aligned appends (the compactBucketed alignment trick: same
+    // Murmur3, task i == bucket i) so every extend leaves exactly ONE
+    // file per touched bucket — a bucketed append does not shuffle on
+    // its own, so a wide batch writes one file per (task, bucket) and
+    // multiplies the small-file debt the compaction verb then pays down.
+    // The edges side repartitions BEFORE its dedup aggregate (the
+    // bidirectional union holds an intra-batch mutual pair both ways):
+    // hashing by src at the bucket width satisfies the (src, dst)
+    // clustering, the aggregate preserves the distribution, and the
+    // write consumes it — one exchange end-to-end (guide §2.4). The two
+    // appends hit disjoint tables and fan on driver threads (guide
+    // §2.6); the nvec property update stays strictly after both, so the
+    // crash-gap story (undercount, healed at compact) is unchanged.
+    val both = kept.unionByName(
+        kept.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+      .repartition(ne, col("src"))
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
     graft.functions.Par.inParallel(Seq(
-      () => both.write.mode("append").bucketBy(ne, "src").sortBy("src")
+      () => both.write.mode("append")
+        .bucketBy(ne, "src").sortBy("src")
         .format("parquet").saveAsTable(s"${name}_edges"),
-      () => assigned.select(col("vec_id"), col("v"), col("cid")).write
+      () => assigned.select(col("vec_id"), col("v"), col("cid"))
+        .repartition(nv, col("vec_id")).write
         .mode("append").bucketBy(nv, "vec_id").sortBy("vec_id")
         .format("parquet").saveAsTable(s"${name}_vectors")))
     // count AFTER the appends (a crash in the gap undercounts — the
@@ -402,6 +417,8 @@ object AnnGraphIndex {
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("qv"), col("nv")).as("sim"))
         .filter(col("query_id") =!= col("neighbor_id"))
+        // one exchange for dedup aggregate + rank window (guide §2.4)
+        .repartition(col("query_id"))
         .groupBy(col("query_id"), col("neighbor_id"))
         .agg(max(col("sim")).as("sim"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -415,7 +432,12 @@ object AnnGraphIndex {
       var bs = timed("gxserve.seed")(topBeam(score(seed)))
       (1 to hops).foreach { h =>
         val expanded = expandHopAgainst(spark, name, bs, cap)
+        // one exchange for the dedup aggregate AND the beam window:
+        // hashing by query_id alone satisfies the (query, neighbor)
+        // aggregate's clustering and is the window's required
+        // distribution (guide §2.4) — the AnnGraph.searchOn twin
         bs = timed(s"gxserve.hop$h")(topBeam(bs.unionByName(score(expanded))
+          .repartition(col("query_id"))
           .groupBy(col("query_id"), col("neighbor_id"))
           .agg(max(col("sim")).as("sim"))))
       }

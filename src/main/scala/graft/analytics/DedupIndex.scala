@@ -203,7 +203,12 @@ object DedupIndex {
     // ordering is internal to its leg and preserved)
     timed("ext.append")(graft.functions.Par.inParallel(Seq(
       () => timed("ext.append.sigs") {
-        sigs.write.mode("append").bucketBy(bucketsOf(s"${name}_sigs"), "doc_id")
+        // grid-aligned append: one file per touched bucket regardless of
+        // the batch's shuffle width (the Bucketed.writeBucketed
+        // discipline)
+        val ns = bucketsOf(s"${name}_sigs")
+        sigs.repartition(ns, col("doc_id")).write.mode("append")
+          .bucketBy(ns, "doc_id")
           .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_sigs")
         graft.sink.CrashPoints.reached("dedupext.sigs")
       },
@@ -616,8 +621,10 @@ object DedupIndex {
     graft.functions.Par.inParallel(Seq(
       () => timed("cluext.append")(graft.functions.Par.inParallel(Seq(
         () => timed("cluext.append.shg") {
-          batch.write.mode("append")
-            .bucketBy(bucketsOf(spark, s"${name}_shg"), "doc_id")
+          // grid-aligned append (the Bucketed.writeBucketed discipline)
+          val nh = bucketsOf(spark, s"${name}_shg")
+          batch.repartition(nh, col("doc_id")).write.mode("append")
+            .bucketBy(nh, "doc_id")
             .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_shg")
           graft.sink.CrashPoints.reached("cluext.shg")
         },
@@ -824,9 +831,12 @@ object DedupIndex {
   }
 
   private def appendClusterRows(spark: SparkSession, name: String,
-      rows: DataFrame): Unit =
-    rows.write.mode("append").bucketBy(bucketsOf(spark, s"${name}_clusters"), "doc_id")
+      rows: DataFrame): Unit = {
+    // grid-aligned append (the Bucketed.writeBucketed discipline)
+    val nb = bucketsOf(spark, s"${name}_clusters")
+    rows.repartition(nb, col("doc_id")).write.mode("append").bucketBy(nb, "doc_id")
       .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_clusters")
+  }
 
   private def emptyLabelMap(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("old_label"), col("id").as("new_label"))

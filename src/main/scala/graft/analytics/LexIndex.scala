@@ -314,15 +314,19 @@ object LexIndex {
     * distinct'd), duplicated postings here would inflate tf and df, so
     * at-least-once appends are NOT acceptable and exactly-once must be
     * assembled per table (see LexIndexStream). */
-  private[graft] def appendPostings(docs: DataFrame, name: String): Unit =
-    postingsOf(docs).write.mode("append")
-      .bucketBy(bucketsOf(docs.sparkSession, s"${name}_postings"), "term")
+  private[graft] def appendPostings(docs: DataFrame, name: String): Unit = {
+    val n = bucketsOf(docs.sparkSession, s"${name}_postings")
+    postingsOf(docs).repartition(n, col("term")).write.mode("append")
+      .bucketBy(n, "term")
       .sortBy("term").format("parquet").saveAsTable(s"${name}_postings")
+  }
 
-  private[graft] def appendDl(docs: DataFrame, name: String): Unit =
-    dlOf(docs).write.mode("append")
-      .bucketBy(bucketsOf(docs.sparkSession, s"${name}_dl"), "doc_id")
+  private[graft] def appendDl(docs: DataFrame, name: String): Unit = {
+    val n = bucketsOf(docs.sparkSession, s"${name}_dl")
+    dlOf(docs).repartition(n, col("doc_id")).write.mode("append")
+      .bucketBy(n, "doc_id")
       .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_dl")
+  }
 
   private[graft] def appendStatsDelta(docs: DataFrame, name: String): Unit =
     dlOf(docs).agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -340,11 +344,15 @@ object LexIndex {
     healedTables(spark, name)
     val postings = Materialize(postingsOf(docs.select(col("doc_id"), col("text"))))
     val dl = Materialize(dlFromPostings(postings))
-    postings.write.mode("append")
-      .bucketBy(bucketsOf(spark, s"${name}_postings"), "term")
+    // grid-aligned appends (the Bucketed.writeBucketed discipline): one
+    // file per touched bucket regardless of the batch's shuffle width
+    val nt = bucketsOf(spark, s"${name}_postings")
+    val nd = bucketsOf(spark, s"${name}_dl")
+    postings.repartition(nt, col("term")).write.mode("append")
+      .bucketBy(nt, "term")
       .sortBy("term").format("parquet").saveAsTable(s"${name}_postings")
-    dl.write.mode("append")
-      .bucketBy(bucketsOf(spark, s"${name}_dl"), "doc_id")
+    dl.repartition(nd, col("doc_id")).write.mode("append")
+      .bucketBy(nd, "doc_id")
       .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_dl")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")

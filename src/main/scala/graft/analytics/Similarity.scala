@@ -64,6 +64,9 @@ object Similarity {
     c.join(broadcast(q), Seq("tbl", "bk"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("sim"))
+      // one exchange for the multi-table dedup aggregate AND the rank
+      // window: hashing by query_id satisfies both (guide §2.4)
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -35,10 +35,19 @@ object Bucketed {
   }
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     ManagedPaths.clearStale(spark, table)
-    df.write
+    // align tasks with the bucket grid (same Murmur3 — the
+    // [[compactBucketed]] trick) so the build writes exactly ONE file per
+    // bucket: a bucketed write does NOT shuffle on its own, so a
+    // many-task input writes one file per (task, bucket) and every later
+    // scan pays the multiplied open cost. One file per bucket is
+    // right-sized by construction when the width is derived
+    // ([[derivedBuckets]] targets one task's comfortable rows per
+    // bucket). */
+    df.repartition(buckets, col(key)).write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
