@@ -76,22 +76,77 @@ object BpeInduction {
 
   private def mergesUncached(spark: SparkSession, dir: String, rounds: Int,
       topWords: Int): DataFrame = {
-    var words = wordTable(documents(spark, dir), topWords)
-    var out: Option[DataFrame] = None
-    for (r <- 1 to rounds) {
-      val best = Materialize(pairCounts(words)
-        .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc).limit(1)
-        .select(lit(r).as("round"), col("pa"), col("pb"),
-          concat(col("pa"), col("pb")).as("merged"), col("cnt")))
-      words = Materialize(words.crossJoin(broadcast(best))
-        .withColumn("seq", expr(
-          """trim(replace(concat(' ', seq, ' '),
-            | concat(' ', pa, '  ', pb, ' '),
-            | concat(' ', merged, ' ')))""".stripMargin))
-        .select(col("word"), col("freq"), col("seq")))
-      out = Some(out.map(_.unionByName(best)).getOrElse(best))
+    // The capped word table is a MODEL ARTIFACT, not data: ≤ topWords rows
+    // by construction (the limit above), the same bounded cardinality a
+    // broadcast join ships to every executor. ONE job collects it; the
+    // rounds' argmax+merge loop over those symbol lists runs on the driver.
+    // The former shape ran TWO eager Spark jobs per round over the same
+    // ≤100 rows (argmax + merge application) — 2·rounds job launches of
+    // pure scheduling overhead, measured as the BOUND of Bench's
+    // q00 shared-build chain (the bpe leg: ~6.5-7.5 s, of which the corpus
+    // word count is <1 s). Values are identical: same freq-weighted pair
+    // counts, same (cnt DESC, pa ASC, pb ASC) tie-break, same greedy
+    // left-to-right non-overlapping merge application (the symbol-list walk
+    // and the double-space string replace agree — BpeInductionSpec pins
+    // engine merges against the in-memory reference, and a dedicated spec
+    // pins this path against the retained expression formulation).
+    val wordFreqs = wordTable(documents(spark, dir), topWords)
+      .select(col("word"), col("freq")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    mergesOnDriver(wordFreqs, rounds)
+      .toDF("round", "pa", "pb", "merged", "cnt")
+  }
+
+  /** The induction loop itself — pure Scala over the collected (word,
+    * freq) vocabulary. Greedy left-to-right non-overlapping application,
+    * argmax tie-break (cnt DESC, pa ASC, pb ASC); rounds after the pair
+    * supply empties produce no row (exactly the empty-`best` behavior of
+    * the expression formulation). */
+  private[graft] def mergesOnDriver(wordFreqs: Seq[(String, Long)],
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    var seqs: Seq[(List[String], Long)] =
+      wordFreqs.map { case (w, f) => (w.map(_.toString).toList :+ "_", f) }
+    def applyMerge(s: List[String], pa: String, pb: String): List[String] = s match {
+      case a :: b :: rest if a == pa && b == pb =>
+        (pa + pb) :: applyMerge(rest, pa, pb)
+      case a :: rest => a :: applyMerge(rest, pa, pb)
+      case Nil => Nil
     }
-    out.get
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- seqs; Seq(a, b) <- syms.sliding(2))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((pa, pb), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((r, pa, pb, pa + pb, cnt))
+        seqs = seqs.map { case (s, f) => (applyMerge(s, pa, pb), f) }
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  /** The round-14 expression formulation of one induction round, retained
+    * as the spec's bit-parity oracle for [[mergesOnDriver]] (the engine
+    * semantics the q164 DuckDB oracle restates are DEFINED by this
+    * replace): argmax pair of `words`, then the merged word table. */
+  private[graft] def expressionRound(words: DataFrame, r: Int): (DataFrame, DataFrame) = {
+    val best = Materialize(pairCounts(words)
+      .orderBy(col("cnt").desc, col("pa").asc, col("pb").asc).limit(1)
+      .select(lit(r).as("round"), col("pa"), col("pb"),
+        concat(col("pa"), col("pb")).as("merged"), col("cnt")))
+    val merged = words.crossJoin(broadcast(best))
+      .withColumn("seq", expr(
+        """trim(replace(concat(' ', seq, ' '),
+          | concat(' ', pa, '  ', pb, ' '),
+          | concat(' ', merged, ' ')))""".stripMargin))
+      .select(col("word"), col("freq"), col("seq"))
+    (best, merged)
   }
 
   /** q165: TOKENIZE with the learned vocabulary — apply the `rounds`

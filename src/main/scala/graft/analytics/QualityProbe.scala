@@ -90,7 +90,16 @@ object QualityProbe {
     for (_ <- 1 to iters) {
       val e = f.crossJoin(broadcast(w))
         .withColumn("e", expr(s"($Dot) div ${M}L - y"))
-      w = Materialize(e.agg(grad(0), grad(1), grad(2), grad(3), grad(4)))
+      val agg = e.agg(grad(0), grad(1), grad(2), grad(3), grad(4))
+      // The weight state is ONE row of five values — collect it and
+      // re-inject as a local relation (schema preserved, so types and
+      // values are bitwise identical to the former checkpoint). The
+      // Materialize shape cost TWO jobs per iteration (the localCheckpoint
+      // plus the next iteration's broadcast-build over the checkpoint
+      // scan); a local relation broadcasts driver-side with no job, so
+      // each GD step is exactly one pass over the feature checkpoint.
+      w = spark.createDataFrame(
+        java.util.Arrays.asList(agg.collect()(0)), agg.schema)
     }
     w
   }

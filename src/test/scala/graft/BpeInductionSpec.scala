@@ -153,6 +153,34 @@ class BpeInductionSpec extends SparkSpec {
     }
   }
 
+  test("driver-side induction ≡ the expression formulation (round-15 bit parity)") {
+    // merges() now collects the ≤topWords vocabulary and runs the argmax
+    // loop on the driver; the former per-round Spark-expression shape is
+    // retained as expressionRound and must agree merge-for-merge,
+    // count-for-count — including on the adversarial adjacent-repeat words
+    val rng = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val corpusWords = (1 to 25).map { _ =>
+        (1 to (2 + rng.nextInt(5))).map(_ => "abcde"(rng.nextInt(5))).mkString
+      } ++ Seq("abab", "ababab", "aaaa", "aaab")
+      val docs = corpusWords.zipWithIndex
+        .map { case (w, i) => (i.toLong, (w + " ") * (1 + rng.nextInt(3))) }
+        .toDF("doc_id", "text")
+      val words = BpeInduction.wordTable(docs, 1000)
+      val viaDriver = BpeInduction.mergesOnDriver(
+        words.select("word", "freq").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq, 4)
+      var w = words
+      val viaExpr = (1 to 4).map { r =>
+        val (best, merged) = BpeInduction.expressionRound(w, r)
+        w = graft.functions.Materialize(merged)
+        val b = best.collect()(0)
+        (b.getInt(0), b.getString(1), b.getString(2), b.getString(3), b.getLong(4))
+      }
+      assert(viaDriver == viaExpr, s"trial $trial: $viaDriver vs $viaExpr")
+    }
+  }
+
   test("q188: per-lang fertility reconciles with q165's per-doc piece counts") {
     val d = sf("sf0.01")
     val fert = BpeInduction.fertilityByLang(spark, d).collect()
