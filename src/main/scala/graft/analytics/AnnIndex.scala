@@ -38,8 +38,12 @@ object AnnIndex {
     * distribution the drift-triggered [[refreshDecision]] compares against
     * (build → extend → monitor → refresh, the full index lifecycle). */
   def build(vecs: DataFrame, name: String, numCentroids: Int = 32): Unit = {
-    val centroids = Similarity.trainCentroidsOn(
-      vecs.select(col("vec_id"), col("v")), numCentroids)
+    // materialize the trained quantizer ONCE (≤ numCentroids rows): the
+    // lazy orderBy/limit subtree otherwise re-scans the corpus inside
+    // EVERY consumer — the centroids write, the assignment's packed
+    // broadcast — paying the train pass 2-3× per build (guide §1.2)
+    val centroids = graft.functions.Materialize(Similarity.trainCentroidsOn(
+      vecs.select(col("vec_id"), col("v")), numCentroids))
     buildFrom(vecs, centroids, Similarity.assignCellsOn(vecs, centroids), name)
   }
 
@@ -59,19 +63,34 @@ object AnnIndex {
     // into its staging name, where any torn prefix is dropped and
     // rebuilt by the re-run)
     graft.sink.CrashPoints.reached("annbuild.cleared")
-    centroids.write.format("parquet").saveAsTable(s"${name}_centroids")
-    graft.sink.CrashPoints.reached("annbuild.centroids")
-    // every non-key input column rides into the cells table as payload
-    // (cid last — it's the partition column), so attribute-FILTERED search
-    // evaluates its predicate on the pruned scan itself, at rest
-    assigned.write.format("parquet").partitionBy("cid")
-      .saveAsTable(s"${name}_cells")
-    graft.sink.CrashPoints.reached("annbuild.cells")
-    if (vecs.columns.contains("label")) {
-      labelMeansOn(vecs.select(col("label"), col("v")))
-        .write.format("parquet").saveAsTable(s"${name}_label_stats")
-      graft.sink.CrashPoints.reached("annbuild.stats")
-    }
+    // The three tables are DISJOINT and each write is recoverable from
+    // source (a build on a live name re-runs; the refresh path builds into
+    // staging, where any torn subset is dropped and rebuilt by the re-run
+    // — the subset no longer being a strict prefix changes nothing: every
+    // mixed durable state was already reachable from the old write order,
+    // and recovery never reads a staging table it didn't just write). Fan
+    // them on driver threads — the round-14 Par discipline (guide §2.6):
+    // the gate families pay max(write) instead of Σ(write).
+    import graft.functions.PhaseTimer.timed
+    graft.functions.Par.inParallel(Seq[Option[() => Unit]](
+      Some(() => timed("annidx.centroids") {
+        centroids.write.format("parquet").saveAsTable(s"${name}_centroids")
+        graft.sink.CrashPoints.reached("annbuild.centroids")
+      }),
+      Some(() => timed("annidx.cells") {
+        // every non-key input column rides into the cells table as payload
+        // (cid last — it's the partition column), so attribute-FILTERED
+        // search evaluates its predicate on the pruned scan itself, at rest
+        assigned.write.format("parquet").partitionBy("cid")
+          .saveAsTable(s"${name}_cells")
+        graft.sink.CrashPoints.reached("annbuild.cells")
+      }),
+      if (!vecs.columns.contains("label")) None
+      else Some(() => timed("annidx.stats") {
+        labelMeansOn(vecs.select(col("label"), col("v")))
+          .write.format("parquet").saveAsTable(s"${name}_label_stats")
+        graft.sink.CrashPoints.reached("annbuild.stats")
+      })).flatten)
     Tombstones.clear(spark, name) // a rebuild has nothing to forget
   }
 
@@ -349,7 +368,12 @@ object AnnIndex {
       // corpus): an index row duplicated by an at-least-once streaming
       // extend replay (AnnIndexStream's documented trade) must not occupy
       // two top-k slots; duplicate rows are value-identical, so the drop
-      // is deterministic
+      // is deterministic. ONE exchange serves both the dedup aggregate and
+      // the rank window below: HashPartitioning(query_id) satisfies the
+      // aggregate's ClusteredDistribution(query_id, neighbor_id) — the
+      // round-14 §2.4 rewrite (Similarity.lshTopKOn) applied to the
+      // persisted-index probe path
+      .repartition(col("query_id"))
       .dropDuplicates(Seq("query_id", "neighbor_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
