@@ -338,8 +338,12 @@ object Graph {
     val und = Materialize(supportedEdges(spark, dir, minSupport))
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
-    val labels = labelPropagationOn(edges, rounds)
-      .select(col("node"), col("community"))
+    // the labeling feeds THREE plan branches (both endpoint joins of in_c
+    // and the degree join of tot_c); unmaterialized, the final job re-runs
+    // the whole `rounds`-deep LPA chain once per branch — Spark does not
+    // share identical subtrees (guide §1.2: don't compute things twice)
+    val labels = Materialize(labelPropagationOn(edges, rounds)
+      .select(col("node"), col("community")))
     val la = labels.select(col("node").as("pa"), col("community").as("ca"))
     val lb = labels.select(col("node").as("pb"), col("community").as("cb"))
     val inC = und.join(la, "pa").join(lb, "pb")

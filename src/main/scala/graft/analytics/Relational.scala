@@ -1154,14 +1154,15 @@ object Relational {
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val freq = baskets.select(explode(col("ps")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val und = baskets
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"""
-          .stripMargin)).as("e"))
-      .groupBy(col("e.pa").as("part_a"), col("e.pb").as("part_b"))
-      .agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= minSupport)
+    // the weighted pair counts ARE the memoized co-purchase edge table
+    // (same basket explode, same aggregate — value-identical by
+    // construction); consuming the memo drops the pair explode+aggregate
+    // from this query's own plan (round-15: it was recomputed here and in
+    // q150 despite q00 already charging the shared build)
+    val und = Graph.coPurchaseEdges(spark, dir)
+      .filter(col("n") >= minSupport)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n").as("n_both"))
     // directed rules: each undirected pair in both directions, same count
     val pairs = und.unionByName(und.select(col("part_b").as("part_a"),
       col("part_a").as("part_b"), col("n_both")))
@@ -1232,14 +1233,12 @@ object Relational {
     val baskets = graft.functions.Materialize(Graph.orderBaskets(spark, dir))
     val freq = baskets.select(explode(col("ps")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val und = baskets
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y -> named_struct('pa', x, 'pb', y))))"""
-          .stripMargin)).as("e"))
-      .groupBy(col("e.pa").as("part_a"), col("e.pb").as("part_b"))
-      .agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= minSupport)
+    // pair counts from the memoized co-purchase edge table (q125's shape —
+    // value-identical to the in-query explode+aggregate it replaces)
+    val und = Graph.coPurchaseEdges(spark, dir)
+      .filter(col("n") >= minSupport)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n").as("n_both"))
     val pairs = und.unionByName(und.select(col("part_b").as("part_a"),
       col("part_a").as("part_b"), col("n_both")))
     pairs
