@@ -348,14 +348,24 @@ object LexIndex {
     // file per touched bucket regardless of the batch's shuffle width
     val nt = bucketsOf(spark, s"${name}_postings")
     val nd = bucketsOf(spark, s"${name}_dl")
-    postings.repartition(nt, col("term")).write.mode("append")
-      .bucketBy(nt, "term")
-      .sortBy("term").format("parquet").saveAsTable(s"${name}_postings")
-    dl.repartition(nd, col("doc_id")).write.mode("append")
-      .bucketBy(nd, "doc_id")
-      .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_dl")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
+    // the postings append and the dl→stats chain write DISJOINT tables —
+    // fan them (guide §2.6, the buildFrom discipline). Both inputs are
+    // checkpoints, so neither leg recomputes the tokenize; stats stays
+    // strictly AFTER dl on its leg (the delta log must never run ahead of
+    // the doc lengths it summarizes — same order as before). The
+    // exactly-once streaming twin (LexIndexStream) guards each append
+    // with its own marker and is unaffected.
+    graft.functions.Par.inParallel(Seq(
+      () => postings.repartition(nt, col("term")).write.mode("append")
+        .bucketBy(nt, "term")
+        .sortBy("term").format("parquet").saveAsTable(s"${name}_postings"),
+      () => {
+        dl.repartition(nd, col("doc_id")).write.mode("append")
+          .bucketBy(nd, "doc_id")
+          .sortBy("doc_id").format("parquet").saveAsTable(s"${name}_dl")
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .write.mode("append").format("parquet").saveAsTable(s"${name}_stats")
+      }))
   }
 
   /** BM25 top-k served FROM the index: same formula, constants, rounding,
