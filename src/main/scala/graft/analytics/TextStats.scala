@@ -910,13 +910,15 @@ object TextStats {
       .toDF("query_id", "term")
     val nTerms = qterms.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_terms"))
-    val rel = documents(spark, dir)
+    // rel feeds TWO branches (the top-k join and the n_rel aggregate);
+    // unmaterialized, its corpus tokenize+join ran once per branch
+    val rel = graft.functions.Materialize(documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
       .join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("nm"))
       .join(broadcast(nTerms), "query_id")
       .filter(col("nm") === col("n_terms"))
-      .select(col("query_id"), col("doc_id"), lit(true).as("rel"))
+      .select(col("query_id"), col("doc_id"), lit(true).as("rel")))
     val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
     bm25TopK(spark, dir, k)
       .select(col("query_id"), col("doc_id"), col("rn"))
