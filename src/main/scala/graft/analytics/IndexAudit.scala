@@ -427,10 +427,13 @@ object IndexAudit {
           sum(when(col("k").isNull, 1L).otherwise(0L)) === lit(0L))
           .as("consistent")))
 
-    // lex surfaces: docs with ≥1 token are the population the index holds
-    val tokenful = docs.select(col("doc_id"),
+    // lex surfaces: docs with ≥1 token are the population the index holds.
+    // Materialized — three audit branches consume it (both id
+    // reconciliations and the dl consistency join), and each would
+    // otherwise re-tokenize the corpus (guide §1.2)
+    val tokenful = graft.functions.Materialize(docs.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
-      .filter(col("n_tok") >= 1)
+      .filter(col("n_tok") >= 1))
     val dl = spark.table(s"${lexName}_dl")
     val postings = spark.table(s"${lexName}_postings")
     val lexDl = row(spark, "lex_dl",

@@ -129,10 +129,13 @@ object Sampling {
     * decile d+1 — exact by construction of threshold bucketing, pinning
     * the bucket direction). The 10-row final window is driver-trivial. */
   def curriculumSketchGate(spark: SparkSession, dir: String): DataFrame = {
-    val per = curriculumOrderScalable(spark, dir)
+    // the 10-row per-decile frame feeds two branches (the total and the
+    // main select); unmaterialized, the whole curriculum pipeline —
+    // quality scoring, sketch, window — ran once per branch
+    val per = graft.functions.Materialize(curriculumOrderScalable(spark, dir)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
-        min(col("quality")).as("qmin"), max(col("quality")).as("qmax"))
+        min(col("quality")).as("qmin"), max(col("quality")).as("qmax")))
     val tot = per.agg(sum(col("n_docs")).as("n"))
     val wnext = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
     per.crossJoin(broadcast(tot))
