@@ -1260,16 +1260,13 @@ object Relational {
     * Per-nation revenue is rounded to cents before the share division in
     * both engines, so the ratios are oracle-stable at 4 dp. */
   def revenueShare(spark: SparkSession, dir: String): DataFrame = {
-    // the 25-row per-nation aggregate feeds three branches (region
-    // subtotals, the grand total, the main select) — materialize it once
-    // or each branch re-runs the lineitem join+aggregate (guide §1.2)
-    val rev = graft.functions.Materialize(lineitem(spark, dir)
+    val rev = lineitem(spark, dir)
       .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue")))
+        .as("revenue"))
     val regionTot = rev.groupBy(col("r_name").as("rt_name"))
       .agg(sum(col("revenue")).as("region_rev"))
     val grand = rev.agg(sum(col("revenue")).as("total_rev"))
